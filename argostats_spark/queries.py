@@ -1,0 +1,1260 @@
+"""Query inventory — every operator from SURVEY.md §2 as a (Spark builder,
+DuckDB oracle SQL) pair, exercised on the driver's testdata tables.
+
+Each entry demonstrates one (or a cluster of) operator IDs from the
+survey; the oracle SQL is the ANSI-SQL twin the driver runs in DuckDB at
+sf0.01 and hash-compares. Cross-engine determinism rules used throughout:
+
+- money/maths aggregates go through DECIMAL (exact, order-independent)
+  and are cast to DOUBLE at the end, or are ROUND()ed after a double agg
+  whose accumulation error is orders of magnitude below the rounding
+  step;
+- raw event timestamps are nanosecond-precision in the parquet while
+  Spark reads microseconds — so timestamps are always truncated to
+  seconds/hours (epoch BIGINT) or dates before being returned or used as
+  ordering keys (ties broken by unique ids);
+- hashes use md5 (present and identical in both engines); DuckDB lacks
+  xxhash64/width_bucket, so fingerprints are md5-prefix 60-bit ints and
+  histograms use floor();
+- DuckDB sum(BIGINT) returns HUGEINT → always CAST ... AS BIGINT.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions.arrays import cosine_similarity, dot_product, l2_norm
+from .functions.geo import haversine_arg, haversine_km
+from .functions.text import STOPWORDS, quality_score, tokens, word_ngrams
+from .operators.spatial import kernel_weighted_mean
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long (legacy conf) and truncate to a
+    microsecond TimestampType column — the same truncation Spark applies
+    wherever it can read ns timestamps at all."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# =========================================================================
+# Flagship: gridded kernel-weighted climatology (SURVEY §2.3 J2, §2.4
+# A1-A3, §2.8 F2/F3) — the reference's atlas core (atlas.py:93-142)
+# demonstrated on the customer table with deterministic synthetic
+# coordinates, so DuckDB can brute-force the same θ-join.
+# =========================================================================
+
+_RESO = 10.0          # grid resolution, degrees
+_SF = 1.0             # smoothing factor → kernel radius = 10° of arc
+_THETA = math.sin(math.radians(_SF * _RESO) / 2.0) ** 2
+
+_PTS_SQL = """
+    SELECT CAST(((c_custkey * 37) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+           CAST(((c_custkey * 53) % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+           c_acctbal AS val
+    FROM customer
+"""
+
+
+def _synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        (F.pmod(F.col("c_custkey") * 37, F.lit(360)) - 180 + 0.5).cast("double").alias("lon"),
+        (F.pmod(F.col("c_custkey") * 53, F.lit(160)) - 80 + 0.5).cast("double").alias("lat"),
+        F.col("c_acctbal").alias("val"),
+    )
+
+
+def _grid(spark: SparkSession) -> DataFrame:
+    lons = spark.range(36).select((F.col("id") * 10 - 175).cast("double").alias("glon"))
+    lats = spark.range(16).select((F.col("id") * 10 - 75).cast("double").alias("glat"))
+    return lons.crossJoin(lats)
+
+
+@query(
+    "clim_kernel_grid",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    grid AS (
+      SELECT CAST(i * 10 - 175 AS DOUBLE) AS glon, CAST(j * 10 - 75 AS DOUBLE) AS glat
+      FROM range(0, 36) t(i) CROSS JOIN range(0, 16) s(j)
+    ),
+    pairs AS (
+      SELECT glon, glat, val,
+             pow(sin(radians(lat - glat) / 2), 2)
+             + cos(radians(glat)) * cos(radians(lat)) * pow(sin(radians(lon - glon) / 2), 2)
+               AS hav
+      FROM grid JOIN pts ON
+             pow(sin(radians(lat - glat) / 2), 2)
+             + cos(radians(glat)) * cos(radians(lat)) * pow(sin(radians(lon - glon) / 2), 2)
+             <= {_THETA!r}
+    )
+    SELECT glon, glat,
+           round(CAST(sum(exp(-hav / {_THETA!r}) * val) / sum(exp(-hav / {_THETA!r})) AS DOUBLE), 4)
+             AS mean_val,
+           count(*) AS n_points
+    FROM pairs GROUP BY glon, glat
+    """,
+)
+def q_clim_kernel_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 binned neighborhood join + A1-A3 kernel-weighted mean.
+
+    Spark side uses the engine's adaptive-halo binned join
+    (operators/spatial.py); the oracle brute-forces the θ-join — their
+    equality is the correctness proof for the binning (SURVEY §7.4.1).
+    """
+    out = kernel_weighted_mean(
+        _grid(spark), _synth_points(spark, sf_dir),
+        value_cols=["val"], reso_deg=_RESO, smoothing_factor=_SF,
+    )
+    return out.select(
+        "glon", "glat",
+        F.round(F.col("mean_val").cast("double"), 4).alias("mean_val"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
+# =========================================================================
+# Relational core on the TPC-H-ish tables
+# =========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — groupBy + 8 aggregates (SURVEY §2.4 A1/A12;
+    partial+final agg comes free from Spark, §2.4 'absent' note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3 projection + compound predicate; X2/X3: both the filter
+    and the 5-column projection reach the parquet scan (pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@query(
+    "compound_predicate",
+    """
+    SELECT user_id, count(*) AS n_errors,
+           round(CAST(sum(value) AS DOUBLE), 3) AS sum_value
+    FROM events
+    WHERE event_type = 'error' AND value > 50
+    GROUP BY user_id
+    """,
+)
+def q_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 quality-style compound predicate + A12 per-group counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 50))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.round(F.sum("value").cast("double"), 3).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "dateparts",
+    """
+    SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+           CAST(dayofmonth(ts) AS INT) AS day, CAST(dayofyear(ts) AS INT) AS dayofyear,
+           CAST(hour(ts) AS INT) AS hour, count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 date-part extraction — the reference's hand-rolled datetools
+    (tools/datetools.py:7-62) as built-ins."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.dayofyear("ts").alias("dayofyear"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "haversine",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT lon, lat,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(0 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(0)) * pow(sin(radians(0 - lon) / 2), 2)
+           )), 3) AS dist_km
+    FROM pts
+    """,
+)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 haversine as a pure column expression (reference atlas.py:48-63)
+    — whole-stage-codegen'd, no UDF."""
+    pts = _synth_points(spark, sf_dir)
+    return pts.select(
+        "lon", "lat",
+        F.round(haversine_km("lon", "lat", F.lit(0.0), F.lit(0.0)), 3).alias("dist_km"),
+    )
+
+
+@query(
+    "join_multiway",
+    """
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-join chain with broadcast dimension tables (J4 pattern):
+    nation/region are tiny → broadcast, no shuffle on the fact side
+    beyond the final aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (absent from the reference, SURVEY §2.3 'absent')."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_outer",
+    """
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join keeping zero-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")
+            ).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "join_range_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+             ('large', 150000.0, 1000000000.0)
+    )
+    SELECT band, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) θ-join against a broadcast band table — the
+    non-spatial cousin of J2."""
+    o = _t(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0),
+             ("large", 150000.0, 1e9)],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        o.join(bands, (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           CAST(epoch(date_trunc('second', max(c.ts))) AS BIGINT) AS last_click_s
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference): for each error event the
+    most recent click by the same user. Expressed as a range join +
+    max-aggregate; the streaming module has the stateful variant."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        err.join(clk, (err.user_id == clk.c_user) & (clk.c_ts <= err.e_ts))
+        .groupBy("event_id", "user_id")
+        .agg(F.unix_timestamp(F.max("c_ts")).alias("last_click_s"))
+    )
+
+
+@query(
+    "dict_encode",
+    """
+    SELECT event_type,
+           CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+                           WHEN 'signup' THEN 3 WHEN 'error' THEN 4 ELSE -1 END AS type_code,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/F11 dictionary encoding — the reference's string→int8 encoders
+    (toctools.py:195-196) as a broadcast-joined dimension table."""
+    ev = _t(spark, sf_dir, "events")
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [("click", 0), ("view", 1), ("purchase", 2), ("signup", 3), ("error", 4)],
+            "event_type string, type_code int",
+        )
+    )
+    return (
+        ev.join(dim, "event_type", "left")
+        .withColumn("type_code", F.coalesce("type_code", F.lit(-1)))
+        .groupBy("event_type", "type_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================================
+# Window functions (SURVEY §2.5 W1-W4)
+# =========================================================================
+
+@query(
+    "window_row_number",
+    """
+    SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order_date
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/A6 per-group row numbering + group-wise first — the
+    reference's IPROF assignment (toctools.py:175) and groupby().first()."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+        )
+    )
+
+
+@query(
+    "window_lag_gap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s
+    FROM e
+    """,
+)
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 lag/lead over an event-time window: seconds between consecutive
+    events per user (ordering key is second-truncated ts + id so both
+    engines sort identically despite the ns/µs precision gap)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return ev.withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w)).select(
+        "user_id", "event_id", "gap_s"
+    )
+
+
+@query(
+    "window_cumsum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 cumulative sum — the reference's np.cumsum over depth
+    (atlas.py:323-324) as a running-window aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2)
+         .alias("running_total"),
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_s,
+             CASE WHEN ts_s - lag(ts_s) OVER w > 3600 OR lag(ts_s) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + cumulative sum over gaps > 1h) — the batch
+    twin of the streaming session window; a pattern the reference lacks
+    entirely (SURVEY §2.9)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts_s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_s") - F.lag("ts_s").over(w) > 3600) | F.lag("ts_s").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(run).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# =========================================================================
+# Sorts / limits / top-k (SURVEY §2.6) and set ops (§2.7)
+# =========================================================================
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale);
+    unique tie-break key keeps both engines deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "union_all",
+    """
+    SELECT event_id, user_id, 'err' AS tag FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, user_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union-all — the reference's pd.concat of per-WMO frames
+    (toctools.py:145) as a proper distributed union."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("err").alias("tag")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("buy").alias("tag")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent from the reference, free in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.join(c, o.o_custkey == c.c_custkey).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — customers minus those with finished orders."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c.subtract(o)  # subtract == EXCEPT (distinct semantics)
+
+
+# =========================================================================
+# Aggregations (SURVEY §2.4) beyond Q1
+# =========================================================================
+
+@query(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 distinct."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "year_histogram",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_year_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 count-per-year histogram — the reference's np.histogram over
+    profile years (README.md:60-65)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 fixed-bin histogram via floor(x/w) (DuckDB lacks width_bucket)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 5).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "minmax_stats",
+    """
+    SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+           count(*) AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 min/max + A7 distinct count, single global aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "group_count",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 counts per group."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference; SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (F15 modernized): pull a field out of
+    the JSON props string with a shared regex (engine-neutral)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "pivot_status_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) — Spark's pivot() vs conditional-sum SQL."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.year("o_orderdate").alias("year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return p.select(
+        "year",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+@query(
+    "events_hourly_window",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, event_type,
+           count(*) AS n, round(CAST(sum(value) AS DOUBLE), 3) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window (batch twin of the streaming ingest,
+    SURVEY §2.9): Spark's window() operator; epoch-aligned 1h tumbles
+    equal date_trunc('hour')."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value").cast("double"), 3).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_s"),
+            "event_type", "n", "sum_value", "n_users",
+        )
+    )
+
+
+# =========================================================================
+# Text analysis on documents (training-data pipeline surface)
+# =========================================================================
+
+_TOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_unique,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — text-analysis operator #3."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chr,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             least(n_tok / 20.0, 1.0) * 0.4
+             + (CASE WHEN n_tok > 0 AND n_chr / n_tok >= 3.0 AND n_chr / n_tok <= 12.0
+                     THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - least((CASE WHEN n_chr > 0 THEN n_punct / n_chr ELSE 0.0 END) * 4.0, 1.0))
+               * 0.3,
+           6) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / punctuation / word-shape) —
+    text-analysis operator #2, pure column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+@query(
+    "text_langid",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','la','que','es','los'))) AS s_es
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword vote; argmax, ties to the earlier
+    language) — text-analysis operator #1; confusion counts vs the label."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+
+    def vote(words: list[str]):
+        def is_marker(t):
+            out = F.lit(False)
+            for w in words:
+                out = out | (t == F.lit(w))
+            return out
+
+        return F.size(F.filter(toks, is_marker))
+
+    scores = {lang: vote(words) for lang, words in STOPWORDS.items()}
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang, s in scores.items():
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    return d.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT % 64 AS shard
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting — 60-bit md5-prefix fingerprint (md5 is
+    the one hash both engines share; the engine also exposes xxhash64
+    where no oracle is needed) + shard assignment."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return d.select("doc_id", fp.alias("fp60"), (fp % 64).alias("shard"))
+
+
+@query(
+    "binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata
+    (byte length, content digest). The decode/feature-extract stage is
+    operators/multimodal.py (Pandas-UDF, stubbed decode)."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.sha2(b, 256).alias("digest"),
+    )
+
+
+# =========================================================================
+# Deduplication family on documents
+# =========================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest id (dedup operator #1)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )
+
+
+_SHINGLES_SQL = r"""
+      SELECT doc_id, lang,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2), ' ')
+               )
+             ) AS sh
+      FROM documents
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.04
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (dedup operator #4): word-3-gram
+    shingle sets, same-language blocking, |∩|/|∪| >= 0.04."""
+    d = _t(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_ngrams("text", 3))
+    docs = d.select("doc_id", "lang", sh.alias("sh"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jac_raw"),
+        )
+        .filter(F.col("jac_raw") >= 0.04)
+        .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+_SH_EXPR = (
+    r"list_distinct(list_transform("
+    r"range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0) + 1), "
+    r"i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2),"
+    r" ' ')))"
+)
+
+_MINHASH_SQL = f"""
+      SELECT doc_id,
+             {_SH_EXPR} AS sh,
+             list_aggregate(list_transform({_SH_EXPR}, t -> md5('s1|' || t)), 'min') AS mh1,
+             list_aggregate(list_transform({_SH_EXPR}, t -> md5('s2|' || t)), 'min') AS mh2
+      FROM documents
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH d AS ({_MINHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM d a JOIN d b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (dedup operator #2): word-3-gram shingle
+    minhash signatures (min of salted md5 — identical hash family in
+    both engines), one band of two rows as the LSH bucket key,
+    candidates verified by exact shingle Jaccard >= 0.6.
+
+    Scale shape: the bucket equi-join replaces the O(n²) pair space —
+    at 100 TB the band key is the shuffle key and verification touches
+    only candidates. Shingles (not raw tokens) keep the hash space
+    large enough that buckets stay small under a tiny vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_ngrams("text", 3))
+
+    # Shape chosen for scale AND local speed: md5 inside a higher-order
+    # transform() is interpreted per element, while md5 over exploded
+    # rows is whole-stage-codegen'd; the min() signature agg is a
+    # partial+final aggregate (map-side combine), and the big shingle
+    # arrays never travel with the candidate join — they're joined back
+    # only for the (few) verification pairs.
+    sh_df = d.select("doc_id", sh.alias("sh")).persist()
+    ex = sh_df.select("doc_id", F.explode("sh").alias("g"))
+    sigs = ex.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("s1|"), F.col("g")))).alias("mh1"),
+        F.min(F.md5(F.concat(F.lit("s2|"), F.col("g")))).alias("mh2"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.mh1") == F.col("b.mh1"))
+        & (F.col("a.mh2") == F.col("b.mh2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    asd = sh_df.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bsd = sh_df.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(asd, "id_a")
+        .join(bsd, "id_b")
+        .select("id_a", "id_b", jac.alias("jac_raw"))
+        .filter(F.col("jac_raw") >= 0.6)
+        .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+# =========================================================================
+# Similarity search on embeddings
+# =========================================================================
+
+@query(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT qid, vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+             5) AS sim
+      FROM q JOIN embeddings ON vec_id <> qid
+    )
+    SELECT qid, vec_id, sim FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline): JVM-side
+    zip_with/aggregate dot products, ranking window per query. The
+    IVF-bucketed scale path is operators/similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    pairs = q.join(e, F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id",
+        F.round(cosine_similarity("qv", "embedding"), 5).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+@query(
+    "vector_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2,
+           CAST(len(list_distinct(list_transform(embedding,
+                 x -> round(CAST(x AS DOUBLE), 1)))) AS BIGINT) AS n_distinct_rounded
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 sorted/distinct array ops + vector norms over the embedding
+    column (array higher-order functions, no explode)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    rounded = F.transform("embedding", lambda x: F.round(x.cast("double"), 1))
+    return e.select(
+        "vec_id", "label",
+        F.round(l2_norm("embedding"), 5).alias("l2"),
+        F.size(F.array_distinct(rounded)).cast("long").alias("n_distinct_rounded"),
+    )
+
+
+@query(
+    "centroid_per_label",
+    """
+    SELECT label, count(*) AS n,
+           round(CAST(sum(CAST(embedding[1] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c0,
+           round(CAST(sum(CAST(embedding[2] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c1,
+           round(CAST(sum(CAST(embedding[64] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c63
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (the IVF coarse-quantizer training
+    step): element_at on the vector + grouped mean."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    return e.groupBy("label").agg(
+        n.alias("n"),
+        F.round(F.sum(comp(1)) / n, 5).alias("c0"),
+        F.round(F.sum(comp(2)) / n, 5).alias("c1"),
+        F.round(F.sum(comp(64)) / n, 5).alias("c63"),
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+The reference parallelizes with a ``multiprocessing.Pool`` of
+``cpu_count()//2`` workers on one node (reference: src/argostats/tools/
+parallel.py:29-32). Here the equivalent knob set is the Spark session
+config: AQE for runtime re-planning (skew joins, partition coalescing),
+shuffle partitions sized to the actual core count instead of the 200
+default, and Arrow enabled for every pandas-UDF exchange.
+
+All settings are cluster-safe: on a real cluster the ``master`` is taken
+from the environment (spark-submit / cluster manager) and only the SQL
+conf entries apply.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of local threads; the driver environment exposes SPARK_GRAFT_CPUS.
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "argostats_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master=None`` leaves master selection to the deployment environment
+    (spark-submit, an existing session, ...) and only falls back to
+    ``local[N]`` when nothing else defines one.
+    """
+    cpus = DEFAULT_CPUS
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = {
+        # Partitioning: match parallelism to cores locally; AQE coalesces
+        # further at runtime. On a big cluster, override via spark-submit.
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.default.parallelism": str(cpus),
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and dynamic broadcast decisions — replaces the
+        # reference's hand-rolled load balancing (parallel.py:35-41,
+        # interpolation.py:165-169).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for every pandas interchange (pandas UDFs, toPandas).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Deterministic timestamps for oracle comparison.
+        "spark.sql.session.timeZone": "UTC",
+        # Quieter local runs.
+        "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

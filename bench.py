@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with a cheap count-style action (the driver's
+correctness gate does the full collect; here we measure engine execution
+time, not pandas conversion). A warmup query amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from argostats_spark.queries import QUERIES  # noqa: E402
+from argostats_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan/agg, joins, windows,
+# spatial kernel join, dedup, similarity, text.
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_project",
+    "join_multiway",
+    "join_asof",
+    "window_cumsum",
+    "topk_per_group",
+    "clim_kernel_grid",
+    "events_hourly_window",
+    "dedup_minhash_lsh",
+    # dedup_ngram_jaccard is the deliberately-quadratic exact baseline —
+    # correctness-checked at sf0.01, not a headline scale number.
+    "cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="argostats_bench")
+
+    # warmup: JVM, parquet footer caches, codegen
+    QUERIES["group_count"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        # force full execution of every operator in the plan
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
