@@ -1,0 +1,245 @@
+"""Gridded climatology ("atlas") — SURVEY.md §3.3 / M4+M5.
+
+The reference builds lat/lon grids per domain, crops the profile array
+to the domain, tiles it with ±3° halos, and computes per-grid-cell
+gaussian-weighted means (and EAPE) in a multiprocessing pool
+(reference: src/argostats/atlas.py:379-383, 497-526, 93-142, 152-231).
+
+Spark-first re-expression:
+
+- grid table from spark.range cross-join (F14, atlas.py:83-90)
+- optional land-mask gate as a broadcast join *before* compute
+  (P10/X9, atlas.py:266-272)
+- the tile/halo machinery becomes the binned neighborhood join
+  (operators/spatial.py) — one equi-join shuffle, no tiles to assemble
+- the weighted per-level mean (A1-A3) runs per cell on Arrow batches
+  (applyInPandas), NumPy-vectorized over the (profiles × 64 levels)
+  block, exactly the reference's inner kernel shape
+- EAPE (A4, R14 algorithm) is the two-pass dataflow: cell-mean profile
+  (pass 1) broadcast-joined back to the matched pairs (pass 2).
+
+Scale note: a profile within kernel radius of k cells appears k times
+in the pair set — that amplification is inherent to the kernel support
+(the reference pays it as per-tile AOS copies, atlas.py:503-514). The
+pair set is the one thing worth caching between TS and EAPE passes
+(SURVEY §7.4.2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.teos10 import compute_cf, eape_unit, rho, sound_speed
+from ..schemas import DOMAINS, NLEVELS, pref64
+from .spatial import neighborhood_join
+
+# ---------------------------------------------------------------------------
+# Grid generation (F14)
+# ---------------------------------------------------------------------------
+
+
+def make_grid(
+    spark: SparkSession,
+    domain: str | tuple[float, float, float, float],
+    reso_deg: float,
+) -> DataFrame:
+    """Cell-center grid table for a [lon_min, lon_max, lat_min, lat_max]
+    domain at ``reso_deg`` (reference get_gridpos, atlas.py:83-90)."""
+    if isinstance(domain, str):
+        domain = DOMAINS[domain]
+    lon_min, lon_max, lat_min, lat_max = domain
+    nlon = int(round((lon_max - lon_min) / reso_deg))
+    nlat = int(round((lat_max - lat_min) / reso_deg))
+    half = reso_deg / 2.0
+    lons = spark.range(nlon).select(
+        (F.lit(lon_min) + F.col("id") * reso_deg + half).cast("double").alias("glon")
+    )
+    lats = spark.range(nlat).select(
+        (F.lit(lat_min) + F.col("id") * reso_deg + half).cast("double").alias("glat")
+    )
+    return lons.crossJoin(lats)
+
+
+def apply_ocean_mask(grid: DataFrame, mask: DataFrame | None) -> DataFrame:
+    """P10 land gate: keep ocean cells only, via a broadcast join on the
+    mask's own grid indices (J3 arithmetic lookup, bathy/bathy.py:29-50).
+    mask columns: lat, lon, is_ocean at some uniform resolution."""
+    if mask is None:
+        return grid
+    # nearest mask cell arithmetically — mask grids are uniform
+    m = F.broadcast(mask.filter(F.col("is_ocean") == 1).select("lat", "lon"))
+    return grid.join(
+        m,
+        (F.round((grid.glon - m.lon), 6) == 0.0) & (F.round((grid.glat - m.lat), 6) == 0.0),
+        "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: weighted per-level means of CT/SR (A1-A3)
+# ---------------------------------------------------------------------------
+
+_TS_SCHEMA = T.StructType([
+    T.StructField("glon", T.DoubleType(), False),
+    T.StructField("glat", T.DoubleType(), False),
+    T.StructField("n_points", T.IntegerType(), False),
+    T.StructField("CT", T.ArrayType(T.FloatType()), False),
+    T.StructField("SR", T.ArrayType(T.FloatType()), False),
+    T.StructField("W", T.ArrayType(T.FloatType()), False),
+])
+
+
+def _ts_cell_kernel(theta: float):
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        glon, glat = key
+        w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)          # (n,)
+        idx = np.stack(pdf["IDX"].to_numpy()).astype("f8")            # (n, 64)
+        ct = np.stack(pdf["CT"].to_numpy()).astype("f8")
+        sr = np.stack(pdf["SR"].to_numpy()).astype("f8")
+        coef = w[:, None] * idx                                       # (n, 64)
+        n_lev = coef.sum(axis=0)                                      # (64,)
+        ok = n_lev > 0
+        ct_m = np.zeros(NLEVELS, dtype="f8")
+        sr_m = np.zeros(NLEVELS, dtype="f8")
+        ct_m[ok] = (coef * ct).sum(axis=0)[ok] / n_lev[ok]
+        sr_m[ok] = (coef * sr).sum(axis=0)[ok] / n_lev[ok]
+        return pd.DataFrame(
+            {
+                "glon": [float(glon)],
+                "glat": [float(glat)],
+                "n_points": [len(pdf)],
+                "CT": [ct_m.astype("f4").tolist()],
+                "SR": [sr_m.astype("f4").tolist()],
+                "W": [n_lev.astype("f4").tolist()],
+            }
+        )
+
+    return kernel
+
+
+def match_pairs(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    delayed_only: bool = True,
+) -> DataFrame:
+    """P5 quality gate + J2 neighborhood join → (cell × profile) pairs
+    with the exact haversine_arg. The pair set feeds both TS and EAPE
+    passes — cache it when computing both."""
+    pred = F.col("FLAG") == 1
+    if delayed_only:
+        pred = pred & (F.col("DATA_MODE") == 1)  # atlas.py:253 (parameterized, P5 TODO)
+    pts = profiles.filter(pred).select(
+        F.col("LONGITUDE").cast("double").alias("lon"),
+        F.col("LATITUDE").cast("double").alias("lat"),
+        "CT", "SR", "IDX",
+    )
+    return neighborhood_join(
+        grid, pts, radius_deg=smoothing_factor * reso_deg,
+    )
+
+
+def clim_ts(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted-mean CT/SR climatology per ocean grid cell (the
+    reference's clim_TS, atlas.py:427-437 → proceed_TS_tile:256-279)."""
+    theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
+    if pairs is None:
+        pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
+    return pairs.groupBy("glon", "glat").applyInPandas(
+        _ts_cell_kernel(theta), _TS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: EAPE, R14 algorithm (A4; atlas.py:152-191, 281-298)
+# ---------------------------------------------------------------------------
+
+_EAPE_SCHEMA = T.StructType([
+    T.StructField("glon", T.DoubleType(), False),
+    T.StructField("glat", T.DoubleType(), False),
+    T.StructField("n_points", T.IntegerType(), False),
+    T.StructField("RHO", T.ArrayType(T.FloatType()), False),
+    T.StructField("EAPE", T.ArrayType(T.FloatType()), False),
+])
+
+
+def _eape_cell_kernel(theta: float):
+    pref = pref64().astype("f8")
+    unit = eape_unit()
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        glon, glat = key
+        w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)
+        idx = np.stack(pdf["IDX"].to_numpy()).astype("f8")
+        ct = np.stack(pdf["CT"].to_numpy()).astype("f8")
+        sr = np.stack(pdf["SR"].to_numpy()).astype("f8")
+        ct_bar = np.asarray(pdf["CT_BAR"].iloc[0], dtype="f8")
+        sr_bar = np.asarray(pdf["SR_BAR"].iloc[0], dtype="f8")
+
+        # mean-profile density + compressibility factor (atlas.py:316-324)
+        rho_bar = rho(sr_bar, ct_bar, pref)
+        cf = compute_cf(rho_bar, sound_speed(sr_bar, ct_bar, pref), pref)
+        ref_curve = rho_bar * cf  # monotone-ified below for np.interp
+        ref_curve = np.maximum.accumulate(ref_curve)
+
+        # per-profile density at each level, displacement via isopycnal
+        # lookup (atlas.py:184-191)
+        rho_i = rho(sr, ct, pref[None, :])
+        disp = np.interp((rho_i * cf[None, :]).ravel(), ref_curve, pref).reshape(rho_i.shape)
+        eape_i = 0.5 * unit * (rho_i - rho_bar[None, :]) * (disp - pref[None, :])
+
+        coef = w[:, None] * idx
+        n_lev = coef.sum(axis=0)
+        ok = n_lev > 0
+        eape_m = np.zeros(NLEVELS, dtype="f8")
+        eape_m[ok] = (coef * eape_i).sum(axis=0)[ok] / n_lev[ok]
+        return pd.DataFrame(
+            {
+                "glon": [float(glon)],
+                "glat": [float(glat)],
+                "n_points": [len(pdf)],
+                "RHO": [rho_bar.astype("f4").tolist()],
+                "EAPE": [eape_m.astype("f4").tolist()],
+            }
+        )
+
+    return kernel
+
+
+def clim_eape(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    pairs: DataFrame | None = None,
+    ts: DataFrame | None = None,
+) -> DataFrame:
+    """EAPE climatology (R14): pass 1 cell means → joined back to the
+    pair set → per-pair displacement/EAPE → weighted mean (SURVEY
+    §7.4.2 two-pass dataflow)."""
+    theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
+    if pairs is None:
+        pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
+    if ts is None:
+        ts = clim_ts(grid, profiles, reso_deg, smoothing_factor, pairs=pairs)
+    means = ts.select(
+        "glon", "glat",
+        F.col("CT").alias("CT_BAR"), F.col("SR").alias("SR_BAR"),
+    )
+    enriched = pairs.join(F.broadcast(means), on=["glon", "glat"])
+    return enriched.groupBy("glon", "glat").applyInPandas(
+        _eape_cell_kernel(theta), _EAPE_SCHEMA
+    )

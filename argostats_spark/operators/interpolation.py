@@ -1,0 +1,130 @@
+"""Vertical interpolation onto 64 fixed pressure levels (SURVEY.md §3.2
+/ M3) — the reference's ArgoInterp.proceed_all re-expressed as one
+``groupBy("WMO").applyInPandas`` plan.
+
+Reference dataflow (src/argostats/interpolation.py:51-151): per WMO —
+filter FLAG==1 (:108), read raw vars choosing *_ADJUSTED iff every
+profile is delayed-mode (:188-192), per profile: per-level QC mask
+(:174-179), validity gates (>=5 good levels, >=10 unique monotone
+pressures, :225-249), TEOS-10 conversion (:200-210), cubic interpolation
+onto PREF (:213-229), pack CT/SR/IDX/NVALUES (:119-134). The chunked
+binary writes at per-WMO byte offsets (:136-138) and the positional
+header backfill join (:83-103, J1) disappear: summary columns are
+carried through the group map and the sink is partitioned Parquet.
+
+Scale notes: the only shuffle is the groupBy("WMO"); each group is one
+Arrow batch into a vectorized NumPy kernel (the reference's own inner
+loop shape); output written partitioned by WMO bucket preserves the
+reference's per-WMO locality (README.md:146-158) as row-group locality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.interp import cubic_interp
+from ..functions.teos10 import ct_from_t, sr_from_sp
+from ..schemas import NLEVELS, PROFILES_SCHEMA, pref64
+
+# Validity gates (reference interpolation.py:23, 174-176, 225, 241)
+MIN_GOOD_LEVELS = 5
+MIN_UNIQUE_PRES = 10
+MIN_TARGET_LEVELS = 10
+SPAN_TOLERANCE_DBAR = 5.0
+
+
+def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-WMO group kernel: returns one row per *valid* profile."""
+    pref = pref64().astype("f8")
+    # adjusted variables iff ALL profiles of the WMO are delayed-mode
+    # (reference interpolation.py:188-192; DATA_MODE: 0=R,1=D,2=A)
+    use_adj = (pdf["DATA_MODE"] == 1).all() and pdf["PRES_ADJUSTED"].notna().all()
+    p_col, t_col, s_col = (
+        ("PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED")
+        if use_adj
+        else ("PRES", "TEMP", "PSAL")
+    )
+
+    out = []
+    for row in pdf.itertuples(index=False):
+        pres = np.asarray(getattr(row, p_col), dtype="f8")
+        temp = np.asarray(getattr(row, t_col), dtype="f8")
+        psal = np.asarray(getattr(row, s_col), dtype="f8")
+        qc = (
+            np.asarray(row.PRES_QC, dtype="i1")
+            * np.asarray(row.TEMP_QC, dtype="i1")
+            * np.asarray(row.PSAL_QC, dtype="i1")
+        )
+        good = qc == 1
+        if good.sum() < MIN_GOOD_LEVELS:
+            continue
+        p, t, s = pres[good], temp[good], psal[good]
+        # sorted-unique + monotone gate (interpolation.py:234-249)
+        p_u, idx_u = np.unique(p, return_index=True)
+        if p_u.shape[0] < MIN_UNIQUE_PRES:
+            continue
+        t_u, s_u = t[idx_u], s[idx_u]
+
+        # target levels inside the measured span ± tolerance (P7)
+        in_span = (pref >= p_u[0] - SPAN_TOLERANCE_DBAR) & (
+            pref <= p_u[-1] + SPAN_TOLERANCE_DBAR
+        )
+        if in_span.sum() < MIN_TARGET_LEVELS:
+            continue
+
+        sr = sr_from_sp(s_u)
+        ct = ct_from_t(sr, t_u, p_u)
+        ct_i = np.zeros(NLEVELS, dtype="f4")
+        sr_i = np.zeros(NLEVELS, dtype="f4")
+        idx = np.zeros(NLEVELS, dtype="i1")
+        ct_i[in_span] = cubic_interp(p_u, ct, pref[in_span]).astype("f4")
+        sr_i[in_span] = cubic_interp(p_u, sr, pref[in_span]).astype("f4")
+        idx[in_span] = 1
+
+        out.append(
+            {
+                "WMO": row.WMO,
+                "DAC": row.DAC,
+                "IPROF": row.IPROF,
+                "JULD": row.JULD,
+                "LATITUDE": row.LATITUDE,
+                "LONGITUDE": row.LONGITUDE,
+                "DATA_MODE": row.DATA_MODE,
+                "FLAG": row.FLAG,
+                "NVALUES": int(idx.sum()),
+                "CT": ct_i.tolist(),
+                "SR": sr_i.tolist(),
+                "IDX": idx.tolist(),
+            }
+        )
+    cols = [f.name for f in PROFILES_SCHEMA.fields]
+    return pd.DataFrame(out, columns=cols)
+
+
+def interpolate_profiles(raw: DataFrame, summary: DataFrame | None = None) -> DataFrame:
+    """raw (+ FLAG from summary or recomputed) → interpolated profiles.
+
+    One exchange (groupBy WMO), Arrow in/out, NumPy inside — the Spark
+    twin of the reference's pool.map(proceed_single_wmo)."""
+    from ..functions.qc import combine_qc
+
+    flagged = raw.withColumn("FLAG", combine_qc("POSITION_QC", "JULD_QC").cast("byte"))
+    # quality gate before the expensive kernel (X2/X9: filter first)
+    flagged = flagged.filter(F.col("FLAG") == 1)
+    return flagged.groupBy("WMO").applyInPandas(_interp_one_wmo, PROFILES_SCHEMA)
+
+
+def write_profiles(profiles: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Partitioned profile sink: WMO-bucketed directories + sorted within
+    — per-WMO ranged reads (reference interpolation.py:153-162) become
+    partition pruning + row-group skipping."""
+    (
+        profiles.withColumn("WMO_BUCKET", F.pmod(F.col("WMO"), F.lit(n_buckets)))
+        .sortWithinPartitions("WMO", "IPROF")
+        .write.mode("overwrite")
+        .partitionBy("WMO_BUCKET")
+        .parquet(path)
+    )

@@ -1,0 +1,203 @@
+"""End-to-end Argo pipeline tests: synthetic raw → summary →
+interpolated profiles → atlas (SURVEY.md §5 strategy items 1 and 3),
+with the golden scenarios from FIXTURES.md §5 and the reference's
+validity-gate semantics pinned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.atlas import clim_eape, clim_ts, make_grid, match_pairs
+from argostats_spark.operators.interpolation import interpolate_profiles, write_profiles
+from argostats_spark.operators.summary import build_summary, summary_stats
+from argostats_spark.schemas import NLEVELS, PROFILES_SCHEMA, pref64
+from argostats_spark.sources.synthetic import make_raw
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return make_raw(spark, n_wmos=8, profiles_per_wmo=12).cache()
+
+
+@pytest.fixture(scope="module")
+def profiles(spark, raw):
+    return interpolate_profiles(raw).cache()
+
+
+# ---------------------------------------------------------------------------
+# Summary (M1)
+# ---------------------------------------------------------------------------
+
+
+def test_summary_shape_and_iprof(spark, raw):
+    s = build_summary(raw)
+    pdf = s.toPandas()
+    assert len(pdf) == raw.count()
+    # IPROF contiguous 0..n-1 per WMO (toctools.py:175 semantics)
+    for wmo, grp in pdf.groupby("WMO"):
+        assert sorted(grp.IPROF.tolist()) == list(range(len(grp)))
+        assert (grp.N_PROF == len(grp)).all()
+    # FLAG is the QC product
+    assert set(pdf.FLAG.unique()) <= {0, 1, 4}
+
+
+def test_summary_stats_counts(spark, raw):
+    stats = summary_stats(build_summary(raw)).toPandas()
+    assert stats.n_profiles.sum() == raw.count()
+
+
+# ---------------------------------------------------------------------------
+# Interpolation (M3)
+# ---------------------------------------------------------------------------
+
+
+def test_profiles_schema_and_gates(spark, raw, profiles):
+    assert profiles.schema == PROFILES_SCHEMA
+    pdf = profiles.toPandas()
+    assert len(pdf) > 0
+    # every surviving profile passed the validity gates
+    assert (pdf.NVALUES >= 10).all()
+    assert (pdf.FLAG == 1).all()
+    for _, row in pdf.head(20).iterrows():
+        ct, idx = np.array(row.CT), np.array(row.IDX)
+        assert len(ct) == NLEVELS and len(idx) == NLEVELS
+        # CT zero where invalid (zeros-init AOS semantics, aos.py:97)
+        assert np.all(ct[idx == 0] == 0.0)
+        # IDX is one contiguous run (span-gate construction)
+        ones = np.where(idx == 1)[0]
+        assert len(ones) == row.NVALUES
+        assert (np.diff(ones) == 1).all()
+
+
+def test_interpolation_values_sane(spark, profiles):
+    pdf = profiles.toPandas()
+    ct = np.stack(pdf.CT.to_numpy())
+    idx = np.stack(pdf.IDX.to_numpy()).astype(bool)
+    # synthetic ocean: temp in [-5, 35] on valid levels
+    assert ct[idx].min() > -5 and ct[idx].max() < 35
+    # SR is scaled salinity ~ 33-38
+    sr = np.stack(pdf.SR.to_numpy())
+    assert 32 < sr[idx].mean() < 39
+
+
+def test_dropped_profiles_are_the_gated_ones(spark, raw, profiles):
+    """Profiles with FLAG!=1 or failing level gates must be absent."""
+    flagged_bad = raw.filter(
+        (F.col("POSITION_QC") != 1) | (F.col("JULD_QC") != 1)
+    ).select("WMO", "IPROF").collect()
+    kept = {(r.WMO, r.IPROF) for r in profiles.select("WMO", "IPROF").collect()}
+    for r in flagged_bad:
+        assert (r.WMO, r.IPROF) not in kept
+
+
+def test_write_profiles_roundtrip(spark, profiles, tmp_path):
+    path = str(tmp_path / "profiles_parquet")
+    write_profiles(profiles, path, n_buckets=8)
+    back = spark.read.parquet(path)
+    assert back.count() == profiles.count()
+    # partition pruning on the bucket column: one WMO → one bucket dir
+    one = profiles.select("WMO").first().WMO
+    pruned = back.filter(F.col("WMO_BUCKET") == one % 8).filter(F.col("WMO") == one)
+    assert pruned.count() == profiles.filter(F.col("WMO") == one).count()
+
+
+# ---------------------------------------------------------------------------
+# Atlas (M4/M5) — golden scenarios
+# ---------------------------------------------------------------------------
+
+
+def _one_profile_df(spark, lon, lat, ct_val=10.0, sr_val=35.0, data_mode=1):
+    row = {
+        "WMO": 2900001, "DAC": 0, "IPROF": 0,
+        "JULD": pd.Timestamp("2020-06-01"),
+        "LATITUDE": float(lat), "LONGITUDE": float(lon),
+        "DATA_MODE": data_mode, "FLAG": 1, "NVALUES": NLEVELS,
+        "CT": [float(ct_val)] * NLEVELS,
+        "SR": [float(sr_val)] * NLEVELS,
+        "IDX": [1] * NLEVELS,
+    }
+    return spark.createDataFrame(pd.DataFrame([row]), schema=PROFILES_SCHEMA)
+
+
+def test_atlas_single_profile_at_gridpoint(spark):
+    """Golden (a): one profile exactly at a grid point ⇒ cell CT equals
+    that profile's CT at every valid level."""
+    grid = make_grid(spark, (10.0, 12.0, -40.0, -38.0), reso_deg=1.0)
+    prof = _one_profile_df(spark, lon=10.5, lat=-39.5, ct_val=7.5)
+    out = clim_ts(grid, prof, reso_deg=1.0, smoothing_factor=4.0).toPandas()
+    cell = out[(out.glon == 10.5) & (out.glat == -39.5)].iloc[0]
+    assert np.allclose(np.array(cell.CT), 7.5, atol=1e-5)
+    assert cell.n_points == 1
+
+
+def test_atlas_symmetric_profiles_average(spark):
+    """Golden (b): two symmetric profiles ⇒ exact average at the center."""
+    grid = make_grid(spark, (0.0, 1.0, 0.0, 1.0), reso_deg=1.0)  # one cell at (0.5, 0.5)
+    a = _one_profile_df(spark, lon=0.0, lat=0.5, ct_val=5.0)
+    b = _one_profile_df(spark, lon=1.0, lat=0.5, ct_val=15.0)
+    prof = a.unionByName(b)
+    out = clim_ts(grid, prof, reso_deg=1.0, smoothing_factor=4.0).toPandas()
+    assert len(out) == 1
+    assert np.allclose(np.array(out.iloc[0].CT), 10.0, atol=1e-4)
+
+
+def test_atlas_partial_validity_mask(spark):
+    """Per-level weights: a profile whose IDX masks deep levels must not
+    contribute there (SURVEY §7.4.3)."""
+    grid = make_grid(spark, (0.0, 1.0, 0.0, 1.0), reso_deg=1.0)
+    full = _one_profile_df(spark, lon=0.5, lat=0.5, ct_val=10.0)
+    half_row = _one_profile_df(spark, lon=0.5, lat=0.5, ct_val=20.0).toPandas()
+    half_row.at[0, "IDX"] = [1] * 32 + [0] * 32
+    half_row.at[0, "CT"] = [20.0] * 32 + [0.0] * 32
+    half_row.at[0, "NVALUES"] = 32
+    half = spark.createDataFrame(half_row, schema=PROFILES_SCHEMA)
+    out = clim_ts(grid, full.unionByName(half), reso_deg=1.0).toPandas()
+    ct = np.array(out.iloc[0].CT)
+    assert np.allclose(ct[:32], 15.0, atol=1e-4)   # both contribute
+    assert np.allclose(ct[32:], 10.0, atol=1e-4)   # only the full profile
+
+
+def test_atlas_realtime_profiles_excluded(spark):
+    """P5: DATA_MODE != D profiles are excluded by default (atlas.py:253)."""
+    grid = make_grid(spark, (0.0, 1.0, 0.0, 1.0), reso_deg=1.0)
+    d = _one_profile_df(spark, 0.5, 0.5, ct_val=10.0, data_mode=1)
+    r = _one_profile_df(spark, 0.5, 0.5, ct_val=99.0, data_mode=0)
+    out = clim_ts(grid, d.unionByName(r), reso_deg=1.0).toPandas()
+    assert np.allclose(np.array(out.iloc[0].CT), 10.0, atol=1e-5)
+
+
+def test_eape_two_pass_runs_and_zero_for_uniform(spark):
+    """A cell whose only profile equals the cell mean ⇒ EAPE = 0
+    (ρ − RHO = 0 everywhere)."""
+    grid = make_grid(spark, (10.0, 11.0, -40.0, -39.0), reso_deg=1.0)
+    prof = _one_profile_df(spark, 10.5, -39.5, ct_val=8.0)
+    out = clim_eape(grid, prof, reso_deg=1.0).toPandas()
+    assert len(out) == 1
+    eape = np.array(out.iloc[0].EAPE)
+    assert np.allclose(eape, 0.0, atol=1e-6)
+    rho_bar = np.array(out.iloc[0].RHO)
+    assert rho_bar.min() > 1000 and rho_bar.max() < 1100
+
+
+def test_e2e_pipeline_on_synthetic(spark, profiles):
+    """Full chain on synthetic data: profiles → pairs → TS atlas over the
+    profiles' own bounding box; cells with support must have plausible
+    means where weights are positive."""
+    pdf = profiles.select("LONGITUDE", "LATITUDE").toPandas()
+    lon0, lon1 = pdf.LONGITUDE.min(), pdf.LONGITUDE.max()
+    lat0, lat1 = pdf.LATITUDE.min(), pdf.LATITUDE.max()
+    grid = make_grid(
+        spark,
+        (float(lon0), float(lon0) + 10, float(lat0), float(lat0) + 10),
+        reso_deg=2.0,
+    )
+    pairs = match_pairs(grid, profiles, reso_deg=2.0).cache()
+    ts = clim_ts(grid, profiles, reso_deg=2.0, pairs=pairs).toPandas()
+    if len(ts):
+        ct = np.stack(ts.CT.to_numpy())
+        w = np.stack(ts.W.to_numpy())
+        assert ct[w > 0].min() > -5 and ct[w > 0].max() < 35

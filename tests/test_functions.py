@@ -1,0 +1,133 @@
+"""Differential tests for the function layer — the reference's own test
+style (lorenz_state.check(): rewritten kernel vs original via allclose;
+SURVEY.md §5 item 2): every kernel asserted against direct NumPy on the
+same arrays, plus the truth tables carried over from the reference's
+test suite (FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.functions.geo import haversine_arg, haversine_km, dist_threshold
+from argostats_spark.functions.interp import cubic_interp, linear_interp_extrap
+from argostats_spark.functions.qc import combine_qc, all_good
+from argostats_spark.functions.teos10 import UPS, rho, sr_from_sp
+from argostats_spark.functions.arrays import array_cumsum, array_diff, array_mid, dot_product
+
+
+def _np_haversine_arg(lon1, lat1, lon2, lat2):
+    dphi = np.radians(lat2 - lat1) / 2
+    dlam = np.radians(lon2 - lon1) / 2
+    return np.sin(dphi) ** 2 + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2)) * np.sin(dlam) ** 2
+
+
+def test_haversine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "lon1": rng.uniform(-180, 180, 200), "lat1": rng.uniform(-80, 80, 200),
+        "lon2": rng.uniform(-180, 180, 200), "lat2": rng.uniform(-80, 80, 200),
+    })
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        haversine_arg("lon1", "lat1", "lon2", "lat2").alias("h"),
+        haversine_km("lon1", "lat1", "lon2", "lat2").alias("km"),
+    ).toPandas()
+    want_h = _np_haversine_arg(pdf.lon1, pdf.lat1, pdf.lon2, pdf.lat2)
+    want_km = 2 * 6371.0 * np.arcsin(np.sqrt(want_h))
+    assert np.allclose(got.h, want_h, rtol=1e-12)
+    assert np.allclose(got.km, want_km, rtol=1e-12)
+
+
+def test_dist_threshold_matches_reference_form():
+    # sin²(deg2rad(sf·reso)/2) — atlas.py:311-313
+    assert dist_threshold(0.25, 4.0) == pytest.approx(
+        math.sin(math.radians(1.0) / 2) ** 2
+    )
+
+
+def test_combine_qc_truth_table(spark):
+    # reference tests/test_toctools.py:59-60: [1,1,0,1]→0, [1,2,3,4,5]→nonzero
+    df = spark.createDataFrame(
+        [(1, 1, 0, 1, 1), (1, 2, 3, 4, 5)], "a int, b int, c int, d int, e int"
+    )
+    got = df.select(combine_qc("a", "b", "c", "d", "e").alias("f")).toPandas()["f"].tolist()
+    assert got[0] == 0
+    assert got[1] != 0
+
+
+def test_all_good_per_level(spark):
+    df = spark.createDataFrame([([1, 1, 1],), ([1, 4, 1],)], "qc array<int>")
+    got = df.select(all_good("qc").alias("g")).toPandas()["g"].tolist()
+    assert got == [True, False]
+
+
+def test_sr_from_sp_exact_scale():
+    sp = np.array([33.0, 35.0, 37.0])
+    assert np.allclose(sr_from_sp(sp), sp * UPS, rtol=0, atol=0)
+
+
+def test_rho_monotonicity():
+    # denser when colder, saltier, deeper — EOS sanity for the EAPE path
+    assert rho(35.2, 5.0, 100.0) > rho(35.2, 15.0, 100.0)
+    assert rho(36.0, 10.0, 100.0) > rho(35.0, 10.0, 100.0)
+    assert rho(35.2, 10.0, 500.0) > rho(35.2, 10.0, 0.0)
+
+
+def test_cubic_interp_through_knots_and_smooth():
+    x = np.array([0.0, 1.0, 2.5, 4.0, 6.0, 9.0])
+    y = np.sin(x)
+    # passes through the knots
+    assert np.allclose(cubic_interp(x, y, x), y, atol=1e-12)
+    # close to the true function between knots (much closer than linear)
+    xq = np.linspace(0, 9, 200)
+    err_cubic = np.abs(cubic_interp(x, y, xq) - np.sin(xq)).max()
+    err_linear = np.abs(np.interp(xq, x, y) - np.sin(xq)).max()
+    assert err_cubic < err_linear
+    # linear data reproduced exactly (any spline does)
+    y_lin = 3.0 * x + 1.0
+    assert np.allclose(cubic_interp(x, y_lin, xq), 3.0 * xq + 1.0, atol=1e-9)
+
+
+def test_cubic_interp_extrapolates_linearly():
+    x = np.linspace(0, 10, 11)
+    y = 2.0 * x
+    xq = np.array([-2.0, 12.0])
+    assert np.allclose(cubic_interp(x, y, xq), 2.0 * xq, atol=1e-9)
+    assert np.allclose(linear_interp_extrap(x, y, xq), 2.0 * xq, atol=1e-12)
+
+
+def test_array_ops_match_numpy(spark):
+    arr = [1.0, 3.0, 6.0, 10.0]
+    df = spark.createDataFrame([(arr,)], "a array<double>")
+    got = df.select(
+        array_mid("a").alias("mid"),
+        array_diff("a").alias("diff"),
+        array_cumsum("a").alias("cum"),
+        dot_product("a", "a").alias("dot"),
+    ).toPandas().iloc[0]
+    a = np.array(arr)
+    assert np.allclose(got["mid"], 0.5 * (a[1:] + a[:-1]))
+    assert np.allclose(got["diff"], np.diff(a))
+    assert np.allclose(got["cum"], np.cumsum(a))
+    assert got["dot"] == pytest.approx(float(a @ a))
+
+
+def test_date_parts_leap_year(spark):
+    # FIXTURES.md §7: 2000-02-29 → (2000, 2, 29, doy 60); the reference's
+    # own datetools test was broken (SURVEY §2.11) — reimplemented right.
+    from argostats_spark.functions.datetools import date_parts
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(datetime(2000, 2, 29, 13, 14, 15),)], "ts timestamp"
+    )
+    row = df.select(*date_parts("ts")).toPandas().iloc[0]
+    assert (row.year, row.month, row.day, row.dayofyear) == (2000, 2, 29, 60)
+    assert (row.hour, row.minute, row.second) == (13, 14, 15)
