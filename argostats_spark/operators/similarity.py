@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the query set
+against a full scan, exact, O(N·Q). Scale paths:
+
+- IVF (inverted-file) — coarse-quantize every vector to its nearest
+  centroid; queries probe only the closest ``nprobe`` centroid
+  partitions. The centroid table is tiny (broadcast); the partition
+  assignment is the shuffle key, so a 100 TB corpus is pruned to
+  nprobe/ncentroids of itself before any exact math.
+- Random-hyperplane LSH bucketing — deterministic pseudo-random planes
+  derived from a seed (no stored model), sign-pattern bucket as the
+  equi-join key.
+
+Everything below is JVM column expressions (zip_with/aggregate dot
+products); no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity, dot_product
+
+
+def cosine_pairs(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    return pairs.withColumn("cosine", cosine_similarity(a_col, b_col))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k: broadcast queries × full corpus scan + ranking window."""
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")))
+    pairs = q.join(corpus, F.col(id_col) != F.col("qid")).select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity("qv", vec_col).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# IVF: train centroids (driver-side k-means on a sample), assign, probe
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Tiny k-means on a driver-side sample — the centroid table is the
+    only thing that ever leaves the cluster, and it is O(k·dim)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_numpy()
+    )
+    x = np.stack(sample).astype("f8")
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return [c.tolist() for c in cents]
+
+
+def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
+    """argmin over centroid dot-distances as a fold over literal arrays
+    (centroid count is small — the expression stays JVM-side)."""
+    best_id = F.lit(0)
+    best_d = F.lit(float("inf"))
+    v = F.col(vec_col)
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
+        best_d = F.least(best_d, d)
+    return best_id
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF partition id. Persist/partitionBy('ivf_cell') when
+    writing — queries then prune whole partitions."""
+    return corpus.withColumn("ivf_cell", _nearest_centroid(vec_col, centroids))
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate top-k probing only the ``nprobe`` nearest IVF cells
+    per query: queries explode to (qid, cell) pairs, equi-join on cell
+    replaces the full scan."""
+    import numpy as np
+
+    qpdf = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
+    )
+    cents = np.asarray(centroids, dtype="f8")
+
+    # driver-side probe list per query (query set is small by definition)
+    qrows = qpdf.collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r.qv, dtype="f8")
+        d = ((cents - v[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probe_rows.append((r.qid, list(map(float, r.qv)), int(c)))
+    spark = corpus_assigned.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid long, qv array<double>, ivf_cell int")
+    )
+
+    pairs = probes.join(corpus_assigned, on="ivf_cell").filter(
+        F.col(id_col) != F.col("qid")
+    ).select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity("qv", vec_col).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH bucket
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_plane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish plane from (seed, plane_idx)
+    — reproducible on every executor with no model artifact."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed * 1_000_003 + plane_idx)
+    v = rng.standard_normal(dim)
+    return (v / math.sqrt(float((v * v).sum()))).tolist()
+
+
+def hyperplane_bucket(
+    vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-pattern bucket id over ``n_planes`` pseudo-random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in _pseudo_plane(dim, i, seed)])
+        sign = F.when(dot_product(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(F.shiftleft(sign.cast("long"), i))
+    return bucket

@@ -1258,3 +1258,120 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(comp(2)) / n, 5).alias("c1"),
         F.round(F.sum(comp(64)) / n, 5).alias("c63"),
     )
+
+
+@query(
+    "embedding_near_pairs",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 5) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup operator #5), exact
+    all-pairs form — the verification oracle for the LSH-bucketed scale
+    path in operators/dedup.py::embedding_near_dups."""
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_product(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .select("id_a", "id_b", F.round("c", 5).alias("cosine"))
+    )
+
+
+# =========================================================================
+# Rows-only entries (no SQL-expressible oracle; the driver records a
+# weaker rows-only check): approximate/stateful/pipeline operators.
+# =========================================================================
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (dedup operator #3): 64-bit bitwise-majority
+    signature + pigeonhole-block candidate join (operators/dedup.py).
+    xxhash64 bit arithmetic has no DuckDB twin → rows-only check;
+    correctness is pinned by tests/test_dedup_similarity.py."""
+    from .operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d.select("doc_id", "text"), max_hamming=10)
+
+
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (similarity scale path):
+    k-means coarse quantizer, nprobe-cell probing. Approximate by design
+    → rows-only check; recall vs brute force is pinned in tests."""
+    from .operators.similarity import ivf_assign, ivf_topk, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_centroids=8, sample_rows=1000)
+    assigned = ivf_assign(e, cents)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(assigned, q, cents, k=5, nprobe=3)
+
+
+@query("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → mapInPandas feature
+    extraction (deterministic fake decoder — codec libs absent; the
+    Spark-side schema/batching is the real operator)."""
+    from .operators.multimodal import extract_features, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(
+        d.withColumn("payload", F.col("text").cast("binary")), "doc_id", "payload", "image"
+    )
+    return extract_features(media, feat_dim=16).select("media_id", "kind", "width", "height")
+
+
+@query("argo_atlas_pipeline")
+def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity pipeline end-to-end (SURVEY §3.1-3.3): synthetic
+    raw profiles → summary gates → applyInPandas interpolation onto 64
+    levels → binned neighborhood join → kernel-weighted TS climatology.
+    Deterministic (seed 42) but NumPy-kernel-based → rows-only check;
+    golden-value tests live in tests/test_argo_pipeline.py."""
+    from .operators.atlas import clim_ts, make_grid
+    from .operators.interpolation import interpolate_profiles
+    from .sources.synthetic import make_raw
+
+    raw = make_raw(spark, n_wmos=6, profiles_per_wmo=8, seed=42)
+    profiles = interpolate_profiles(raw)
+    bounds = profiles.agg(
+        F.min("LONGITUDE").alias("lo"), F.min("LATITUDE").alias("la")
+    ).first()
+    grid = make_grid(
+        spark, (float(bounds.lo), float(bounds.lo) + 8, float(bounds.la), float(bounds.la) + 8),
+        reso_deg=2.0,
+    )
+    out = clim_ts(grid, profiles, reso_deg=2.0, smoothing_factor=4.0)
+    return out.select(
+        "glon", "glat", "n_points",
+        F.round(F.element_at("CT", 10).cast("double"), 4).alias("ct_l10"),
+        F.round(F.element_at("SR", 10).cast("double"), 4).alias("sr_l10"),
+    )

@@ -1,0 +1,99 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — green-field scope;
+the reference is pure batch and reprocesses whole files on rebuild,
+toctools.py:86-90).
+
+Streams here are incremental versions of the batch operators:
+
+- windowed event aggregation with watermarked late-data handling,
+- incremental climatology refresh: the kernel-weighted mean is
+  algebraic (Σwx and Σw commute with union), so an update-mode
+  stateful aggregation keeps per-cell partial sums exactly.
+
+Tests drive these with a file source + memory sink and
+``processAllAvailable()`` (synchronous, no timing races).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-based streaming source (swap for kafka in production — the
+    downstream plan is identical)."""
+    return (
+        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data watermark — the
+    streaming twin of queries.py::events_hourly_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def incremental_cell_means(
+    points: DataFrame,
+    bin_deg: float = 1.0,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental kernel-cell statistics: per spatial bin, running
+    Σw·x / Σw / n — the algebraic partials of the atlas weighted mean.
+    In update output mode each micro-batch refreshes only touched cells;
+    a full atlas recompute (the reference's only option) never happens."""
+    binned = points.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.floor((F.col(lon_col) + 180.0) / bin_deg).cast("int").alias("lon_bin"),
+        F.floor((F.col(lat_col) + 90.0) / bin_deg).cast("int").alias("lat_bin"),
+        F.col(value_col).alias("x"),
+    )
+    return binned.groupBy("lon_bin", "lat_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mean_x"),
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+    """Drive a streaming query synchronously into an in-memory table;
+    returns the query handle (caller stops it)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

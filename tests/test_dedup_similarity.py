@@ -1,0 +1,145 @@
+"""Tests for the dedup family and similarity search operators on the
+driver's documents/embeddings tables plus hand-built near-dup fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.dedup import (
+    dedup_keep_first,
+    embedding_near_dups,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from argostats_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_bucket,
+    ivf_assign,
+    ivf_topk,
+    train_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _with_dups(spark, docs):
+    """documents plus exact copies of two docs under new ids."""
+    base = docs.select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return base.unionByName(copies)
+
+
+def test_exact_duplicates_found(spark, docs):
+    d = _with_dups(spark, docs)
+    out = exact_duplicates(d).filter(F.col("n_copies") > 1).toPandas()
+    assert len(out) == 2
+    assert set(out.keep_id) == {0, 1}
+    assert (out.n_copies == 2).all()
+
+
+def test_dedup_keep_first_removes_copies(spark, docs):
+    d = _with_dups(spark, docs)
+    kept = dedup_keep_first(d)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    """Plant a 90%-overlapping copy: LSH must surface it."""
+    base = docs.select("doc_id", "text")
+    one = base.filter(F.col("doc_id") == 0).toPandas().iloc[0]
+    words = one.text.split()
+    near = " ".join(words[: int(len(words) * 0.95)])  # drop the tail 5%
+    planted = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [200000], "text": [near]})
+    )
+    d = base.unionByName(planted)
+    pairs = minhash_lsh_pairs(d, threshold=0.5).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 200000)).any()
+
+
+def test_minhash_no_false_positives_below_threshold(spark, docs):
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), threshold=0.9).toPandas()
+    assert (pairs.jaccard >= 0.9).all()
+
+
+def test_simhash_deterministic_and_near_pairs(spark, docs):
+    d = docs.select("doc_id", "text")
+    s1 = simhash(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    s2 = simhash(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (s1.simhash == s2.simhash).all()
+
+    # identical text → hamming 0 → found by the block trick
+    dup = _with_dups(spark, docs)
+    pairs = simhash_near_pairs(dup, max_hamming=3).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 100000) & (pairs.hamming == 0)).any()
+
+
+def test_embedding_near_dups_planted(spark, emb):
+    """A vector plus a tiny perturbation of itself must pair up."""
+    one = emb.filter(F.col("vec_id") == 0).toPandas().iloc[0]
+    v = np.asarray(one.embedding, dtype="f4")
+    near = (v + 0.001).tolist()
+    planted = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [900000], "embedding": [near], "label": [0]})
+    )
+    d = emb.unionByName(planted)
+    pairs = embedding_near_dups(d, threshold=0.99).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 900000)).any()
+
+
+def test_brute_force_topk_shape_and_order(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = brute_force_topk(emb, q, k=5).toPandas()
+    assert len(out) == 15
+    for qid, grp in out.groupby("qid"):
+        sims = grp.sort_values("rn" if "rn" in grp else "cosine", ascending=False)
+        assert (np.diff(grp.sort_values("cosine", ascending=False).cosine) <= 1e-12).all()
+
+
+def test_ivf_topk_recall_against_brute_force(spark, emb):
+    """IVF with generous nprobe must recover most exact neighbors —
+    the approximate/exact contract of the scale path."""
+    cents = train_centroids(emb, n_centroids=8, sample_rows=500)
+    assigned = ivf_assign(emb, cents).cache()
+    # every vector gets a cell in [0, 8)
+    cells = assigned.select("ivf_cell").distinct().toPandas().ivf_cell
+    assert cells.between(0, 7).all()
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(assigned, q, cents, k=5, nprobe=4).toPandas()
+    recalls = []
+    for qid in range(5):
+        e = set(exact[exact.qid == qid].vec_id)
+        a = set(approx[approx.qid == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, f"IVF recall too low: {recalls}"
+
+
+def test_hyperplane_bucket_stable(spark, emb):
+    b1 = emb.select("vec_id", hyperplane_bucket("embedding", 64, 8, 42).alias("b")).toPandas()
+    b2 = emb.select("vec_id", hyperplane_bucket("embedding", 64, 8, 42).alias("b")).toPandas()
+    m = b1.merge(b2, on="vec_id")
+    assert (m.b_x == m.b_y).all()
+    assert m.b_x.between(0, 255).all()
