@@ -163,6 +163,64 @@ def clim_ts(
     )
 
 
+def clim_ts_exploded(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Pure-expression alternative to clim_ts (SURVEY §7.3 'benchmark
+    both'): posexplode the 64-level arrays, aggregate per (cell, level)
+    entirely in whole-stage codegen, reassemble arrays with
+    sort_array(collect_list(...)).
+
+    Tradeoff vs the applyInPandas kernel: 64× the shuffle rows but no
+    Python workers and true partial aggregation (map-side combine
+    shrinks the exchange to |cells|×64 rows regardless of pair count).
+
+    ATLAS_BENCH (scripts/bench_atlas.py, local[32], 454k pairs / 400
+    cells): applyInPandas 2.2s vs exploded 3.9s warm — the Arrow batch +
+    NumPy matrix kernel wins at regional scale, so it is the default
+    (clim_ts). The exploded form bounds per-task memory by |cells×64|
+    even when one cell accumulates millions of pairs (polar skew), so
+    prefer it when cell fan-in is extreme."""
+    theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
+    if pairs is None:
+        pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
+    w = F.exp(-F.col("hav") / F.lit(theta))
+    ex = pairs.select(
+        "glon", "glat", w.alias("w"),
+        F.posexplode(F.arrays_zip("CT", "SR", "IDX")).alias("lev", "z"),
+    ).select(
+        "glon", "glat", "lev",
+        (F.col("w") * F.col("z.IDX")).alias("coef"),
+        F.col("z.CT").alias("ct"),
+        F.col("z.SR").alias("sr"),
+    )
+    per_level = ex.groupBy("glon", "glat", "lev").agg(
+        F.sum("coef").alias("n_lev"),
+        F.sum(F.col("coef") * F.col("ct")).alias("s_ct"),
+        F.sum(F.col("coef") * F.col("sr")).alias("s_sr"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    guarded = per_level.select(
+        "glon", "glat", "lev", "n_lev", "n_rows",
+        F.when(F.col("n_lev") > 0, F.col("s_ct") / F.col("n_lev")).otherwise(0.0).alias("ct_m"),
+        F.when(F.col("n_lev") > 0, F.col("s_sr") / F.col("n_lev")).otherwise(0.0).alias("sr_m"),
+    )
+    packed = guarded.groupBy("glon", "glat").agg(
+        (F.max("n_rows")).cast("int").alias("n_points"),
+        F.sort_array(F.collect_list(F.struct("lev", "ct_m", "sr_m", "n_lev"))).alias("z"),
+    )
+    return packed.select(
+        "glon", "glat", "n_points",
+        F.transform("z", lambda s: s["ct_m"].cast("float")).alias("CT"),
+        F.transform("z", lambda s: s["sr_m"].cast("float")).alias("SR"),
+        F.transform("z", lambda s: s["n_lev"].cast("float")).alias("W"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pass 2: EAPE, R14 algorithm (A4; atlas.py:152-191, 281-298)
 # ---------------------------------------------------------------------------
@@ -176,7 +234,7 @@ _EAPE_SCHEMA = T.StructType([
 ])
 
 
-def _eape_cell_kernel(theta: float):
+def _eape_cell_kernel(theta: float, algo: str = "R14"):
     pref = pref64().astype("f8")
     unit = eape_unit()
 
@@ -191,15 +249,32 @@ def _eape_cell_kernel(theta: float):
 
         # mean-profile density + compressibility factor (atlas.py:316-324)
         rho_bar = rho(sr_bar, ct_bar, pref)
-        cf = compute_cf(rho_bar, sound_speed(sr_bar, ct_bar, pref), pref)
-        ref_curve = rho_bar * cf  # monotone-ified below for np.interp
-        ref_curve = np.maximum.accumulate(ref_curve)
-
-        # per-profile density at each level, displacement via isopycnal
-        # lookup (atlas.py:184-191)
         rho_i = rho(sr, ct, pref[None, :])
-        disp = np.interp((rho_i * cf[None, :]).ravel(), ref_curve, pref).reshape(rho_i.shape)
-        eape_i = 0.5 * unit * (rho_i - rho_bar[None, :]) * (disp - pref[None, :])
+
+        if algo == "R14":
+            # displacement against the *local* cell-mean profile via
+            # isopycnal lookup (atlas.py:184-191)
+            cf = compute_cf(rho_bar, sound_speed(sr_bar, ct_bar, pref), pref)
+            ref_curve = np.maximum.accumulate(rho_bar * cf)
+            disp = np.interp(
+                (rho_i * cf[None, :]).ravel(), ref_curve, pref
+            ).reshape(rho_i.shape)
+            eape_i = 0.5 * unit * (rho_i - rho_bar[None, :]) * (disp - pref[None, :])
+        elif algo == "T25":
+            # displacement against the *global* analytic Lorenz profile
+            # via gammat bisection (atlas.py:194-231, 300-304)
+            from ..functions.lorenz import (
+                gammat_analytic,
+                lorenz_reference_density,
+                pr_from_zref,
+            )
+
+            _, zref, _, _ = gammat_analytic(sr.ravel(), ct.ravel())
+            disp = pr_from_zref(zref).reshape(rho_i.shape)
+            rho_ref_here = lorenz_reference_density(pref)[None, :]
+            eape_i = 0.5 * unit * (rho_i - rho_ref_here) * (disp - pref[None, :])
+        else:  # pragma: no cover
+            raise ValueError(f"unknown EAPE algo {algo!r} (R14 or T25)")
 
         coef = w[:, None] * idx
         n_lev = coef.sum(axis=0)
@@ -226,10 +301,18 @@ def clim_eape(
     smoothing_factor: float = 4.0,
     pairs: DataFrame | None = None,
     ts: DataFrame | None = None,
+    algo: str = "R14",
 ) -> DataFrame:
-    """EAPE climatology (R14): pass 1 cell means → joined back to the
-    pair set → per-pair displacement/EAPE → weighted mean (SURVEY
-    §7.4.2 two-pass dataflow)."""
+    """EAPE climatology: pass 1 cell means → joined back to the pair set
+    → per-pair displacement/EAPE → weighted mean (SURVEY §7.4.2 two-pass
+    dataflow).
+
+    algo="R14": isopycnal displacement against the local cell-mean
+    profile (Roullet et al. 2014). algo="T25": displacement against the
+    global analytic Lorenz profile via the gammat bisection (Tailleux &
+    Roullet 2025). Same dataflow, different per-pair kernel — unlike the
+    reference, the algo switch can't leave variables unbound
+    (atlas.py:439-448 defect, SURVEY §2.11)."""
     theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
     if pairs is None:
         pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
@@ -241,5 +324,5 @@ def clim_eape(
     )
     enriched = pairs.join(F.broadcast(means), on=["glon", "glat"])
     return enriched.groupBy("glon", "glat").applyInPandas(
-        _eape_cell_kernel(theta), _EAPE_SCHEMA
+        _eape_cell_kernel(theta, algo), _EAPE_SCHEMA
     )

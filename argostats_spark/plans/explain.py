@@ -10,6 +10,9 @@ run.
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
 
 
@@ -18,7 +21,10 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> str:

@@ -29,14 +29,15 @@ EVENTS_STREAM_SCHEMA = T.StructType([
 ])
 
 
-def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = 4
+) -> DataFrame:
     """File-based streaming source (swap for kafka in production — the
     downstream plan is identical)."""
-    return (
-        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(path)
-    )
+    reader = spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def windowed_counts(
@@ -83,6 +84,76 @@ def incremental_cell_means(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sum_x"),
         (F.sum("x") / F.count(F.lit(1))).alias("mean_x"),
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session tracking with explicit state (session count, last event
+    time, current-session length) — the operator class the reference
+    has no analog for (SURVEY §2.9: streaming is green-field scope).
+
+    Emits one row per user per micro-batch with the running session
+    stats; state times out with the watermark.
+
+    Ordering contract: events must arrive in event-time order *across*
+    micro-batches (within a batch they are sorted here). That's the
+    standard contract for gap-based streaming sessionization — a
+    time-shuffled replay needs the watermark-buffered variant (state
+    holds the open session until watermark passes), which trades memory
+    for disorder-tolerance."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_ts", T.TimestampType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_epoch", T.DoubleType(), False),
+    ])
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n_sessions, n_events, last_epoch = (
+            state.get if state.exists else (0, 0, float("-inf"))
+        )
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pdf["ts"])
+        ts = pd.concat(ts_all).sort_values()
+        for t in ts:
+            e = t.timestamp()
+            if e - last_epoch > gap_seconds:
+                n_sessions += 1
+            last_epoch = e
+            n_events += 1
+        state.update((n_sessions, n_events, last_epoch))
+        # µs-integral timestamp: Arrow rejects unsafe ns→µs truncation
+        last_ts = pd.Timestamp(int(last_epoch * 1_000_000), unit="us", tz="UTC")
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
     )
 
 

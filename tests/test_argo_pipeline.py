@@ -201,3 +201,39 @@ def test_e2e_pipeline_on_synthetic(spark, profiles):
         ct = np.stack(ts.CT.to_numpy())
         w = np.stack(ts.W.to_numpy())
         assert ct[w > 0].min() > -5 and ct[w > 0].max() < 35
+
+
+def test_eape_t25_algo_switch(spark):
+    """T25 path: global-reference displacement; the algo switch must work
+    with defaults (unlike the reference's UnboundLocalError defect,
+    SURVEY §2.11) and produce finite values on the same pair set."""
+    grid = make_grid(spark, (10.0, 11.0, -40.0, -39.0), reso_deg=1.0)
+    prof = _one_profile_df(spark, 10.5, -39.5, ct_val=8.0)
+    out = clim_eape(grid, prof, reso_deg=1.0, algo="T25").toPandas()
+    assert len(out) == 1
+    eape = np.array(out.iloc[0].EAPE)
+    assert np.isfinite(eape).all()
+    with pytest.raises(Exception):
+        clim_eape(grid, prof, reso_deg=1.0, algo="bogus").toPandas()
+
+
+def test_clim_ts_exploded_matches_pandas_kernel(spark, profiles):
+    """The two weighted-mean implementations (applyInPandas kernel vs
+    level-exploded expression aggregation) must agree exactly."""
+    from argostats_spark.operators.atlas import clim_ts_exploded
+
+    pdf = profiles.select("LONGITUDE", "LATITUDE").toPandas()
+    lon0, lat0 = float(pdf.LONGITUDE.min()), float(pdf.LATITUDE.min())
+    grid = make_grid(spark, (lon0, lon0 + 10, lat0, lat0 + 10), reso_deg=2.0)
+    a = clim_ts(grid, profiles, reso_deg=2.0).toPandas().sort_values(
+        ["glon", "glat"]).reset_index(drop=True)
+    b = clim_ts_exploded(grid, profiles, reso_deg=2.0).toPandas().sort_values(
+        ["glon", "glat"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    if len(a):
+        assert (a.glon == b.glon).all() and (a.glat == b.glat).all()
+        assert (a.n_points == b.n_points).all()
+        assert np.allclose(np.stack(a.CT.to_numpy()), np.stack(b.CT.to_numpy()),
+                           rtol=1e-5, atol=1e-5)
+        assert np.allclose(np.stack(a.W.to_numpy()), np.stack(b.W.to_numpy()),
+                           rtol=1e-4, atol=1e-4)

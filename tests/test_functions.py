@@ -131,3 +131,23 @@ def test_date_parts_leap_year(spark):
     row = df.select(*date_parts("ts")).toPandas().iloc[0]
     assert (row.year, row.month, row.day, row.dayofyear) == (2000, 2, 29, 60)
     assert (row.hour, row.minute, row.second) == (13, 14, 15)
+
+
+def test_gammat_bisection_vs_brute_force():
+    """The reference's own differential-test pattern (lorenz_state.check,
+    lorenz_state.py:5-29): vectorized bisection vs dense-grid brute force
+    on a (SR, CT) sweep."""
+    from argostats_spark.functions.lorenz import gammat_analytic, gammat_brute
+
+    sr = np.linspace(34.0, 36.5, 40)
+    ct = np.linspace(2.0, 20.0, 40)
+    g_vec, zref, pref_out, sigref = gammat_analytic(sr, ct)
+    g_brute = np.array([gammat_brute(s, c) for s, c in zip(sr, ct)])
+    # brute grid step 0.03 m → density quantization ~1.3e-3
+    assert np.allclose(g_vec, g_brute, atol=3e-3)
+    # zref within bounds, pref consistent with zref
+    assert (zref >= 0).all() and (zref <= 6000).all()
+    # colder water sinks deeper (monotone physics through the solver)
+    _, z_cold, _, _ = gammat_analytic(np.array([35.0]), np.array([2.0]))
+    _, z_warm, _, _ = gammat_analytic(np.array([35.0]), np.array([25.0]))
+    assert z_cold[0] > z_warm[0]

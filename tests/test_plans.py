@@ -1,0 +1,91 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+reference does by hand (X1-X10) must actually show up in Catalyst's
+plans — a refactor that silently drops a pushdown or broadcasts the
+wrong side should fail here, not on a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from argostats_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    count_exchanges,
+    physical_plan,
+    pushed_filters,
+    scan_read_schema,
+)
+from argostats_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf):
+    """X2/X3: every predicate reaches the parquet scan; untouched columns
+    (l_partkey, l_tax, ...) are not read."""
+    df = QUERIES["filter_project"](spark, sf)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert_filter_pushed(df, col)
+    for col in ["l_partkey", "l_suppkey", "l_tax", "l_linestatus"]:
+        assert_column_pruned(df, col)
+
+
+def test_q1_single_exchange(spark, sf):
+    """Partial+final aggregation: exactly one shuffle for the groupBy."""
+    df = QUERIES["q1_pricing_summary"](spark, sf)
+    assert count_exchanges(df) == 1
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_multiway_join_broadcasts_dims(spark, sf):
+    """X10: customer/nation/region broadcast — the orders fact side never
+    shuffles for a join, only for the final aggregation."""
+    df = QUERIES["join_multiway"](spark, sf)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_clim_kernel_grid_broadcast_and_one_exchange(spark, sf):
+    """J2: exploded grid side broadcasts; the only shuffle is the final
+    per-cell aggregation."""
+    df = QUERIES["clim_kernel_grid"](spark, sf)
+    assert_broadcast_join(df)
+    assert count_exchanges(df) == 1
+
+
+def test_topk_uses_take_ordered(spark, sf):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (no global
+    sort materialization)."""
+    df = QUERIES["topk_orders"](spark, sf)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_semi_anti_plan_as_joins(spark, sf):
+    for name, kind in [("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")]:
+        plan = physical_plan(QUERIES[name](spark, sf))
+        assert kind in plan, f"{name} lost its {kind} join:\n{plan[:800]}"
+
+
+def test_events_scan_prunes_columns(spark, sf):
+    """group_count touches only event_type — the scan must not read
+    props/value/user_id."""
+    df = QUERIES["group_count"](spark, sf)
+    rs = scan_read_schema(df)
+    assert "props" not in rs and "value" not in rs
+
+
+def test_interpolation_single_exchange(spark):
+    """The interpolation pipeline's only shuffle is the groupBy(WMO)."""
+    from argostats_spark.operators.interpolation import interpolate_profiles
+    from argostats_spark.sources.synthetic import make_raw
+
+    raw = make_raw(spark, n_wmos=2, profiles_per_wmo=3)
+    prof = interpolate_profiles(raw)
+    assert count_exchanges(prof) <= 1

@@ -184,3 +184,48 @@ def test_netcdf_ingest_plumbing(spark, tmp_path):
     # the real parser is a clearly-marked stub without xarray
     with pytest.raises(NotImplementedError):
         parse_netcdf_bytes("x_prof.nc", b"")
+
+
+def test_sessionize_stateful(spark, event_files):
+    """applyInPandasWithState: final per-user session counts must match
+    the batch sessionization (lag+cumsum) on the same data."""
+    from argostats_spark.streaming.events import sessionize_stateful
+    from pyspark.sql import Window as W
+
+    # sessionization's contract: event-time-ordered arrival across
+    # batches → single time-sorted source file
+    ordered = event_files + "_ordered"
+    spark.read.parquet(event_files).orderBy("ts").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ordered)
+    stream = read_event_stream(spark, ordered, max_files_per_trigger=None)
+    q = run_to_memory(
+        sessionize_stateful(stream, gap_seconds=3600), "sess_state", output_mode="update"
+    )
+    try:
+        got = spark.sql(
+            """SELECT user_id, max(n_sessions) AS n_sessions, max(n_events) AS n_events
+               FROM sess_state GROUP BY user_id"""
+        ).toPandas()
+    finally:
+        q.stop()
+
+    ev = spark.read.parquet(event_files).select(
+        "user_id", F.unix_timestamp("ts").alias("s"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    batch = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                (F.col("s") - F.lag("s").over(w) > 3600) | F.lag("s").over(w).isNull(), 1
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    m = got.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m.n_events_s == m.n_events_b).all()
+    assert (m.n_sessions_s == m.n_sessions_b).all()
