@@ -1302,6 +1302,211 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "array_level_filter",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(CAST(list_sum(list_transform(
+                 list_filter(embedding, x -> x > 0),
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE), 5) AS sum_pos
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_array_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 per-level array predicate — the reference's QC level masks
+    (filter over arrays_zip, interpolation.py:174-179) as higher-order
+    functions; no explode, no UDF."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pos = F.filter("embedding", lambda x: x > 0)
+    return e.select(
+        "vec_id",
+        F.size(pos).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(pos, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 5
+        ).alias("sum_pos"),
+    )
+
+
+@query(
+    "array_adjacent_diff",
+    """
+    SELECT vec_id,
+           round(CAST(list_sum(list_transform(range(1, len(embedding)),
+                 i -> abs(CAST(embedding[i+1] AS DOUBLE) - CAST(embedding[i] AS DOUBLE))))
+                 AS DOUBLE), 5) AS total_variation
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_array_adjacent_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 adjacent-element differences over an intra-row array (the
+    reference's np.diff over depth, atlas.py:316-324) via zip_with on
+    shifted slices — total variation per vector."""
+    from .functions.arrays import array_diff
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    # cast each element to double BEFORE differencing — f4 subtraction
+    # would round differently from the oracle's double arithmetic
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    tv = F.aggregate(
+        array_diff(as_double), F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+    return e.select("vec_id", F.round(tv, 5).alias("total_variation"))
+
+
+@query(
+    "argmin_argmax",
+    """
+    SELECT event_type,
+           arg_max(user_id, value) AS top_user,
+           round(max(value), 3) AS top_value,
+           arg_min(event_id, value) AS cheapest_event
+    FROM events GROUP BY event_type
+    """,
+)
+def q_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 argmin/argmax (the reference's nearest-value lookup,
+    bathy.py:29-30) as min_by/max_by aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", "value").alias("top_user"),
+        F.round(F.max("value"), 3).alias("top_value"),
+        F.min_by("event_id", "value").alias("cheapest_event"),
+    )
+
+
+@query(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.4 'absent' list)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                   (l_returnflag, l_linestatus))"""
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH buyers AS (
+      SELECT o_custkey AS ck, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ),
+    eventers AS (
+      SELECT user_id % 1500 AS ck, count(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT coalesce(b.ck, e.ck) AS custkey,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+    FROM buyers b FULL OUTER JOIN eventers e ON b.ck = e.ck
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (absent from the reference)."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    buyers = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    eventers = ev.groupBy((F.col("user_id") % 1500).alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    j = buyers.join(eventers, buyers.ck == eventers.ck, "full_outer")
+    return j.select(
+        F.coalesce(buyers.ck, eventers.ck).alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "string_functions",
+    """
+    SELECT upper(substr(c_name, 1, 8)) AS prefix,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           count(*) AS n
+    FROM customer
+    WHERE c_name LIKE '%er#%' OR c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: LIKE / IN predicates, upper/substr/length/concat
+    (the reference encodes strings away at ingest — the new engine keeps
+    Spark's full string library)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_name").like("%er#%")
+            | F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .groupBy(
+            F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.concat(
+                F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+            ).alias("seg_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "null_handling",
+    """
+    SELECT coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif/coalesce/conditional counting — real NULLs
+    replace the reference's sentinel encodings (SURVEY §1.2 design
+    decision)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias("status")
+    ).agg(
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+        .cast("long").alias("n_big"),
+        F.count(F.nullif("o_orderpriority", F.lit("1-URGENT"))).alias("n_not_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "exact_median",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (median/p90): Spark percentile ==
+    DuckDB quantile_cont (both linear-interpolation); the approx variant
+    (percentile_approx) exists in the API but has no cross-engine
+    oracle, so the exact form is the one verified."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+
+
 # =========================================================================
 # Rows-only entries (no SQL-expressible oracle; the driver records a
 # weaker rows-only check): approximate/stateful/pipeline operators.
