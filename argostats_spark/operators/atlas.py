@@ -158,8 +158,13 @@ def clim_ts(
     theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
     if pairs is None:
         pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
-    return pairs.groupBy("glon", "glat").applyInPandas(
-        _ts_cell_kernel(theta), _TS_SCHEMA
+    # pin parallelism for the Python kernel stage (AQE coalescing targets
+    # bytes, not UDF CPU — see interpolation.py note)
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return (
+        pairs.repartition(n, "glon", "glat")
+        .groupBy("glon", "glat")
+        .applyInPandas(_ts_cell_kernel(theta), _TS_SCHEMA)
     )
 
 
@@ -323,6 +328,9 @@ def clim_eape(
         F.col("CT").alias("CT_BAR"), F.col("SR").alias("SR_BAR"),
     )
     enriched = pairs.join(F.broadcast(means), on=["glon", "glat"])
-    return enriched.groupBy("glon", "glat").applyInPandas(
-        _eape_cell_kernel(theta, algo), _EAPE_SCHEMA
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return (
+        enriched.repartition(n, "glon", "glat")
+        .groupBy("glon", "glat")
+        .applyInPandas(_eape_cell_kernel(theta, algo), _EAPE_SCHEMA)
     )
