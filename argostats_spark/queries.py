@@ -1487,6 +1487,30 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           round(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS sd_qty,
+           round(CAST(var_samp(l_discount) AS DOUBLE), 6) AS var_disc,
+           round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 5) AS corr_qty_price,
+           round(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 5) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    absent from the reference, free in Spark; both engines use the same
+    sample definitions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 5).alias("cov_qty_disc"),
+    )
+
+
+@query(
     "exact_median",
     """
     SELECT event_type,
