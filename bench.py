@@ -67,8 +67,11 @@ def main() -> None:
     raw = make_raw(spark, n_wmos=60, profiles_per_wmo=100).cache()
     n_raw = raw.count()
     # spawn/warm the Python UDF daemons so the measurement reflects the
-    # steady state (the reference's pool is likewise persistent)
-    interpolate_profiles(raw.limit(50)).write.format("noop").mode("overwrite").save()
+    # steady state (the reference's pool is likewise persistent); a
+    # sample keeps all WMO groups → all shuffle partitions → all workers
+    interpolate_profiles(raw.sample(0.05, seed=1)).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     t0 = time.perf_counter()
     profiles = interpolate_profiles(raw)
@@ -78,6 +81,11 @@ def main() -> None:
 
     profiles = profiles.cache()
     profiles.count()
+    # warm the cell-kernel worker pool on a small domain before timing
+    clim_ts(
+        make_grid(spark, (0.0, 20.0, -20.0, 0.0), reso_deg=5.0),
+        profiles, reso_deg=5.0, smoothing_factor=2.0,
+    ).write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     grid = make_grid(spark, (-180.0, 180.0, -80.0, 80.0), reso_deg=5.0)
     clim_ts(grid, profiles, reso_deg=5.0, smoothing_factor=2.0).write.format(
