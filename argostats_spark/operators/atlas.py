@@ -226,6 +226,42 @@ def clim_ts_exploded(
     )
 
 
+def export_atlas_netcdf(atlas_df: DataFrame, path: str) -> None:
+    """Optional NetCDF export (S9, reference atlas.py:576-635): the
+    gridded result is small (cells × 64 floats) so a driver-side
+    toPandas + netCDF4 write is appropriate; the primary sink is
+    Parquet. STUB where netCDF4 is absent (this container)."""
+    try:
+        import netCDF4  # noqa: F401
+    except ImportError as exc:  # pragma: no branch
+        raise NotImplementedError(
+            "NetCDF export requires the netCDF4 package; write Parquet "
+            "instead (atlas_df.write.parquet) or install netCDF4"
+        ) from exc
+    # pragma: no cover — exercised only where netCDF4 exists
+    pdf = atlas_df.orderBy("glat", "glon").toPandas()
+    import numpy as np
+
+    lats = np.sort(pdf.glat.unique())
+    lons = np.sort(pdf.glon.unique())
+    with netCDF4.Dataset(path, "w") as ds:
+        ds.createDimension("lat", len(lats))
+        ds.createDimension("lon", len(lons))
+        ds.createDimension("pres", NLEVELS)
+        ds.createVariable("lat", "f4", ("lat",))[:] = lats
+        ds.createVariable("lon", "f4", ("lon",))[:] = lons
+        ds.createVariable("pres", "f4", ("pres",))[:] = pref64()
+        for var in ("CT", "SR", "W", "RHO", "EAPE"):
+            if var in pdf.columns:
+                out = ds.createVariable(var, "f4", ("lat", "lon", "pres"))
+                grid = np.full((len(lats), len(lons), NLEVELS), np.nan, "f4")
+                li = {v: i for i, v in enumerate(lats)}
+                lo = {v: i for i, v in enumerate(lons)}
+                for _, row in pdf.iterrows():
+                    grid[li[row.glat], lo[row.glon], :] = row[var]
+                out[:] = grid
+
+
 # ---------------------------------------------------------------------------
 # Pass 2: EAPE, R14 algorithm (A4; atlas.py:152-191, 281-298)
 # ---------------------------------------------------------------------------

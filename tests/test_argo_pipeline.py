@@ -237,3 +237,20 @@ def test_clim_ts_exploded_matches_pandas_kernel(spark, profiles):
                            rtol=1e-5, atol=1e-5)
         assert np.allclose(np.stack(a.W.to_numpy()), np.stack(b.W.to_numpy()),
                            rtol=1e-4, atol=1e-4)
+
+
+def test_netcdf_export_stub(spark):
+    """S9: NetCDF export is a clearly-marked stub without netCDF4."""
+    from argostats_spark.operators.atlas import export_atlas_netcdf
+
+    grid = make_grid(spark, (0.0, 1.0, 0.0, 1.0), reso_deg=1.0)
+    prof = _one_profile_df(spark, 0.5, 0.5)
+    ts = clim_ts(grid, prof, reso_deg=1.0)
+    try:
+        import netCDF4  # noqa: F401
+        has_nc = True
+    except ImportError:
+        has_nc = False
+    if not has_nc:
+        with pytest.raises(NotImplementedError):
+            export_atlas_netcdf(ts, "/tmp/x.nc")
