@@ -39,7 +39,35 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the argostats_spark package to executor Python workers.
+
+    The driver may import __spark_entry__ from an arbitrary cwd; the
+    driver *process* gets sys.path patched, but executor Python workers
+    spawn fresh and unpickle UDF closures by module reference — without
+    this, every applyInPandas/mapInPandas query dies with
+    ModuleNotFoundError. addPyFile of a package zip is the standard,
+    cluster-safe fix (works identically on a real cluster)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="argostats_pyfiles_")
+    zip_base = os.path.join(staging, "argostats_spark_pkg")
+    shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+                        base_dir="argostats_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    _PYFILES_SHIPPED.add(app_id)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_workers_can_import(spark)
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -1613,6 +1641,7 @@ def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.interpolation import interpolate_profiles
     from .sources.synthetic import make_raw
 
+    ensure_workers_can_import(spark)
     raw = make_raw(spark, n_wmos=6, profiles_per_wmo=8, seed=42)
     profiles = interpolate_profiles(raw)
     bounds = profiles.agg(
