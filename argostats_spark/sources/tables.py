@@ -37,6 +37,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (SCALE.md): co-locates every future join/
+    aggregation on ``bucket_cols`` — two tables bucketed the same way
+    join with ZERO shuffle exchanges (asserted in tests/test_plans.py).
+
+    This is the at-rest answer to the reference's 'records contiguous
+    per WMO' layout (README.md:146-158): bucket pruning + no-shuffle
+    joins instead of byte-offset arithmetic."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

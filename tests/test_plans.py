@@ -89,3 +89,32 @@ def test_interpolation_single_exchange(spark):
     raw = make_raw(spark, n_wmos=2, profiles_per_wmo=3)
     prof = interpolate_profiles(raw)
     assert count_exchanges(prof) <= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the same key join without any exchange —
+    the SCALE.md at-rest co-location strategy for repeated atlas runs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from argostats_spark.sources.tables import write_bucketed_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    a = spark.createDataFrame(
+        pd.DataFrame({"WMO": list(range(100)) * 3, "x": range(300)})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"WMO": list(range(100)), "y": range(100)})
+    )
+    write_bucketed_table(a, "bk_a", ["WMO"], n_buckets=8, sort_cols=["WMO"])
+    write_bucketed_table(b, "bk_b", ["WMO"], n_buckets=8, sort_cols=["WMO"])
+    try:
+        j = spark.table("bk_a").join(spark.table("bk_b"), "WMO")
+        # disable broadcast so the bucketed path is what's being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j2 = spark.table("bk_a").join(spark.table("bk_b"), "WMO")
+        assert count_exchanges(j2) == 0, physical_plan(j2)[:1500]
+        assert j2.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
