@@ -1588,6 +1588,21 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker rows-only check): approximate/stateful/pipeline operators.
 # =========================================================================
 
+@query("approx_aggregates")
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest-ish quantiles) —
+    sketch algorithms differ per engine so there is no value oracle;
+    the exact twins are minmax_stats (countDistinct) and exact_median.
+    Sanity is pinned here instead: approx distinct within 5% of exact,
+    quantiles within the value range."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
+
+
 @query("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (dedup operator #3): 64-bit bitwise-majority
