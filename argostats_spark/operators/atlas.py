@@ -66,18 +66,41 @@ def make_grid(
     return lons.crossJoin(lats)
 
 
-def apply_ocean_mask(grid: DataFrame, mask: DataFrame | None) -> DataFrame:
-    """P10 land gate: keep ocean cells only, via a broadcast join on the
-    mask's own grid indices (J3 arithmetic lookup, bathy/bathy.py:29-50).
-    mask columns: lat, lon, is_ocean at some uniform resolution."""
+def apply_ocean_mask(
+    grid: DataFrame,
+    mask: DataFrame | None,
+    mask_reso_deg: float = 0.1,
+) -> DataFrame:
+    """P10 land gate: keep ocean cells only, via a broadcast left-semi
+    *equi*-join on arithmetic mask-cell indices (J3, the reference's
+    nearest-cell lookup re-expressed: bathy/bathy.py:38-50 ``Topo.msk``
+    with the idx = (coord - origin)/reso convention of bathy.py:77-78).
+
+    Both sides compute ``lat_idx = floor((lat+90)/reso)``, ``lon_idx =
+    floor((lon+180)/reso)`` so Catalyst extracts equi-keys and plans a
+    BroadcastHashJoin — O(|grid| + |mask|). A predicate mixing both
+    sides in one expression (e.g. round(glon - lon) == 0) has no
+    extractable keys and degrades to BroadcastNestedLoopJoin:
+    ~6.5e12 comparisons at the reference's 1/10° mask × a 1/4° global
+    grid. Plan shape is pinned by tests/test_plans.py.
+
+    mask columns: lat, lon (cell centers), is_ocean — see
+    sources/bathy.py.
+    """
     if mask is None:
         return grid
-    # nearest mask cell arithmetically — mask grids are uniform
-    m = F.broadcast(mask.filter(F.col("is_ocean") == 1).select("lat", "lon"))
-    return grid.join(
-        m,
-        (F.round((grid.glon - m.lon), 6) == 0.0) & (F.round((grid.glat - m.lat), 6) == 0.0),
-        "left_semi",
+    m = mask.filter(F.col("is_ocean") == 1).select(
+        F.floor((F.col("lat") + 90.0) / mask_reso_deg).cast("long").alias("lat_idx"),
+        F.floor((F.col("lon") + 180.0) / mask_reso_deg).cast("long").alias("lon_idx"),
+    )
+    g = grid.withColumns(
+        {
+            "lat_idx": F.floor((F.col("glat") + 90.0) / mask_reso_deg).cast("long"),
+            "lon_idx": F.floor((F.col("glon") + 180.0) / mask_reso_deg).cast("long"),
+        }
+    )
+    return g.join(F.broadcast(m), ["lat_idx", "lon_idx"], "left_semi").drop(
+        "lat_idx", "lon_idx"
     )
 
 

@@ -1583,6 +1583,44 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ocean_mask_gate",
+    """
+    WITH grid AS (
+      SELECT CAST(i * 5 - 177.5 AS DOUBLE) AS glon,
+             CAST(j * 5 - 87.5 AS DOUBLE) AS glat
+      FROM range(0, 72) t(i) CROSS JOIN range(0, 36) s(j)
+    ),
+    g AS (
+      SELECT glon, glat,
+             CAST(floor((glat + 90) / 0.5) AS BIGINT) AS lat_idx,
+             CAST(floor((glon + 180) / 0.5) AS BIGINT) AS lon_idx
+      FROM grid
+    ),
+    mask AS (
+      SELECT j AS lat_idx, i AS lon_idx
+      FROM range(0, 720) t(i) CROSS JOIN range(0, 360) s(j)
+      WHERE (j * 31 + i * 17) % 7 < 5
+    )
+    SELECT glon, glat FROM g JOIN mask USING (lat_idx, lon_idx)
+    """,
+)
+def q_ocean_mask_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/P10/J3: land-mask gate as an arithmetic-index broadcast
+    equi-join (operators/atlas.apply_ocean_mask) against a synthetic
+    1/2° global mask (sources/bathy.synthetic_ocean_mask). The oracle
+    regenerates the identical mask from the integer-index rule and
+    brute-joins; equality proves the floor-index semantics
+    (reference bathy/bathy.py:38-50, 77-78). Plan shape (BHJ, no BNLJ)
+    is pinned by tests/test_plans.py."""
+    from .operators.atlas import apply_ocean_mask, make_grid
+    from .sources.bathy import synthetic_ocean_mask
+
+    grid = make_grid(spark, (-180.0, 180.0, -90.0, 90.0), reso_deg=5.0)
+    mask = synthetic_ocean_mask(spark, reso_deg=0.5)
+    return apply_ocean_mask(grid, mask, mask_reso_deg=0.5).select("glon", "glat")
+
+
 # =========================================================================
 # Rows-only entries (no SQL-expressible oracle; the driver records a
 # weaker rows-only check): approximate/stateful/pipeline operators.

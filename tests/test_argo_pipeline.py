@@ -254,3 +254,66 @@ def test_netcdf_export_stub(spark):
     if not has_nc:
         with pytest.raises(NotImplementedError):
             export_atlas_netcdf(ts, "/tmp/x.nc")
+
+
+# ---------------------------------------------------------------------------
+# S10/P10/J3: bathymetry ocean-mask source + arithmetic-index gate
+# ---------------------------------------------------------------------------
+
+
+def test_ocean_mask_gate_semantics(spark):
+    """apply_ocean_mask keeps exactly the grid cells whose containing
+    mask cell is ocean — checked against a hand-built 4-cell mask."""
+    import pandas as pd
+    from argostats_spark.operators.atlas import apply_ocean_mask
+
+    # 2x2 mask at 1.0 deg covering lon [0,2), lat [0,2): ocean only in
+    # the (lat [0,1), lon [1,2)) cell
+    mask = spark.createDataFrame(pd.DataFrame({
+        "lat": [0.5, 0.5, 1.5, 1.5],
+        "lon": [0.5, 1.5, 0.5, 1.5],
+        "is_ocean": [0, 1, 0, 0],
+    }))
+    grid = spark.createDataFrame(pd.DataFrame({
+        "glon": [0.25, 1.25, 1.75, 1.25],
+        "glat": [0.25, 0.25, 0.75, 1.25],
+    }))
+    kept = apply_ocean_mask(grid, mask, mask_reso_deg=1.0).toPandas()
+    got = sorted(zip(kept.glon, kept.glat))
+    assert got == [(1.25, 0.25), (1.75, 0.75)]
+
+
+def test_ocean_mask_none_passthrough(spark):
+    from argostats_spark.operators.atlas import apply_ocean_mask
+
+    grid = make_grid(spark, (0.0, 10.0, 0.0, 10.0), reso_deg=5.0)
+    assert apply_ocean_mask(grid, None).count() == grid.count()
+
+
+def test_bathy_bz2_loader_roundtrip(spark, tmp_path):
+    """S10 loader: the reference's bz2 int8 format round-trips through
+    save_mask_bz2/load_mask_bz2 with the cell-center convention."""
+    import numpy as np
+    from argostats_spark.sources.bathy import load_mask_bz2, save_mask_bz2
+
+    reso = 30.0  # 6x12 global mask, tiny
+    m = (np.arange(6 * 12).reshape(6, 12) % 3 == 0).astype("i1")
+    path = str(tmp_path / "msk.bin")
+    save_mask_bz2(m, path)
+    df = load_mask_bz2(spark, path, reso_deg=reso).toPandas()
+    assert len(df) == 72
+    assert int(df.is_ocean.sum()) == int(m.sum())
+    # spot-check the center convention: mask[0,0] cell center
+    row = df[(df.lat == -90 + 15.0) & (df.lon == -180 + 15.0)]
+    assert len(row) == 1 and int(row.is_ocean.iloc[0]) == int(m[0, 0])
+
+
+def test_synthetic_mask_matches_index_rule(spark):
+    from argostats_spark.sources.bathy import synthetic_ocean_mask
+
+    df = synthetic_ocean_mask(spark, reso_deg=30.0).toPandas()
+    assert len(df) == 72
+    for _, r in df.iterrows():
+        lat_idx = int((r.lat + 90) // 30)
+        lon_idx = int((r.lon + 180) // 30)
+        assert r.is_ocean == int((lat_idx * 31 + lon_idx * 17) % 7 < 5)

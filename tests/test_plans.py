@@ -118,3 +118,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_ocean_mask_is_broadcast_hash_join(spark):
+    """J3: the mask gate must plan as a BroadcastHashJoin LeftSemi on the
+    arithmetic indices — a BroadcastNestedLoopJoin here is the 100 TB
+    scale-killer (6.5e12 comparisons at reference mask resolution)."""
+    from argostats_spark.operators.atlas import apply_ocean_mask, make_grid
+    from argostats_spark.sources.bathy import synthetic_ocean_mask
+
+    grid = make_grid(spark, (-180.0, 180.0, -90.0, 90.0), reso_deg=5.0)
+    mask = synthetic_ocean_mask(spark, reso_deg=0.5)
+    kept = apply_ocean_mask(grid, mask, mask_reso_deg=0.5)
+    plan = physical_plan(kept)
+    # the only BNLJs allowed are the intentional tiny grid-axis cross
+    # joins (72x36 / 720x360 range tables); the mask *gate* itself must
+    # be a hash semi-join on the arithmetic indices
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, plan[:1500]
+    assert all("BroadcastHashJoin" in ln for ln in semi_lines), "\n".join(semi_lines)
+    assert not any("NestedLoop" in ln for ln in semi_lines), "\n".join(semi_lines)
