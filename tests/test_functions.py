@@ -151,3 +151,82 @@ def test_gammat_bisection_vs_brute_force():
     _, z_cold, _, _ = gammat_analytic(np.array([35.0]), np.array([2.0]))
     _, z_warm, _, _ = gammat_analytic(np.array([35.0]), np.array([25.0]))
     assert z_cold[0] > z_warm[0]
+
+
+# ---------------------------------------------------------------------------
+# TEOS-10 differential tests vs published check values (the reference's
+# own lorenz_state.check() pattern, src/argostats/lorenz/lorenz_state.py:5-29)
+# ---------------------------------------------------------------------------
+
+
+def test_specvol_paper_check_value():
+    """Roquet et al. 2015 check value: v(SA=30, CT=10, p=1000 dbar)."""
+    from argostats_spark.functions.teos10 import specvol
+
+    assert abs(float(specvol(30.0, 10.0, 1000.0)) - 9.732819628e-4) < 1e-12
+
+
+def test_rho_gsw_standard_profile():
+    """75-term rho vs the GSW standard-profile check densities."""
+    from argostats_spark.functions.teos10 import rho
+
+    sa = np.array([34.7118, 34.8915, 35.0256, 34.8472, 34.7366, 34.7324])
+    ct = np.array([28.809919826700281, 28.439227816091140, 22.786176893078498,
+                   10.226189266620782, 6.827213633479988, 4.323575748610455])
+    p = np.array([10.0, 50.0, 125.0, 250.0, 600.0, 1000.0])
+    expect = np.array([1021.840173, 1022.262689, 1024.427715,
+                       1027.790201, 1029.837714, 1032.002404])
+    assert np.allclose(rho(sa, ct, p), expect, rtol=0, atol=1e-3)
+
+
+def test_adiabatic_lapse_rate_unesco_check():
+    """Fofonoff & Millard 1983: atg(40, 40, 10000) = 3.255976e-4."""
+    from argostats_spark.functions.teos10 import adiabatic_lapse_rate
+
+    assert abs(float(adiabatic_lapse_rate(40.0, 40.0, 10000.0)) - 3.255976e-4) < 1e-10
+
+
+def test_potential_temperature_unesco_check():
+    """Fofonoff & Millard 1983: theta(40, 40, 10000 -> 0) = 36.89073."""
+    from argostats_spark.functions.teos10 import pt_from_t
+
+    assert abs(float(pt_from_t(40.0, 40.0, 10000.0)) - 36.89073) < 1e-4
+
+
+def test_ct_from_pt_identity_at_sso():
+    """McDougall 2003 design property: at SA = SSO the potential-enthalpy
+    polynomial is anchored so CT == theta exactly at 0 and 25 degC, with
+    |CT - theta| <= ~0.011 K in between."""
+    from argostats_spark.functions.teos10 import ct_from_pt
+
+    for pt in [0.0, 25.0]:
+        assert abs(float(ct_from_pt(35.16504, pt)) - pt) < 2e-5
+    for pt in [5.0, 10.0, 15.0, 20.0, 30.0]:
+        assert abs(float(ct_from_pt(35.16504, pt)) - pt) < 0.02
+
+
+def test_ct_from_t_gsw_standard_profile():
+    """Composite t->theta->CT vs GSW CT_from_t check values (<=2.1e-4 K;
+    the residual is the EOS-80 vs Gibbs theta difference)."""
+    from argostats_spark.functions.teos10 import ct_from_t
+
+    sa = np.array([34.7118, 34.8915, 35.0256, 34.8472, 34.7366, 34.7324])
+    t = np.array([28.7856, 28.4329, 22.8103, 10.2600, 6.8863, 4.4036])
+    p = np.array([10.0, 50.0, 125.0, 250.0, 600.0, 1000.0])
+    expect = np.array([28.809919826700281, 28.439227816091140, 22.786176893078498,
+                       10.226189266620782, 6.827213633479988, 4.323575748610455])
+    assert np.allclose(ct_from_t(sa, t, p), expect, rtol=0, atol=3e-4)
+
+
+def test_sound_speed_and_expansion_coefficients():
+    """Sound speed from the analytic dv/dz (~1542 m/s warm surface,
+    increasing with depth); alpha/beta signs and magnitudes."""
+    from argostats_spark.functions.teos10 import alpha, beta, sound_speed
+
+    c_surf = float(sound_speed(34.7118, 28.8099, 10.0))
+    assert abs(c_surf - 1542.6) < 1.0
+    assert float(sound_speed(34.73, 4.32, 1000.0)) > float(sound_speed(34.73, 4.32, 10.0))
+    a = float(alpha(35.0, 15.0, 100.0))
+    b = float(beta(35.0, 15.0, 100.0))
+    assert 1.5e-4 < a < 2.5e-4
+    assert 7.0e-4 < b < 8.0e-4
