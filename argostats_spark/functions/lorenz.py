@@ -1,18 +1,28 @@
 """Thermodynamic neutral density (gammat) — SURVEY.md §2.8 F7/F8.
 
 The reference computes gammat via a 30-iteration vectorized bisection
-solving rho_ref(zref) = ρ(SR, CT, pr(zref)) against an analytic global
-(Lorenz) reference density profile, followed by a polynomial correction
-(reference: src/argostats/lorenz/lorenz_state.py:115-185, 63-100; the
-method is Tailleux & Roullet 2025 / Tailleux 2021 — published work).
+solving rho_ref(zref) = ρ(SR, CT, pr(zref)) against the analytic global
+Lorenz reference density profile, followed by a degree-8 polynomial
+correction in normalized reference pressure (reference:
+src/argostats/lorenz/lorenz_state.py:115-185; the method and all
+constants are the published work of Tailleux 2021 / Tailleux & Wolfe,
+"gsw_gammat_analytic_CT_exact", public supplementary MATLAB code).
 
-This module reimplements the same *algorithmic structure* — analytic
-monotone reference profile, fixed-iteration vectorized bisection,
-polynomial correction hook — with this engine's simplified EOS
-(functions/teos10.py) standing in for the 75-term TEOS-10 polynomial
-where gsw is unavailable. The reference's own differential-test style
-(lorenz_state.check(): rewritten kernel vs brute force, allclose) is
-reproduced in tests/test_functions.py.
+This module reimplements the same published method on this engine's
+TEOS-10 75-term density (functions/teos10.py):
+
+- ρref(z) = a/(b+1)·(z+e)^(b+1) + c·z + d — the World-Ocean-Atlas fit
+  of Tailleux (2021) with the published parameter set (ID 8/9).
+- pr(z) — the exact hydrostatic integral of ρref (g = 9.81, dbar).
+- gammat = σref − P8((pref − 1440)/1470) with the published degree-8
+  correction coefficients, where σref = ρ(SR, CT, pref) − 1000.
+
+The bisection here keeps explicit lo/hi bracket arrays (the reference
+tracks ztop/zbot through sign arithmetic — same fixed-point, different
+mechanics), and out-of-range parcels clamp to the surface/bottom. The
+reference's own differential-test style (lorenz_state.check():
+rewritten kernel vs brute force, allclose) is reproduced in
+tests/test_functions.py.
 
 All NumPy-vectorized: inside Spark it runs as an Arrow-batched pandas
 UDF over level arrays, the same surface as the other TEOS-10 kernels.
@@ -22,38 +32,52 @@ from __future__ import annotations
 
 import numpy as np
 
-from .teos10 import RHO0, rho
+from .teos10 import RHO0, rho  # noqa: F401  (RHO0 re-exported for scale uses)
 
-# Analytic reference ("Lorenz") density profile parameters: a monotone
-# power-law-plus-linear increase with depth — the public functional form
-# rho_ref(z) = rho_s + A·z^q + B·z with coefficients chosen to span
-# realistic ocean densities (1025 at surface → ~1050 at 6000 m).
-_RHO_S = 1025.0
-_A = 0.18
-_Q = 0.78
-_B = 1.5e-3
+# Published Lorenz reference-profile parameters (Tailleux 2021, ID 8/9).
+_A_FIT = 4.56016575
+_B_FIT = -1.24898501
+_C_FIT = 0.00439778209
+_D_FIT = 1030.99373
+_E_FIT = 8.32218903
+
+_GRAV = 9.81
 ZREF_MAX = 6000.0
+
+# hydrostatic-integral constants of rho_ref
+_IA = _A_FIT / ((_B_FIT + 1.0) * (_B_FIT + 2.0))
+_ID = _IA * _E_FIT ** (_B_FIT + 2.0)
+_IC = _C_FIT / 2.0
+
+# Published degree-8 polynomial correction (Tailleux 2021): gammat =
+# sigref − P8(x), x = (pref − 1440)/1470. Coefficients low → high order.
+_P8 = np.polynomial.Polynomial(
+    [6.431, 6.677, -0.08414, -0.03696, 0.06807, -0.06387, 0.03216, -0.008056, 0.0007824]
+)
+_P_MEAN = 1440.0
+_P_STD = 1470.0
 
 
 def lorenz_reference_density(zref: np.ndarray) -> np.ndarray:
-    """Monotone analytic reference density ρref(z) (reference
-    lorenz_state.py:63-80 functional shape)."""
-    z = np.asarray(zref, dtype="f8")
-    return _RHO_S + _A * np.power(np.maximum(z, 0.0), _Q) + _B * z
+    """Published analytic Lorenz reference density ρref(z) [kg/m³]
+    (Tailleux 2021 World-Ocean-Atlas fit; reference lorenz_state.py:68-84)."""
+    z = np.maximum(np.asarray(zref, dtype="f8"), 0.0)
+    return _A_FIT / (_B_FIT + 1.0) * (z + _E_FIT) ** (_B_FIT + 1.0) + _C_FIT * z + _D_FIT
 
 
 def pr_from_zref(zref: np.ndarray) -> np.ndarray:
-    """Pressure (dbar) at reference depth z (m): hydrostatic ~1 dbar/m
-    with a small quadratic compressibility correction (reference
-    lorenz_state.py:86-100 precomputed-polynomial shape)."""
-    z = np.asarray(zref, dtype="f8")
-    return z * (1.0 + 2.3e-6 * z)
+    """Reference pressure pr(z) [dbar]: exact hydrostatic integral of
+    ρref (reference lorenz_state.py:95-100): pr = g/1e4·(IA·(z+e)^(b+2)
+    + c/2·z² + d·z − IA·e^(b+2))."""
+    z = np.maximum(np.asarray(zref, dtype="f8"), 0.0)
+    return (_GRAV / 1e4) * (
+        _IA * (z + _E_FIT) ** (_B_FIT + 2.0) + _IC * z * z + _D_FIT * z - _ID
+    )
 
 
-# poly-8 correction hook (identity by default; the reference applies a
-# fitted degree-8 polynomial, lorenz_state.py:146-170)
-_POLY = np.zeros(9, dtype="f8")
-_POLY[-2] = 1.0  # identity: gammat = sigref
+def poly8_correction(pref: np.ndarray) -> np.ndarray:
+    """The published degree-8 gammat correction P8((pref−1440)/1470)."""
+    return _P8((np.asarray(pref, dtype="f8") - _P_MEAN) / _P_STD)
 
 
 def gammat_analytic(sr: np.ndarray, ct: np.ndarray, n_iter: int = 30):
@@ -62,7 +86,7 @@ def gammat_analytic(sr: np.ndarray, ct: np.ndarray, n_iter: int = 30):
     For each (SR, CT) sample, find zref ∈ [0, ZREF_MAX] such that
     ρref(zref) = ρ(SR, CT, pr(zref)); return (gammat, zref, pref,
     sigref) exactly like the reference's surface
-    (lorenz_state.py:115-185).
+    (lorenz_state.py:115-185), with gammat = sigref − P8(x).
     """
     sr = np.asarray(sr, dtype="f8")
     ct = np.asarray(ct, dtype="f8")
@@ -92,8 +116,8 @@ def gammat_analytic(sr: np.ndarray, ct: np.ndarray, n_iter: int = 30):
     zref = np.where(clamp_surface, 0.0, zref)
     zref = np.where(clamp_bottom, ZREF_MAX, zref)
     pref = pr_from_zref(zref)
-    sigref = lorenz_reference_density(zref) - 1000.0
-    gammat = np.polyval(_POLY, sigref)
+    sigref = rho(sr, ct, pref) - 1000.0
+    gammat = sigref - poly8_correction(pref)
     return gammat, zref, pref, sigref
 
 
@@ -103,4 +127,6 @@ def gammat_brute(sr: float, ct: float, n_grid: int = 200_001) -> float:
     z = np.linspace(0.0, ZREF_MAX, n_grid)
     resid = np.abs(lorenz_reference_density(z) - rho(sr, ct, pr_from_zref(z)))
     zref = z[int(resid.argmin())]
-    return float(np.polyval(_POLY, lorenz_reference_density(zref) - 1000.0))
+    pref = pr_from_zref(zref)
+    sigref = float(rho(sr, ct, pref) - 1000.0)
+    return sigref - float(poly8_correction(pref))

@@ -230,3 +230,15 @@ def test_sound_speed_and_expansion_coefficients():
     b = float(beta(35.0, 15.0, 100.0))
     assert 1.5e-4 < a < 2.5e-4
     assert 7.0e-4 < b < 8.0e-4
+
+
+def test_gammat_poly8_correction_is_published_fit():
+    """The degree-8 correction is the published Tailleux 2021 fit, not an
+    identity: P8(0) = p9 = 6.431 at pref = 1440 dbar, and gammat differs
+    from sigref by the correction everywhere."""
+    from argostats_spark.functions.lorenz import gammat_analytic, poly8_correction
+
+    assert abs(float(poly8_correction(1440.0)) - 6.431) < 1e-12
+    g, _, pref, sig = gammat_analytic(np.array([35.0, 34.5]), np.array([10.0, 3.0]))
+    assert np.all(np.abs(g - sig) > 1.0)  # non-identity correction applied
+    assert np.allclose(g, sig - poly8_correction(pref))
