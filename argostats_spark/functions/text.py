@@ -112,14 +112,18 @@ def char_ngrams(text, n: int = 5) -> Column:
 
 
 def word_ngrams(text, n: int = 3) -> Column:
-    """Array of word n-grams joined by single spaces."""
+    """Array of word n-grams joined by single spaces. Documents with
+    fewer than ``n`` tokens yield an EMPTY array (not a short joined
+    shingle) — matching the SQL-oracle semantics
+    (range(1, greatest(cnt-n+1, 0)+1) is empty for cnt < n), so short
+    docs can never pair up as jaccard-1.0 duplicates."""
     toks = F.transform(tokens(text), lambda t: F.lower(t))
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
     return F.when(
         cnt >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint64(text) -> Column:

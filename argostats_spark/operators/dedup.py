@@ -139,13 +139,18 @@ def minhash_lsh_pairs(
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
-    return (
+    out = (
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # verified pairs are tiny: materialize (cutting lineage off the
+    # shingle cache) and release the cache — no long-session leak
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash(
@@ -153,13 +158,23 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token
-    hashes, computed as explode → groupBy(doc) → sum of ±1 per bit →
-    bit reassembly. All JVM expressions."""
+    """SimHash per document: per-bit majority vote over token hashes,
+    computed as explode → groupBy(doc) → sum of ±1 per bit → bit
+    reassembly. All JVM expressions.
+
+    ``hasher="xxhash64"`` (engine path, 64 bits) or ``"md5"`` — a 60-bit
+    md5-prefix hash both Spark and DuckDB can compute identically, which
+    makes the signature (and everything downstream) oracle-checkable
+    cross-engine. Pass bits=60 with md5."""
     toks = tokens(F.lower(F.col(text_col)))
     ex = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
-    h = F.xxhash64("t")
+    if hasher == "md5":
+        assert bits <= 60, "md5-prefix hash provides 60 bits"
+        h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("t")
     # per-bit contribution: +1 if bit set else -1
     votes = [
         F.sum(
@@ -182,13 +197,29 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    bits: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, using the pigeonhole
-    block trick: split the 64-bit signature into ``blocks`` chunks — any
-    pair within ``max_hamming < blocks`` distance must agree on at least
-    one chunk, so candidates come from equi-joins on chunk values."""
-    sigs = simhash(df, id_col, text_col).persist()
-    width = 64 // blocks
+    block trick: split the ``bits``-bit signature into ``blocks`` chunks —
+    any pair within ``max_hamming`` distance (strictly less than
+    ``blocks``) must agree on at least one chunk, so candidates come from
+    equi-joins on chunk values. The bound is enforced: blocks must exceed
+    max_hamming or pairs differing in every chunk would be silently
+    missed.
+
+    Scale note: chunk width = bits/blocks sets the bucket-key space
+    (2^width); more blocks widens the recallable hamming range but
+    shrinks buckets' key space quadratically growing the candidate set.
+    Default (4 blocks × 16 bits) is the 100 TB-sane corner; raise blocks
+    only with a matching bits increase."""
+    assert max_hamming < blocks, (
+        f"pigeonhole completeness needs max_hamming < blocks "
+        f"(got {max_hamming} >= {blocks})"
+    )
+    assert bits % blocks == 0
+    sigs = simhash(df, id_col, text_col, bits=bits, hasher=hasher).persist()
+    width = bits // blocks
     chunk = lambda c, b: F.shiftright(F.col(c), b * width).bitwiseAND(  # noqa: E731
         F.lit((1 << width) - 1)
     )
@@ -210,11 +241,17 @@ def simhash_near_pairs(
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.distinct()
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
+    out = (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # pairs are tiny relative to the corpus: materialize them (cuts the
+    # lineage back to the signature cache) and release the cache — no
+    # long-session leak
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def embedding_near_dups(

@@ -64,12 +64,21 @@ def train_centroids(
     seed: int = 42,
 ) -> list[list[float]]:
     """Tiny k-means on a driver-side sample — the centroid table is the
-    only thing that ever leaves the cluster, and it is O(k·dim)."""
+    only thing that ever leaves the cluster, and it is O(k·dim).
+
+    The sample is a Bernoulli ``.sample()`` across ALL partitions (a
+    ``.limit()`` would take the first rows of the first partitions — not
+    a sample; centroids would be trained on one corner of the corpus).
+    The count() that sizes the fraction is metadata-cheap on Parquet."""
     import numpy as np
 
-    sample = (
-        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_numpy()
-    )
+    total = corpus.count()
+    sampled = corpus.select(vec_col)
+    if total > sample_rows:
+        # 1.2x oversample so the limit almost never truncates short
+        fraction = min(1.0, 1.2 * sample_rows / total)
+        sampled = sampled.sample(fraction=fraction, seed=seed).limit(sample_rows)
+    sample = sampled.toPandas()[vec_col].to_numpy()
     x = np.stack(sample).astype("f8")
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

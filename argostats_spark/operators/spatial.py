@@ -140,10 +140,16 @@ def kernel_weighted_mean(
 ) -> DataFrame:
     """Gaussian-kernel-weighted mean of scalar columns per grid cell —
     the scalar-column form of the reference's climatology core
-    (atlas.py:93-142: coef=exp(-d/d0), N=Σcoef, mean=Σ(x·coef)/N).
+    (atlas.py:93-142: N=Σcoef, mean=Σ(x·coef)/N).
 
     Weight: w = exp(-hav/θ), θ = sin²(radians(sf·reso)/2); support
     cutoff at hav <= θ (w >= e⁻¹), the reference's dist_threshold form.
+
+    Deliberate divergence: the reference's coef is exp(-dist)
+    *unnormalized* (atlas.py:108) — with dist <= dcritical << 1 that is
+    nearly uniform, so its kernel barely discriminates by distance. The
+    θ-normalization here restores the intended falloff; the DuckDB
+    oracle (clim_kernel_grid) brute-forces this same formula.
     """
     radius = smoothing_factor * reso_deg
     theta = math.sin(math.radians(radius) / 2.0) ** 2

@@ -37,13 +37,18 @@ def scd2_close_out(
     effective_col: str = "effective_from",
     end_col: str = "effective_to",
 ) -> DataFrame:
-    """SCD-2: close current rows for updated keys (end = new effective)
-    and append the new versions as open rows (end = NULL)."""
-    upd_keys = updates.select(
-        *keys, F.col(effective_col).alias("_new_from")
-    )
+    """SCD-2: close current rows for updated keys and append the new
+    versions, chaining correctly when one batch carries SEVERAL updates
+    for the same key: the open base row closes at the key's EARLIEST new
+    effective date, each update closes at the key's next update, and only
+    the latest update stays open (end = NULL). Duplicate
+    (key, effective_from) rows are pre-compacted so a doubled update can
+    never duplicate the closed base row."""
+    end_type = base.schema[end_col].dataType
+    upd = updates.dropDuplicates([*keys, effective_col])
+    first_new = upd.groupBy(*keys).agg(F.min(effective_col).alias("_new_from"))
     closed = (
-        base.join(upd_keys, on=keys, how="left")
+        base.join(first_new, on=keys, how="left")
         .withColumn(
             end_col,
             F.when(
@@ -53,5 +58,6 @@ def scd2_close_out(
         )
         .drop("_new_from")
     )
-    opened = updates.withColumn(end_col, F.lit(None).cast(closed.schema[end_col].dataType))
+    w = W.partitionBy(*keys).orderBy(effective_col)
+    opened = upd.withColumn(end_col, F.lead(effective_col).over(w).cast(end_type))
     return closed.unionByName(opened)

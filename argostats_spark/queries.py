@@ -84,9 +84,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TZ-naive reading of the same instants
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # exact integer division: long/long with `/` promotes to double, and
+    # epoch nanoseconds (~1.7e18) exceed double's 2^53 exact range —
+    # events within ~128 ns of a second boundary could land in the wrong
+    # second vs the oracle's exact ns arithmetic
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def query(name: str, sql: str | None = None):
@@ -1207,13 +1209,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
+    out = (
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .select("id_a", "id_b", jac.alias("jac_raw"))
         .filter(F.col("jac_raw") >= 0.6)
         .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
     )
+    # materialize the (tiny) verified pairs and release the shingle
+    # cache — .persist() without this leaks across long sessions
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # =========================================================================
@@ -1641,16 +1648,55 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
+_SIMHASH_BITS = 60
+_SIMHASH_MAXH = 4
+
+_SIMHASH_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+        {", ".join(f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+                   for i in range(_SIMHASH_BITS))}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {" | ".join(f"(CASE WHEN v{i} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+                         for i in range(_SIMHASH_BITS))} AS s
+      FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {_SIMHASH_MAXH}
+"""
+
+
+@query("dedup_simhash", _SIMHASH_SQL)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (dedup operator #3): 64-bit bitwise-majority
-    signature + pigeonhole-block candidate join (operators/dedup.py).
-    xxhash64 bit arithmetic has no DuckDB twin → rows-only check;
-    correctness is pinned by tests/test_dedup_similarity.py."""
+    """SimHash near-dup pairs (dedup operator #3): 60-bit bitwise-majority
+    signature over md5-prefix token hashes + pigeonhole-block candidate
+    join (operators/dedup.py). The md5 hash family is shared with DuckDB,
+    so the oracle brute-forces all pairs while Spark goes through the
+    6-block pigeonhole buckets — equality IS the completeness proof for
+    the bucketing (max_hamming=4 < blocks=6). The engine's 64-bit
+    xxhash64 variant stays the default path where no oracle is needed."""
     from .operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d.select("doc_id", "text"), max_hamming=10)
+    return simhash_near_pairs(
+        d.select("doc_id", "text"),
+        max_hamming=_SIMHASH_MAXH,
+        blocks=6,
+        bits=_SIMHASH_BITS,
+        hasher="md5",
+    )
 
 
 @query("ann_ivf_topk")

@@ -52,3 +52,28 @@ def test_scd2_close_out(spark):
     # key 2 untouched and still open
     k2 = out[out.k == 2]
     assert len(k2) == 1 and pd.isna(k2.effective_to.iloc[0])
+
+
+def test_scd2_multiple_updates_one_key_chain(spark):
+    """Two updates for one key in a single batch must chain: base closes
+    at the earliest, update #1 closes at update #2, update #2 stays open
+    — and the closed base row is NOT duplicated (the round-1 defect)."""
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "v": ["cur"], "effective_from": [1], "effective_to": [None]})
+    ).withColumn("effective_to", F.col("effective_to").cast("double"))
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 1], "v": ["u1", "u2", "u2dup"],
+             "effective_from": [5, 9, 9], "effective_to": [None, None, None]}
+        )
+    ).withColumn("effective_to", F.col("effective_to").cast("double"))
+    out = (
+        scd2_close_out(base, updates, ["k"])
+        .toPandas()
+        .sort_values("effective_from")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3  # base + 2 distinct updates, no dup of base
+    assert out.effective_to.tolist()[0] == 5.0  # base closed at earliest
+    assert out.effective_to.tolist()[1] == 9.0  # u1 closed at u2
+    assert pd.isna(out.effective_to.tolist()[2])  # u2 open
