@@ -29,11 +29,12 @@ from ..functions.interp import cubic_interp_multi
 from ..functions.teos10 import ct_from_t, sr_from_sp
 from ..schemas import NLEVELS, PROFILES_SCHEMA, pref64
 
-# Validity gates (reference interpolation.py:23, 174-176, 225, 241)
+# Validity gates (reference interpolation.py:23, 174-176, 225, 236-249)
 MIN_GOOD_LEVELS = 5
-MIN_UNIQUE_PRES = 10
-MIN_TARGET_LEVELS = 10
-SPAN_TOLERANCE_DBAR = 5.0
+MIN_UNIQUE_PRES = 10      # reference: len(jdx) > 10, strict
+MIN_TARGET_LEVELS = 10    # MINIMAL_NUMBER_DATA_IN_PROFILE
+DELTAMIN_FACTOR = 1.2     # upward span tolerance = 1.2 * first spacing
+DELTAMAX_DBAR = 0.0       # reference deltamax = 0: never extrapolate deeper
 
 
 def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -62,16 +63,22 @@ def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
         if good.sum() < MIN_GOOD_LEVELS:
             continue
         p, t, s = pres[good], temp[good], psal[good]
-        # sorted-unique + monotone gate (interpolation.py:234-249)
-        p_u, idx_u = np.unique(p, return_index=True)
-        if p_u.shape[0] < MIN_UNIQUE_PRES:
+        # monotone/contiguity gate (reference interpolation.py:236-249:
+        # len(jdx) == jdx[-1]-jdx[0]+1 and len(jdx) > 10). On the
+        # good-filtered levels that contiguous-ascending-first-occurrence
+        # condition is exactly "strictly increasing": duplicated or
+        # reordered pressures DROP the profile — np.unique would silently
+        # sort/dedup them into a plausible-looking spline input instead.
+        if p.shape[0] <= MIN_UNIQUE_PRES or not np.all(np.diff(p) > 0.0):
             continue
-        t_u, s_u = t[idx_u], s[idx_u]
+        p_u, t_u, s_u = p, t, s
 
-        # target levels inside the measured span ± tolerance (P7)
-        in_span = (pref >= p_u[0] - SPAN_TOLERANCE_DBAR) & (
-            pref <= p_u[-1] + SPAN_TOLERANCE_DBAR
-        )
+        # target levels inside the measured span: upward tolerance is
+        # 1.2x the shallowest spacing, downward is zero — the reference
+        # never extrapolates below the deepest measurement (deltamin /
+        # deltamax, interpolation.py:241-245)
+        deltamin = DELTAMIN_FACTOR * (p_u[1] - p_u[0])
+        in_span = (pref >= p_u[0] - deltamin) & (pref <= p_u[-1] + DELTAMAX_DBAR)
         if in_span.sum() < MIN_TARGET_LEVELS:
             continue
 

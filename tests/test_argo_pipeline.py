@@ -94,6 +94,41 @@ def test_dropped_profiles_are_the_gated_ones(spark, raw, profiles):
         assert (r.WMO, r.IPROF) not in kept
 
 
+def test_monotone_gate_drops_bad_profiles_no_downward_extrapolation():
+    """The reference's contiguity gate (interpolation.py:236-249): a
+    duplicated or non-monotone pressure axis DROPS the profile — it is
+    not silently repaired by unique/sort — and interpolation targets
+    never extend below the deepest measurement (deltamax = 0)."""
+    from argostats_spark.operators.interpolation import _interp_one_wmo
+    from argostats_spark.schemas import pref64
+
+    n = 20
+    pres = np.arange(0.0, 40.0 * n, 40.0)[:n]
+    base = {
+        "WMO": 1, "DAC": 0, "IPROF": 0, "JULD": 0.0, "LATITUDE": 0.0,
+        "LONGITUDE": 0.0, "DATA_MODE": 0, "FLAG": 1,
+        "TEMP": (25.0 - pres / 100.0).astype("f4"),
+        "PSAL": np.full(n, 35.0, dtype="f4"),
+        "PRES_QC": np.ones(n, dtype="i1"), "TEMP_QC": np.ones(n, dtype="i1"),
+        "PSAL_QC": np.ones(n, dtype="i1"),
+        "PRES_ADJUSTED": None, "TEMP_ADJUSTED": None, "PSAL_ADJUSTED": None,
+    }
+    dup = dict(base, IPROF=1, PRES=pres.copy())
+    dup["PRES"][3] = dup["PRES"][2]           # duplicated pressure
+    nonmono = dict(base, IPROF=2, PRES=pres.copy())
+    nonmono["PRES"][5] = nonmono["PRES"][4] - 1.0  # non-monotone
+    ok = dict(base, IPROF=0, PRES=pres.copy())
+    pdf = pd.DataFrame([ok, dup, nonmono])
+    out = _interp_one_wmo(pdf)
+    assert out.IPROF.tolist() == [0]  # dup + non-monotone dropped
+    # deltamax = 0: no target level below the deepest measured pressure
+    idx = np.array(out.IDX.iloc[0])
+    pref = pref64()
+    assert pref[idx == 1].max() <= pres.max()
+    # the dropped profiles WOULD have passed the old unique-count gate
+    assert len(np.unique(dup["PRES"])) >= 10
+
+
 def test_write_profiles_roundtrip(spark, profiles, tmp_path):
     path = str(tmp_path / "profiles_parquet")
     write_profiles(profiles, path, n_buckets=8)
