@@ -29,6 +29,23 @@ DACS = [
 
 DATA_MODES = ["R", "D", "A"]  # real-time, delayed, adjusted (toctools.py:25)
 
+# Static platform-type dictionary (reference toctools.py:26-55 keeps the
+# same list as 32-byte padded bytes and encodes via PLATFORMS.index into
+# int8; here the strings are trimmed and the encode is a broadcast dim
+# join in operators/summary.py). Index 0 (blank) doubles as the
+# unknown-platform fallback code.
+PLATFORMS = [
+    "",
+    "ALTO", "APEX", "APEX-SBE", "APEX_D", "ARVOR", "ARVOR_C", "ARVOR_D",
+    "HM2000", "HM4000", "NAVIS", "NAVIS_A", "NAVIS_EBR", "NEMO", "NINJA",
+    "NINJA_D", "NOVA", "NOVA-SBE", "Nova-SBE", "PALACE", "POPS_PROVOR",
+    "PROVOR", "PROVOR-SBE", "PROVOR_II", "PROVOR_III", "PROVOR_IV",
+    "PROVOR_MT", "PROVOR_V", "PROVOR_V_JUMBO",
+    "Primary sampling: averaged []",
+    "S2A", "S2X", "SOLO", "SOLO-W", "SOLO_BGC", "SOLO_BGC_MRV", "SOLO_D",
+    "SOLO_D_MRV", "SOLO_II", "SOLO_W", "XUANWU", "n/a",
+]
+
 # Fixed 64 target pressure levels (reference: interpolation.py:256-265).
 # 0,5,10,20,...,100 then steps growing to 2000 dbar.
 
@@ -87,6 +104,7 @@ RAW_SCHEMA = T.StructType([
     T.StructField("LATITUDE", T.FloatType(), False),
     T.StructField("JULD", T.TimestampType(), False),
     T.StructField("DATA_MODE", T.ByteType(), False),
+    T.StructField("PLATFORM", T.StringType(), True),
     T.StructField("POSITION_QC", T.ByteType(), False),
     T.StructField("JULD_QC", T.ByteType(), False),
     T.StructField("PRES", T.ArrayType(T.FloatType()), False),

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import RAW_SCHEMA
+from ..schemas import PLATFORMS, RAW_SCHEMA
 
 
 def make_raw_pandas(
@@ -50,6 +50,12 @@ def make_raw_pandas(
 
         lon0 = float(rng.uniform(-180, 180))
         lat0 = float(rng.uniform(-60, 60))
+        # one platform model per float; w=2 emits a string missing from
+        # the static dictionary (must encode to the fallback code 0)
+        if w == 2:
+            platform = "MYSTERY_FLOAT_9000"
+        else:
+            platform = PLATFORMS[int(rng.integers(1, len(PLATFORMS)))]
         for ip in range(profiles_per_wmo):
             # levels with a >=2 dbar minimum gap: real Argo spacing —
             # and arbitrarily close noisy knots would make *any* cubic
@@ -82,6 +88,7 @@ def make_raw_pandas(
                 "LATITUDE": float(np.clip(lat0 + rng.normal(0, 2), -80, 80)),
                 "JULD": pd.Timestamp(juld),
                 "DATA_MODE": int(modes[ip]),
+                "PLATFORM": platform,
                 "POSITION_QC": pos_qc,
                 "JULD_QC": juld_qc,
                 "PRES": pres.tolist(),

@@ -45,6 +45,34 @@ def test_summary_shape_and_iprof(spark, raw):
     assert set(pdf.FLAG.unique()) <= {0, 1, 4}
 
 
+def test_platform_type_dictionary_roundtrip(spark, raw):
+    """PLATFORM strings encode to int8 codes via the broadcast dim join
+    (reference toctools.py:26-55, 195-196) and decode back to the same
+    strings; unknown platforms encode to 0 (blank)."""
+    from argostats_spark.operators.summary import decode_platform
+    from argostats_spark.schemas import PLATFORMS
+
+    summ = build_summary(raw)
+    joined = (
+        decode_platform(summ)
+        .withColumnRenamed("PLATFORM", "DECODED")
+        .join(raw.select("WMO", "IPROF", "PLATFORM"), on=["WMO", "IPROF"])
+        .select("PLATFORM", "PLATFORM_TYPE", "DECODED")
+        .collect()
+    )
+    assert len(joined) > 0
+    seen_codes = set()
+    for r in joined:
+        seen_codes.add(r.PLATFORM_TYPE)
+        if r.PLATFORM in PLATFORMS:
+            assert r.DECODED == r.PLATFORM
+            assert r.PLATFORM_TYPE == PLATFORMS.index(r.PLATFORM)
+        else:  # the injected unknown model must fall back to code 0
+            assert r.PLATFORM_TYPE == 0 and r.DECODED == ""
+    assert len(seen_codes) > 1  # dictionary actually in play
+    assert 0 in seen_codes      # the unknown-platform WMO was exercised
+
+
 def test_summary_stats_counts(spark, raw):
     stats = summary_stats(build_summary(raw)).toPandas()
     assert stats.n_profiles.sum() == raw.count()
