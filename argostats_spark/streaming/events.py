@@ -157,6 +157,96 @@ def sessionize_stateful(
     )
 
 
+def sessionize_buffered(
+    events: DataFrame,
+    gap_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Disorder-tolerant sessionization: the watermark-buffered variant
+    of ``sessionize_stateful``.
+
+    Events are buffered in per-user state until the watermark passes
+    them; only then are they folded (in event-time order) into the
+    session stats. Replaying time-shuffled micro-batches therefore
+    yields exactly the batch answer, as long as disorder stays within
+    the watermark delay (Spark drops older-than-watermark rows before
+    any stateful operator — that is the watermark contract, not this
+    operator's).
+
+    Mechanics: state = (finalized stats, pending event-time buffer).
+    Each invocation appends new events to the buffer, folds every
+    buffered event <= current watermark, and re-arms an event-time
+    timeout at the earliest still-pending event so the buffer drains on
+    watermark advance even with no new data for the user (Structured
+    Streaming's no-data micro-batches fire the timeout). Memory cost is
+    O(events inside the watermark window) per user — the price of
+    disorder tolerance the in-order variant's docstring advertises."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_pending", T.LongType(), False),
+        T.StructField("last_ts", T.TimestampType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_epoch", T.DoubleType(), False),
+        T.StructField("pending", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n_sessions, n_events, last_epoch, pending = state.get
+            pending = list(pending or [])
+        else:
+            n_sessions, n_events, last_epoch, pending = 0, 0, float("-inf"), []
+        for pdf in pdfs:
+            if len(pdf):
+                pending.extend(float(t.timestamp()) for t in pdf["ts"])
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_s = wm_ms / 1000.0
+        pending.sort()
+        ready = [e for e in pending if e <= wm_s]
+        pending = [e for e in pending if e > wm_s]
+        for e in ready:
+            if e - last_epoch > gap_seconds:
+                n_sessions += 1
+            last_epoch = e
+            n_events += 1
+        state.update((n_sessions, n_events, last_epoch, pending))
+        if pending:
+            # wake when the watermark passes the earliest buffered event
+            state.setTimeoutTimestamp(max(int(pending[0] * 1000), wm_ms + 1))
+        last_ts = (
+            pd.Timestamp(int(last_epoch * 1_000_000), unit="us", tz="UTC")
+            if n_events
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "n_pending": [len(pending)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming query synchronously into an in-memory table;
     returns the query handle (caller stops it)."""

@@ -186,6 +186,77 @@ def test_netcdf_ingest_plumbing(spark, tmp_path):
         parse_netcdf_bytes("x_prof.nc", b"")
 
 
+def test_sessionize_buffered_shuffled_replay_equals_batch(spark, tmp_path):
+    """Watermark-buffered sessionization: replaying micro-batches in
+    SHUFFLED time order (later events arrive first) must still produce
+    exactly the in-order batch answer — events are buffered in state
+    until the watermark passes, then folded in event-time order."""
+    import pandas as pd
+    from argostats_spark.streaming.events import sessionize_buffered
+
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    H = 3600
+
+    def ts(hours):
+        return base + pd.Timedelta(seconds=int(hours * H))
+
+    # user 1: sessions {0, 0.5} and {3, 3.2}; user 2: {1} and {5};
+    # user 3: hourly chain 0..5 — exactly gap-sized steps, ONE session
+    real = (
+        [(1, h) for h in (0, 0.5, 3, 3.2)]
+        + [(2, h) for h in (1, 5)]
+        + [(3, h) for h in (0, 1, 2, 3, 4, 5)]
+    )
+    expected = {1: (2, 4), 2: (2, 2), 3: (1, 6)}
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [ts(h) for _, h in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": "x",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stream" / name)
+        )
+
+    # SHUFFLED: the late half of the timeline arrives in batch 0
+    write_batch([(u, h) for u, h in real if h >= 3], "b0")
+    write_batch([(u, h) for u, h in real if h < 3], "b1")
+    # flush: per-user sentinel far in the future pushes the watermark
+    # past every real event so the buffers drain
+    write_batch([(u, 18.0) for u in (1, 2, 3)], "b2")
+
+    stream = read_event_stream(
+        spark, str(tmp_path / "stream" / "*"), max_files_per_trigger=1
+    )
+    q = run_to_memory(
+        sessionize_buffered(stream, gap_seconds=H, watermark="6 hours"),
+        "sess_buffered",
+        output_mode="update",
+    )
+    try:
+        got = spark.sql(
+            """SELECT user_id, max(n_sessions) AS n_sessions,
+                      max(n_events) AS n_events
+               FROM sess_buffered GROUP BY user_id"""
+        ).toPandas()
+    finally:
+        q.stop()
+
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        ns, ne = expected[int(r.user_id)]
+        # sentinels stay pending (beyond watermark): only real events fold
+        assert (int(r.n_sessions), int(r.n_events)) == (ns, ne), (
+            f"user {int(r.user_id)}"
+        )
+
+
 def test_sessionize_stateful(spark, event_files):
     """applyInPandasWithState: final per-user session counts must match
     the batch sessionization (lag+cumsum) on the same data."""
