@@ -130,3 +130,13 @@ def fingerprint64(text) -> Column:
     """64-bit document fingerprint via xxhash64 — the rolling-hash
     fingerprinting operator; stable across executors."""
     return F.xxhash64(_c(text))
+
+
+def normalize_text(text) -> Column:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    control chars → space, lowercase, whitespace runs collapsed to one
+    space, trimmed. Pure codegen expressions, and every regex construct
+    used ([\\x..] ranges, \\s) means the same thing to Java regex and
+    DuckDB's RE2 — so the oracle computes the identical string."""
+    t = F.regexp_replace(_c(text), "[\\x00-\\x1f\\x7f]", " ")
+    return F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))

@@ -1,0 +1,99 @@
+"""Deterministic splitting & sampling for training-data pipelines.
+
+Green-field scope (no reference counterpart): the operations that sit
+between dedup and tokenization in a 100 TB corpus build — carving
+train/val/test, drawing per-language development subsets, and doing both
+REPRODUCIBLY so a re-run of the pipeline yields byte-identical splits.
+
+Design rules at scale:
+- Randomness is *content-derived*, never rand(): ``rand()`` re-executes
+  nondeterministically across stage retries and changes with
+  partitioning; an md5-derived bucket of a stable key is deterministic
+  on any cluster, any partitioning, any engine (DuckDB computes the
+  identical assignment — that is the oracle).
+- The split/bucket operators are pure row-local expressions: zero
+  shuffles, full whole-stage codegen, trivially pushdown-friendly.
+- Exact stratified sampling costs one shuffle (window over the strata
+  key). Heavily skewed strata make that window's partitions skewed too;
+  for approximate-is-fine use cases prefer ``df.sampleBy`` (row-local,
+  no shuffle) — provided here as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic [0, n_buckets) bucket from the md5 of a key.
+
+    First 8 hex chars → 32-bit int → mod. md5 exists with identical
+    output in Spark and DuckDB (lowercase hex), so cross-engine
+    assignments agree exactly — unlike hash()/xxhash64, which DuckDB
+    lacks."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/'test'/...) by hash bucket.
+
+    Content-addressed and salt-versioned: the same key lands in the same
+    split on every run, every engine, every cluster size; changing the
+    salt re-deals the assignment. Pure expression — no shuffle."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    bucket = hash_bucket(key_col, 10_000, salt)
+    # ascending cumulative cut points; first matching WHEN wins
+    hi = 0.0
+    expr = None
+    for name, frac in fractions.items():
+        hi += frac / total
+        clause_cut = F.lit(int(round(hi * 10_000)))
+        expr = (
+            F.when(bucket < clause_cut, F.lit(name))
+            if expr is None
+            else expr.when(bucket < clause_cut, F.lit(name))
+        )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACT per-stratum fraction: keep ceil(fraction·|stratum|) rows,
+    chosen by md5-hash order (deterministic, engine-independent).
+
+    One shuffle (window over the stratum). For skew-tolerant approximate
+    sampling at extreme scale use :func:`stratified_sample_approx`."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = W.partitionBy(strata_col).orderBy(h)
+    n = F.count(F.lit(1)).over(W.partitionBy(strata_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_take", F.ceil(n * F.lit(fraction)))
+        .filter(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
+    )
+
+
+def stratified_sample_approx(
+    df: DataFrame, strata_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Row-local Bernoulli per stratum (Spark ``sampleBy``): no shuffle,
+    no skew sensitivity — the 100 TB path when ±sqrt(n) wobble in the
+    per-stratum count is acceptable. Not oracle-able (engine RNG)."""
+    strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+    return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)

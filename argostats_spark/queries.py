@@ -1756,3 +1756,134 @@ def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("CT", 10).cast("double"), 4).alias("ct_l10"),
         F.round(F.element_at("SR", 10).cast("double"), 4).alias("sr_l10"),
     )
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE
+    d AS ({_SHINGLES_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.04
+    ),
+    ud AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT u, u FROM ud
+      UNION
+      SELECT ud.v, reach.comp FROM reach JOIN ud ON ud.u = reach.node
+    ),
+    lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    full_lab AS (
+      SELECT doc_id, coalesce(lab.comp, doc_id) AS comp_id
+      FROM documents LEFT JOIN lab ON documents.doc_id = lab.node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(comp_id AS BIGINT) AS comp_id,
+           CAST(count(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size,
+           CAST(doc_id = comp_id AS INT) AS keep
+    FROM full_lab
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering (the step after pair generation):
+    n-gram-Jaccard near-dup pairs -> undirected connected components via
+    distributed min-label propagation with pointer jumping
+    (operators/graph.py) -> full-corpus labeling with canonical keep
+    flags. The DuckDB twin computes the same components by recursive
+    transitive closure - two entirely different algorithms, one answer.
+    Green-field (no reference counterpart; dedup family #6)."""
+    from .operators.graph import duplicate_groups
+
+    d = _t(spark, sf_dir, "documents")
+    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return duplicate_groups(d, edges, id_col="doc_id")
+
+
+# =========================================================================
+# Training-data pipeline: deterministic split / stratified sample /
+# normalization (operators/sampling.py, functions/text.py)
+# =========================================================================
+
+@query(
+    "split_assign",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS b
+          FROM documents)
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split: md5 hash
+    bucket of the key, salt-versioned — identical assignment on every
+    run/engine/cluster (operators/sampling.py). Zero shuffles."""
+    from .operators.sampling import train_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    return train_test_split(d, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+@query(
+    "stratified_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample' || CAST(doc_id AS VARCHAR))) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM s WHERE rn <= CEIL(n * 0.2)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20% per-language sample, chosen by md5-hash order —
+    deterministic and engine-independent (operators/sampling.py). One
+    window shuffle; the approximate no-shuffle twin is sampleBy."""
+    from .operators.sampling import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(d, "lang", 0.2, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+@query(
+    "text_normalize",
+    r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(norm) AS norm_hash,
+           CAST(length(norm) AS BIGINT) AS norm_len
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm
+          FROM documents)
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (control-strip, lower, whitespace
+    collapse, trim) — returned as md5 + length so the full normalized
+    text is verified without shipping it (functions/text.py)."""
+    from .functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    # control-strip and lower() commute (control chars are caseless), so
+    # normalize_text == the oracle's lower-first expression
+    norm = normalize_text("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
