@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.blas import limit_blas_threads
 from ..functions.teos10 import compute_cf, eape_unit, rho, sound_speed
 from ..schemas import DOMAINS, NLEVELS, pref64
 from .spatial import neighborhood_join
@@ -120,6 +121,7 @@ _TS_SCHEMA = T.StructType([
 
 def _ts_cell_kernel(theta: float):
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()
         glon, glat = key
         w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)          # (n,)
         idx = np.stack(pdf["IDX"].to_numpy()).astype("f8")            # (n, 64)
@@ -210,9 +212,15 @@ def clim_ts_exploded(
     ATLAS_BENCH (scripts/bench_atlas.py, local[32], 454k pairs / 400
     cells): applyInPandas 2.2s vs exploded 3.9s warm — the Arrow batch +
     NumPy matrix kernel wins at regional scale, so it is the default
-    (clim_ts). The exploded form bounds per-task memory by |cells×64|
-    even when one cell accumulates millions of pairs (polar skew), so
-    prefer it when cell fan-in is extreme."""
+    (clim_ts). The exploded form bounds its EXCHANGE by map_tasks ×
+    |cells| × 64 partial-agg rows independent of pair count, where the
+    kernel variant shuffles the full pair set with arrays attached
+    (~850 B/pair). Measured at sf1-equivalent (3M profiles, 352M pairs,
+    1° global, polar skew — scripts/bench_atlas_scale.py, SCALE.md):
+    exploded completes in 361 s on one node; the kernel variant's
+    ~150 GB pair shuffle exceeds local disk (ENOSPC at ≥1.5M profiles).
+    Prefer exploded for global fine grids, extreme fan-in/skew, or
+    disk-constrained shuffle."""
     theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
     if pairs is None:
         pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
@@ -303,6 +311,7 @@ def _eape_cell_kernel(theta: float, algo: str = "R14"):
     unit = eape_unit()
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()
         glon, glat = key
         w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)
         idx = np.stack(pdf["IDX"].to_numpy()).astype("f8")
