@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.blas import limit_blas_threads
 from ..functions.interp import cubic_interp_multi
 from ..functions.teos10 import ct_from_t, sr_from_sp
 from ..schemas import NLEVELS, PROFILES_SCHEMA, pref64
@@ -39,6 +40,7 @@ DELTAMAX_DBAR = 0.0       # reference deltamax = 0: never extrapolate deeper
 
 def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-WMO group kernel: returns one row per *valid* profile."""
+    limit_blas_threads()
     pref = pref64().astype("f8")
     # adjusted variables iff ALL profiles of the WMO are delayed-mode
     # (reference interpolation.py:188-192; DATA_MODE: 0=R,1=D,2=A)

@@ -21,6 +21,19 @@ from pyspark.sql import SparkSession
 # Number of local threads; the driver environment exposes SPARK_GRAFT_CPUS.
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# Parallelism belongs to Spark tasks, not BLAS threads. Each of N Python
+# workers otherwise lets OpenBLAS spawn N threads → N² runnable threads;
+# measured on the interp kernel's 76×76 spline solve: 511 ms oversubscribed
+# vs 156 µs single-threaded (3000×). Set BEFORE the JVM starts so local-mode
+# workers inherit it; spark.executorEnv.* covers real clusters.
+_BLAS_ENV = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+}
+for _k, _v in _BLAS_ENV.items():
+    os.environ.setdefault(_k, _v)
+
 
 def get_spark(
     app_name: str = "argostats_spark",
@@ -62,6 +75,9 @@ def get_spark(
         # Quieter local runs.
         "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
         "spark.ui.showConsoleProgress": "false",
+        # single-threaded BLAS inside executor Python workers (see
+        # _BLAS_ENV above; executorEnv is the cluster-mode channel)
+        **{f"spark.executorEnv.{k}": v for k, v in _BLAS_ENV.items()},
     }
     if extra_conf:
         conf.update(extra_conf)
