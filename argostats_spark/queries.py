@@ -1743,11 +1743,18 @@ def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     raw = make_raw(spark, n_wmos=6, profiles_per_wmo=8, seed=42)
     profiles = interpolate_profiles(raw)
-    bounds = profiles.agg(
-        F.min("LONGITUDE").alias("lo"), F.min("LATITUDE").alias("la")
+    # grid over the FULL bounding box of eligible profiles: WMOs scatter
+    # globally, so a fixed-size box at (min lon, min lat) — one corner
+    # from one WMO, the other from another — can contain zero profiles
+    bounds = profiles.filter((F.col("FLAG") == 1) & (F.col("DATA_MODE") == 1)).agg(
+        F.floor(F.min("LONGITUDE")).alias("lo_w"),
+        F.ceil(F.max("LONGITUDE")).alias("lo_e"),
+        F.floor(F.min("LATITUDE")).alias("la_s"),
+        F.ceil(F.max("LATITUDE")).alias("la_n"),
     ).first()
     grid = make_grid(
-        spark, (float(bounds.lo), float(bounds.lo) + 8, float(bounds.la), float(bounds.la) + 8),
+        spark,
+        (float(bounds.lo_w), float(bounds.lo_e) + 2, float(bounds.la_s), float(bounds.la_n) + 2),
         reso_deg=2.0,
     )
     out = clim_ts(grid, profiles, reso_deg=2.0, smoothing_factor=4.0)

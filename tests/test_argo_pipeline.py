@@ -380,3 +380,15 @@ def test_synthetic_mask_matches_index_rule(spark):
         lat_idx = int((r.lat + 90) // 30)
         lon_idx = int((r.lon + 180) // 30)
         assert r.is_ocean == int((lat_idx * 31 + lon_idx * 17) % 7 < 5)
+
+
+def test_argo_atlas_pipeline_query_nonempty(spark):
+    """The rows-only flagship pipeline must actually produce cells:
+    an ill-anchored demo grid once intersected zero profiles and the
+    >=0-rows driver smoke masked it (caught in round 2)."""
+    from argostats_spark.queries import QUERIES
+
+    out = QUERIES["argo_atlas_pipeline"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 50
+    assert all(r["n_points"] >= 1 for r in rows)
