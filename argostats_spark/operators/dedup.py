@@ -43,28 +43,37 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    unique: bool = True,
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows — word n-grams built with
-    posexplode + lead() windows. The array-higher-order-function form
-    measured 8x slower (HOF lambdas are interpreted per element); this
-    path is whole-stage codegen end to end."""
-    from pyspark.sql import Window as W
+    """(doc_id, shingle) rows — word n-grams via slice + arrays_zip +
+    explode: zero shuffles, whole-stage codegen end to end. (The
+    posexplode + lead()-window form costs a full shuffle+sort per call;
+    interpreted higher-order-function lambdas measured 8x slower still.)
 
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "t"),
+    ``unique=False`` skips the distinct shuffle — correct whenever the
+    consumer is multiset-invariant (min-hash: min over a multiset
+    equals min over its set)."""
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("tk")
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = ["t"] + [f"_l{i}" for i in range(1, n)]
-    out = tok.select(
-        "doc_id", "t", *[F.lead("t", i).over(w).alias(f"_l{i}") for i in range(1, n)]
+    zipped = F.arrays_zip(
+        *[
+            (F.col("tk") if i == 0 else F.slice("tk", i + 1, F.size("tk"))).alias(f"t{i}")
+            for i in range(n)
+        ]
     )
-    return (
-        out.filter(F.col(f"_l{n-1}").isNotNull())
-        .select("doc_id", F.concat_ws(" ", *leads).alias("g"))
-        .distinct()
+    out = (
+        tk.select("doc_id", F.explode(zipped).alias("z"))
+        .filter(F.col(f"z.t{n-1}").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", *[f"z.t{i}" for i in range(n)]).alias("g")
+        )
     )
+    return out.distinct() if unique else out
 
 
 def minhash_signatures(
@@ -76,7 +85,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}) signature table: salted xxhash64 min per
     shingle set, as partial aggregates over the exploded shingle table."""
-    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sh = shingle_table(df, id_col, text_col, shingle_n, unique=False)
     aggs = [
         F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -101,56 +110,72 @@ def minhash_lsh_pairs(
     a per-pair count and |∪| = n_a + n_b − |∩|."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    aggs = [
+    # ONE full-table shuffle: the multiset shingle stream (no distinct,
+    # no shuffle to build — zip-slice explode) feeds a single grouped
+    # aggregate computing the distinct-shingle count AND every hash min
+    # (min over a multiset == min over its set).
+    sh_raw = shingle_table(df, id_col, text_col, shingle_n, unique=False)
+    aggs = [F.count_distinct("g").alias("n_sh")] + [
         F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    stats = sh_raw.groupBy("doc_id").agg(*aggs)
 
-    # band keys: hash of each band's signature slice
+    # melt the band keys: one (band_no, band_key) self-join replaces
+    # ``bands`` separate joins (band_no in the key prevents cross-band
+    # hash collisions from pairing)
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ]
-    keyed = sigs.select("doc_id", *band_cols)
+    kb = stats.select(
+        "doc_id", "n_sh", F.posexplode(F.array(*band_cols)).alias("band_no", "bk")
+    )
+    a, b = kb.alias("a"), kb.alias("b")
+    # candidates are tiny by LSH construction: materialize once so the
+    # signature agg isn't re-derived per downstream reference
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
-    # candidates: union over bands of same-bucket pairs, deduplicated
-    cands = None
-    for b in range(bands):
-        k = keyed.select("doc_id", F.col(f"band{b}").alias("bk"))
-        a, bb = k.alias("a"), k.alias("b")
-        c = a.join(
-            bb, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-
-    sa = sh.select(F.col("doc_id").alias("id_a"), "g")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "g")
+    # verification: ONE more pass over the shingle stream gated by a
+    # broadcast of candidate ids; distinct only on that small subset;
+    # |∩| is a count — shingle payloads never attach to pairs
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = (
+        sh_raw.join(F.broadcast(ids), "doc_id")
+        .select("doc_id", "g").distinct()
+        .localCheckpoint(eager=True)
+    )
     inter = (
-        cands.join(sa, "id_a").join(sb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
+        cands.join(sh_cand.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        .join(sh_cand.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
-    out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("jaccard", jac)
+    return (
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # verified pairs are tiny: materialize (cutting lineage off the
-    # shingle cache) and release the cache — no long-session leak
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
 
 
 def simhash(

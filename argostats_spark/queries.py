@@ -1171,56 +1171,77 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial-aggregate min(md5), and Jaccard verification as exploded
     # equi-joins restricted to candidate pairs — |∩| is a count, |∪| is
     # n_a + n_b − |∩|, so shingle payloads never travel with a pair.
-    tok = d.select(
-        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        tok.select(
+    # Shingles with ZERO extra shuffles: slice the token array by 1 and
+    # 2, arrays_zip, explode — all codegen (the posexplode+lead()-window
+    # form costs a full shuffle+sort by doc_id; the interpreted-HOF form
+    # measured 8x slower still). Duplicates survive here: min(md5) over
+    # a multiset equals min over its set, so signatures don't need
+    # distinct — only verification does, and that dedups candidates only.
+    tk = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    sh_raw = (
+        tk.select(
             "doc_id",
-            F.concat_ws(" ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)).alias("g"),
-            F.lead("t", 2).over(w).alias("_tail"),
+            F.explode(
+                F.arrays_zip(
+                    F.col("tk").alias("t0"),
+                    F.slice("tk", 2, F.size("tk")).alias("t1"),
+                    F.slice("tk", 3, F.size("tk")).alias("t2"),
+                )
+            ).alias("z"),
         )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "g")
-        .distinct()
-        .persist()
+        .filter(F.col("z.t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "z.t0", "z.t1", "z.t2").alias("g"))
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sigs = sh.groupBy("doc_id").agg(
+    # ONE shuffle over the full shingle stream: distinct count + both
+    # band mins in a single grouped aggregate (Catalyst plans the mixed
+    # distinct/non-distinct agg as one exchange with an Expand).
+    stats = sh_raw.groupBy("doc_id").agg(
+        F.count_distinct("g").alias("n_sh"),
         F.min(F.md5(F.concat(F.lit("s1|"), F.col("g")))).alias("mh1"),
         F.min(F.md5(F.concat(F.lit("s2|"), F.col("g")))).alias("mh2"),
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    a, b = stats.alias("a"), stats.alias("b")
+    # candidates are tiny by LSH construction — materialize once
+    # (localCheckpoint) so the expensive stats agg isn't re-derived for
+    # every downstream reference (lineage reuse, not data reuse, was
+    # measured to re-run the whole subtree per reference)
     cand = a.join(
         b,
         (F.col("a.mh1") == F.col("b.mh1"))
         & (F.col("a.mh2") == F.col("b.mh2"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+        F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+    ).localCheckpoint(eager=True)
 
-    sa = sh.select(F.col("doc_id").alias("id_a"), "g")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "g")
+    # Verification touches candidate docs only: ONE more pass over the
+    # shingle stream, gated by a broadcast of the candidate id set (no
+    # full-table shuffle); distinct applies to that small subset, and
+    # |∩| is a count over broadcast joins.
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = (
+        sh_raw.join(F.broadcast(ids), "doc_id")
+        .select("doc_id", "g").distinct()
+        .localCheckpoint(eager=True)
+    )
+    sa = sh_cand.select(F.col("doc_id").alias("id_a"), "g")
+    sb = sh_cand.select(F.col("doc_id").alias("id_b"), "g")
     inter = (
         cand.join(sa, "id_a").join(sb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", jac.alias("jac_raw"))
+    return (
+        inter.select("id_a", "id_b", jac.alias("jac_raw"))
         .filter(F.col("jac_raw") >= 0.6)
         .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
     )
-    # materialize the (tiny) verified pairs and release the shingle
-    # cache — .persist() without this leaks across long sessions
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
 
 
 # =========================================================================
