@@ -97,3 +97,31 @@ def stratified_sample_approx(
     per-stratum count is acceptable. Not oracle-able (engine RNG)."""
     strata = [r[0] for r in df.select(strata_col).distinct().collect()]
     return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    strata_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic sequence-packing index: assign each document to the
+    training chunk where its stratum's running token total lands —
+    ``chunk_id = floor(exclusive_prefix_sum(tokens) / budget)``.
+
+    This is the *assignment* half of sequence packing (concatenate-and-
+    split does the byte work downstream); it is deterministic, engine-
+    independent, and one window shuffle. The window partitions by the
+    stratum (shard/language), never globally — a global running sum is
+    a single-partition scale antipattern; packing within shards is both
+    the realistic pipeline shape and the scalable one."""
+    w = (
+        W.partitionBy(strata_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(float(budget))).cast("long")
+    )

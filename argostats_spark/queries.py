@@ -1915,3 +1915,81 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@query(
+    "quality_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             round(
+               least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 20.0,
+                     1.0) * 0.4
+               + (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                        AND CAST(length(text) AS DOUBLE)
+                            / len(string_split_regex(trim(text), '\s+')) >= 3.0
+                        AND CAST(length(text) AS DOUBLE)
+                            / len(string_split_regex(trim(text), '\s+')) <= 12.0
+                       THEN 1.0 ELSE 0.5 END) * 0.3
+               + (1.0 - least(
+                    (CASE WHEN length(text) > 0
+                          THEN CAST(length(text)
+                                    - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                                    AS DOUBLE) / length(text)
+                          ELSE 0.0 END) * 4.0, 1.0)) * 0.3,
+             6) AS quality
+      FROM documents
+    ),
+    thr AS (SELECT round(quantile_cont(quality, 0.1), 6) AS thr FROM t)
+    SELECT doc_id, quality FROM t, thr WHERE quality >= thr
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate: keep documents at or above the exact global
+    10th percentile of the quality score. Exact percentile via one agg,
+    threshold broadcast as a 1-row cross join — no second scan, no
+    driver round-trip. Score and threshold are both rounded to 6
+    decimals BEFORE comparison so the boundary set is bit-identical
+    across engines (raw doubles can differ in the last ulp)."""
+    from .functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    thr = q.agg(F.round(F.percentile("quality", F.lit(0.1)), 6).alias("thr"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "quality")
+    )
+
+
+@query(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(floor(
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 512.0) AS BIGINT) AS chunk_id
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing assignment: chunk_id = floor(per-language
+    exclusive running token total / 512) in doc_id order
+    (operators/sampling.py::pack_chunks). The window partitions by
+    language — never a global single-partition running sum."""
+    from .functions.text import token_count
+    from .operators.sampling import pack_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", token_count("text").alias("n_tok"))
+    return pack_chunks(t, "n_tok", 512, "lang", "doc_id").select(
+        "doc_id", "lang", "n_tok", "chunk_id"
+    )

@@ -258,3 +258,30 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     )
     q.processAllAvailable()
     return q
+
+
+def stream_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    within_watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup for document ingestion: emit a row only the
+    first time its content hash is seen (the streaming twin of
+    operators/dedup.py::dedup_keep_first).
+
+    Two state regimes:
+    - ``within_watermark=None``: global first-wins dedup. State is one
+      16-byte hash per distinct document, forever — correct for a
+      bounded backfill, unbounded for an endless stream.
+    - ``within_watermark="24 hours"``: dropDuplicatesWithinWatermark —
+      state bounded by the watermark horizon; a duplicate arriving
+      after the horizon is re-emitted. The right tradeoff for rolling
+      ingestion where upstream re-sends cluster within a day.
+    """
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if within_watermark is not None:
+        return hashed.withWatermark(ts_col, within_watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])

@@ -300,3 +300,92 @@ def test_sessionize_stateful(spark, event_files):
     assert len(m) == len(batch)
     assert (m.n_events_s == m.n_events_b).all()
     assert (m.n_sessions_s == m.n_sessions_b).all()
+
+
+def _doc_batch_files(spark, tmp_path, batches):
+    """Write one parquet file per micro-batch (ordered names), return
+    (dir, schema). batches = [(doc_id, iso_ts, text), ...] per file."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    from datetime import datetime
+
+    out = str(tmp_path / "docs_stream")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(d, datetime.fromisoformat(t), x) for d, t, x in rows], schema
+        )
+        df.coalesce(1).write.mode("append").parquet(f"{out}/b={i:03d}")
+    return out, schema
+
+
+def test_stream_dedup_exact_equals_batch_keep_first(spark, tmp_path):
+    """Global streaming dedup == batch dedup_keep_first when duplicates
+    never co-occur inside one micro-batch (one file per trigger)."""
+    from argostats_spark.operators.dedup import dedup_keep_first
+    from argostats_spark.streaming.events import stream_dedup_exact
+
+    batches = [
+        [(1, "2026-01-01 00:00:00", "alpha"), (2, "2026-01-01 00:01:00", "beta")],
+        [(3, "2026-01-01 01:00:00", "alpha"), (4, "2026-01-01 01:01:00", "gamma")],
+        [(5, "2026-01-01 02:00:00", "beta"), (6, "2026-01-01 02:01:00", "delta")],
+    ]
+    path, schema = _doc_batch_files(spark, tmp_path, batches)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/b=*")
+    )
+    q = run_to_memory(
+        stream_dedup_exact(stream), "dedup_stream", output_mode="append"
+    )
+    try:
+        got = {
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    from datetime import datetime
+
+    flat = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        [(d, datetime.fromisoformat(t), x) for d, t, x in flat], schema
+    )
+    want = {r["doc_id"] for r in dedup_keep_first(batch_df).collect()}
+    assert got == want == {1, 2, 4, 6}
+
+
+def test_stream_dedup_within_watermark_reemits_after_horizon(spark, tmp_path):
+    """Watermark-bounded dedup: a duplicate arriving after the horizon
+    has expired its state and is emitted again (bounded-state regime)."""
+    from argostats_spark.streaming.events import stream_dedup_exact
+
+    batches = [
+        [(1, "2026-01-01 00:00:00", "alpha")],
+        [(2, "2026-01-01 00:30:00", "alpha")],    # inside horizon: suppressed
+        [(3, "2026-01-03 00:00:00", "advance")],  # watermark leaps 2 days
+        [(4, "2026-01-03 00:10:00", "advance2")], # eviction runs end-of-batch
+        [(5, "2026-01-03 00:30:00", "alpha")],    # state expired: re-emitted
+    ]
+    path, schema = _doc_batch_files(spark, tmp_path, batches)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/b=*")
+    )
+    q = run_to_memory(
+        stream_dedup_exact(stream, within_watermark="1 hour"),
+        "dedup_wm_stream", output_mode="append",
+    )
+    try:
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_wm_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1, 3, 4, 5]
