@@ -163,6 +163,65 @@ def ivf_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def probe_cells(
+    vec_col: str, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """Top-``nprobe`` nearest IVF cells as a pure column expression:
+    per-centroid squared distances folded into (dist, cell) structs,
+    sort_array (struct order = first field first), slice, project.
+    The array length is the centroid count — small by design — so the
+    interpreted higher-order functions touch k elements per row, not
+    the embedding dimension times a Python round-trip."""
+    v = F.col(vec_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cell"])
+
+
+def ivf_topk_scalable(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """``ivf_topk`` with NO driver round-trip: the probe list is the
+    ``probe_cells`` column expression exploded to (qid, cell) rows, so a
+    query *table* of millions flows straight into the cell equi-join
+    (SCALE.md open item closed). Same answers as ivf_topk — both argmin
+    the same centroid distances (pinned by test).
+
+    Skew note: a hot cell concentrates both corpus rows and probes; AQE
+    skew-join splits it, and raising n_centroids shrinks cell mass —
+    the same two knobs as the collected variant."""
+    probes = queries.select(
+        F.col(q_id_col).alias("qid"),
+        F.col(q_vec_col).alias("qv"),
+        F.explode(probe_cells(q_vec_col, centroids, nprobe)).alias("ivf_cell"),
+    )
+    pairs = probes.join(corpus_assigned, on="ivf_cell").filter(
+        F.col(id_col) != F.col("qid")
+    ).select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity("qv", vec_col).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH bucket
 # ---------------------------------------------------------------------------

@@ -143,3 +143,21 @@ def test_hyperplane_bucket_stable(spark, emb):
     m = b1.merge(b2, on="vec_id")
     assert (m.b_x == m.b_y).all()
     assert m.b_x.between(0, 255).all()
+
+
+def test_ivf_topk_scalable_equals_collected(spark, emb):
+    """The distributed probe-list variant returns exactly the collected
+    variant's neighbor sets (identical centroid argmin, no driver
+    round-trip) — closes the SCALE.md IVF open item."""
+    from argostats_spark.operators.similarity import ivf_topk_scalable
+
+    cents = train_centroids(emb, n_centroids=8, sample_rows=2000)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    a = ivf_topk(assigned, queries, cents, k=5, nprobe=3)
+    b = ivf_topk_scalable(assigned, queries, cents, k=5, nprobe=3)
+    sa = {(r["qid"], r["vec_id"]) for r in a.collect()}
+    sb = {(r["qid"], r["vec_id"]) for r in b.collect()}
+    assert sa == sb and len(sa) == 8 * 5
