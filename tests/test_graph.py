@@ -52,3 +52,43 @@ def test_duplicate_groups_full_labeling(spark):
     # exactly one keep per component, at the minimum id
     keeps = sorted(d for d, r in rows.items() if r["keep"] == 1)
     assert keeps == [0, 1, 2, 4, 6]
+
+
+def test_components_match_union_find_property(spark):
+    """Property: on random graphs, distributed min-label + pointer
+    jumping equals a plain union-find (10 seeded graphs, up to 40
+    nodes / 60 edges, including self-loops and duplicate edges)."""
+    import random
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # canonical min-id labels
+        comp = {}
+        for x in range(n_nodes):
+            r = find(x)
+            comp.setdefault(r, min(i for i in range(n_nodes) if find(i) == r))
+        return {x: comp[find(x)] for x in range(n_nodes)}
+
+    for seed in range(10):
+        rng = random.Random(seed)
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        got = _labels(
+            connected_components(spark.createDataFrame(edges, ["id_a", "id_b"]))
+        )
+        want_all = union_find(n, edges)
+        touched = {u for e in edges for u in e}
+        want = {x: want_all[x] for x in touched}
+        assert got == want, f"seed={seed}"

@@ -138,3 +138,40 @@ def test_ocean_mask_is_broadcast_hash_join(spark):
     assert semi_lines, plan[:1500]
     assert all("BroadcastHashJoin" in ln for ln in semi_lines), "\n".join(semi_lines)
     assert not any("NestedLoop" in ln for ln in semi_lines), "\n".join(semi_lines)
+
+
+def test_split_assign_zero_exchanges(spark, sf):
+    """Content-addressed split is a pure row-local expression: no
+    shuffle anywhere in the plan."""
+    df = QUERIES["split_assign"](spark, sf)
+    assert count_exchanges(df) == 0
+
+
+def test_minhash_no_window_one_bigtable_exchange(spark, sf):
+    """The restructured MinHash plan: shingles come from zip-slice
+    explode (NO Window operator anywhere), and the signature aggregate
+    is the only full-shingle-stream exchange; candidate verification
+    happens behind broadcasts of checkpointed small tables."""
+    df = QUERIES["dedup_minhash_lsh"](spark, sf)
+    plan = physical_plan(df)
+    # the big-table stages (shingle stream, signature agg, candidate
+    # broadcast) are inside the eagerly-executed localCheckpoint
+    # subplans; the visible tail must contain no Window (the old
+    # shingle builder's full sort) and no cartesian anything
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_broadcast_threshold(spark, sf):
+    """The percentile threshold joins as a broadcast (1-row), never a
+    shuffle of the corpus against it."""
+    df = QUERIES["quality_filter"](spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf):
+    """One stratum-partitioned window shuffle, nothing global."""
+    df = QUERIES["pack_sequences"](spark, sf)
+    assert count_exchanges(df) == 1
