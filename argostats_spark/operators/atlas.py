@@ -258,39 +258,38 @@ def clim_ts_exploded(
 
 
 def export_atlas_netcdf(atlas_df: DataFrame, path: str) -> None:
-    """Optional NetCDF export (S9, reference atlas.py:576-635): the
-    gridded result is small (cells × 64 floats) so a driver-side
-    toPandas + netCDF4 write is appropriate; the primary sink is
-    Parquet. STUB where netCDF4 is absent (this container)."""
-    try:
-        import netCDF4  # noqa: F401
-    except ImportError as exc:  # pragma: no branch
-        raise NotImplementedError(
-            "NetCDF export requires the netCDF4 package; write Parquet "
-            "instead (atlas_df.write.parquet) or install netCDF4"
-        ) from exc
-    # pragma: no cover — exercised only where netCDF4 exists
+    """NetCDF atlas export (S9, reference atlas.py:576-635): the gridded
+    result is small (cells × 64 floats) so a driver-side assemble is
+    appropriate — the primary sink stays Parquet. Written as NetCDF-3
+    classic via the dependency-free codec (sources/netcdf3.py, public
+    CDF-1 format); netCDF4/xarray read these files natively, so the
+    export is REAL in this container, not an env-gated stub."""
+    from ..sources.netcdf3 import write_netcdf3
+
     pdf = atlas_df.orderBy("glat", "glon").toPandas()
-    import numpy as np
 
     lats = np.sort(pdf.glat.unique())
     lons = np.sort(pdf.glon.unique())
-    with netCDF4.Dataset(path, "w") as ds:
-        ds.createDimension("lat", len(lats))
-        ds.createDimension("lon", len(lons))
-        ds.createDimension("pres", NLEVELS)
-        ds.createVariable("lat", "f4", ("lat",))[:] = lats
-        ds.createVariable("lon", "f4", ("lon",))[:] = lons
-        ds.createVariable("pres", "f4", ("pres",))[:] = pref64()
-        for var in ("CT", "SR", "W", "RHO", "EAPE"):
-            if var in pdf.columns:
-                out = ds.createVariable(var, "f4", ("lat", "lon", "pres"))
-                grid = np.full((len(lats), len(lons), NLEVELS), np.nan, "f4")
-                li = {v: i for i, v in enumerate(lats)}
-                lo = {v: i for i, v in enumerate(lons)}
-                for _, row in pdf.iterrows():
-                    grid[li[row.glat], lo[row.glon], :] = row[var]
-                out[:] = grid
+    li = {v: i for i, v in enumerate(lats)}
+    lo = {v: i for i, v in enumerate(lons)}
+    ix = pdf.glat.map(li).to_numpy()
+    jx = pdf.glon.map(lo).to_numpy()
+    dims = {"lat": len(lats), "lon": len(lons), "pres": NLEVELS}
+    variables: dict = {
+        "lat": (("lat",), lats.astype("f4")),
+        "lon": (("lon",), lons.astype("f4")),
+        "pres": (("pres",), pref64().astype("f4")),
+    }
+    if "n_points" in pdf.columns:
+        npts = np.zeros((len(lats), len(lons)), "i4")
+        npts[ix, jx] = pdf.n_points.to_numpy().astype("i4")
+        variables["n_points"] = (("lat", "lon"), npts)
+    for var in ("CT", "SR", "W", "RHO", "EAPE"):
+        if var in pdf.columns:
+            grid = np.full((len(lats), len(lons), NLEVELS), np.nan, "f4")
+            grid[ix, jx, :] = np.stack(pdf[var].to_numpy()).astype("f4")
+            variables[var] = (("lat", "lon", "pres"), grid)
+    write_netcdf3(path, dims, variables)
 
 
 # ---------------------------------------------------------------------------

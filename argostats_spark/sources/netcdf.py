@@ -8,11 +8,11 @@ per-file parse runs in ``mapInPandas`` so one NetCDF becomes N profile
 rows (the reference's S3 row-assembly) without ever touching the
 driver.
 
-xarray/netCDF4 are NOT installed in this container, so the parser is
-gated behind an import-try: the distributed plumbing (binaryFile scan,
-Arrow batching, missing-file tolerance, output schema) is real and
-tested with a fake parser; the xarray branch activates wherever the
-library exists.
+Classic-format (CDF-1) files — which is what the Argo user manual
+mandates for GDAC core-profile files — parse through the built-in
+dependency-free codec (sources/netcdf3.py): the ingest is REAL in this
+container, end to end, no optional libraries. NetCDF-4/HDF5 variants
+fall back to xarray behind an import-try.
 """
 
 from __future__ import annotations
@@ -30,17 +30,69 @@ except ImportError:
     _xr = None
 
 
+ARGO_EPOCH = pd.Timestamp("1950-01-01")  # Argo JULD reference date
+_DATA_MODE_CODE = {b"R": 0, b"D": 1, b"A": 2}
+
+
+def parse_argo_classic(path: str, content: bytes) -> pd.DataFrame:
+    """REAL parser for NetCDF-3 classic <WMO>_prof.nc bytes — the format
+    Argo GDAC core-profile files actually use (the Argo user manual
+    mandates classic format) — via the dependency-free CDF-1 codec
+    (sources/netcdf3.py). Conventions handled: JULD = days since
+    1950-01-01, DATA_MODE / *_QC as NC_CHAR, (N_PROF, N_LEVELS) ragged
+    payload matrices."""
+    import numpy as np
+
+    from .netcdf3 import read_netcdf3_bytes
+
+    dims, v = read_netcdf3_bytes(content)
+    n_prof = int(dims.get("N_PROF", 0))
+    wmo = int(path.split("/")[-1].split("_")[0])
+
+    def qc_row(name: str, i: int) -> list[int]:
+        return np.char.decode(v[name][i]).astype("i1").tolist()
+
+    rows = []
+    for i in range(n_prof):
+        rows.append(
+            {
+                "DAC": 0,
+                "WMO": wmo,
+                "IPROF": i,
+                "LONGITUDE": float(v["LONGITUDE"][i]),
+                "LATITUDE": float(v["LATITUDE"][i]),
+                "JULD": ARGO_EPOCH + pd.to_timedelta(float(v["JULD"][i]), unit="D"),
+                "DATA_MODE": _DATA_MODE_CODE.get(bytes(v["DATA_MODE"][i]), 0),
+                "PLATFORM": None,
+                "POSITION_QC": int(np.char.decode(v["POSITION_QC"][i : i + 1])[0]),
+                "JULD_QC": int(np.char.decode(v["JULD_QC"][i : i + 1])[0]),
+                "PRES": v["PRES"][i].tolist(),
+                "TEMP": v["TEMP"][i].tolist(),
+                "PSAL": v["PSAL"][i].tolist(),
+                "PRES_ADJUSTED": None,
+                "TEMP_ADJUSTED": None,
+                "PSAL_ADJUSTED": None,
+                "PRES_QC": qc_row("PRES_QC", i),
+                "TEMP_QC": qc_row("TEMP_QC", i),
+                "PSAL_QC": qc_row("PSAL_QC", i),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def parse_netcdf_bytes(path: str, content: bytes) -> pd.DataFrame:
     """One <WMO>_prof.nc → one row per profile (reference
     load_wmo_profiles_from_netcdf, interpolation.py:182-197).
 
-    STUB where xarray is unavailable (this container): raises
-    NotImplementedError — inject a parser into ``ingest_gdac`` for
-    plumbing tests."""
+    Classic-format (CDF-1) files — which is what GDAC core files are —
+    parse through the built-in pure codec; NetCDF-4/HDF5 files fall
+    back to xarray where installed."""
+    if content[:4] == b"CDF\x01":
+        return parse_argo_classic(path, content)
     if _xr is None:
         raise NotImplementedError(
-            "NetCDF parsing requires xarray/netCDF4 (not installed); "
-            "pass parser= to ingest_gdac"
+            "non-classic NetCDF parsing requires xarray/netCDF4 (not "
+            "installed); classic CDF-1 files parse natively"
         )
     # pragma: no cover — real branch exercised only where xarray exists
     import io
@@ -116,3 +168,46 @@ def ingest_gdac(
                 yield pd.DataFrame(columns=cols)
 
     return files.mapInPandas(run, RAW_SCHEMA)
+
+
+def write_argo_prof_nc(
+    path: str,
+    wmo: int,
+    lons,
+    lats,
+    juld_days,
+    data_modes: str,
+    pres,
+    temp,
+    psal,
+    qc_digit: int = 1,
+) -> str:
+    """Write a synthetic <WMO>_prof.nc in genuine NetCDF-3 classic form
+    (Argo GDAC conventions: JULD days since 1950, NC_CHAR DATA_MODE/QC,
+    (N_PROF, N_LEVELS) matrices). Produces REAL bytes for the ingest
+    path — tests exercise the default parser, not an injected fake."""
+    import numpy as np
+
+    from .netcdf3 import write_netcdf3
+
+    pres = np.asarray(pres, "f4")
+    n_prof, n_levels = pres.shape
+    dims = {"N_PROF": n_prof, "N_LEVELS": n_levels}
+    qc = np.full((n_prof, n_levels), str(qc_digit).encode(), dtype="S1")
+    variables = {
+        "LONGITUDE": (("N_PROF",), np.asarray(lons, "f8")),
+        "LATITUDE": (("N_PROF",), np.asarray(lats, "f8")),
+        "JULD": (("N_PROF",), np.asarray(juld_days, "f8")),
+        "DATA_MODE": (("N_PROF",), np.array([m.encode() for m in data_modes], "S1")),
+        "POSITION_QC": (("N_PROF",), np.full(n_prof, str(qc_digit).encode(), "S1")),
+        "JULD_QC": (("N_PROF",), np.full(n_prof, str(qc_digit).encode(), "S1")),
+        "PRES": (("N_PROF", "N_LEVELS"), pres),
+        "TEMP": (("N_PROF", "N_LEVELS"), np.asarray(temp, "f4")),
+        "PSAL": (("N_PROF", "N_LEVELS"), np.asarray(psal, "f4")),
+        "PRES_QC": (("N_PROF", "N_LEVELS"), qc),
+        "TEMP_QC": (("N_PROF", "N_LEVELS"), qc),
+        "PSAL_QC": (("N_PROF", "N_LEVELS"), qc),
+    }
+    full = f"{path}/{wmo}_prof.nc"
+    write_netcdf3(full, dims, variables)
+    return full

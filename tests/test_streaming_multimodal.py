@@ -389,3 +389,38 @@ def test_stream_dedup_within_watermark_reemits_after_horizon(spark, tmp_path):
     finally:
         q.stop()
     assert got == [1, 3, 4, 5]
+
+
+def test_netcdf_classic_ingest_real_parser(spark, tmp_path):
+    """S2/S3 with REAL bytes: write genuine NetCDF-3 classic Argo
+    profile files (the format GDAC core files actually use), ingest
+    through binaryFile + mapInPandas with the DEFAULT parser — no
+    injected fake anywhere — and check values and JULD decoding."""
+    import numpy as np
+
+    from argostats_spark.sources.netcdf import ingest_gdac, write_argo_prof_nc
+
+    d = tmp_path / "gdac"
+    d.mkdir()
+    pres = np.tile(np.linspace(5, 1500, 30), (2, 1))
+    write_argo_prof_nc(
+        str(d), 6901234,
+        lons=[10.5, 11.0], lats=[-40.0, -40.5],
+        juld_days=[27759.5, 27760.5],   # 2026-01-01 12:00, 2026-01-02 12:00
+        data_modes="DD",
+        pres=pres, temp=20 - pres / 100.0, psal=35 + pres * 0,
+    )
+    write_argo_prof_nc(
+        str(d), 6905678,
+        lons=[100.0], lats=[5.0], juld_days=[27000.0], data_modes="R",
+        pres=pres[:1], temp=15 + pres[:1] * 0, psal=34 + pres[:1] * 0,
+    )
+    raw = ingest_gdac(spark, str(d)).orderBy("WMO", "IPROF")
+    rows = raw.collect()
+    assert [r["WMO"] for r in rows] == [6901234, 6901234, 6905678]
+    r0 = rows[0]
+    assert r0["IPROF"] == 0 and abs(r0["LONGITUDE"] - 10.5) < 1e-6
+    assert r0["DATA_MODE"] == 1 and rows[2]["DATA_MODE"] == 0
+    assert str(r0["JULD"]).startswith("2026-01-01 12:00")
+    assert len(r0["PRES"]) == 30 and abs(r0["PRES"][0] - 5.0) < 1e-4
+    assert r0["PRES_QC"] == [1] * 30
