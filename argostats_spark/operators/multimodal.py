@@ -67,16 +67,82 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, kind: str) -> D
     )
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-NumPy decoder for binary PPM/PGM (P6/P5) — public trivial
+    format: ASCII header (magic, width, height, maxval, # comments),
+    then raw samples."""
+    import re
+
+    tokens = []
+    pos = 2  # past magic
+    while len(tokens) < 3:
+        m = re.match(rb"\s*(?:#[^\n]*\n\s*)*(\d+)", payload[pos:])
+        if not m:
+            raise ValueError("malformed PPM header")
+        tokens.append(int(m.group(1)))
+        pos += m.end()
+    w, h, maxval = tokens
+    pos += 1  # single whitespace after maxval
+    channels = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype="u1", count=w * h * channels, offset=pos)
+    img = data.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-NumPy decoder for uncompressed 24-bit BMP — public trivial
+    format: little-endian header, bottom-up BGR rows padded to 4."""
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, "u1", count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if flipped else img
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real decode requires PIL (not in this container)."""
-    if not _HAS_PIL:  # pragma: no branch
+    """Decode to an HxW[xC] uint8 array. PPM/PGM and uncompressed 24-bit
+    BMP decode via built-in pure-NumPy parsers (REAL, no codec libs);
+    compressed formats (JPEG/PNG/...) need PIL — clearly-marked stub
+    where it is absent."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; install pillow or use fake_decode_meta "
-            "for plumbing tests"
+            "compressed-image decode requires PIL (PPM/PGM/BMP decode "
+            "natively); install pillow or use fake_decode_meta"
         )
     import io
 
     return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure NumPy (index-map gather) — the
+    decode→resize→featurize chain needs no codec library at all."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * (h / out_h)).astype("i8")
+    xi = (np.arange(out_w) * (w / out_w)).astype("i8")
+    return img[yi][:, xi]
+
+
+def image_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Deterministic grid features: grayscale block means over a
+    grid×grid pooling of the image, normalized to [0,1]."""
+    gray = img.astype("f4") if img.ndim == 2 else img.astype("f4").mean(axis=2)
+    pooled = resize_image(gray, grid * 8, grid * 8).reshape(grid, 8, grid, 8)
+    return (pooled.mean(axis=(1, 3)) / 255.0).astype("f4").reshape(grid * grid)
 
 
 def fake_decode_meta(payload: bytes, feat_dim: int = 16) -> tuple[int, int, np.ndarray]:
@@ -94,9 +160,11 @@ def fake_decode_meta(payload: bytes, feat_dim: int = 16) -> tuple[int, int, np.n
 def extract_features(
     media: DataFrame, feat_dim: int = 16, batch_hint: int = 1024
 ) -> DataFrame:
-    """mapInPandas feature extraction over media payloads. Uses the real
-    decoder when available, the deterministic fake otherwise — the
-    operator's distributed shape is identical either way."""
+    """mapInPandas feature extraction over media payloads. PPM/PGM/BMP
+    payloads decode + featurize for REAL (pure-NumPy parsers); bytes
+    needing codec libraries fall back to the deterministic fake — the
+    operator's distributed shape is identical either way. feat_dim
+    should be a perfect square (grid² pooled features)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,10 +176,17 @@ def extract_features(
                 "feature": [],
             }
             for payload in pdf["payload"]:
-                w, h, feat = fake_decode_meta(bytes(payload), feat_dim)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["feature"].append(feat.tolist())
+                raw = bytes(payload)
+                try:
+                    img = decode_image(raw)
+                    h_, w_ = img.shape[:2]
+                    grid = int(feat_dim ** 0.5)
+                    feat = image_features(img, grid)[:feat_dim]
+                except (NotImplementedError, ValueError, IndexError):
+                    w_, h_, feat = fake_decode_meta(raw, feat_dim)
+                out["width"].append(w_)
+                out["height"].append(h_)
+                out["feature"].append(np.asarray(feat, "f4").tolist())
             yield pd.DataFrame(out)
 
     # size-aware repartition: giant payloads spread across tasks

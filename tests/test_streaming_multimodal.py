@@ -424,3 +424,31 @@ def test_netcdf_classic_ingest_real_parser(spark, tmp_path):
     assert str(r0["JULD"]).startswith("2026-01-01 12:00")
     assert len(r0["PRES"]) == 30 and abs(r0["PRES"][0] - 5.0) < 1e-4
     assert r0["PRES_QC"] == [1] * 30
+
+
+def test_multimodal_real_ppm_decode_through_spark(spark, tmp_path):
+    """The decode path is REAL for PPM/BMP: payloads built as genuine
+    image bytes flow through to_media_table → mapInPandas extract and
+    come back with the TRUE dimensions and grid features (not the
+    fake), while undecodable bytes still take the deterministic fake."""
+    import numpy as np
+
+    from argostats_spark.operators.multimodal import (
+        decode_image, extract_features, image_features, to_media_table,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (24, 40, 3)).astype("u1")
+    ppm = b"P6\n40 24\n255\n" + img.tobytes()
+    rows = [(1, bytearray(ppm)), (2, bytearray(b"\x89PNGnotreally..."))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", "image")
+    out = {r["media_id"]: r for r in extract_features(media, feat_dim=16).collect()}
+    assert out[1]["width"] == 40 and out[1]["height"] == 24
+    np.testing.assert_allclose(
+        np.asarray(out[1]["feature"], "f4"),
+        image_features(decode_image(ppm), 4),
+        rtol=1e-6,
+    )
+    # the PNG-ish bytes can't decode without codec libs → deterministic fake
+    assert out[2]["width"] != 40 or out[2]["height"] != 24
