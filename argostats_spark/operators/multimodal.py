@@ -145,6 +145,49 @@ def image_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
     return (pooled.mean(axis=(1, 3)) / 255.0).astype("f4").reshape(grid * grid)
 
 
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Pure-NumPy decoder for PCM WAV (RIFF chunk walk; 8/16-bit mono or
+    interleaved multichannel) → (sample_rate, (n_samples, channels) f4
+    in [-1, 1]). Public trivial format — no audio library needed."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data, "<i2").astype("f4") / 32768.0
+    else:
+        x = (np.frombuffer(data, "u1").astype("f4") - 128.0) / 128.0
+    return rate, x.reshape(-1, channels)
+
+
+def audio_features(rate: int, x: np.ndarray, feat_dim: int = 16) -> np.ndarray:
+    """Deterministic audio features: per-segment RMS over feat_dim equal
+    time slices of the mono mix — the fixed-size vector the similarity
+    operators consume."""
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return np.zeros(feat_dim, "f4")
+    edges = (np.arange(feat_dim + 1) * n // feat_dim).astype("i8")
+    segs = [mono[edges[i]:max(edges[i + 1], edges[i] + 1)] for i in range(feat_dim)]
+    return np.asarray([float(np.sqrt((s * s).mean())) for s in segs], "f4")
+
+
 def fake_decode_meta(payload: bytes, feat_dim: int = 16) -> tuple[int, int, np.ndarray]:
     """Deterministic pseudo-decode: width/height/feature derived from the
     byte content — exercises every Spark-side seam (schema, batching,
@@ -175,13 +218,20 @@ def extract_features(
                 "height": [],
                 "feature": [],
             }
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
                 try:
-                    img = decode_image(raw)
-                    h_, w_ = img.shape[:2]
-                    grid = int(feat_dim ** 0.5)
-                    feat = image_features(img, grid)[:feat_dim]
+                    if kind == "audio":
+                        # audio reuse of the (width, height) slots:
+                        # width=sample_rate, height=n_samples
+                        rate, x = decode_wav(raw)
+                        w_, h_ = int(rate), int(x.shape[0])
+                        feat = audio_features(rate, x, feat_dim)
+                    else:
+                        img = decode_image(raw)
+                        h_, w_ = img.shape[:2]
+                        grid = int(feat_dim ** 0.5)
+                        feat = image_features(img, grid)[:feat_dim]
                 except (NotImplementedError, ValueError, IndexError):
                     w_, h_, feat = fake_decode_meta(raw, feat_dim)
                 out["width"].append(w_)

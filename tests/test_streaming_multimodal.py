@@ -452,3 +452,29 @@ def test_multimodal_real_ppm_decode_through_spark(spark, tmp_path):
     )
     # the PNG-ish bytes can't decode without codec libs → deterministic fake
     assert out[2]["width"] != 40 or out[2]["height"] != 24
+
+
+def test_multimodal_real_wav_decode_through_spark(spark):
+    """Audio twin of the real-decode test: genuine PCM WAV bytes come
+    back with (sample_rate, n_samples) in the (width, height) slots and
+    per-segment RMS features; a 440 Hz sine has near-constant RMS
+    ~1/sqrt(2) of its amplitude in every segment."""
+    import io
+    import struct
+    import numpy as np
+
+    from argostats_spark.operators.multimodal import extract_features, to_media_table
+
+    rate, secs, amp = 8000, 1, 0.5
+    t = np.arange(rate * secs) / rate
+    x = (amp * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    data = x.tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", "audio")
+    row = extract_features(media, feat_dim=16).collect()[0]
+    assert row["width"] == rate and row["height"] == rate * secs
+    feats = np.asarray(row["feature"], "f4")
+    np.testing.assert_allclose(feats, amp / np.sqrt(2), rtol=0.02)
