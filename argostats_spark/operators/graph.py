@@ -53,7 +53,15 @@ def connected_components(
     absent — see :func:`duplicate_groups` for full labeling.
     """
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the symmetrized edge list ONCE: the loop below references
+    # `sym` every round, and Spark rebuilds lineage per action — an edge
+    # list derived from an expensive pair-generation query (LSH banding,
+    # exact jaccard) would otherwise be recomputed end-to-end each
+    # iteration (measured: components-over-jaccard at sf0.1 ran the whole
+    # quadratic edge query per round, minutes instead of seconds).
+    sym = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

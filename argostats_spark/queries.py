@@ -1831,6 +1831,53 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(d, edges, id_col="doc_id")
 
 
+@query(
+    "dedup_groups_lsh",
+    f"""
+    WITH RECURSIVE
+    d AS ({_MINHASH_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    ),
+    ud AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT u, u FROM ud
+      UNION
+      SELECT ud.v, reach.comp FROM reach JOIN ud ON ud.u = reach.node
+    ),
+    lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    full_lab AS (
+      SELECT doc_id, coalesce(lab.comp, doc_id) AS comp_id
+      FROM documents LEFT JOIN lab ON documents.doc_id = lab.node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(comp_id AS BIGINT) AS comp_id,
+           CAST(count(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size,
+           CAST(doc_id = comp_id AS INT) AS keep
+    FROM full_lab
+    """,
+)
+def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scale-shaped dedup pipeline: shingles → minhash
+    signatures → LSH bucket join → exact-Jaccard verification (all the
+    dedup_minhash_lsh plan, one full-table shuffle) → connected
+    components (pointer-jumping min-label, operators/graph.py) → full
+    corpus keep flags. This is the query a 100 TB curation run executes;
+    dedup_components keeps the quadratic-edge variant as the exactness
+    oracle. DuckDB twin chains the banded pair SQL into a recursive
+    transitive closure — different algorithms at every stage, one
+    answer. Green-field (dedup family capstone)."""
+    from .operators.graph import duplicate_groups
+
+    d = _t(spark, sf_dir, "documents")
+    edges = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return duplicate_groups(d, edges, id_col="doc_id")
+
+
 # =========================================================================
 # Training-data pipeline: deterministic split / stratified sample /
 # normalization (operators/sampling.py, functions/text.py)

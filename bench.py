@@ -35,8 +35,13 @@ HEADLINE = [
     "topk_per_group",
     "clim_kernel_grid",
     "events_hourly_window",
-    "dedup_minhash_lsh",
-    # dedup_ngram_jaccard is the deliberately-quadratic exact baseline —
+    # dedup_groups_lsh strictly contains the dedup_minhash_lsh plan
+    # (shingles → signatures → bucket join → jaccard verify) and adds
+    # connected components + corpus keep flags — the full curation
+    # pipeline as one headline number.
+    "dedup_groups_lsh",
+    # dedup_ngram_jaccard (and dedup_components, which consumes its
+    # edges) is the deliberately-quadratic exact baseline —
     # correctness-checked at sf0.01, not a headline scale number.
     "cosine_topk",
     "text_quality",
@@ -64,12 +69,19 @@ def main() -> None:
     from argostats_spark.operators.interpolation import interpolate_profiles
     from argostats_spark.sources.synthetic import make_raw
 
-    raw = make_raw(spark, n_wmos=60, profiles_per_wmo=100).cache()
+    # 30k profiles over 240 WMO groups: large enough that the measured
+    # rate is steady-state kernel throughput, not Spark fixed overhead
+    # (at 6k profiles the job-scheduling floor dominated and under-read
+    # the rate ~2x), and enough groups that hash assignment to the 32
+    # shuffle partitions is balanced. The kernel itself measures 1,125
+    # profiles/s/core — the gap to 36k/s is Arrow+shuffle, amortized
+    # further at real scale.
+    raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
     n_raw = raw.count()
     # spawn/warm the Python UDF daemons so the measurement reflects the
     # steady state (the reference's pool is likewise persistent); a
     # sample keeps all WMO groups → all shuffle partitions → all workers
-    interpolate_profiles(raw.sample(0.05, seed=1)).write.format("noop").mode(
+    interpolate_profiles(raw.sample(0.02, seed=1)).write.format("noop").mode(
         "overwrite"
     ).save()
 
@@ -77,7 +89,7 @@ def main() -> None:
     profiles = interpolate_profiles(raw)
     profiles.write.format("noop").mode("overwrite").save()
     interp_sec = time.perf_counter() - t0
-    timings["argo_interp_6k_profiles"] = round(interp_sec, 3)
+    timings["argo_interp_30k_profiles"] = round(interp_sec, 3)
 
     profiles = profiles.cache()
     profiles.count()
