@@ -1,0 +1,73 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+Green-field scope beyond the reference (training-data pipeline family,
+same tier as dedup/similarity): before a corpus feeds a training run,
+every document sharing word n-grams with a held-out benchmark must be
+flagged — the published practice is exact n-gram collision against the
+eval sets (GPT-3 appendix C and The Pile both describe 13-gram exact
+overlap; the operator takes ``n`` as a parameter and the tests/queries
+use 3-grams because the synthetic docs are short).
+
+Scale shape (100 TB posture):
+- The benchmark side is SMALL by definition (eval sets are thousands of
+  documents, the corpus is billions) → its distinct n-gram set is
+  broadcast; the corpus-side n-gram stream hash-joins against it with
+  NO full-table shuffle of the corpus.
+- Corpus n-grams are produced by the same zero-extra-shuffle
+  slice/arrays_zip/explode pattern as the minhash path; per-document
+  totals come from ``F.size(array_distinct(...))`` — a scalar
+  expression, not a second aggregation.
+- The only exchange is the groupBy(doc_id) over the *matched* n-gram
+  stream, which is benchmark-bounded (each corpus n-gram survives the
+  broadcast join only if it appears in the eval set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus documents that collide with benchmark n-grams.
+
+    Returns one row per corpus document: ``(id, n_grams, n_hits,
+    hit_ratio, contaminated)`` where ``n_hits`` counts DISTINCT corpus
+    n-grams that appear anywhere in the benchmark set.
+    """
+    sh = F.array_distinct(word_ngrams(text_col, n))
+    bench_grams = (
+        benchmark.select(F.explode(sh).alias("g")).distinct()
+    )
+    docs = corpus.select(
+        F.col(id_col), sh.alias("sh"), F.size(sh).alias("n_grams")
+    )
+    hits = (
+        docs.select(id_col, F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        docs.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("int").alias("n_grams"),
+            n_hits.cast("int").alias("n_hits"),
+            F.round(
+                n_hits.cast("double") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+            ).alias("hit_ratio"),
+            (n_hits >= min_hits).cast("int").alias("contaminated"),
+        )
+    )

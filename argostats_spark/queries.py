@@ -1878,6 +1878,43 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(d, edges, id_col="doc_id")
 
 
+@query(
+    "decontaminate",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SH_EXPR} AS sh FROM documents),
+    b AS (SELECT DISTINCT g
+          FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0)),
+    c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(sh) AS g FROM c) t JOIN b USING (g)
+      GROUP BY doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(len(c.sh) AS INT) AS n_grams,
+           CAST(coalesce(hits.n_hits, 0) AS INT) AS n_hits,
+           round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+                 / greatest(len(c.sh), 1), 6) AS hit_ratio,
+           CAST(coalesce(hits.n_hits, 0) >= 1 AS INT) AS contaminated
+    FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline family): every 50th
+    document plays the held-out eval set; the rest are the corpus. A
+    corpus doc is contaminated when any of its distinct word-3-grams
+    appears in the benchmark n-gram set (the published exact-overlap
+    practice — GPT-3 appendix C / The Pile use 13-grams on full-length
+    text). Scale shape: benchmark n-grams broadcast (eval sets are tiny
+    vs the corpus), corpus never fully shuffles (operators/decontam.py)."""
+    from .operators.decontam import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(corpus, bench, n=3)
+
+
 # =========================================================================
 # Training-data pipeline: deterministic split / stratified sample /
 # normalization (operators/sampling.py, functions/text.py)
