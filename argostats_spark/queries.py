@@ -266,26 +266,102 @@ def q_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dateparts",
+    "scalar_suite",
     """
-    SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
-           CAST(dayofmonth(ts) AS INT) AS day, CAST(dayofyear(ts) AS INT) AS dayofyear,
-           CAST(hour(ts) AS INT) AS hour, count(*) AS n
-    FROM events
-    GROUP BY 1, 2, 3, 4, 5
+    SELECT 'dateparts' AS which,
+           printf('%04d-%02d-%02d', year(ts), month(ts), dayofmonth(ts)) AS k1,
+           printf('%03d-%02d', dayofyear(ts), hour(ts)) AS k2,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'strings' AS which,
+           upper(substr(c_name, 1, 8)) AS k1,
+           concat(CAST(length(c_name) AS VARCHAR), '#', c_mktsegment, '#',
+                  CAST(c_nationkey AS VARCHAR)) AS k2,
+           count(*) AS n
+    FROM customer
+    WHERE c_name LIKE '%er#%' OR c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'nulls' AS which, status AS k1,
+           concat(CAST(n_big AS VARCHAR), '#', CAST(n_not_urgent AS VARCHAR)) AS k2,
+           n
+    FROM (
+      SELECT coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status,
+             CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+             count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
     """,
 )
-def q_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 date-part extraction — the reference's hand-rolled datetools
-    (tools/datetools.py:7-62) as built-ins."""
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite, one tagged union over three demos (merged
+    from the former ``dateparts`` / ``string_functions`` /
+    ``null_handling`` queries so every registry entry fits in the
+    driver's 50-query correctness window):
+
+    - ``dateparts`` — F1 date-part extraction (reference's hand-rolled
+      tools/datetools.py:7-62 as built-ins), parts formatted with
+      printf-style format strings (identical in both engines);
+    - ``strings`` — LIKE / IN predicates, upper/substr/length/concat
+      (the reference encodes strings away at ingest; Spark keeps the
+      full string library);
+    - ``nulls`` — nullif/coalesce/conditional counting: real NULL
+      semantics replacing the reference's sentinel encodings
+      (SURVEY §1.2).
+    """
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.year("ts").alias("year"),
-        F.month("ts").alias("month"),
-        F.dayofmonth("ts").alias("day"),
-        F.dayofyear("ts").alias("dayofyear"),
-        F.hour("ts").alias("hour"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    dateparts = (
+        ev.groupBy(
+            F.format_string(
+                "%04d-%02d-%02d", F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+            ).alias("k1"),
+            F.format_string("%03d-%02d", F.dayofyear("ts"), F.hour("ts")).alias("k2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dateparts").alias("which"), "k1", "k2", "n")
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    strings = (
+        c.filter(
+            F.col("c_name").like("%er#%")
+            | F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .groupBy(
+            F.upper(F.substring("c_name", 1, 8)).alias("k1"),
+            F.concat(
+                F.length("c_name").cast("string"), F.lit("#"),
+                F.col("c_mktsegment"), F.lit("#"),
+                F.col("c_nationkey").cast("string"),
+            ).alias("k2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("strings").alias("which"), "k1", "k2", "n")
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    nulls = (
+        o.groupBy(
+            F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias("k1")
+        )
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+            .cast("long").alias("n_big"),
+            F.count(F.nullif("o_orderpriority", F.lit("1-URGENT"))).alias("n_not_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("nulls").alias("which"), "k1",
+            F.concat(
+                F.col("n_big").cast("string"), F.lit("#"),
+                F.col("n_not_urgent").cast("string"),
+            ).alias("k2"),
+            "n",
+        )
+    )
+    return dateparts.unionByName(strings).unionByName(nulls)
 
 
 @query(
@@ -344,57 +420,96 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_semi",
+    "join_variants",
     """
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS variant, CAST(c_custkey AS BIGINT) AS custkey, c_name AS str_val,
+           CAST(NULL AS BIGINT) AS num_a, CAST(NULL AS DOUBLE) AS num_b
+    FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
-    """,
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (absent from the reference, SURVEY §2.3 'absent')."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "join_anti",
-    """
-    SELECT c_custkey, c_mktsegment FROM customer
+    UNION ALL
+    SELECT 'anti', CAST(c_custkey AS BIGINT), c_mktsegment,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — customers with no orders."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
-
-
-@query(
-    "join_outer",
-    """
-    SELECT c_custkey,
-           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+    UNION ALL
+    SELECT 'left_outer', CAST(c_custkey AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(count(o_orderkey) AS BIGINT),
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey
+    UNION ALL
+    SELECT 'full_outer', CAST(coalesce(b.ck, e.ck) AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(coalesce(n_orders, 0) AS BIGINT),
+           CAST(coalesce(n_events, 0) AS DOUBLE)
+    FROM (SELECT o_custkey AS ck, count(*) AS n_orders FROM orders GROUP BY o_custkey) b
+    FULL OUTER JOIN
+         (SELECT user_id % 1500 AS ck, count(*) AS n_events FROM events GROUP BY 1) e
+    ON b.ck = e.ck
     """,
 )
-def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer join keeping zero-order customers."""
+def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-variant suite, one tagged union over the four join types the
+    reference lacks entirely (SURVEY §2.3 'absent'; merged from the
+    former ``join_semi`` / ``join_anti`` / ``join_outer`` /
+    ``join_full_outer`` queries to fit the driver's 50-query window):
+
+    - ``semi`` — customers with a >200k order (left-semi);
+    - ``anti`` — customers with no orders (left-anti);
+    - ``left_outer`` — per-customer order counts keeping zero-order
+      customers;
+    - ``full_outer`` — buyers ⟗ event users on a synthetic shared key.
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    ev = _t(spark, sf_dir, "events")
+    ck = F.col("c_custkey").cast("long")
+    null_a = F.lit(None).cast("long")
+    null_b = F.lit(None).cast("double")
+
+    semi = (
+        c.join(o.filter(F.col("o_totalprice") > 200000),
+               c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("variant"), ck.alias("custkey"),
+                F.col("c_name").alias("str_val"),
+                null_a.alias("num_a"), null_b.alias("num_b"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("variant"), ck.alias("custkey"),
+                F.col("c_mktsegment").alias("str_val"),
+                null_a.alias("num_a"), null_b.alias("num_b"))
+    )
+    left_outer = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
             ).cast("double").alias("total"),
         )
+        .select(F.lit("left_outer").alias("variant"), ck.alias("custkey"),
+                F.lit(None).cast("string").alias("str_val"),
+                F.col("n_orders").alias("num_a"), F.col("total").alias("num_b"))
     )
+    buyers = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    eventers = ev.groupBy((F.col("user_id") % 1500).alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    full_outer = (
+        buyers.join(eventers, buyers.ck == eventers.ck, "full_outer")
+        .select(
+            F.lit("full_outer").alias("variant"),
+            F.coalesce(buyers.ck, eventers.ck).cast("long").alias("custkey"),
+            F.lit(None).cast("string").alias("str_val"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("num_a"),
+            F.coalesce("n_events", F.lit(0)).cast("double").alias("num_b"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(left_outer).unionByName(full_outer)
 
 
 @query(
@@ -494,83 +609,92 @@ def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @query(
-    "window_row_number",
+    "window_suite",
     """
-    SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order_date
+    SELECT 'first_order' AS which, CAST(c_custkey AS BIGINT) AS k1,
+           CAST(o_orderkey AS BIGINT) AS k2,
+           strftime(o_orderdate, '%Y-%m-%d') AS sval, CAST(NULL AS DOUBLE) AS nval
     FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
       FROM orders
     ) WHERE rn = 1
-    """,
-)
-def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2/A6 per-group row numbering + group-wise first — the
-    reference's IPROF assignment (toctools.py:175) and groupby().first()."""
-    o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("o_custkey").alias("c_custkey"),
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
-        )
-    )
-
-
-@query(
-    "window_lag_gap",
-    """
-    WITH e AS (
+    UNION ALL
+    SELECT 'lag_gap', CAST(user_id AS BIGINT), CAST(event_id AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                AS DOUBLE)
+    FROM (
       SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
       FROM events
     )
-    SELECT user_id, event_id,
-           ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s
-    FROM e
-    """,
-)
-def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 lag/lead over an event-time window: seconds between consecutive
-    events per user (ordering key is second-truncated ts + id so both
-    engines sort identically despite the ns/µs precision gap)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
-    )
-    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
-    return ev.withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w)).select(
-        "user_id", "event_id", "gap_s"
-    )
-
-
-@query(
-    "window_cumsum",
-    """
-    SELECT o_custkey, o_orderkey,
+    UNION ALL
+    SELECT 'cumsum', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+           CAST(NULL AS VARCHAR),
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
-             AS running_total
     FROM orders
     """,
 )
-def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 cumulative sum — the reference's np.cumsum over depth
-    (atlas.py:323-324) as a running-window aggregate."""
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite, one tagged union over three demos (merged
+    from the former ``window_row_number`` / ``window_lag_gap`` /
+    ``window_cumsum`` queries to fit the driver's 50-query window):
+
+    - ``first_order`` — W1/W2/A6 per-group row numbering + group-wise
+      first (the reference's IPROF assignment, toctools.py:175);
+    - ``lag_gap`` — W3 lag over an event-time window, seconds between
+      consecutive events per user (ordering key is second-truncated
+      ts + unique id so both engines sort identically despite the
+      ns/µs precision gap);
+    - ``cumsum`` — W4 running total (the reference's np.cumsum over
+      depth, atlas.py:323-324) as a running-window aggregate.
+    """
     o = _t(spark, sf_dir, "orders")
-    w = (
+    null_s = F.lit(None).cast("string")
+    null_n = F.lit(None).cast("double")
+
+    w1 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first_order = (
+        o.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("first_order").alias("which"),
+            F.col("o_custkey").cast("long").alias("k1"),
+            F.col("o_orderkey").cast("long").alias("k2"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("sval"),
+            null_n.alias("nval"),
+        )
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    lag_gap = ev.select(
+        F.lit("lag_gap").alias("which"),
+        F.col("user_id").cast("long").alias("k1"),
+        F.col("event_id").cast("long").alias("k2"),
+        null_s.alias("sval"),
+        (F.col("ts_s") - F.lag("ts_s").over(w2)).cast("double").alias("nval"),
+    )
+
+    w3 = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return o.select(
-        "o_custkey", "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2)
-         .alias("running_total"),
+    cumsum = o.select(
+        F.lit("cumsum").alias("which"),
+        F.col("o_custkey").cast("long").alias("k1"),
+        F.col("o_orderkey").cast("long").alias("k2"),
+        null_s.alias("sval"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w3).cast("double"), 2)
+         .alias("nval"),
     )
+    return first_order.unionByName(lag_gap).unionByName(cumsum)
 
 
 @query(
@@ -623,27 +747,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @query(
-    "topk_orders",
+    "topk_suite",
     """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-    """,
-)
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale);
-    unique tie-break key keeps both engines deterministic."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(20)
-    )
-
-
-@query(
-    "topk_per_group",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT 'global' AS which, CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice
+          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+    UNION ALL
+    SELECT 'per_group', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+           CAST(o_totalprice AS DOUBLE)
+    FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -651,73 +765,119 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3
     """,
 )
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k via ranking window."""
+def q_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k suite (merged ``topk_orders`` + ``topk_per_group``):
+
+    - ``global`` — ORDER BY + LIMIT 20, planned as TakeOrderedAndProject
+      (no full sort materialization at scale; unique tie-break key keeps
+      both engines deterministic);
+    - ``per_group`` — per-customer top-3 via ranking window.
+    """
     o = _t(spark, sf_dir, "orders")
+    top_global = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            F.lit("global").alias("which"),
+            F.col("o_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            F.col("o_totalprice").cast("double"),
+        )
+    )
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    per_group = (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .select(
+            F.lit("per_group").alias("which"),
+            F.col("o_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            F.col("o_totalprice").cast("double"),
+        )
     )
+    return top_global.unionByName(per_group)
 
 
 @query(
-    "union_all",
+    "set_ops",
     """
-    SELECT event_id, user_id, 'err' AS tag FROM events WHERE event_type = 'error'
+    SELECT 'union_all' AS op, CAST(event_id AS BIGINT) AS k1,
+           CAST(user_id AS BIGINT) AS k2, tag
+    FROM (
+      SELECT event_id, user_id, 'err' AS tag FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_id, user_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
+    )
     UNION ALL
-    SELECT event_id, user_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
+    SELECT 'intersect', CAST(custkey AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM (
+      SELECT o_custkey AS custkey FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    UNION ALL
+    SELECT 'except', CAST(custkey AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
     """,
 )
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1 union-all — the reference's pd.concat of per-WMO frames
-    (toctools.py:145) as a proper distributed union."""
-    ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.lit("err").alias("tag")
-    )
-    b = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.lit("buy").alias("tag")
-    )
-    return a.unionByName(b)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation suite (merged ``union_all`` / ``set_intersect`` /
+    ``set_except``):
 
-
-@query(
-    "set_intersect",
+    - ``union_all`` — U1: the reference's pd.concat of per-WMO frames
+      (toctools.py:145) as a proper distributed union;
+    - ``intersect`` — BUILDING-segment buyers ∩ big-ticket buyers
+      (absent from the reference, free in Spark);
+    - ``except`` — customers minus those with finished orders
+      (distinct semantics, Spark ``subtract``).
     """
-    SELECT o_custkey AS custkey FROM orders JOIN customer ON c_custkey = o_custkey
-    WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
-    """,
-)
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (absent from the reference, free in Spark)."""
+    ev = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    a = o.join(c, o.o_custkey == c.c_custkey).filter(
+    null_k = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("err").alias("tag")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("buy").alias("tag")
+    )
+    union_all = errs.unionByName(buys).select(
+        F.lit("union_all").alias("op"),
+        F.col("event_id").cast("long").alias("k1"),
+        F.col("user_id").cast("long").alias("k2"),
+        "tag",
+    )
+
+    ia = o.join(c, o.o_custkey == c.c_custkey).filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select(F.col("o_custkey").alias("custkey"))
-    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b)
-
-
-@query(
-    "set_except",
-    """
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — customers minus those with finished orders."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+    ib = o.filter(F.col("o_totalprice") > 100000).select(
         F.col("o_custkey").alias("custkey")
     )
-    return c.subtract(o)  # subtract == EXCEPT (distinct semantics)
+    intersect = ia.intersect(ib).select(
+        F.lit("intersect").alias("op"),
+        F.col("custkey").cast("long").alias("k1"),
+        null_k.alias("k2"), null_s.alias("tag"),
+    )
+
+    ea = c.select(F.col("c_custkey").alias("custkey"))
+    eb = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract == EXCEPT (distinct semantics)
+    excpt = ea.subtract(eb).select(
+        F.lit("except").alias("op"),
+        F.col("custkey").cast("long").alias("k1"),
+        null_k.alias("k2"), null_s.alias("tag"),
+    )
+    return union_all.unionByName(intersect).unionByName(excpt)
 
 
 # =========================================================================
@@ -734,52 +894,108 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "year_histogram",
+    "histograms",
     """
-    SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n,
+    SELECT 'year' AS which, CAST(year(o_orderdate) AS BIGINT) AS bucket, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1
+    FROM orders GROUP BY 1, 2
+    UNION ALL
+    SELECT 'value', CAST(floor(l_quantity / 5) AS BIGINT), count(*),
+           CAST(NULL AS DOUBLE)
+    FROM lineitem GROUP BY 1, 2
     """,
 )
-def q_year_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 count-per-year histogram — the reference's np.histogram over
-    profile years (README.md:60-65)."""
+def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 histogram suite (merged ``year_histogram`` + ``value_histogram``):
+
+    - ``year`` — count-per-year histogram, the reference's np.histogram
+      over profile years (README.md:60-65), plus per-year revenue;
+    - ``value`` — fixed-bin histogram via floor(x/w) (DuckDB lacks
+      width_bucket, so the bin rule is the shared floor form).
+    """
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy(F.year("o_orderdate").alias("year")).agg(
+    year = o.groupBy(F.year("o_orderdate").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
-    )
-
-
-@query(
-    "value_histogram",
-    """
-    SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
-    FROM lineitem GROUP BY 1
-    """,
-)
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 fixed-bin histogram via floor(x/w) (DuckDB lacks width_bucket)."""
+    ).select(F.lit("year").alias("which"), "bucket", "n", "total")
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(
+    value = li.groupBy(
         F.floor(F.col("l_quantity") / 5).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("value").alias("which"), "bucket", "n",
+        F.lit(None).cast("double").alias("total"),
+    )
+    return year.unionByName(value)
 
 
 @query(
-    "minmax_stats",
+    "stats_suite",
     """
-    SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
-           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
-           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-           count(*) AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-    FROM lineitem
+    WITH mm AS (
+      SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+             strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+             min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+             count(*) AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem
+    ),
+    st AS (
+      SELECT l_returnflag,
+             round(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS sd_qty,
+             round(CAST(var_samp(l_discount) AS DOUBLE), 6) AS var_disc,
+             round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 5) AS corr_qty_price,
+             round(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 5) AS cov_qty_disc
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    qt AS (
+      SELECT event_type,
+             round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
+             round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
+      FROM events GROUP BY event_type
+    )
+    SELECT 'minmax' AS which, 'all' AS grp, 'min_ship' AS stat,
+           min_ship AS sval, CAST(NULL AS DOUBLE) AS nval FROM mm
+    UNION ALL SELECT 'minmax', 'all', 'max_ship', max_ship, CAST(NULL AS DOUBLE) FROM mm
+    UNION ALL SELECT 'minmax', 'all', 'min_price', CAST(NULL AS VARCHAR),
+                     CAST(min_price AS DOUBLE) FROM mm
+    UNION ALL SELECT 'minmax', 'all', 'max_price', CAST(NULL AS VARCHAR),
+                     CAST(max_price AS DOUBLE) FROM mm
+    UNION ALL SELECT 'minmax', 'all', 'n', CAST(NULL AS VARCHAR),
+                     CAST(n AS DOUBLE) FROM mm
+    UNION ALL SELECT 'minmax', 'all', 'n_orders', CAST(NULL AS VARCHAR),
+                     CAST(n_orders AS DOUBLE) FROM mm
+    UNION ALL SELECT 'stats', l_returnflag, 'sd_qty', CAST(NULL AS VARCHAR), sd_qty FROM st
+    UNION ALL SELECT 'stats', l_returnflag, 'var_disc', CAST(NULL AS VARCHAR), var_disc FROM st
+    UNION ALL SELECT 'stats', l_returnflag, 'corr_qty_price', CAST(NULL AS VARCHAR),
+                     corr_qty_price FROM st
+    UNION ALL SELECT 'stats', l_returnflag, 'cov_qty_disc', CAST(NULL AS VARCHAR),
+                     cov_qty_disc FROM st
+    UNION ALL SELECT 'quantile', event_type, 'median_value', CAST(NULL AS VARCHAR),
+                     median_value FROM qt
+    UNION ALL SELECT 'quantile', event_type, 'p90_value', CAST(NULL AS VARCHAR),
+                     p90_value FROM qt
     """,
 )
-def q_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 min/max + A7 distinct count, single global aggregate."""
+def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics suite, melted to (which, grp, stat, sval, nval) rows
+    (merged ``minmax_stats`` / ``stats_aggregates`` / ``exact_median``):
+
+    - ``minmax`` — A10 min/max + A7 distinct count in one global
+      aggregate over lineitem;
+    - ``stats`` — stddev/variance/correlation/covariance per return
+      flag (absent from the reference, free in Spark; both engines use
+      the same sample definitions);
+    - ``quantile`` — exact interpolated median/p90 per event type:
+      Spark ``percentile`` == DuckDB ``quantile_cont`` (both linear
+      interpolation); the approx variant exists in the API but has no
+      cross-engine oracle, so the exact form is the one verified.
+
+    Each sub-result melts via ``stack`` (one generator per select) —
+    the aggregates themselves run once, not once per melted row.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    ev = _t(spark, sf_dir, "events")
+
+    mm = li.agg(
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
         F.min("l_extendedprice").alias("min_price"),
@@ -787,6 +1003,52 @@ def q_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+    mm_melt = mm.select(
+        F.lit("minmax").alias("which"), F.lit("all").alias("grp"),
+        F.expr(
+            "stack(6,"
+            " 'min_ship', min_ship, CAST(NULL AS DOUBLE),"
+            " 'max_ship', max_ship, CAST(NULL AS DOUBLE),"
+            " 'min_price', CAST(NULL AS STRING), CAST(min_price AS DOUBLE),"
+            " 'max_price', CAST(NULL AS STRING), CAST(max_price AS DOUBLE),"
+            " 'n', CAST(NULL AS STRING), CAST(n AS DOUBLE),"
+            " 'n_orders', CAST(NULL AS STRING), CAST(n_orders AS DOUBLE)"
+            ") AS (stat, sval, nval)"
+        ),
+    )
+
+    st = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 5).alias("cov_qty_disc"),
+    )
+    st_melt = st.select(
+        F.lit("stats").alias("which"), F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "stack(4,"
+            " 'sd_qty', CAST(NULL AS STRING), sd_qty,"
+            " 'var_disc', CAST(NULL AS STRING), var_disc,"
+            " 'corr_qty_price', CAST(NULL AS STRING), corr_qty_price,"
+            " 'cov_qty_disc', CAST(NULL AS STRING), cov_qty_disc"
+            ") AS (stat, sval, nval)"
+        ),
+    )
+
+    qt = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+    qt_melt = qt.select(
+        F.lit("quantile").alias("which"), F.col("event_type").alias("grp"),
+        F.expr(
+            "stack(2,"
+            " 'median_value', CAST(NULL AS STRING), median_value,"
+            " 'p90_value', CAST(NULL AS STRING), p90_value"
+            ") AS (stat, sval, nval)"
+        ),
+    )
+    return mm_melt.unionByName(st_melt).unionByName(qt_melt)
 
 
 @query(
@@ -913,87 +1175,83 @@ _TOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
 
 
 @query(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_unique,
-           CAST(length(text) AS BIGINT) AS n_chars_actual
-    FROM documents
-    """,
-)
-def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) — text-analysis operator #3."""
-    d = _t(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
-        F.length("text").cast("long").alias("n_chars_actual"),
-    )
-
-
-@query(
-    "text_quality",
-    r"""
+    "text_suite",
+    rf"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, lang, text,
+             {_TOKS_SQL} AS ltoks,
              CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
              CAST(length(text) AS DOUBLE) AS n_chr,
              CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
-               AS n_punct
+               AS n_punct,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS norm
       FROM documents
+    ),
+    s AS (
+      SELECT *,
+             len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+             len(list_filter(ltoks, x -> x IN ('der','die','und','ist','das'))) AS s_de,
+             len(list_filter(ltoks, x -> x IN ('le','la','et','est','les'))) AS s_fr,
+             len(list_filter(ltoks, x -> x IN ('el','la','que','es','los'))) AS s_es
+      FROM t
     )
-    SELECT doc_id,
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(len(ltoks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ltoks)) AS BIGINT) AS n_unique,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
            round(
              least(n_tok / 20.0, 1.0) * 0.4
              + (CASE WHEN n_tok > 0 AND n_chr / n_tok >= 3.0 AND n_chr / n_tok <= 12.0
                      THEN 1.0 ELSE 0.5 END) * 0.3
              + (1.0 - least((CASE WHEN n_chr > 0 THEN n_punct / n_chr ELSE 0.0 END) * 4.0, 1.0))
                * 0.3,
-           6) AS quality
-    FROM t
-    """,
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring (length / punctuation / word-shape) —
-    text-analysis operator #2, pure column expressions."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
-
-
-@query(
-    "text_langid",
-    r"""
-    WITH t AS (
-      SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id, lang,
-             len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-             len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS s_de,
-             len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS s_fr,
-             len(list_filter(toks, x -> x IN ('el','la','que','es','los'))) AS s_es
-      FROM t
-    )
-    SELECT lang,
+           6) AS quality,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT % 64 AS shard,
            CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr >= s_es THEN 'fr'
                 ELSE 'es' END AS pred,
-           count(*) AS n
-    FROM s GROUP BY 1, 2
+           md5(norm) AS norm_hash,
+           CAST(length(norm) AS BIGINT) AS norm_len
+    FROM s
     """,
 )
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (stopword vote; argmax, ties to the earlier
-    language) — text-analysis operator #1; confusion counts vs the label."""
+def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite: ONE scan of the documents table computing
+    every per-document text operator as a wide row (merged from the
+    former ``text_token_stats`` / ``text_quality`` / ``text_langid`` /
+    ``text_fingerprint`` / ``text_normalize`` queries — a single-pass
+    plan a real curation pipeline would run, and one registry slot in
+    the driver's 50-query correctness window):
+
+    - token counting (whitespace tokenizer): n_tokens / n_unique /
+      n_chars_actual;
+    - quality scoring (length / punctuation / word-shape ratios),
+      rounded to 6 decimals (functions/text.quality_score);
+    - 60-bit md5-prefix fingerprint + shard assignment (md5 is the one
+      hash both engines share; the engine also exposes xxhash64 where
+      no oracle is needed);
+    - language-ID stopword vote (argmax, ties to the earlier language
+      in STOPWORDS order) returned per-document beside the true lang
+      label;
+    - canonical normalization (control-strip, lower, whitespace
+      collapse, trim) verified as md5 + length so the full normalized
+      text is checked without shipping it. Control-strip and lower()
+      commute (control chars are caseless), so normalize_text == the
+      oracle's lower-first expression.
+
+    All columns are built-in column expressions — JVM-side, one
+    whole-stage-codegen span, no Python in the path.
+    """
+    from .functions.text import normalize_text
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    toks_lower = tokens(F.lower(F.col("text")))
+    toks_li = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
 
     def vote(words: list[str]):
         def is_marker(t):
@@ -1002,35 +1260,30 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = out | (t == F.lit(w))
             return out
 
-        return F.size(F.filter(toks, is_marker))
+        return F.size(F.filter(toks_li, is_marker))
 
-    scores = {lang: vote(words) for lang, words in STOPWORDS.items()}
     pred = F.lit("und")
     best = F.lit(0)
-    for lang, s in scores.items():
+    for lang, words in STOPWORDS.items():
+        s = vote(words)
         pred = F.when(s > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, s)
-    return d.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
-        F.count(F.lit(1)).alias("n")
-    )
 
-
-@query(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,
-           ('0x' || substr(md5(text), 1, 15))::BIGINT % 64 AS shard
-    FROM documents
-    """,
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting — 60-bit md5-prefix fingerprint (md5 is
-    the one hash both engines share; the engine also exposes xxhash64
-    where no oracle is needed) + shard assignment."""
-    d = _t(spark, sf_dir, "documents")
     fp = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    return d.select("doc_id", fp.alias("fp60"), (fp % 64).alias("shard"))
+    norm = normalize_text("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.size(toks_lower).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks_lower)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        fp.alias("fp60"),
+        (fp % 64).alias("shard"),
+        pred.alias("pred"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
 
 
 @query(
@@ -1476,142 +1729,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_full_outer",
-    """
-    WITH buyers AS (
-      SELECT o_custkey AS ck, count(*) AS n_orders FROM orders GROUP BY o_custkey
-    ),
-    eventers AS (
-      SELECT user_id % 1500 AS ck, count(*) AS n_events FROM events GROUP BY 1
-    )
-    SELECT coalesce(b.ck, e.ck) AS custkey,
-           coalesce(n_orders, 0) AS n_orders,
-           coalesce(n_events, 0) AS n_events
-    FROM buyers b FULL OUTER JOIN eventers e ON b.ck = e.ck
-    """,
-)
-def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join (absent from the reference)."""
-    o = _t(spark, sf_dir, "orders")
-    ev = _t(spark, sf_dir, "events")
-    buyers = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    eventers = ev.groupBy((F.col("user_id") % 1500).alias("ck")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    j = buyers.join(eventers, buyers.ck == eventers.ck, "full_outer")
-    return j.select(
-        F.coalesce(buyers.ck, eventers.ck).alias("custkey"),
-        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-    )
-
-
-@query(
-    "string_functions",
-    """
-    SELECT upper(substr(c_name, 1, 8)) AS prefix,
-           CAST(length(c_name) AS BIGINT) AS name_len,
-           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key,
-           count(*) AS n
-    FROM customer
-    WHERE c_name LIKE '%er#%' OR c_mktsegment IN ('BUILDING', 'MACHINERY')
-    GROUP BY 1, 2, 3
-    """,
-)
-def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String surface: LIKE / IN predicates, upper/substr/length/concat
-    (the reference encodes strings away at ingest — the new engine keeps
-    Spark's full string library)."""
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.filter(
-            F.col("c_name").like("%er#%")
-            | F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
-        )
-        .groupBy(
-            F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
-            F.length("c_name").cast("long").alias("name_len"),
-            F.concat(
-                F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
-            ).alias("seg_key"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "null_handling",
-    """
-    SELECT coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status,
-           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-           count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
-           count(*) AS n
-    FROM orders GROUP BY 1
-    """,
-)
-def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL semantics: nullif/coalesce/conditional counting — real NULLs
-    replace the reference's sentinel encodings (SURVEY §1.2 design
-    decision)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias("status")
-    ).agg(
-        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
-        .cast("long").alias("n_big"),
-        F.count(F.nullif("o_orderpriority", F.lit("1-URGENT"))).alias("n_not_urgent"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "stats_aggregates",
-    """
-    SELECT l_returnflag,
-           round(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS sd_qty,
-           round(CAST(var_samp(l_discount) AS DOUBLE), 6) AS var_disc,
-           round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 5) AS corr_qty_price,
-           round(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 5) AS cov_qty_disc
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (stddev/variance/correlation/covariance) —
-    absent from the reference, free in Spark; both engines use the same
-    sample definitions."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 5).alias("cov_qty_disc"),
-    )
-
-
-@query(
-    "exact_median",
-    """
-    SELECT event_type,
-           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
-           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
-    FROM events GROUP BY event_type
-    """,
-)
-def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles (median/p90): Spark percentile ==
-    DuckDB quantile_cont (both linear-interpolation); the approx variant
-    (percentile_approx) exists in the API but has no cross-engine
-    oracle, so the exact form is the one verified."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
-    )
-
-
-@query(
     "ocean_mask_gate",
     """
     WITH grid AS (
@@ -1968,36 +2085,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return stratified_sample_exact(d, "lang", 0.2, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang"
-    )
-
-
-@query(
-    "text_normalize",
-    r"""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           md5(norm) AS norm_hash,
-           CAST(length(norm) AS BIGINT) AS norm_len
-    FROM (SELECT doc_id,
-                 trim(regexp_replace(
-                   regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
-                   '\s+', ' ', 'g')) AS norm
-          FROM documents)
-    """,
-)
-def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical normalization (control-strip, lower, whitespace
-    collapse, trim) — returned as md5 + length so the full normalized
-    text is verified without shipping it (functions/text.py)."""
-    from .functions.text import normalize_text
-
-    d = _t(spark, sf_dir, "documents")
-    # control-strip and lower() commute (control chars are caseless), so
-    # normalize_text == the oracle's lower-first expression
-    norm = normalize_text("text")
-    return d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(norm).alias("norm_hash"),
-        F.length(norm).cast("long").alias("norm_len"),
     )
 
 

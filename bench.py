@@ -31,8 +31,8 @@ HEADLINE = [
     "filter_project",
     "join_multiway",
     "join_asof",
-    "window_cumsum",
-    "topk_per_group",
+    "window_suite",
+    "topk_suite",
     "clim_kernel_grid",
     "events_hourly_window",
     # dedup_groups_lsh strictly contains the dedup_minhash_lsh plan
@@ -44,7 +44,7 @@ HEADLINE = [
     # edges) is the deliberately-quadratic exact baseline —
     # correctness-checked at sf0.01, not a headline scale number.
     "cosine_topk",
-    "text_quality",
+    "text_suite",
 ]
 
 

@@ -61,16 +61,19 @@ def test_clim_kernel_grid_broadcast_and_one_exchange(spark, sf):
 
 
 def test_topk_uses_take_ordered(spark, sf):
-    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (no global
-    sort materialization)."""
-    df = QUERIES["topk_orders"](spark, sf)
+    """The merged topk_suite's global limb (ORDER BY + LIMIT) must still
+    plan as TakeOrderedAndProject (no global sort materialization) —
+    the union must not defeat the limit pushdown."""
+    df = QUERIES["topk_suite"](spark, sf)
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
 def test_semi_anti_plan_as_joins(spark, sf):
-    for name, kind in [("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")]:
-        plan = physical_plan(QUERIES[name](spark, sf))
-        assert kind in plan, f"{name} lost its {kind} join:\n{plan[:800]}"
+    """join_variants' semi/anti limbs keep their specialized join
+    operators inside the union."""
+    plan = physical_plan(QUERIES["join_variants"](spark, sf))
+    for kind in ("LeftSemi", "LeftAnti"):
+        assert kind in plan, f"join_variants lost its {kind} join:\n{plan[:800]}"
 
 
 def test_events_scan_prunes_columns(spark, sf):
