@@ -65,22 +65,29 @@ def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
         if good.sum() < MIN_GOOD_LEVELS:
             continue
         p, t, s = pres[good], temp[good], psal[good]
-        # monotone/contiguity gate (reference interpolation.py:236-249:
-        # len(jdx) == jdx[-1]-jdx[0]+1 and len(jdx) > 10). On the
-        # good-filtered levels that contiguous-ascending-first-occurrence
-        # condition is exactly "strictly increasing": duplicated or
-        # reordered pressures DROP the profile — np.unique would silently
-        # sort/dedup them into a plausible-looking spline input instead.
-        if p.shape[0] <= MIN_UNIQUE_PRES or not np.all(np.diff(p) > 0.0):
+        # unique/contiguity gate, replicated exactly from the reference
+        # (interpolation.py:236-249): jdx = first-occurrence indices of
+        # the unique pressures (in value order); keep the profile iff
+        # len(jdx) == jdx[-1]-jdx[0]+1 and len(jdx) > 10, then
+        # interpolate on the PRES[jdx] subset (sorted unique values).
+        # Consequences, pinned by test_monotone_gate_*: ascending
+        # profiles with trailing duplicates / a late re-measured level
+        # ([1..12, 5]) pass on the clean prefix; a local reordering
+        # whose min/max keep their index span (a mid-profile swap) also
+        # passes and is silently value-sorted; interior duplicates and
+        # descending profiles break the arithmetic and are dropped.
+        _, jdx = np.unique(p, return_index=True)
+        if jdx.shape[0] <= MIN_UNIQUE_PRES or jdx.shape[0] != jdx[-1] - jdx[0] + 1:
             continue
-        p_u, t_u, s_u = p, t, s
+        p_u, t_u, s_u = p[jdx], t[jdx], s[jdx]
 
         # target levels inside the measured span: upward tolerance is
-        # 1.2x the shallowest spacing, downward is zero — the reference
+        # 1.2x the first spacing of the *unsubset* array (reference
+        # :241 uses PRES[1]-PRES[0]), downward is zero — the reference
         # never extrapolates below the deepest measurement (deltamin /
         # deltamax, interpolation.py:241-245)
-        deltamin = DELTAMIN_FACTOR * (p_u[1] - p_u[0])
-        in_span = (pref >= p_u[0] - deltamin) & (pref <= p_u[-1] + DELTAMAX_DBAR)
+        deltamin = DELTAMIN_FACTOR * (p[1] - p[0])
+        in_span = (pref >= p.min() - deltamin) & (pref <= p.max() + DELTAMAX_DBAR)
         if in_span.sum() < MIN_TARGET_LEVELS:
             continue
 

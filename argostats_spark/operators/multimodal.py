@@ -50,6 +50,11 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    # False = the payload could not really decode and the deterministic
+    # fake filled in — downstream MUST be able to filter/alarm on this
+    # (a JPEG corpus in a codec-less container would otherwise flow
+    # noise features with no signal that decode never happened)
+    T.StructField("decoded", T.BooleanType(), False),
 ])
 
 
@@ -82,6 +87,11 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         tokens.append(int(m.group(1)))
         pos += m.end()
     w, h, maxval = tokens
+    if maxval > 255:
+        # 16-bit PPM/PGM is two big-endian bytes per sample; parsing it
+        # as u1 would yield plausible garbage — refuse so extract's
+        # except-clause takes the documented fallback instead
+        raise ValueError(f"16-bit PPM/PGM not supported (maxval={maxval})")
     pos += 1  # single whitespace after maxval
     channels = 3 if payload[:2] == b"P6" else 1
     data = np.frombuffer(payload, dtype="u1", count=w * h * channels, offset=pos)
@@ -217,9 +227,11 @@ def extract_features(
                 "width": [],
                 "height": [],
                 "feature": [],
+                "decoded": [],
             }
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
+                decoded = True
                 try:
                     if kind == "audio":
                         # audio reuse of the (width, height) slots:
@@ -234,9 +246,11 @@ def extract_features(
                         feat = image_features(img, grid)[:feat_dim]
                 except (NotImplementedError, ValueError, IndexError):
                     w_, h_, feat = fake_decode_meta(raw, feat_dim)
+                    decoded = False
                 out["width"].append(w_)
                 out["height"].append(h_)
                 out["feature"].append(np.asarray(feat, "f4").tolist())
+                out["decoded"].append(decoded)
             yield pd.DataFrame(out)
 
     # size-aware repartition: giant payloads spread across tasks

@@ -69,15 +69,18 @@ def train_centroids(
     The sample is a Bernoulli ``.sample()`` across ALL partitions (a
     ``.limit()`` would take the first rows of the first partitions — not
     a sample; centroids would be trained on one corner of the corpus).
-    The count() that sizes the fraction is metadata-cheap on Parquet."""
+    No ``.limit()`` after the sample either: limit stops pulling once
+    the earliest partitions supply enough rows, which systematically
+    excludes the corpus tail — we accept the ~sample_rows·(1±ε) the
+    Bernoulli draw yields instead. The count() that sizes the fraction
+    is metadata-cheap on Parquet."""
     import numpy as np
 
     total = corpus.count()
     sampled = corpus.select(vec_col)
     if total > sample_rows:
-        # 1.2x oversample so the limit almost never truncates short
-        fraction = min(1.0, 1.2 * sample_rows / total)
-        sampled = sampled.sample(fraction=fraction, seed=seed).limit(sample_rows)
+        fraction = min(1.0, sample_rows / total)
+        sampled = sampled.sample(fraction=fraction, seed=seed)
     sample = sampled.toPandas()[vec_col].to_numpy()
     x = np.stack(sample).astype("f8")
     rng = np.random.default_rng(seed)

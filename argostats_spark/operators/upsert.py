@@ -43,9 +43,20 @@ def scd2_close_out(
     effective date, each update closes at the key's next update, and only
     the latest update stays open (end = NULL). Duplicate
     (key, effective_from) rows are pre-compacted so a doubled update can
-    never duplicate the closed base row."""
+    never duplicate the closed base row; the winner is chosen
+    deterministically (max over the payload columns' lexicographic
+    order), not ``dropDuplicates``'s partition-order arbitrary pick —
+    reruns and repartitionings must produce the same history."""
     end_type = base.schema[end_col].dataType
-    upd = updates.dropDuplicates([*keys, effective_col])
+    payload = [c for c in updates.columns if c not in (*keys, effective_col)]
+    wdup = W.partitionBy(*keys, effective_col).orderBy(
+        *[F.desc(c) for c in payload] if payload else [F.lit(1)]
+    )
+    upd = (
+        updates.withColumn("_dup_rn", F.row_number().over(wdup))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
     first_new = upd.groupBy(*keys).agg(F.min(effective_col).alias("_new_from"))
     closed = (
         base.join(first_new, on=keys, how="left")

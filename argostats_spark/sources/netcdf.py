@@ -33,14 +33,50 @@ except ImportError:
 ARGO_EPOCH = pd.Timestamp("1950-01-01")  # Argo JULD reference date
 _DATA_MODE_CODE = {b"R": 0, b"D": 1, b"A": 2}
 
+# Official Argo DAC directory names (reference toctools.py:22-23); the
+# reference encodes DAC as the index into this list.
+DACS = ["aoml", "bodc", "coriolis", "csio", "csiro",
+        "incois", "jma", "kiost", "kma", "meds", "nmdis"]
+_DAC_INDEX = {name: i for i, name in enumerate(DACS)}
+
+
+def dac_from_path(path: str) -> int:
+    """DAC id from the GDAC layout ``$GDAC/<dac>/<wmo>/<wmo>_prof.nc``
+    (reference toctools.py:105-106 dirdac / :252-253 retrieve_dac). Any
+    directory component matching a known DAC name wins (robust to extra
+    nesting); unknown layouts return -1 so per-DAC counts (A12) surface
+    them instead of silently crediting DACS[0]."""
+    for part in reversed(path.split("/")[:-1]):
+        if part.lower() in _DAC_INDEX:
+            return _DAC_INDEX[part.lower()]
+    return -1
+
+
+def _qc_ints(chars):
+    """QC NC_CHAR bytes → int codes. Real GDAC files carry blank (' ')
+    fill where no QC was performed; any non-digit maps to 0 ("no QC")
+    instead of crashing the whole-file parse."""
+    import numpy as np
+
+    a = np.asarray(chars, dtype="S1")
+    codes = np.frombuffer(a.tobytes(), dtype="u1").astype("i2") - ord("0")
+    return np.where((codes >= 0) & (codes <= 9), codes, 0).astype("i1").reshape(a.shape)
+
 
 def parse_argo_classic(path: str, content: bytes) -> pd.DataFrame:
     """REAL parser for NetCDF-3 classic <WMO>_prof.nc bytes — the format
     Argo GDAC core-profile files actually use (the Argo user manual
     mandates classic format) — via the dependency-free CDF-1 codec
     (sources/netcdf3.py). Conventions handled: JULD = days since
-    1950-01-01, DATA_MODE / *_QC as NC_CHAR, (N_PROF, N_LEVELS) ragged
-    payload matrices."""
+    1950-01-01, DATA_MODE / *_QC as NC_CHAR (blank fill tolerated),
+    (N_PROF, N_LEVELS) ragged payload matrices, ``*_ADJUSTED`` (+QC)
+    variables when present, DAC from the directory layout.
+
+    Delayed-mode QC follows the reference exactly (interpolation.py:
+    185-196): when EVERY profile in the file is mode 'D' and the
+    adjusted variables exist, the per-level QC columns are read from
+    ``*_ADJUSTED_QC`` — the QC mask must describe the values that will
+    actually be interpolated."""
     import numpy as np
 
     from .netcdf3 import read_netcdf3_bytes
@@ -48,15 +84,24 @@ def parse_argo_classic(path: str, content: bytes) -> pd.DataFrame:
     dims, v = read_netcdf3_bytes(content)
     n_prof = int(dims.get("N_PROF", 0))
     wmo = int(path.split("/")[-1].split("_")[0])
+    dac = dac_from_path(path)
 
-    def qc_row(name: str, i: int) -> list[int]:
-        return np.char.decode(v[name][i]).astype("i1").tolist()
+    adj_names = ("PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED")
+    have_adj = all(n in v for n in adj_names)
+    all_delayed = n_prof > 0 and all(
+        bytes(v["DATA_MODE"][i]) == b"D" for i in range(n_prof)
+    )
+    use_adj_qc = have_adj and all_delayed and all(n + "_QC" in v for n in adj_names)
+    qc_suffix = "_ADJUSTED_QC" if use_adj_qc else "_QC"
+
+    def qc_row(var: str, i: int) -> list[int]:
+        return _qc_ints(v[var + qc_suffix][i]).tolist()
 
     rows = []
     for i in range(n_prof):
         rows.append(
             {
-                "DAC": 0,
+                "DAC": dac,
                 "WMO": wmo,
                 "IPROF": i,
                 "LONGITUDE": float(v["LONGITUDE"][i]),
@@ -64,17 +109,17 @@ def parse_argo_classic(path: str, content: bytes) -> pd.DataFrame:
                 "JULD": ARGO_EPOCH + pd.to_timedelta(float(v["JULD"][i]), unit="D"),
                 "DATA_MODE": _DATA_MODE_CODE.get(bytes(v["DATA_MODE"][i]), 0),
                 "PLATFORM": None,
-                "POSITION_QC": int(np.char.decode(v["POSITION_QC"][i : i + 1])[0]),
-                "JULD_QC": int(np.char.decode(v["JULD_QC"][i : i + 1])[0]),
+                "POSITION_QC": int(_qc_ints(v["POSITION_QC"][i : i + 1])[0]),
+                "JULD_QC": int(_qc_ints(v["JULD_QC"][i : i + 1])[0]),
                 "PRES": v["PRES"][i].tolist(),
                 "TEMP": v["TEMP"][i].tolist(),
                 "PSAL": v["PSAL"][i].tolist(),
-                "PRES_ADJUSTED": None,
-                "TEMP_ADJUSTED": None,
-                "PSAL_ADJUSTED": None,
-                "PRES_QC": qc_row("PRES_QC", i),
-                "TEMP_QC": qc_row("TEMP_QC", i),
-                "PSAL_QC": qc_row("PSAL_QC", i),
+                "PRES_ADJUSTED": v["PRES_ADJUSTED"][i].tolist() if have_adj else None,
+                "TEMP_ADJUSTED": v["TEMP_ADJUSTED"][i].tolist() if have_adj else None,
+                "PSAL_ADJUSTED": v["PSAL_ADJUSTED"][i].tolist() if have_adj else None,
+                "PRES_QC": qc_row("PRES", i),
+                "TEMP_QC": qc_row("TEMP", i),
+                "PSAL_QC": qc_row("PSAL", i),
             }
         )
     return pd.DataFrame(rows)
@@ -103,7 +148,7 @@ def parse_netcdf_bytes(path: str, content: bytes) -> pd.DataFrame:
     for i in range(n_prof):
         rows.append(
             {
-                "DAC": 0,
+                "DAC": dac_from_path(path),
                 "WMO": int(path.split("/")[-1].split("_")[0]),
                 "IPROF": i,
                 "LONGITUDE": float(ds["LONGITUDE"].values[i]),
@@ -181,11 +226,21 @@ def write_argo_prof_nc(
     temp,
     psal,
     qc_digit: int = 1,
+    qc_chars=None,
+    pres_adj=None,
+    temp_adj=None,
+    psal_adj=None,
+    adj_qc_digit: int = 1,
 ) -> str:
     """Write a synthetic <WMO>_prof.nc in genuine NetCDF-3 classic form
     (Argo GDAC conventions: JULD days since 1950, NC_CHAR DATA_MODE/QC,
     (N_PROF, N_LEVELS) matrices). Produces REAL bytes for the ingest
-    path — tests exercise the default parser, not an injected fake."""
+    path — tests exercise the default parser, not an injected fake.
+
+    ``qc_chars`` (an (N_PROF, N_LEVELS) array of single characters,
+    blanks allowed) overrides the uniform ``qc_digit`` fill; passing
+    ``pres_adj``/``temp_adj``/``psal_adj`` adds the delayed-mode
+    ``*_ADJUSTED`` (+``_QC``) variables real 'D'-mode files carry."""
     import numpy as np
 
     from .netcdf3 import write_netcdf3
@@ -193,7 +248,10 @@ def write_argo_prof_nc(
     pres = np.asarray(pres, "f4")
     n_prof, n_levels = pres.shape
     dims = {"N_PROF": n_prof, "N_LEVELS": n_levels}
-    qc = np.full((n_prof, n_levels), str(qc_digit).encode(), dtype="S1")
+    if qc_chars is not None:
+        qc = np.asarray(qc_chars, dtype="S1").reshape(n_prof, n_levels)
+    else:
+        qc = np.full((n_prof, n_levels), str(qc_digit).encode(), dtype="S1")
     variables = {
         "LONGITUDE": (("N_PROF",), np.asarray(lons, "f8")),
         "LATITUDE": (("N_PROF",), np.asarray(lats, "f8")),
@@ -208,6 +266,18 @@ def write_argo_prof_nc(
         "TEMP_QC": (("N_PROF", "N_LEVELS"), qc),
         "PSAL_QC": (("N_PROF", "N_LEVELS"), qc),
     }
+    if pres_adj is not None:
+        adj_qc = np.full((n_prof, n_levels), str(adj_qc_digit).encode(), dtype="S1")
+        variables.update(
+            {
+                "PRES_ADJUSTED": (("N_PROF", "N_LEVELS"), np.asarray(pres_adj, "f4")),
+                "TEMP_ADJUSTED": (("N_PROF", "N_LEVELS"), np.asarray(temp_adj, "f4")),
+                "PSAL_ADJUSTED": (("N_PROF", "N_LEVELS"), np.asarray(psal_adj, "f4")),
+                "PRES_ADJUSTED_QC": (("N_PROF", "N_LEVELS"), adj_qc),
+                "TEMP_ADJUSTED_QC": (("N_PROF", "N_LEVELS"), adj_qc),
+                "PSAL_ADJUSTED_QC": (("N_PROF", "N_LEVELS"), adj_qc),
+            }
+        )
     full = f"{path}/{wmo}_prof.nc"
     write_netcdf3(full, dims, variables)
     return full

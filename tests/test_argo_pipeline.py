@@ -123,10 +123,19 @@ def test_dropped_profiles_are_the_gated_ones(spark, raw, profiles):
 
 
 def test_monotone_gate_drops_bad_profiles_no_downward_extrapolation():
-    """The reference's contiguity gate (interpolation.py:236-249): a
-    duplicated or non-monotone pressure axis DROPS the profile — it is
-    not silently repaired by unique/sort — and interpolation targets
-    never extend below the deepest measurement (deltamax = 0)."""
+    """The reference's contiguity gate, replicated EXACTLY
+    (interpolation.py:236-249, jdx = np.unique first-occurrence
+    indices, keep iff len(jdx)==jdx[-1]-jdx[0]+1 and len>10,
+    interpolate on PRES[jdx]):
+
+    - interior duplicate pressure   → dropped (count != index span);
+    - descending axis               → dropped (negative span);
+    - trailing dup of earlier level → KEPT, interpolated on the clean
+      prefix (the [1..12, 5] case real Argo floats produce);
+    - mid-profile swap              → KEPT, silently value-sorted (the
+      reference's arithmetic cannot see it);
+    and interpolation targets never extend below the deepest
+    measurement (deltamax = 0)."""
     from argostats_spark.operators.interpolation import _interp_one_wmo
     from argostats_spark.schemas import pref64
 
@@ -142,19 +151,33 @@ def test_monotone_gate_drops_bad_profiles_no_downward_extrapolation():
         "PRES_ADJUSTED": None, "TEMP_ADJUSTED": None, "PSAL_ADJUSTED": None,
     }
     dup = dict(base, IPROF=1, PRES=pres.copy())
-    dup["PRES"][3] = dup["PRES"][2]           # duplicated pressure
-    nonmono = dict(base, IPROF=2, PRES=pres.copy())
-    nonmono["PRES"][5] = nonmono["PRES"][4] - 1.0  # non-monotone
+    dup["PRES"][3] = dup["PRES"][2]           # interior duplicate
+    desc = dict(base, IPROF=2, PRES=pres[::-1].copy())  # descending
+    trail = dict(base, IPROF=3, PRES=pres.copy())
+    trail["PRES"][n - 1] = trail["PRES"][4]   # trailing dup of level 4
+    swap = dict(base, IPROF=4, PRES=pres.copy(), TEMP=base["TEMP"].copy())
+    swap["PRES"][5], swap["PRES"][6] = pres[6], pres[5]  # mid swap,
+    swap["TEMP"][5], swap["TEMP"][6] = base["TEMP"][6], base["TEMP"][5]  # whole record
     ok = dict(base, IPROF=0, PRES=pres.copy())
-    pdf = pd.DataFrame([ok, dup, nonmono])
+    pdf = pd.DataFrame([ok, dup, desc, trail, swap])
     out = _interp_one_wmo(pdf)
-    assert out.IPROF.tolist() == [0]  # dup + non-monotone dropped
-    # deltamax = 0: no target level below the deepest measured pressure
-    idx = np.array(out.IDX.iloc[0])
+    assert out.IPROF.tolist() == [0, 3, 4]  # dup + descending dropped
     pref = pref64()
-    assert pref[idx == 1].max() <= pres.max()
-    # the dropped profiles WOULD have passed the old unique-count gate
-    assert len(np.unique(dup["PRES"])) >= 10
+    for _, r in out.iterrows():
+        # deltamax = 0: no target below the deepest measured pressure
+        idx = np.array(r.IDX)
+        assert pref[idx == 1].max() <= pres.max()
+    # the trailing-dup profile interpolates on the clean prefix: its
+    # deepest valid target is bounded by the prefix's max pressure
+    trail_row = out[out.IPROF == 3].iloc[0]
+    idx = np.array(trail_row.IDX)
+    assert pref[idx == 1].max() <= pres[n - 2]
+    # swap profile == clean profile (values get sorted): same CT grid
+    np.testing.assert_allclose(
+        np.array(out[out.IPROF == 4].CT.iloc[0]),
+        np.array(out[out.IPROF == 0].CT.iloc[0]),
+        rtol=1e-6,
+    )
 
 
 def test_write_profiles_roundtrip(spark, profiles, tmp_path):

@@ -426,6 +426,64 @@ def test_netcdf_classic_ingest_real_parser(spark, tmp_path):
     assert r0["PRES_QC"] == [1] * 30
 
 
+def test_netcdf_ingest_adjusted_vars_dac_and_blank_qc(spark, tmp_path):
+    """S3/S4 fidelity on REAL bytes (reference interpolation.py:185-196,
+    toctools.py:22-23): an all-'D' file carrying *_ADJUSTED variables
+    must interpolate the ADJUSTED values end-to-end; DAC comes from the
+    GDAC directory layout; blank QC fill characters parse to 0 instead
+    of crashing the file."""
+    import numpy as np
+
+    from argostats_spark.operators.interpolation import interpolate_profiles
+    from argostats_spark.sources.netcdf import (
+        ingest_gdac, parse_argo_classic, write_argo_prof_nc,
+    )
+
+    n = 30
+    pres = np.tile(np.linspace(5, 1500, n), (2, 1))
+    temp = 20 - pres / 100.0
+    psal = 35 + pres * 0
+    kw = dict(
+        lons=[10.5, 11.0], lats=[-40.0, -40.5],
+        juld_days=[27759.5, 27760.5], data_modes="DD",
+        pres=pres, temp=temp, psal=psal,
+    )
+    d1 = tmp_path / "gdac" / "coriolis" / "6901111"
+    d2 = tmp_path / "gdac" / "aoml" / "6902222"
+    d1.mkdir(parents=True); d2.mkdir(parents=True)
+    # delayed-mode calibration shifted the temperature by +1.0 exactly
+    write_argo_prof_nc(
+        str(d1), 6901111, pres_adj=pres, temp_adj=temp + 1.0, psal_adj=psal, **kw
+    )
+    write_argo_prof_nc(str(d2), 6902222, **kw)  # no adjusted vars
+
+    raw = ingest_gdac(spark, str(tmp_path / "gdac" / "*" / "*"))
+    rows = {(r["WMO"], r["IPROF"]): r for r in raw.collect()}
+    assert rows[(6901111, 0)]["DAC"] == 2   # coriolis
+    assert rows[(6902222, 0)]["DAC"] == 0   # aoml
+    assert rows[(6901111, 0)]["TEMP_ADJUSTED"] is not None
+    assert rows[(6902222, 0)]["TEMP_ADJUSTED"] is None
+
+    prof = interpolate_profiles(raw)
+    ct = {r["WMO"]: np.array(r["CT"])[np.array(r["IDX"]) == 1]
+          for r in prof.filter(F.col("IPROF") == 0).collect()}
+    # same raw values, so the only difference is the adjusted +1.0 shift
+    diff = ct[6901111] - ct[6902222]
+    assert 0.8 < float(diff.mean()) < 1.2, diff
+
+    # blank QC fill: levels with ' ' parse to 0 (no QC), rest unharmed
+    qc_chars = np.full((1, n), b"1", dtype="S1")
+    qc_chars[0, 5:9] = b" "
+    f = write_argo_prof_nc(
+        str(tmp_path), 6903333,
+        lons=[0.0], lats=[0.0], juld_days=[27000.0], data_modes="R",
+        pres=pres[:1], temp=temp[:1], psal=psal[:1], qc_chars=qc_chars,
+    )
+    pdf = parse_argo_classic(f, open(f, "rb").read())
+    assert pdf.PRES_QC.iloc[0][4] == 1 and pdf.PRES_QC.iloc[0][5] == 0
+    assert pdf.DAC.iloc[0] == -1  # unknown layout is surfaced, not aoml
+
+
 def test_multimodal_real_ppm_decode_through_spark(spark, tmp_path):
     """The decode path is REAL for PPM/BMP: payloads built as genuine
     image bytes flow through to_media_table → mapInPandas extract and
@@ -440,18 +498,30 @@ def test_multimodal_real_ppm_decode_through_spark(spark, tmp_path):
     rng = np.random.default_rng(7)
     img = rng.integers(0, 255, (24, 40, 3)).astype("u1")
     ppm = b"P6\n40 24\n255\n" + img.tobytes()
-    rows = [(1, bytearray(ppm)), (2, bytearray(b"\x89PNGnotreally..."))]
+    # 16-bit PPM (maxval > 255): two bytes/sample — must NOT be silently
+    # misparsed as 8-bit; the decoder refuses and the fake engages
+    img16 = rng.integers(0, 65535, (24, 40, 3)).astype(">u2")
+    ppm16 = b"P6\n40 24\n65535\n" + img16.tobytes()
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(b"\x89PNGnotreally...")),
+        (3, bytearray(ppm16)),
+    ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     media = to_media_table(df, "media_id", "payload", "image")
     out = {r["media_id"]: r for r in extract_features(media, feat_dim=16).collect()}
     assert out[1]["width"] == 40 and out[1]["height"] == 24
+    assert out[1]["decoded"] is True
     np.testing.assert_allclose(
         np.asarray(out[1]["feature"], "f4"),
         image_features(decode_image(ppm), 4),
         rtol=1e-6,
     )
-    # the PNG-ish bytes can't decode without codec libs → deterministic fake
+    # the PNG-ish bytes can't decode without codec libs → deterministic
+    # fake, and the row SAYS so — downstream can filter/alarm
     assert out[2]["width"] != 40 or out[2]["height"] != 24
+    assert out[2]["decoded"] is False
+    assert out[3]["decoded"] is False  # 16-bit refused, not garbage
 
 
 def test_multimodal_real_wav_decode_through_spark(spark):

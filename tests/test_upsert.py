@@ -77,3 +77,7 @@ def test_scd2_multiple_updates_one_key_chain(spark):
     assert out.effective_to.tolist()[0] == 5.0  # base closed at earliest
     assert out.effective_to.tolist()[1] == 9.0  # u1 closed at u2
     assert pd.isna(out.effective_to.tolist()[2])  # u2 open
+    # the (k=1, from=9) duplicate resolves DETERMINISTICALLY: max over
+    # payload lexicographic order ('u2dup' > 'u2'), same on every rerun
+    # and partitioning — not dropDuplicates's arbitrary survivor
+    assert out.v.tolist()[2] == "u2dup"
