@@ -56,11 +56,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        # force full execution of every operator in the plan
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # two runs, report the min: first-run codegen/JIT jitter masked
+        # plan regressions in r2 (q1 2.11→2.81s with an unchanged pinned
+        # plan) — the warm minimum is the number the plan determines
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            # force full execution of every operator in the plan
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # Reference-parity microbench: interpolation throughput (BASELINE.md
     # derived rate ~5e3 profiles/s on 28 cores). Python workers are warm
@@ -78,6 +84,17 @@ def main() -> None:
     # further at real scale.
     raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
     n_raw = raw.count()
+
+    # Summary build (BASELINE.md row 1: the reference's ~1e4 profiles/s
+    # ingest-side headline, README.md:53) — one window shuffle over the
+    # raw table plus the broadcast platform-dictionary join.
+    from argostats_spark.operators.summary import build_summary
+
+    build_summary(raw).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    build_summary(raw).write.format("noop").mode("overwrite").save()
+    summary_sec = time.perf_counter() - t0
+    timings["argo_summary_build_30k"] = round(summary_sec, 3)
     # spawn/warm the Python UDF daemons so the measurement reflects the
     # steady state (the reference's pool is likewise persistent); a
     # sample keeps all WMO groups → all shuffle partitions → all workers
@@ -121,6 +138,9 @@ def main() -> None:
             "interp_sec": round(interp_sec, 3),
             "interp_profiles_per_sec": round(n_raw / interp_sec, 1),
             "baseline_reference_profiles_per_sec": 5000,
+            "summary_sec": round(summary_sec, 3),
+            "summary_profiles_per_sec": round(n_raw / summary_sec, 1),
+            "baseline_reference_summary_profiles_per_sec": 10000,
         },
     }
     print(json.dumps(out))

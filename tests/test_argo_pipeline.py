@@ -33,6 +33,30 @@ def profiles(spark, raw):
 # ---------------------------------------------------------------------------
 
 
+def test_make_raw_distributed_matches_pandas_twin(spark):
+    """make_raw (spark.range + mapInPandas, per-WMO RNG streams) must
+    produce EXACTLY the rows of the driver-side make_raw_pandas — the
+    distributed path is a scale change, not a data change."""
+    from argostats_spark.sources.synthetic import make_raw_pandas
+
+    dist = (
+        make_raw(spark, n_wmos=4, profiles_per_wmo=5, seed=7)
+        .toPandas()
+        .sort_values(["WMO", "IPROF"])
+        .reset_index(drop=True)
+    )
+    local = make_raw_pandas(n_wmos=4, profiles_per_wmo=5, seed=7)
+    local = local.sort_values(["WMO", "IPROF"]).reset_index(drop=True)
+    assert len(dist) == len(local) == 20
+    for col in ("WMO", "IPROF", "DAC", "DATA_MODE", "POSITION_QC"):
+        assert dist[col].tolist() == local[col].tolist(), col
+    for col in ("LONGITUDE", "LATITUDE"):
+        np.testing.assert_allclose(dist[col], local[col], rtol=1e-6)
+    for i in range(len(dist)):
+        np.testing.assert_allclose(dist.PRES[i], local.PRES[i], rtol=1e-6)
+        assert list(dist.PRES_QC[i]) == list(local.PRES_QC[i])
+
+
 def test_summary_shape_and_iprof(spark, raw):
     s = build_summary(raw)
     pdf = s.toPandas()
