@@ -57,7 +57,17 @@ def _natural_cubic_coeffs(x: np.ndarray, ys: np.ndarray) -> np.ndarray:
 def cubic_interp_multi(x: np.ndarray, ys: np.ndarray, xq: np.ndarray) -> np.ndarray:
     """Natural cubic spline for k value columns sharing one knot vector:
     ys (n, k) → (len(xq), k). One factorization serves all columns — the
-    interpolation kernel calls this once per profile for (CT, SR)."""
+    interpolation kernel calls this once per profile for (CT, SR).
+
+    DOCUMENTED DIVERGENCE from the reference (F9): the reference uses
+    scipy interp1d kind="cubic" (not-a-knot BCs, src/argostats/
+    interpolation.py:13-17); this is the NATURAL spline (zero second
+    derivative at the ends). Quantified in tests/test_functions.py::
+    test_cubic_natural_vs_notaknot_divergence_bounded: <=0.05 units
+    overall / <=0.01 interior on smooth Argo-spaced profiles; on noisy
+    dense profiles not-a-knot can overshoot the data envelope by tens
+    of units at the boundary while natural stays bounded — a deliberate
+    robustness choice."""
     x = np.asarray(x, dtype="f8")
     ys = np.asarray(ys, dtype="f8")
     xq = np.asarray(xq, dtype="f8")

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from ..functions.blas import limit_blas_threads
 from ..functions.teos10 import compute_cf, eape_unit, rho, sound_speed
 from ..schemas import DOMAINS, NLEVELS, pref64
-from .spatial import neighborhood_join
+from .spatial import explode_neighbor_bins, neighborhood_join, with_bins
 
 # ---------------------------------------------------------------------------
 # Grid generation (F14)
@@ -257,13 +257,119 @@ def clim_ts_exploded(
     )
 
 
-def export_atlas_netcdf(atlas_df: DataFrame, path: str) -> None:
+# measured pair-shuffle cost of the applyInPandas variant: ~850 bytes
+# per (cell, profile) pair with the 64-level arrays attached (SCALE.md)
+PAIR_SHUFFLE_BYTES = 850
+
+
+def estimate_pair_count(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    delayed_only: bool = True,
+) -> int:
+    """EXACT size of the binned neighborhood join's output before the
+    haversine cutoff (an upper bound on the pair set, ~4/π over it for
+    uniform density): Σ_bins |exploded grid rows| × |profiles|. Costs
+    two tiny count-aggregations — the profile side map-combines to one
+    row per occupied bin — and one driver scalar; nothing like the join
+    itself runs."""
+    radius = smoothing_factor * reso_deg
+    bin_deg = max(radius, 1.0)
+    pred = F.col("FLAG") == 1
+    if delayed_only:
+        pred = pred & (F.col("DATA_MODE") == 1)
+    p_hist = (
+        with_bins(profiles.filter(pred), "LONGITUDE", "LATITUDE", bin_deg)
+        .groupBy("lon_bin", "lat_bin")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    g_hist = (
+        explode_neighbor_bins(grid, "glon", "glat", radius, bin_deg)
+        .groupBy("lon_bin", "lat_bin")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+    )
+    row = (
+        g_hist.join(p_hist, on=["lon_bin", "lat_bin"])
+        .agg(F.sum(F.col("n_g") * F.col("n_p")).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)
+
+
+def choose_clim_ts_variant(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    max_pair_shuffle_gb: float = 24.0,
+) -> str:
+    """The routing decision of clim_ts_auto, separately callable (and
+    separately testable): 'kernel' while the estimated pair shuffle fits
+    the budget, else 'exploded'."""
+    est = estimate_pair_count(grid, profiles, reso_deg, smoothing_factor)
+    return (
+        "kernel" if est * PAIR_SHUFFLE_BYTES <= max_pair_shuffle_gb * 1e9 else "exploded"
+    )
+
+
+def clim_ts_auto(
+    grid: DataFrame,
+    profiles: DataFrame,
+    reso_deg: float,
+    smoothing_factor: float = 4.0,
+    max_pair_shuffle_gb: float = 24.0,
+    variant: str | None = None,
+) -> DataFrame:
+    """A3 with automatic physical-variant selection (the SCALE.md
+    crossover, previously a caller choice): estimate the pair-set
+    shuffle of the applyInPandas kernel; if it fits the budget the
+    Arrow+NumPy kernel wins (measured 2.6-2.9×), otherwise route to the
+    exploded expression aggregate whose exchange is pair-count-
+    independent (map-side combine to |cells|×64 rows) — a global polar-
+    skewed fine grid at 3M profiles is 352M pairs ≈ 300 GB of kernel
+    shuffle, which ENOSPCed a single node but streams through the
+    exploded variant in 361 s (SCALE.md). ``variant`` forces
+    'kernel'/'exploded' explicitly."""
+    if variant is None:
+        variant = choose_clim_ts_variant(
+            grid, profiles, reso_deg, smoothing_factor, max_pair_shuffle_gb
+        )
+    if variant not in ("kernel", "exploded"):
+        raise ValueError(f"unknown clim_ts variant: {variant!r}")
+    fn = clim_ts if variant == "kernel" else clim_ts_exploded
+    return fn(grid, profiles, reso_deg, smoothing_factor)
+
+
+# per-variable units, matching the reference's UNITS table
+# (atlas.py:39-46; plain text rather than TeX markup)
+ATLAS_UNITS = {
+    "CT": "degC",
+    "SR": "g kg-1",
+    "RHO": "kg m-3",
+    "EAPE": "cm2 s-2",
+    "W": "1",
+    "lat": "degrees_north",
+    "lon": "degrees_east",
+    "pres": "dbar",
+}
+
+
+def export_atlas_netcdf(
+    atlas_df: DataFrame, path: str, global_attrs: dict | None = None
+) -> None:
     """NetCDF atlas export (S9, reference atlas.py:576-635): the gridded
     result is small (cells × 64 floats) so a driver-side assemble is
     appropriate — the primary sink stays Parquet. Written as NetCDF-3
     classic via the dependency-free codec (sources/netcdf3.py, public
     CDF-1 format); netCDF4/xarray read these files natively, so the
-    export is REAL in this container, not an env-gated stub."""
+    export is REAL in this container, not an env-gated stub.
+
+    Per-variable ``units`` and the global provenance attributes ride in
+    the header like the reference's write_atlas_to_netcdf (atlas.py:
+    576-607); pass e.g. ``{"latest_profile": str(max_juld)}`` to stamp
+    the A10 freshness metadata the reference derives from the AOS."""
     from ..sources.netcdf3 import write_netcdf3
 
     pdf = atlas_df.orderBy("glat", "glon").toPandas()
@@ -289,7 +395,9 @@ def export_atlas_netcdf(atlas_df: DataFrame, path: str) -> None:
             grid = np.full((len(lats), len(lons), NLEVELS), np.nan, "f4")
             grid[ix, jx, :] = np.stack(pdf[var].to_numpy()).astype("f4")
             variables[var] = (("lat", "lon", "pres"), grid)
-    write_netcdf3(path, dims, variables)
+    gattrs = {"name": "Atlas of Argo statistics", **(global_attrs or {})}
+    vattrs = {v: {"units": ATLAS_UNITS[v]} for v in variables if v in ATLAS_UNITS}
+    write_netcdf3(path, dims, variables, global_attrs=gattrs, var_attrs=vattrs)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,34 @@ def _name_bytes(name: str) -> bytes:
     return struct.pack(">i", len(raw)) + raw + b"\x00" * _pad4(len(raw))
 
 
+def _attr_value_bytes(val) -> tuple[int, int, bytes]:
+    """Attribute value → (nc_type, nelems, 4-byte-padded data). Strings
+    become NC_CHAR; python ints/floats widen to NC_INT/NC_DOUBLE."""
+    if isinstance(val, str):
+        raw = val.encode("utf-8")
+        return 2, len(raw), raw + b"\x00" * _pad4(len(raw))
+    arr = np.atleast_1d(np.asarray(val))
+    if arr.dtype.kind == "i":
+        arr = arr.astype("i4")
+    elif arr.dtype.kind == "f" and arr.dtype.itemsize > 8:
+        arr = arr.astype("f8")
+    typ = _nc_type(arr)
+    raw = arr.astype(_DTYPE_OF_TYPE[typ]).tobytes()
+    return typ, arr.size, raw + b"\x00" * _pad4(len(raw))
+
+
+def _attr_list_bytes(attrs: dict | None) -> bytes:
+    """Serialize an attribute dict as a CDF-1 att_list (absent form
+    ``0 0`` when empty — what the spec calls ABSENT)."""
+    if not attrs:
+        return struct.pack(">ii", 0, 0)
+    out = struct.pack(">ii", NC_ATTRIBUTE, len(attrs))
+    for name, val in attrs.items():
+        typ, n, data = _attr_value_bytes(val)
+        out += _name_bytes(name) + struct.pack(">ii", typ, n) + data
+    return out
+
+
 def _nc_type(arr: np.ndarray) -> int:
     key = arr.dtype.str.lstrip("<>|=")
     if key not in _TYPE_OF_DTYPE:
@@ -49,9 +77,15 @@ def write_netcdf3(
     path: str,
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
+    global_attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
 ) -> None:
     """Write fixed-size variables. ``variables`` maps name → (dim names,
-    array); every array shape must match its dims."""
+    array); every array shape must match its dims. ``global_attrs`` and
+    ``var_attrs[name]`` (str / int / float / array values) land in the
+    header attribute lists — the reference stamps units and provenance
+    on its atlas files (reference atlas.py:576-607)."""
+    var_attrs = var_attrs or {}
     dim_ids = {name: i for i, name in enumerate(dims)}
     for name, (vdims, arr) in variables.items():
         shape = tuple(dims[d] for d in vdims)
@@ -62,8 +96,7 @@ def write_netcdf3(
     body = struct.pack(">ii", NC_DIMENSION, len(dims))
     for name, length in dims.items():
         body += _name_bytes(name) + struct.pack(">i", length)
-    # no global attributes
-    body += struct.pack(">ii", 0, 0)
+    body += _attr_list_bytes(global_attrs)
 
     # variable list: first compute per-var metadata sizes so data
     # offsets ("begin") can be laid out in one pass
@@ -76,7 +109,7 @@ def write_netcdf3(
             _name_bytes(name)
             + struct.pack(">i", len(vdims))
             + b"".join(struct.pack(">i", dim_ids[d]) for d in vdims)
-            + struct.pack(">ii", 0, 0)  # no var attributes
+            + _attr_list_bytes(var_attrs.get(name))
             + struct.pack(">i", typ)
             + struct.pack(">i", vsize)
         )
@@ -114,6 +147,14 @@ def read_netcdf3(path: str) -> tuple[dict[str, int], dict[str, np.ndarray]]:
 def read_netcdf3_bytes(buf: bytes) -> tuple[dict[str, int], dict[str, np.ndarray]]:
     """Byte-buffer variant — the shape executor-side parsers need (the
     binaryFile source hands (path, content) pairs, never local paths)."""
+    dims, out, _, _ = read_netcdf3_full(buf)
+    return dims, out
+
+
+def read_netcdf3_full(
+    buf: bytes,
+) -> tuple[dict[str, int], dict[str, np.ndarray], dict, dict[str, dict]]:
+    """Full parse: (dims, variables, global_attrs, per-var attrs)."""
     if buf[:4] != b"CDF\x01":
         raise ValueError("not a NetCDF-3 classic (CDF-1) file")
     pos = 8  # magic + numrecs
@@ -131,6 +172,27 @@ def read_netcdf3_bytes(buf: bytes) -> tuple[dict[str, int], dict[str, np.ndarray
         pos += n + _pad4(n)
         return s
 
+    def read_attrs() -> dict:
+        nonlocal pos
+        atag, natt = read_i4(), read_i4()
+        attrs: dict = {}
+        if atag != NC_ATTRIBUTE:
+            return attrs
+        for _ in range(natt):
+            aname = read_name()
+            typ = read_i4()
+            n = read_i4()
+            nbytes = n * _SIZE_OF_TYPE[typ]
+            raw = buf[pos : pos + nbytes]
+            pos += nbytes + _pad4(nbytes)
+            if typ == 2:  # NC_CHAR → str
+                attrs[aname] = raw.decode("utf-8")
+            else:
+                arr = np.frombuffer(raw, dtype=_DTYPE_OF_TYPE[typ])
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+                attrs[aname] = arr[0].item() if arr.size == 1 else arr
+        return attrs
+
     tag, ndims = read_i4(), read_i4()
     dims: dict[str, int] = {}
     if tag == NC_DIMENSION:
@@ -141,32 +203,18 @@ def read_netcdf3_bytes(buf: bytes) -> tuple[dict[str, int], dict[str, np.ndarray
             dims[dname] = read_i4()
     elif tag != 0:
         raise ValueError("malformed dimension list")
-    # global attributes: skip (we never write them; tolerate absent)
-    gtag, ngatt = read_i4(), read_i4()
-    if gtag == NC_ATTRIBUTE:
-        for _ in range(ngatt):
-            read_name()
-            typ = read_i4()
-            n = read_i4()
-            nbytes = n * _SIZE_OF_TYPE[typ]
-            pos += nbytes + _pad4(nbytes)
+    gattrs = read_attrs()
 
     vtag, nvars = read_i4(), read_i4()
     out: dict[str, np.ndarray] = {}
+    vattrs: dict[str, dict] = {}
     if vtag == NC_VARIABLE:
         dim_names = list(dims)
         for _ in range(nvars):
             name = read_name()
             nd = read_i4()
             shape = tuple(dims[dim_names[read_i4()]] for _ in range(nd))
-            atag, natt = read_i4(), read_i4()
-            if atag == NC_ATTRIBUTE:
-                for _ in range(natt):
-                    read_name()
-                    typ = read_i4()
-                    n = read_i4()
-                    nbytes = n * _SIZE_OF_TYPE[typ]
-                    pos += nbytes + _pad4(nbytes)
+            vattrs[name] = read_attrs()
             typ = read_i4()
             read_i4()  # vsize
             begin = struct.unpack_from(">I", buf, pos)[0]
@@ -176,4 +224,4 @@ def read_netcdf3_bytes(buf: bytes) -> tuple[dict[str, int], dict[str, np.ndarray
                 buf, dtype=_DTYPE_OF_TYPE[typ], count=count, offset=begin
             ).reshape(shape)
             out[name] = arr.astype(arr.dtype.newbyteorder("="))
-    return dims, out
+    return dims, out, gattrs, vattrs

@@ -349,6 +349,53 @@ def test_clim_ts_exploded_matches_pandas_kernel(spark, profiles):
                            rtol=1e-4, atol=1e-4)
 
 
+def test_clim_ts_auto_variant_selection(spark, profiles):
+    """clim_ts_auto routes on the estimated pair-shuffle size: a
+    polar-band input under a fine global grid (huge adaptive lon halos
+    → many cells per profile) exceeds a budget that the same profile
+    count in a regional mid-latitude box stays under — and both routes
+    return the same answers as the forced variants."""
+    from argostats_spark.operators.atlas import (
+        clim_ts_auto, estimate_pair_count, match_pairs,
+    )
+
+    pdf = profiles.select("LONGITUDE", "LATITUDE").toPandas()
+    lon0, lat0 = float(pdf.LONGITUDE.min()), float(pdf.LATITUDE.min())
+    regional_grid = make_grid(spark, (lon0, lon0 + 10, lat0, lat0 + 10), reso_deg=2.0)
+    polar = profiles.withColumn("LATITUDE", F.lit(84.5).cast("float"))
+    global_grid = make_grid(spark, (-180.0, 180.0, -85.0, 86.0), reso_deg=1.0)
+
+    est_regional = estimate_pair_count(regional_grid, profiles, reso_deg=2.0)
+    est_polar = estimate_pair_count(global_grid, polar, reso_deg=1.0)
+    # estimator sanity: an upper bound on the true (post-cutoff) pairs
+    actual = match_pairs(regional_grid, profiles, reso_deg=2.0).count()
+    assert est_regional >= actual
+    # polar skew fans out far harder per profile
+    assert est_polar > 4 * est_regional
+
+    # pick a budget between the two estimates: routing must diverge
+    from argostats_spark.operators.atlas import (
+        PAIR_SHUFFLE_BYTES, choose_clim_ts_variant,
+    )
+    budget_gb = (est_regional + est_polar) / 2 * PAIR_SHUFFLE_BYTES / 1e9
+    assert choose_clim_ts_variant(
+        regional_grid, profiles, 2.0, max_pair_shuffle_gb=budget_gb
+    ) == "kernel"
+    assert choose_clim_ts_variant(
+        global_grid, polar, 1.0, max_pair_shuffle_gb=budget_gb
+    ) == "exploded"
+    # and auto == forced on the same input
+    a = clim_ts_auto(
+        regional_grid, profiles, reso_deg=2.0, max_pair_shuffle_gb=budget_gb
+    )
+    auto = a.toPandas().sort_values(["glon", "glat"]).reset_index(drop=True)
+    forced = (
+        clim_ts_auto(regional_grid, profiles, reso_deg=2.0, variant="kernel")
+        .toPandas().sort_values(["glon", "glat"]).reset_index(drop=True)
+    )
+    assert len(auto) == len(forced) and (auto.n_points == forced.n_points).all()
+
+
 def test_netcdf_export_roundtrip(spark, tmp_path):
     """S9: NetCDF atlas export is REAL (pure NetCDF-3 classic codec,
     sources/netcdf3.py) — write an atlas, parse the file back, and the
@@ -359,14 +406,23 @@ def test_netcdf_export_roundtrip(spark, tmp_path):
     from argostats_spark.schemas import NLEVELS
     from argostats_spark.sources.netcdf3 import read_netcdf3
 
+    from argostats_spark.sources.netcdf3 import read_netcdf3_full
+
     grid = make_grid(spark, (0.0, 4.0, 0.0, 2.0), reso_deg=2.0)
     prof = _one_profile_df(spark, 1.0, 1.0)
     ts = clim_ts(grid, prof, reso_deg=2.0)
     path = str(tmp_path / "atlas.nc")
-    export_atlas_netcdf(ts, path)
+    export_atlas_netcdf(ts, path, global_attrs={"latest_profile": "2020-01-01"})
 
     dims, data = read_netcdf3(path)
     assert dims == {"lat": 1, "lon": 2, "pres": NLEVELS}
+    # units + provenance attrs survive the roundtrip (reference
+    # atlas.py:576-607 stamps the same metadata)
+    _, _, gattrs, vattrs = read_netcdf3_full(open(path, "rb").read())
+    assert gattrs["name"] == "Atlas of Argo statistics"
+    assert gattrs["latest_profile"] == "2020-01-01"
+    assert vattrs["CT"]["units"] == "degC"
+    assert vattrs["pres"]["units"] == "dbar"
     assert data["CT"].shape == (1, 2, NLEVELS)
     pdf = ts.orderBy("glat", "glon").toPandas()
     for i, row in enumerate(pdf.itertuples()):
@@ -396,11 +452,23 @@ def test_netcdf3_codec_roundtrip(tmp_path):
         "i1v": (("c",), np.array([1, 0, 1, 1, 0], "i1")),
     }
     p = str(tmp_path / "t.nc")
-    write_netcdf3(p, dims, variables)
+    gattrs = {"title": "test file", "version": 3, "scale": 0.5,
+              "bins": np.array([1.0, 2.5, 4.0], "f8")}
+    write_netcdf3(
+        p, dims, variables,
+        global_attrs=gattrs,
+        var_attrs={"f4v": {"units": "degC", "fill": -9999}},
+    )
     rd, rv = read_netcdf3(p)
     assert rd == dims
     for k, (_, a) in variables.items():
         np.testing.assert_array_equal(rv[k], a)
+    from argostats_spark.sources.netcdf3 import read_netcdf3_full
+    _, _, g, v = read_netcdf3_full(open(p, "rb").read())
+    assert g["title"] == "test file" and g["version"] == 3 and g["scale"] == 0.5
+    np.testing.assert_array_equal(g["bins"], gattrs["bins"])
+    assert v["f4v"] == {"units": "degC", "fill": -9999}
+    assert v["f8v"] == {}
     bad = str(tmp_path / "bad.nc")
     open(bad, "wb").write(b"PAR1junk")
     with _pytest.raises(ValueError):

@@ -426,6 +426,50 @@ def test_netcdf_classic_ingest_real_parser(spark, tmp_path):
     assert r0["PRES_QC"] == [1] * 30
 
 
+def test_netcdf4_fallback_where_xarray_installed(tmp_path):
+    """The NetCDF-4/HDF5 branch of parse_netcdf_bytes is env-gated on
+    xarray (absent in this container → skipped); wherever the libs
+    exist this activates automatically and pins the fallback path:
+    a netCDF4-format file must parse to the same rows as its classic
+    twin. Non-classic bytes without xarray must raise
+    NotImplementedError (not silently yield nothing)."""
+    import numpy as np
+    import pytest
+
+    from argostats_spark.sources.netcdf import _xr, parse_netcdf_bytes
+
+    if _xr is None:
+        # still pin the no-xarray contract before skipping
+        with pytest.raises(NotImplementedError):
+            parse_netcdf_bytes("x/6900000_prof.nc", b"\x89HDF\r\n\x1a\n" + b"\0" * 64)
+        pytest.skip("xarray not installed; NetCDF-4 branch env-gated")
+
+    xr = _xr  # pragma: no cover — runs only where xarray exists
+    n = 12
+    pres = np.linspace(5, 1100, n, dtype="f4")
+    ds = xr.Dataset(
+        {
+            "LONGITUDE": ("N_PROF", np.array([10.0])),
+            "LATITUDE": ("N_PROF", np.array([-40.0])),
+            "JULD": ("N_PROF", np.array([np.datetime64("2026-01-01T12:00")])),
+            "DATA_MODE": ("N_PROF", np.array(["R"])),
+            "POSITION_QC": ("N_PROF", np.array([1])),
+            "JULD_QC": ("N_PROF", np.array([1])),
+            "PRES": (("N_PROF", "N_LEVELS"), pres[None, :]),
+            "TEMP": (("N_PROF", "N_LEVELS"), (20 - pres / 100)[None, :]),
+            "PSAL": (("N_PROF", "N_LEVELS"), np.full((1, n), 35.0, "f4")),
+            "PRES_QC": (("N_PROF", "N_LEVELS"), np.ones((1, n), "i1")),
+            "TEMP_QC": (("N_PROF", "N_LEVELS"), np.ones((1, n), "i1")),
+            "PSAL_QC": (("N_PROF", "N_LEVELS"), np.ones((1, n), "i1")),
+        }
+    )
+    p = tmp_path / "6904444_prof.nc"
+    ds.to_netcdf(p, format="NETCDF4")
+    pdf = parse_netcdf_bytes(str(p), p.read_bytes())
+    assert pdf.WMO.tolist() == [6904444]
+    assert abs(pdf.PRES.iloc[0][0] - 5.0) < 1e-4
+
+
 def test_netcdf_ingest_adjusted_vars_dac_and_blank_qc(spark, tmp_path):
     """S3/S4 fidelity on REAL bytes (reference interpolation.py:185-196,
     toctools.py:22-23): an all-'D' file carrying *_ADJUSTED variables
