@@ -260,12 +260,98 @@ def extract_features(
     return balanced.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def parse_mp4_duration(payload: bytes) -> tuple[float, float]:
+    """REAL MP4/ISO-BMFF container parse (public trivial format: a walk
+    of big-endian ``[u32 size][4cc type]`` boxes): find ``moov/mvhd``
+    and return (duration_seconds, frame_rate_estimate). The frame rate
+    comes from ``moov/trak/mdia/mdhd``+``stts`` when present, else
+    defaults to 30. No codec library — only the box tree is read."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", buf, pos)
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                hdr = 16
+            if size < hdr or pos + size > end:
+                break
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    def find(buf: bytes, start: int, end: int, path: list[bytes]):
+        for typ, b0, b1 in walk(buf, start, end):
+            if typ == path[0]:
+                if len(path) == 1:
+                    return b0, b1
+                return find(buf, b0, b1, path[1:])
+        return None
+
+    span = find(payload, 0, len(payload), [b"moov", b"mvhd"])
+    if span is None:
+        raise ValueError("no moov/mvhd box — not an MP4 or fragmented-only")
+    b0, _ = span
+    version = payload[b0]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, b0 + 20)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, b0 + 12)
+    if timescale == 0:
+        raise ValueError("mvhd timescale 0")
+    dur_s = duration / timescale
+    # frame rate from the first video track's sample count when present
+    fps = 30.0
+    trak = find(payload, 0, len(payload), [b"moov", b"trak", b"mdia", b"minf",
+                                           b"stbl", b"stts"])
+    if trak is not None and dur_s > 0:
+        t0, t1 = trak
+        n_entries = struct.unpack_from(">I", payload, t0 + 4)[0]
+        n_samples = sum(
+            struct.unpack_from(">I", payload, t0 + 8 + 8 * i)[0]
+            for i in range(min(n_entries, (t1 - t0 - 8) // 8))
+        )
+        if n_samples:
+            fps = n_samples / dur_s
+    return dur_s, fps
+
+
 def frame_sample_plan(video: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling *plan* stub: emits (media_id, frame_idx) rows
-    for the frames a decoder would extract — the explode pattern that
-    the real ffmpeg-backed kernel plugs into."""
-    n_frames = (F.col("n_bytes") / F.lit(1000)).cast("int") + 1  # fake duration proxy
-    return video.select(
+    """Frame-sampling plan: (media_id, frame_idx) rows for the frames a
+    decoder would extract — the explode pattern the ffmpeg-backed kernel
+    plugs into. Frame counts come from a REAL MP4 moov/mvhd+stts parse
+    (mapInPandas over payloads, no codec library); payloads that are not
+    MP4 fall back to the documented n_bytes heuristic with
+    ``parsed=false`` so downstream can tell."""
+    plan_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("parsed", T.BooleanType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "n_frames": [], "parsed": []}
+            for payload, n_bytes in zip(pdf["payload"], pdf["n_bytes"]):
+                try:
+                    dur_s, fps = parse_mp4_duration(bytes(payload))
+                    out["n_frames"].append(max(int(dur_s * fps), 1))
+                    out["parsed"].append(True)
+                except (ValueError, IndexError, struct.error):
+                    out["n_frames"].append(int(n_bytes) // 1000 + 1)
+                    out["parsed"].append(False)
+            yield pd.DataFrame(out)
+
+    counted = video.select("media_id", "payload", "n_bytes").mapInPandas(
+        run, plan_schema
+    )
+    return counted.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
+        "parsed",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
     )

@@ -155,6 +155,42 @@ def test_frame_sample_plan(spark, sf_dir):
     plan = frame_sample_plan(media, every_n=10).toPandas()
     assert (plan.frame_idx % 10 == 0).all()
     assert plan.media_id.nunique() == 5
+    assert not plan.parsed.any()  # text bytes are not MP4 — flagged
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def test_frame_sample_plan_real_mp4_parse(spark):
+    """The container parse is REAL: a hand-built ISO-BMFF box tree
+    (moov/mvhd v0: timescale 600, duration 6000 -> 10 s; stts: 300
+    samples -> 30 fps) yields exactly 300 frames, sampled every 30."""
+    import struct
+
+    from argostats_spark.operators.multimodal import (
+        frame_sample_plan, parse_mp4_duration, to_media_table,
+    )
+
+    mvhd = _mp4_box(b"mvhd", struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+                    + struct.pack(">II", 600, 6000) + b"\x00" * 80)
+    stts = _mp4_box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", 300, 20))
+    trak = _mp4_box(
+        b"trak", _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stts)))
+    )
+    moov = _mp4_box(b"moov", mvhd + trak)
+    mp4 = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    dur, fps = parse_mp4_duration(mp4)
+    assert abs(dur - 10.0) < 1e-9 and abs(fps - 30.0) < 1e-9
+
+    df = spark.createDataFrame([(1, bytearray(mp4))], "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", "video")
+    plan = frame_sample_plan(media, every_n=30).toPandas()
+    assert plan.parsed.all()
+    assert plan.frame_idx.tolist() == list(range(0, 300, 30))
 
 
 def test_netcdf_ingest_plumbing(spark, tmp_path):
