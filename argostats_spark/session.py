@@ -57,6 +57,11 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
 
     conf = {
+        # Local mode runs executors inside the driver JVM, whose default
+        # heap (1g) evicts cached blocks at >~500k-profile probes
+        # ("Block rdd_N does not exist"). Only effective before the JVM
+        # starts; a cluster deployment sizes executors via spark-submit.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         # Partitioning: match parallelism to cores locally; AQE coalesces
         # further at runtime. On a big cluster, override via spark-submit.
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
