@@ -462,6 +462,50 @@ def test_netcdf_classic_ingest_real_parser(spark, tmp_path):
     assert r0["PRES_QC"] == [1] * 30
 
 
+def test_argo_gdac_python_datasource(spark, tmp_path):
+    """spark.read.format("argo_gdac") — the Spark 4 Python Data Source
+    wrapper must produce exactly the rows of the binaryFile ingest on
+    the same GDAC tree (same parser, engine-native protocol)."""
+    import numpy as np
+
+    from argostats_spark.sources.datasource import register_argo_source
+    from argostats_spark.sources.netcdf import ingest_gdac, write_argo_prof_nc
+
+    d = tmp_path / "gdac" / "coriolis" / "6901999"
+    d.mkdir(parents=True)
+    pres = np.tile(np.linspace(5, 1500, 25), (2, 1))
+    write_argo_prof_nc(
+        str(d), 6901999,
+        lons=[10.5, 11.0], lats=[-40.0, -40.5],
+        juld_days=[27759.5, 27760.5], data_modes="DD",
+        pres=pres, temp=20 - pres / 100.0, psal=35 + pres * 0,
+    )
+    (tmp_path / "gdac" / "corrupt").mkdir()
+    (tmp_path / "gdac" / "corrupt" / "123_prof.nc").write_bytes(b"CDF\x01junk")
+
+    register_argo_source(spark)
+    via_source = (
+        spark.read.format("argo_gdac")
+        .load(str(tmp_path / "gdac" / "*" / "*"))
+        .orderBy("WMO", "IPROF")
+        .toPandas()
+    )
+    via_mapinpandas = (
+        ingest_gdac(spark, str(tmp_path / "gdac" / "*" / "*"))
+        .orderBy("WMO", "IPROF")
+        .toPandas()
+    )
+    assert len(via_source) == len(via_mapinpandas) == 2  # corrupt → 0 rows
+    assert via_source.WMO.tolist() == [6901999, 6901999]
+    assert via_source.DAC.tolist() == via_mapinpandas.DAC.tolist() == [2, 2]
+    np.testing.assert_allclose(
+        np.stack(via_source.PRES.to_numpy()),
+        np.stack(via_mapinpandas.PRES.to_numpy()),
+        rtol=1e-6,
+    )
+    assert via_source.JULD.tolist() == via_mapinpandas.JULD.tolist()
+
+
 def test_netcdf4_fallback_where_xarray_installed(tmp_path):
     """The NetCDF-4/HDF5 branch of parse_netcdf_bytes is env-gated on
     xarray (absent in this container → skipped); wherever the libs
