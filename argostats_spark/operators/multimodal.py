@@ -301,12 +301,33 @@ def parse_mp4_duration(payload: bytes) -> tuple[float, float]:
     if timescale == 0:
         raise ValueError("mvhd timescale 0")
     dur_s = duration / timescale
-    # frame rate from the first video track's sample count when present
+    # frame rate from the first VIDEO track's stts sample count — traks
+    # are siblings under moov and audio often comes first, so walk every
+    # trak, prefer the one whose mdia/hdlr handler is 'vide', and fall
+    # back to the first trak carrying an stts only if no hdlr says video
     fps = 30.0
-    trak = find(payload, 0, len(payload), [b"moov", b"trak", b"mdia", b"minf",
-                                           b"stbl", b"stts"])
-    if trak is not None and dur_s > 0:
-        t0, t1 = trak
+    moov = find(payload, 0, len(payload), [b"moov"])
+    stts_span = fallback_span = None
+    if moov is not None:
+        for typ, b0, b1 in walk(payload, moov[0], moov[1]):
+            if typ != b"trak":
+                continue
+            mdia = find(payload, b0, b1, [b"mdia"])
+            if mdia is None:
+                continue
+            stts = find(payload, mdia[0], mdia[1], [b"minf", b"stbl", b"stts"])
+            if stts is None:
+                continue
+            if fallback_span is None:
+                fallback_span = stts
+            hdlr = find(payload, mdia[0], mdia[1], [b"hdlr"])
+            # hdlr box: version/flags u32, pre_defined u32, handler 4cc
+            if hdlr is not None and payload[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+                stts_span = stts
+                break
+    stts_span = stts_span if stts_span is not None else fallback_span
+    if stts_span is not None and dur_s > 0:
+        t0, t1 = stts_span
         n_entries = struct.unpack_from(">I", payload, t0 + 4)[0]
         n_samples = sum(
             struct.unpack_from(">I", payload, t0 + 8 + 8 * i)[0]

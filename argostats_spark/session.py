@@ -35,6 +35,28 @@ for _k, _v in _BLAS_ENV.items():
     os.environ.setdefault(_k, _v)
 
 
+def _default_driver_mem(cap_gib: int = 48) -> str:
+    """Local-mode driver heap: ~1/3 of the memory actually available to
+    this process (cgroup v2 limit if one is set, else physical RAM),
+    capped. Keeps big-cache scale probes fed on large hosts without
+    handing a constrained container an -Xmx the kernel will OOM-kill."""
+    limit_bytes = None
+    try:  # cgroup v2 (containers): "max" means unlimited
+        with open("/sys/fs/cgroup/memory.max") as f:
+            raw = f.read().strip()
+        if raw != "max":
+            limit_bytes = int(raw)
+    except (OSError, ValueError):
+        pass
+    if limit_bytes is None:
+        try:
+            limit_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        except (OSError, ValueError, AttributeError):
+            return "2g"
+    gib = max(1, min(cap_gib, int(limit_bytes / 3 / 2**30)))
+    return f"{gib}g"
+
+
 def get_spark(
     app_name: str = "argostats_spark",
     master: str | None = None,
@@ -59,9 +81,14 @@ def get_spark(
     conf = {
         # Local mode runs executors inside the driver JVM, whose default
         # heap (1g) evicts cached blocks at >~500k-profile probes
-        # ("Block rdd_N does not exist"). Only effective before the JVM
-        # starts; a cluster deployment sizes executors via spark-submit.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        # ("Block rdd_N does not exist"). Sized to the host (cgroup limit
+        # when set, else physical RAM) so memory-limited containers get a
+        # heap the kernel will tolerate rather than a fixed probe-machine
+        # number. Only effective before the JVM starts; a cluster
+        # deployment sizes executors via spark-submit.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+        ),
         # Partitioning: match parallelism to cores locally; AQE coalesces
         # further at runtime. On a big cluster, override via spark-submit.
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),

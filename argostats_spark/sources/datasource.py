@@ -59,6 +59,10 @@ class ArgoGdacReader(DataSourceReader):
     def read(self, partition):
         from .netcdf import parse_netcdf_bytes
 
+        # pyspark 4.1 substitutes [None] when partitions() returns []
+        # (empty glob) — yield nothing instead of crashing on .value
+        if partition is None or getattr(partition, "value", None) is None:
+            return
         path = partition.value
         try:
             with open(path, "rb") as f:
@@ -67,6 +71,8 @@ class ArgoGdacReader(DataSourceReader):
             raise
         except Exception:
             return  # corrupt-file tolerance (S2)
+        if pdf.empty:  # zero-profile file (S2 tolerance)
+            return
         cols = [f.name for f in RAW_SCHEMA.fields]
         # the source protocol serializes TimestampType as tz-aware;
         # JULD is parsed naive-UTC (Argo days since 1950, no zone)

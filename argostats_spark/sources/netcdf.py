@@ -22,7 +22,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import RAW_SCHEMA
+from ..schemas import DACS, RAW_SCHEMA
 
 try:  # pragma: no cover
     import xarray as _xr
@@ -32,11 +32,9 @@ except ImportError:
 
 ARGO_EPOCH = pd.Timestamp("1950-01-01")  # Argo JULD reference date
 _DATA_MODE_CODE = {b"R": 0, b"D": 1, b"A": 2}
+_RAW_COLS = [f.name for f in RAW_SCHEMA.fields]
 
-# Official Argo DAC directory names (reference toctools.py:22-23); the
-# reference encodes DAC as the index into this list.
-DACS = ["aoml", "bodc", "coriolis", "csio", "csiro",
-        "incois", "jma", "kiost", "kma", "meds", "nmdis"]
+# DAC encoding = index into schemas.DACS (reference toctools.py:22-23).
 _DAC_INDEX = {name: i for i, name in enumerate(DACS)}
 
 
@@ -122,7 +120,9 @@ def parse_argo_classic(path: str, content: bytes) -> pd.DataFrame:
                 "PSAL_QC": qc_row("PSAL", i),
             }
         )
-    return pd.DataFrame(rows)
+    # explicit columns: a zero-profile file must still yield the full
+    # RAW_SCHEMA column set, or downstream pdf[cols] raises KeyError
+    return pd.DataFrame(rows, columns=_RAW_COLS)
 
 
 def parse_netcdf_bytes(path: str, content: bytes) -> pd.DataFrame:
@@ -157,6 +157,7 @@ def parse_netcdf_bytes(path: str, content: bytes) -> pd.DataFrame:
                 "DATA_MODE": {"R": 0, "D": 1, "A": 2}.get(
                     str(ds["DATA_MODE"].values[i]), 0
                 ),
+                "PLATFORM": None,
                 "POSITION_QC": int(ds["POSITION_QC"].values[i]),
                 "JULD_QC": int(ds["JULD_QC"].values[i]),
                 "PRES": ds["PRES"].values[i].tolist(),
@@ -170,7 +171,7 @@ def parse_netcdf_bytes(path: str, content: bytes) -> pd.DataFrame:
                 "PSAL_QC": ds["PSAL_QC"].values[i].tolist(),
             }
         )
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows, columns=_RAW_COLS)
 
 
 def ingest_gdac(

@@ -45,7 +45,12 @@ def _attr_value_bytes(val) -> tuple[int, int, bytes]:
         raw = val.encode("utf-8")
         return 2, len(raw), raw + b"\x00" * _pad4(len(raw))
     arr = np.atleast_1d(np.asarray(val))
-    if arr.dtype.kind == "i":
+    if arr.dtype.kind in "iu":
+        # CDF-1 has no 64-bit attr type; astype would wrap silently
+        if arr.size and (int(arr.min()) < -(2**31) or int(arr.max()) > 2**31 - 1):
+            raise ValueError(
+                f"attribute value {val!r} exceeds NetCDF-3 classic NC_INT range"
+            )
         arr = arr.astype("i4")
     elif arr.dtype.kind == "f" and arr.dtype.itemsize > 8:
         arr = arr.astype("f8")

@@ -672,3 +672,104 @@ def test_multimodal_real_wav_decode_through_spark(spark):
     assert row["width"] == rate and row["height"] == rate * secs
     feats = np.asarray(row["feature"], "f4")
     np.testing.assert_allclose(feats, amp / np.sqrt(2), rtol=0.02)
+
+
+def test_argo_gdac_empty_glob_and_zero_profile_files(spark, tmp_path):
+    """Review hardening: an empty glob (pyspark substitutes [None] for an
+    empty partition list) and a zero-profile / non-Argo classic file must
+    degrade to zero rows, not crash the task (module docstring's S2
+    tolerance)."""
+    import numpy as np
+
+    from argostats_spark.sources.datasource import register_argo_source
+    from argostats_spark.sources.netcdf import parse_netcdf_bytes
+    from argostats_spark.sources.netcdf3 import write_netcdf3
+
+    register_argo_source(spark)
+    empty = tmp_path / "gdac_empty" / "coriolis" / "x"
+    empty.mkdir(parents=True)
+    out = spark.read.format("argo_gdac").load(str(tmp_path / "gdac_empty" / "*" / "*"))
+    assert out.count() == 0 and len(out.columns) == 19
+
+    # zero-profile classic file: parses "successfully" to 0 rows but must
+    # carry the full RAW_SCHEMA column set
+    zp = tmp_path / "gdac_zp" / "coriolis" / "1900001"
+    zp.mkdir(parents=True)
+    write_netcdf3(
+        str(zp / "1900001_prof.nc"),
+        {"N_PROF": 0, "N_LEVELS": 5},
+        {
+            "LONGITUDE": (("N_PROF",), np.zeros(0, "f8")),
+            "JULD": (("N_PROF",), np.zeros(0, "f8")),
+        },
+    )
+    pdf = parse_netcdf_bytes(
+        str(zp / "1900001_prof.nc"), (zp / "1900001_prof.nc").read_bytes()
+    )
+    assert len(pdf) == 0 and "JULD" in pdf.columns and "PLATFORM" in pdf.columns
+    # a stray non-Argo classic file (has profiles=0 dim or lacks Argo
+    # vars entirely) must read as zero rows through the source
+    out = spark.read.format("argo_gdac").load(str(tmp_path / "gdac_zp" / "*" / "*"))
+    assert out.count() == 0
+
+
+def test_mp4_audio_first_track_fps(spark):
+    """fps must come from the VIDEO trak's stts even when an audio trak
+    precedes it (common muxer layout): audio 430 samples would read as
+    43 fps; the hdlr check must pick the 300-sample video trak -> 30."""
+    import struct
+
+    from argostats_spark.operators.multimodal import parse_mp4_duration
+
+    mvhd = _mp4_box(b"mvhd", struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+                    + struct.pack(">II", 600, 6000) + b"\x00" * 80)
+
+    def trak_with(handler: bytes, n_samples: int) -> bytes:
+        hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        stts = _mp4_box(
+            b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, 20)
+        )
+        return _mp4_box(
+            b"trak",
+            _mp4_box(b"mdia", hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stts))),
+        )
+
+    moov = _mp4_box(b"moov", mvhd + trak_with(b"soun", 430) + trak_with(b"vide", 300))
+    mp4 = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    dur, fps = parse_mp4_duration(mp4)
+    assert abs(dur - 10.0) < 1e-9 and abs(fps - 30.0) < 1e-9
+    # no-hdlr fallback: first trak carrying an stts still wins
+    moov2 = _mp4_box(b"moov", mvhd + trak_with(b"soun", 430)[:0]
+                     + _mp4_box(b"trak", _mp4_box(b"mdia", _mp4_box(
+                         b"minf", _mp4_box(b"stbl", _mp4_box(
+                             b"stts", struct.pack(">II", 0, 1)
+                             + struct.pack(">II", 150, 40)))))))
+    mp42 = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov2
+    _, fps2 = parse_mp4_duration(mp42)
+    assert abs(fps2 - 15.0) < 1e-9
+
+
+def test_netcdf3_int_attr_overflow_raises(tmp_path):
+    """CDF-1 attrs are 32-bit: an int64-range attr must raise, not wrap."""
+    import numpy as np
+    import pytest
+
+    from argostats_spark.sources.netcdf3 import write_netcdf3
+
+    with pytest.raises(ValueError, match="NC_INT range"):
+        write_netcdf3(
+            str(tmp_path / "x.nc"),
+            {"N": 1},
+            {"V": (("N",), np.zeros(1, "f4"))},
+            global_attrs={"n_profiles": 3_000_000_000},
+        )
+
+
+def test_default_driver_mem_is_host_sized():
+    import re
+
+    from argostats_spark.session import _default_driver_mem
+
+    mem = _default_driver_mem()
+    assert re.fullmatch(r"\d+g", mem)
+    assert 1 <= int(mem[:-1]) <= 48
