@@ -773,3 +773,59 @@ def test_default_driver_mem_is_host_sized():
     mem = _default_driver_mem()
     assert re.fullmatch(r"\d+g", mem)
     assert 1 <= int(mem[:-1]) <= 48
+
+
+def test_argo_gdac_streaming_source(spark, tmp_path):
+    """readStream.format("argo_gdac"): files that appear between
+    triggers arrive as micro-batches, each profile exactly once (the
+    offset is the exact seen-file set, so a replayed batch is
+    deterministic). Continuous GDAC sync — a capability the reference's
+    re-walk-everything model lacks."""
+    import numpy as np
+
+    from argostats_spark.sources.datasource import register_argo_source
+    from argostats_spark.sources.netcdf import write_argo_prof_nc
+
+    register_argo_source(spark)
+    d1 = tmp_path / "gdac" / "coriolis" / "6902001"
+    d1.mkdir(parents=True)
+    pres = np.tile(np.linspace(5, 900, 12), (2, 1))
+    write_argo_prof_nc(
+        str(d1), 6902001, lons=[1.0, 2.0], lats=[10.0, 11.0],
+        juld_days=[27000.0, 27001.0], data_modes="RR",
+        pres=pres, temp=18 - pres / 100.0, psal=35 + pres * 0,
+    )
+
+    stream = (
+        spark.readStream.format("argo_gdac")
+        .load(str(tmp_path / "gdac" / "*" / "*"))
+        .select("WMO", "IPROF", "DAC")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gdac_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table("gdac_live").toPandas()
+        assert sorted(first.IPROF.tolist()) == [0, 1]
+        assert set(first.WMO) == {6902001} and set(first.DAC) == {2}
+
+        # a new float arrives at the DAC between triggers
+        d2 = tmp_path / "gdac" / "aoml" / "6902002"
+        d2.mkdir(parents=True)
+        write_argo_prof_nc(
+            str(d2), 6902002, lons=[3.0], lats=[12.0],
+            juld_days=[27002.0], data_modes="R",
+            pres=pres[:1], temp=18 - pres[:1] / 100.0, psal=35 + pres[:1] * 0,
+        )
+        q.processAllAvailable()
+        both = spark.table("gdac_live").toPandas()
+        # exactly once: 2 + 1 rows, no re-emission of the first file
+        assert len(both) == 3
+        assert sorted(both.WMO.tolist()) == [6902001, 6902001, 6902002]
+        assert sorted(both.DAC.tolist()) == [0, 2, 2]
+    finally:
+        q.stop()
