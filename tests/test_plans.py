@@ -178,3 +178,71 @@ def test_pack_sequences_single_window_exchange(spark, sf):
     """One stratum-partitioned window shuffle, nothing global."""
     df = QUERIES["pack_sequences"](spark, sf)
     assert count_exchanges(df) == 1
+
+
+def test_salted_join_equivalence_and_shape(spark):
+    """salted_join == plain join on a skewed input (inner and left,
+    including unmatched-left preservation), and the physical plan joins
+    on (key, salt) so a hot key spreads across n_salts sub-keys."""
+    import pandas as pd
+
+    from argostats_spark.operators.skew import salted_join
+
+    # 90%-hot key + a key with no dim match (left-join coverage)
+    big = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["hot"] * 900 + ["warm"] * 80 + ["orphan"] * 20,
+            "v": range(1000),
+        })
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot", "warm", "unused"], "w": [1.0, 2.0, 3.0]})
+    )
+
+    for how in ("inner", "left"):
+        plain = big.join(small, ["k"], how).orderBy("v").toPandas()
+        salted = salted_join(big, small, ["k"], n_salts=8, how=how)
+        got = salted.orderBy("v").toPandas()
+        pd.testing.assert_frame_equal(
+            got[plain.columns.tolist()], plain, check_dtype=False
+        )
+
+    salted = salted_join(big, small, ["k"], n_salts=8)
+    assert "__argostats_salt" not in salted.columns
+    explained = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__argostats_salt" in explained  # the join really keys on the salt
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_registry_plans_free_of_antipatterns(spark, sf_dir):
+    """Whole-registry plan audit: no query may compile to a
+    CartesianProduct or a row-at-a-time Python UDF (BatchEvalPython) —
+    the two silent scale-killers. BroadcastNestedLoopJoin is tolerated
+    only for the named queries whose design IS a small broadcast side
+    with a non-equi predicate (kernel-radius grid join, range bands,
+    broadcast query/threshold tables); any new BNLJ must be added here
+    consciously."""
+    import __spark_entry__ as mod
+
+    bnlj_by_design = {
+        "clim_kernel_grid",      # broadcast exploded grid, radius predicate
+        "join_range_bands",      # tiny bands dim, BETWEEN predicate
+        "cosine_topk",           # broadcast query set, similarity predicate
+        "embedding_near_pairs",  # broadcast candidate ids, cosine cutoff
+        "ocean_mask_gate",       # broadcast scalar mask stats gate
+        "argo_atlas_pipeline",   # contains the kernel grid join above
+        "quality_filter",        # broadcast 1-row percentile threshold
+    }
+    offenders = {}
+    for name, fn in mod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
+            hits.append("BroadcastNestedLoopJoin")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"scale antipatterns compiled into: {offenders}"
