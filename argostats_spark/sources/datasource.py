@@ -104,20 +104,31 @@ class ArgoGdacReader(DataSourceReader):
         yield from _read_profile_file(partition.value)
 
 
+def _file_fingerprint(path: str) -> str:
+    """mtime_ns:size — changes whenever the GDAC rewrites the file
+    (every new cycle rewrites <wmo>_prof.nc in place)."""
+    import os
+
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 class ArgoGdacStreamReader(DataSourceStreamReader):
     """Micro-batch GDAC sync: each trigger ingests the *_prof.nc files
-    that appeared since the last committed offset, exactly once.
+    that appeared OR CHANGED since the last committed offset.
 
-    The offset is the exact set of files already emitted (a recursive
-    dict of primitives, per the protocol), so replay between two
-    checkpointed offsets is deterministic regardless of listing races —
-    the property an mtime watermark cannot give when a file lands with
-    a timestamp equal to the current watermark. At GDAC scale (~10⁶
-    files) the exact-set offset is ~100 MB of checkpoint JSON; a
-    production deployment would compact it to (mtime watermark + the
-    tail-tie file set), which bounds the offset by the churn rate. The
-    per-file work is identical to batch: parse on executors, corrupt
-    files → zero rows."""
+    The offset maps every emitted file to its mtime:size fingerprint (a
+    recursive dict of primitives, per the protocol), so replay between
+    two checkpointed offsets is deterministic regardless of listing
+    races, and a GDAC in-place rewrite (the normal update path — each
+    new cycle rewrites <wmo>_prof.nc, reference re-walks everything,
+    toctools.py:97-106) re-emits the whole file as change data. A
+    changed file re-emits ALL its profiles; pair this source with a
+    MERGE-by-WMO sink (streaming/gdac.py), not a blind append. At GDAC
+    scale (~10⁶ files) the exact-map offset is ~100 MB of checkpoint
+    JSON; a production deployment would compact it to (mtime watermark
+    + tail-tie set), bounding the offset by churn rate. Per-file work is
+    identical to batch: parse on executors, corrupt files → zero rows."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -129,12 +140,19 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
         return {"seen": {}}
 
     def latestOffset(self) -> dict:
-        return {"seen": {f: 1 for f in _glob_profile_files(self.path, self.pattern)}}
+        return {
+            "seen": {
+                f: _file_fingerprint(f)
+                for f in _glob_profile_files(self.path, self.pattern)
+            }
+        }
 
     def partitions(self, start: dict, end: dict):
         already = start.get("seen", {})
         return [
-            InputPartition(f) for f in end.get("seen", {}) if f not in already
+            InputPartition(f)
+            for f, fp in end.get("seen", {}).items()
+            if already.get(f) != fp
         ]
 
     def read(self, partition):

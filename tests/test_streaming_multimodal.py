@@ -829,3 +829,131 @@ def test_argo_gdac_streaming_source(spark, tmp_path):
         assert sorted(both.DAC.tolist()) == [0, 2, 2]
     finally:
         q.stop()
+
+
+def test_argo_gdac_stream_reemits_rewritten_file(spark, tmp_path):
+    """GDAC updates rewrite <wmo>_prof.nc in place (a new cycle appends
+    a profile). The fingerprint offset (mtime:size) must re-emit the
+    whole changed file as change data, while unchanged files stay
+    exactly-once."""
+    import numpy as np
+
+    from argostats_spark.sources.datasource import register_argo_source
+    from argostats_spark.sources.netcdf import write_argo_prof_nc
+
+    register_argo_source(spark)
+    d = tmp_path / "gdac" / "coriolis" / "6902101"
+    d.mkdir(parents=True)
+    pres = np.tile(np.linspace(5, 900, 10), (3, 1))
+    write_argo_prof_nc(
+        str(d), 6902101, lons=[1.0], lats=[10.0],
+        juld_days=[27000.0], data_modes="R",
+        pres=pres[:1], temp=18 + pres[:1] * 0, psal=35 + pres[:1] * 0,
+    )
+    other = tmp_path / "gdac" / "aoml" / "6902102"
+    other.mkdir(parents=True)
+    write_argo_prof_nc(
+        str(other), 6902102, lons=[2.0], lats=[20.0],
+        juld_days=[27000.5], data_modes="R",
+        pres=pres[:1], temp=17 + pres[:1] * 0, psal=34 + pres[:1] * 0,
+    )
+
+    stream = (
+        spark.readStream.format("argo_gdac")
+        .load(str(tmp_path / "gdac" / "*" / "*"))
+        .select("WMO", "IPROF")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gdac_cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(spark.table("gdac_cdc").collect()) == 2
+
+        # float 6902101 completes a new cycle: the GDAC rewrites its
+        # file with 2 profiles now
+        write_argo_prof_nc(
+            str(d), 6902101, lons=[1.0, 1.5], lats=[10.0, 10.5],
+            juld_days=[27000.0, 27010.0], data_modes="RR",
+            pres=pres[:2], temp=18 + pres[:2] * 0, psal=35 + pres[:2] * 0,
+        )
+        q.processAllAvailable()
+        rows = spark.table("gdac_cdc").toPandas()
+        # 2 initial + 2 re-emitted (whole rewritten file), nothing from
+        # the untouched 6902102
+        assert len(rows) == 4
+        assert sorted(rows.WMO.tolist()) == [6902101, 6902101, 6902101, 6902102]
+    finally:
+        q.stop()
+
+
+def test_gdac_summary_sync_pipeline(spark, tmp_path):
+    """End-to-end continuous sync: argo_gdac stream → foreachBatch MERGE
+    into a Parquet summary table. New floats insert, rewritten floats
+    replace their row set (no duplicates), untouched floats survive, and
+    a drained re-run is a no-op. The reference's O(GDAC) re-walk becomes
+    O(changed files) per trigger."""
+    import numpy as np
+
+    from argostats_spark.sources.netcdf import write_argo_prof_nc
+    from argostats_spark.streaming.gdac import gdac_summary_sync
+
+    gdac = tmp_path / "gdac"
+    d1 = gdac / "coriolis" / "6902201"
+    d1.mkdir(parents=True)
+    pres = np.tile(np.linspace(5, 900, 10), (3, 1))
+    write_argo_prof_nc(
+        str(d1), 6902201, lons=[1.0], lats=[10.0],
+        juld_days=[27000.0], data_modes="R",
+        pres=pres[:1], temp=18 + pres[:1] * 0, psal=35 + pres[:1] * 0,
+    )
+    d2 = gdac / "aoml" / "6902202"
+    d2.mkdir(parents=True)
+    write_argo_prof_nc(
+        str(d2), 6902202, lons=[2.0], lats=[20.0],
+        juld_days=[27001.0], data_modes="R",
+        pres=pres[:1], temp=17 + pres[:1] * 0, psal=34 + pres[:1] * 0,
+    )
+
+    table = str(tmp_path / "summary_table")
+    ckpt = str(tmp_path / "sync_ckpt")
+    glob_path = str(gdac / "*" / "*")
+
+    q = gdac_summary_sync(spark, glob_path, table, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(table).toPandas()
+    assert sorted(first.WMO.tolist()) == [6902201, 6902202]
+    assert set(first.N_PROF) == {1}
+
+    # float 6902201 reports a second cycle (file rewritten in place);
+    # a brand-new float 6902203 appears
+    write_argo_prof_nc(
+        str(d1), 6902201, lons=[1.0, 1.5], lats=[10.0, 10.5],
+        juld_days=[27000.0, 27010.0], data_modes="RR",
+        pres=pres[:2], temp=18 + pres[:2] * 0, psal=35 + pres[:2] * 0,
+    )
+    d3 = gdac / "coriolis" / "6902203"
+    d3.mkdir(parents=True)
+    write_argo_prof_nc(
+        str(d3), 6902203, lons=[3.0], lats=[30.0],
+        juld_days=[27002.0], data_modes="R",
+        pres=pres[:1], temp=16 + pres[:1] * 0, psal=33 + pres[:1] * 0,
+    )
+
+    q = gdac_summary_sync(spark, glob_path, table, ckpt)
+    q.awaitTermination()
+    second = spark.read.parquet(table).toPandas().sort_values(["WMO", "IPROF"])
+    # 6902201 replaced (2 rows, N_PROF=2, no leftover single-cycle row),
+    # 6902202 untouched, 6902203 inserted
+    assert second.WMO.tolist() == [6902201, 6902201, 6902202, 6902203]
+    assert second[second.WMO == 6902201].N_PROF.tolist() == [2, 2]
+    assert second[second.WMO == 6902201].IPROF.tolist() == [0, 1]
+
+    # drained re-run with nothing new: table unchanged
+    q = gdac_summary_sync(spark, glob_path, table, ckpt)
+    q.awaitTermination()
+    third = spark.read.parquet(table).toPandas()
+    assert len(third) == 4
