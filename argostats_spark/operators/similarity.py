@@ -199,12 +199,19 @@ def ivf_topk_scalable(
     vec_col: str = "embedding",
     q_id_col: str = "qid",
     q_vec_col: str = "qv",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """``ivf_topk`` with NO driver round-trip: the probe list is the
     ``probe_cells`` column expression exploded to (qid, cell) rows, so a
     query *table* of millions flows straight into the cell equi-join
     (SCALE.md open item closed). Same answers as ivf_topk — both argmin
     the same centroid distances (pinned by test).
+
+    At ``nprobe == len(centroids)`` every cell is probed, so the result
+    is EXACTLY brute-force top-k — the property the driver's derived
+    oracle hashes. ``round_digits`` rounds the similarity BEFORE the
+    ranking window so tie-breaking is reproducible across engines
+    (float→double accumulation differences live far below 1e-5).
 
     Skew note: a hot cell concentrates both corpus rows and probes; AQE
     skew-join splits it, and raising n_centroids shrinks cell mass —
@@ -214,12 +221,15 @@ def ivf_topk_scalable(
         F.col(q_vec_col).alias("qv"),
         F.explode(probe_cells(q_vec_col, centroids, nprobe)).alias("ivf_cell"),
     )
+    sim = cosine_similarity("qv", vec_col)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     pairs = probes.join(corpus_assigned, on="ivf_cell").filter(
         F.col(id_col) != F.col("qid")
     ).select(
         "qid",
         F.col(id_col).alias("vec_id"),
-        cosine_similarity("qv", vec_col).alias("cosine"),
+        sim.alias("cosine"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from .functions.arrays import cosine_similarity, dot_product, l2_norm
 from .functions.geo import haversine_arg, haversine_km
@@ -74,21 +75,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long (legacy conf) and truncate to a
-    microsecond TimestampType column — the same truncation Spark applies
-    wherever it can read ns timestamps at all."""
+    """Load the events table, tolerant of how `ts` is physically encoded.
+
+    The testdata generator has shipped two encodings: TIMESTAMP(NANOS)
+    (which Spark's reader only accepts as raw INT64 via the legacy
+    nanosAsLong conf) and plain TIMESTAMP(MICROS) without a timezone
+    (read as TIMESTAMP_NTZ). Branch on the dtype actually stored so a
+    testdata regeneration can't break every events query at once; either
+    way downstream sees one canonical µs TimestampType column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # pin UTC: the reconstructed ts is a zoned TimestampType, and the
-    # driver's session TZ must not shift year()/hour() vs the oracle's
-    # TZ-naive reading of the same instants
+    # pin UTC: ts becomes a zoned TimestampType, and the session TZ must
+    # not shift year()/hour() vs the oracle's TZ-naive reading of the
+    # same instants
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # exact integer division: long/long with `/` promotes to double, and
-    # epoch nanoseconds (~1.7e18) exceed double's 2^53 exact range —
-    # events within ~128 ns of a second boundary could land in the wrong
-    # second vs the oracle's exact ns arithmetic
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # exact integer division: long/long with `/` promotes to double,
+        # and epoch nanoseconds (~1.7e18) exceed double's 2^53 exact
+        # range — events within ~128 ns of a second boundary could land
+        # in the wrong second vs the oracle's exact ns arithmetic
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # naive µs values are the same UTC instants; the cast reads them
+        # through the UTC-pinned session, so the resulting TimestampType
+        # is value-identical to the legacy path
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def query(name: str, sql: str | None = None):
@@ -1771,18 +1784,44 @@ def q_ocean_mask_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker rows-only check): approximate/stateful/pipeline operators.
 # =========================================================================
 
-@query("approx_aggregates")
+@query(
+    "approx_aggregates",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_within_p40_p60
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, t-digest-ish quantiles) —
-    sketch algorithms differ per engine so there is no value oracle;
-    the exact twins are minmax_stats (countDistinct) and exact_median.
-    Sanity is pinned here instead: approx distinct within 5% of exact,
-    quantiles within the value range."""
+    """Approximate aggregates (HLL distinct, quantile sketch). Sketch
+    *values* differ per engine, so the derived deterministic oracle
+    hashes exact anchors plus bound CHECKS instead: the HLL estimate
+    (rsd=1%) must sit within 5% of the exact distinct count (a ≥5σ
+    margin), and the sketch median must land between the exact p40/p60
+    (group size ~20k at accuracy 10k → rank error ≤2, the p40-p60 band
+    spans thousands of ranks). The oracle emits TRUE literals — a sketch
+    drifting out of bounds flips a boolean and fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median_qty"),
+        F.expr("percentile(l_quantity, 0.4)").alias("p40"),
+        F.expr("percentile(l_quantity, 0.6)").alias("p60"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        F.col("approx_median_qty").between(F.col("p40"), F.col("p60")).alias(
+            "median_within_p40_p60"
+        ),
     )
 
 
@@ -1837,12 +1876,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT qid, vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+             5) AS sim
+      FROM q JOIN embeddings ON vec_id <> qid
+    )
+    SELECT qid, vec_id, sim FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (similarity scale path):
-    k-means coarse quantizer, nprobe-cell probing. Approximate by design
-    → rows-only check; recall vs brute force is pinned in tests."""
-    from .operators.similarity import ivf_assign, ivf_topk, train_centroids
+    """IVF nearest neighbors, the zero-driver-round-trip variant
+    (ivf_topk_scalable): k-means coarse quantizer, probe-cell explode →
+    cell equi-join → ranking window. Probing ALL cells makes the IVF
+    result EXACTLY brute force (every corpus vector lives in exactly one
+    cell), so the driver can hash it against the DuckDB exhaustive scan
+    — the derived deterministic oracle for an approximate-by-design
+    operator. Recall at nprobe<ncells is pinned separately in tests."""
+    from .operators.similarity import ivf_assign, ivf_topk_scalable, train_centroids
 
     e = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(e, n_centroids=8, sample_rows=1000)
@@ -1850,21 +1915,50 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return ivf_topk(assigned, q, cents, k=5, nprobe=3)
+    out = ivf_topk_scalable(
+        assigned, q, cents, k=5, nprobe=len(cents), round_digits=5
+    )
+    return out.select("qid", "vec_id", F.col("cosine").alias("sim"))
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(8 + doc_id % 32 AS INT) AS width,
+           CAST(8 + n_chars % 32 AS INT) AS height,
+           TRUE AS decoded
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: binary payload → mapInPandas feature
-    extraction (deterministic fake decoder — codec libs absent; the
-    Spark-side schema/batching is the real operator)."""
+    """Multimodal decode end-to-end with a derived deterministic oracle:
+    each document becomes a REAL binary PGM (P5) payload — header with
+    content-derived dimensions, md5-hex body bytes — so the pure-NumPy
+    image decoder (operators/multimodal.py:_decode_ppm) actually parses
+    it inside mapInPandas. The oracle re-derives width/height from the
+    same doc fields and pins decoded=TRUE: a hash match proves the real
+    decode path ran for every row (a fallback to fake_decode_meta would
+    flip `decoded` and change the dims)."""
     from .operators.multimodal import extract_features, to_media_table
 
     d = _t(spark, sf_dir, "documents")
+    w = (F.lit(8) + F.col("doc_id") % 32).cast("int")
+    h = (F.lit(8) + F.col("n_chars") % 32).cast("int")
+    # body: w*h ≤ 39*39 = 1521 bytes of ASCII hex (md5 repeated 48× =
+    # 1536) — byte length == char length by construction, so substr by
+    # chars is substr by bytes
+    payload = F.concat(
+        F.concat_ws("", F.lit("P5\n"), w.cast("string"), F.lit(" "),
+                    h.cast("string"), F.lit(" 255\n")),
+        F.substring(F.repeat(F.md5(F.col("text").cast("binary")), 48), 1, w * h),
+    ).cast("binary")
     media = to_media_table(
-        d.withColumn("payload", F.col("text").cast("binary")), "doc_id", "payload", "image"
+        d.withColumn("payload", payload), "doc_id", "payload", "image"
     )
-    return extract_features(media, feat_dim=16).select("media_id", "kind", "width", "height")
+    return extract_features(media, feat_dim=16).select(
+        "media_id", "kind", "width", "height", "decoded"
+    )
 
 
 @query("argo_atlas_pipeline")

@@ -50,9 +50,17 @@ HEADLINE = [
 
 def main() -> None:
     spark = get_spark(app_name="argostats_bench")
+    errors: dict[str, str] = {}
 
-    # warmup: JVM, parquet footer caches, codegen
-    QUERIES["group_count"](spark, SF_DIR).count()
+    # warmup: JVM, parquet footer caches, codegen. Fail-soft — a broken
+    # warmup query must cost its own headline row below, not the whole
+    # artifact (r3 lost every bench number to one analysis error here).
+    for warm in ("group_count", "q1_pricing_summary"):
+        try:
+            QUERIES[warm](spark, SF_DIR).count()
+            break
+        except Exception:
+            continue
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -60,67 +68,99 @@ def main() -> None:
         # plan regressions in r2 (q1 2.11→2.81s with an unchanged pinned
         # plan) — the warm minimum is the number the plan determines
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            # force full execution of every operator in the plan
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, SF_DIR)
+                # force full execution of every operator in the plan
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query = one missing row
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Reference-parity microbench: interpolation throughput (BASELINE.md
     # derived rate ~5e3 profiles/s on 28 cores). Python workers are warm
     # from the headline queries, matching the reference's steady state.
-    from argostats_spark.operators.atlas import clim_ts, make_grid
+    from argostats_spark.operators.atlas import (
+        choose_clim_ts_variant,
+        clim_ts_auto,
+        make_grid,
+    )
     from argostats_spark.operators.interpolation import interpolate_profiles
     from argostats_spark.sources.synthetic import make_raw
 
-    # 30k profiles over 240 WMO groups: large enough that the measured
-    # rate is steady-state kernel throughput, not Spark fixed overhead
-    # (at 6k profiles the job-scheduling floor dominated and under-read
-    # the rate ~2x), and enough groups that hash assignment to the 32
-    # shuffle partitions is balanced. The kernel itself measures 1,125
-    # profiles/s/core — the gap to 36k/s is Arrow+shuffle, amortized
-    # further at real scale.
-    raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
-    n_raw = raw.count()
+    argo: dict[str, object] = {}
+    try:
+        # 30k profiles over 240 WMO groups: large enough that the measured
+        # rate is steady-state kernel throughput, not Spark fixed overhead
+        # (at 6k profiles the job-scheduling floor dominated and under-read
+        # the rate ~2x), and enough groups that hash assignment to the 32
+        # shuffle partitions is balanced. The kernel itself measures 1,125
+        # profiles/s/core — the gap to 36k/s is Arrow+shuffle, amortized
+        # further at real scale.
+        raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
+        n_raw = raw.count()
 
-    # Summary build (BASELINE.md row 1: the reference's ~1e4 profiles/s
-    # ingest-side headline, README.md:53) — one window shuffle over the
-    # raw table plus the broadcast platform-dictionary join.
-    from argostats_spark.operators.summary import build_summary
+        # Summary build (BASELINE.md row 1: the reference's ~1e4 profiles/s
+        # ingest-side headline, README.md:53) — one window shuffle over the
+        # raw table plus the broadcast platform-dictionary join.
+        from argostats_spark.operators.summary import build_summary
 
-    build_summary(raw).write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.perf_counter()
-    build_summary(raw).write.format("noop").mode("overwrite").save()
-    summary_sec = time.perf_counter() - t0
-    timings["argo_summary_build_30k"] = round(summary_sec, 3)
-    # spawn/warm the Python UDF daemons so the measurement reflects the
-    # steady state (the reference's pool is likewise persistent); a
-    # sample keeps all WMO groups → all shuffle partitions → all workers
-    interpolate_profiles(raw.sample(0.02, seed=1)).write.format("noop").mode(
-        "overwrite"
-    ).save()
+        build_summary(raw).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        build_summary(raw).write.format("noop").mode("overwrite").save()
+        summary_sec = time.perf_counter() - t0
+        timings["argo_summary_build_30k"] = round(summary_sec, 3)
+        argo.update(
+            summary_sec=round(summary_sec, 3),
+            summary_profiles_per_sec=round(n_raw / summary_sec, 1),
+            baseline_reference_summary_profiles_per_sec=10000,
+        )
+        # spawn/warm the Python UDF daemons so the measurement reflects the
+        # steady state (the reference's pool is likewise persistent); a
+        # sample keeps all WMO groups → all shuffle partitions → all workers
+        interpolate_profiles(raw.sample(0.02, seed=1)).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
-    t0 = time.perf_counter()
-    profiles = interpolate_profiles(raw)
-    profiles.write.format("noop").mode("overwrite").save()
-    interp_sec = time.perf_counter() - t0
-    timings["argo_interp_30k_profiles"] = round(interp_sec, 3)
+        t0 = time.perf_counter()
+        profiles = interpolate_profiles(raw)
+        profiles.write.format("noop").mode("overwrite").save()
+        interp_sec = time.perf_counter() - t0
+        timings["argo_interp_30k_profiles"] = round(interp_sec, 3)
+        argo.update(
+            interp_profiles_in=n_raw,
+            interp_sec=round(interp_sec, 3),
+            interp_profiles_per_sec=round(n_raw / interp_sec, 1),
+            baseline_reference_profiles_per_sec=5000,
+        )
 
-    profiles = profiles.cache()
-    profiles.count()
-    # warm the cell-kernel worker pool on a small domain before timing
-    clim_ts(
-        make_grid(spark, (0.0, 20.0, -20.0, 0.0), reso_deg=5.0),
-        profiles, reso_deg=5.0, smoothing_factor=2.0,
-    ).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    grid = make_grid(spark, (-180.0, 180.0, -80.0, 80.0), reso_deg=5.0)
-    clim_ts(grid, profiles, reso_deg=5.0, smoothing_factor=2.0).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["argo_atlas_global_5deg"] = round(time.perf_counter() - t0, 3)
+        profiles = profiles.cache()
+        profiles.count()
+        # warm the cell-kernel worker pool on a small domain before timing;
+        # the warmup also goes through the auto-router so its two-count
+        # estimate is codegen-warm before the measured run
+        clim_ts_auto(
+            make_grid(spark, (0.0, 20.0, -20.0, 0.0), reso_deg=5.0),
+            profiles, reso_deg=5.0, smoothing_factor=2.0,
+        ).write.format("noop").mode("overwrite").save()
+        # measured run goes through the variant router (clim_ts_auto), the
+        # same entry a user calls; record which physical variant it picked
+        # so the artifact shows the routing decision, not just the time
+        grid = make_grid(spark, (-180.0, 180.0, -80.0, 80.0), reso_deg=5.0)
+        atlas_variant = choose_clim_ts_variant(
+            grid, profiles, reso_deg=5.0, smoothing_factor=2.0
+        )
+        argo["atlas_variant"] = atlas_variant
+        t0 = time.perf_counter()
+        clim_ts_auto(
+            grid, profiles, reso_deg=5.0, smoothing_factor=2.0,
+            variant=atlas_variant,
+        ).write.format("noop").mode("overwrite").save()
+        timings["argo_atlas_global_5deg"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # partial argo numbers beat no artifact
+        errors["argo_microbench"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -133,16 +173,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "argo": {
-            "interp_profiles_in": n_raw,
-            "interp_sec": round(interp_sec, 3),
-            "interp_profiles_per_sec": round(n_raw / interp_sec, 1),
-            "baseline_reference_profiles_per_sec": 5000,
-            "summary_sec": round(summary_sec, 3),
-            "summary_profiles_per_sec": round(n_raw / summary_sec, 1),
-            "baseline_reference_summary_profiles_per_sec": 10000,
-        },
+        "argo": argo,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

@@ -8,6 +8,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from argostats_spark.queries import _events
+
 from argostats_spark.operators.multimodal import (
     extract_features,
     fake_decode_meta,
@@ -28,10 +30,7 @@ def event_files(spark, sf_dir, tmp_path_factory):
     """Re-encode the events table with µs timestamps into several files
     so the stream has multiple micro-batches."""
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    df = _events(spark, sf_dir)
     df.repartition(8).write.mode("overwrite").parquet(out)
     return out
 
