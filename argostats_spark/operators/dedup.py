@@ -101,13 +101,25 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    salt_verify: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard
     verification. ``num_hashes`` must be divisible by ``bands``.
 
     Verification never moves shingle payloads: candidates (from the
     band-key equi-joins) join the exploded shingle table twice, |∩| is
-    a per-pair count and |∪| = n_a + n_b − |∩|."""
+    a per-pair count and |∪| = n_a + n_b − |∩|.
+
+    ``salt_verify``: opt-in skew remedy for the verification join. A
+    boilerplate/template document duplicated across the corpus makes one
+    ``id_a`` hot — it appears in O(dupes) candidate pairs AND carries
+    its shingle set, so one shuffle partition does O(dupes·shingles)
+    work while the rest idle. Passing n_salts routes that join through
+    operators/skew.py::salted_join (candidate side salted by content
+    hash, shingle side replicated ×n_salts), spreading the hot key over
+    n_salts even tasks. Off by default: AQE skew-split handles moderate
+    cases, and salting replicates the shingle side (results are
+    row-identical either way — pinned by test)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     # ONE full-table shuffle: the multiset shingle stream (no distinct,
@@ -162,8 +174,15 @@ def minhash_lsh_pairs(
         .select("doc_id", "g").distinct()
         .localCheckpoint(eager=True)
     )
+    sh_a = sh_cand.select(F.col("doc_id").alias("id_a"), "g")
+    if salt_verify:
+        from .skew import salted_join
+
+        first = salted_join(cands, sh_a, on=["id_a"], n_salts=salt_verify)
+    else:
+        first = cands.join(sh_a, "id_a")
     inter = (
-        cands.join(sh_cand.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        first
         .join(sh_cand.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -38,8 +38,41 @@ DELTAMIN_FACTOR = 1.2     # upward span tolerance = 1.2 * first spacing
 DELTAMAX_DBAR = 0.0       # reference deltamax = 0: never extrapolate deeper
 
 
+def _interp_levels_gsw(p_u: np.ndarray, ct: np.ndarray, sr: np.ndarray,
+                       targets: np.ndarray) -> np.ndarray:
+    """Alternate interpolation surface mirroring the reference's
+    ``method="gsw"`` option (src/argostats/interpolation.py:21,79):
+    gsw.sa_ct_interp — the Barker & McDougall (2020) MRST-PCHIP scheme
+    from the published TEOS-10 library. Env-gated exactly like the
+    NetCDF-4 branch: the gsw package is not in this container, so
+    without it this is a clearly-marked NotImplementedError stub beside
+    the real dependency-free cubic path."""
+    gsw = _require_gsw()
+    sr_i, ct_i = gsw.sa_ct_interp(sr, ct, p_u, targets)  # pragma: no cover
+    return np.stack([np.asarray(ct_i), np.asarray(sr_i)], axis=1)
+
+
+def _require_gsw():
+    try:
+        import gsw
+    except ImportError as exc:
+        raise NotImplementedError(
+            "method='gsw' requires the gsw (TEOS-10) package, which is "
+            "not installed; the default method='cubic' is dependency-free"
+        ) from exc
+    return gsw  # pragma: no cover — reached only where gsw exists
+
+
 def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-WMO group kernel: returns one row per *valid* profile."""
+    """Per-WMO group kernel: returns one row per *valid* profile.
+
+    Single-parameter on purpose: applyInPandas inspects the arity to
+    decide whether to pass the grouping key — the method variant is a
+    separate single-arg closure (see interpolate_profiles)."""
+    return _interp_wmo_kernel(pdf, "cubic")
+
+
+def _interp_wmo_kernel(pdf: pd.DataFrame, method: str) -> pd.DataFrame:
     limit_blas_threads()
     pref = pref64().astype("f8")
     # adjusted variables iff ALL profiles of the WMO are delayed-mode
@@ -96,8 +129,11 @@ def _interp_one_wmo(pdf: pd.DataFrame) -> pd.DataFrame:
         ct_i = np.zeros(NLEVELS, dtype="f4")
         sr_i = np.zeros(NLEVELS, dtype="f4")
         idx = np.zeros(NLEVELS, dtype="i1")
-        # one spline factorization for both variables (F9, hot path)
-        both = cubic_interp_multi(p_u, np.stack([ct, sr], axis=1), pref[in_span])
+        if method == "gsw":
+            both = _interp_levels_gsw(p_u, ct, sr, pref[in_span])
+        else:
+            # one spline factorization for both variables (F9, hot path)
+            both = cubic_interp_multi(p_u, np.stack([ct, sr], axis=1), pref[in_span])
         ct_i[in_span] = both[:, 0].astype("f4")
         sr_i[in_span] = both[:, 1].astype("f4")
         idx[in_span] = 1
@@ -126,11 +162,16 @@ def interpolate_profiles(
     raw: DataFrame,
     summary: DataFrame | None = None,
     num_partitions: int | None = None,
+    method: str = "cubic",
 ) -> DataFrame:
     """raw (+ FLAG from summary or recomputed) → interpolated profiles.
 
     One exchange (groupBy WMO), Arrow in/out, NumPy inside — the Spark
     twin of the reference's pool.map(proceed_single_wmo).
+
+    ``method``: "cubic" (default — the dependency-free spline, F9) or
+    "gsw" (the reference's alternate gsw.sa_ct_interp surface,
+    interpolation.py:21,79; env-gated on the gsw package).
 
     The explicit repartition on WMO is load-bearing: AQE's partition
     coalescing targets shuffle *bytes* and is blind to Python-kernel CPU
@@ -140,12 +181,23 @@ def interpolate_profiles(
     still exactly one shuffle."""
     from ..functions.qc import combine_qc
 
+    if method not in ("cubic", "gsw"):
+        raise ValueError(f"method must be cubic|gsw, got {method!r}")
+    if method == "cubic":
+        kernel = _interp_one_wmo
+    else:
+        # fast-fail on the driver (executors share the env in local mode,
+        # but on a cluster a missing lib should fail before the shuffle)
+        _require_gsw()
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _interp_wmo_kernel(pdf, "gsw")
     flagged = raw.withColumn("FLAG", combine_qc("POSITION_QC", "JULD_QC").cast("byte"))
     # quality gate before the expensive kernel (X2/X9: filter first)
     flagged = flagged.filter(F.col("FLAG") == 1)
     n = num_partitions or flagged.sparkSession.sparkContext.defaultParallelism
     flagged = flagged.repartition(n, "WMO")
-    return flagged.groupBy("WMO").applyInPandas(_interp_one_wmo, PROFILES_SCHEMA)
+    return flagged.groupBy("WMO").applyInPandas(kernel, PROFILES_SCHEMA)
 
 
 def write_profiles(profiles: DataFrame, path: str, n_buckets: int = 64) -> None:

@@ -9,10 +9,10 @@ sf0.01 and hash-compares. Cross-engine determinism rules used throughout:
   and are cast to DOUBLE at the end, or are ROUND()ed after a double agg
   whose accumulation error is orders of magnitude below the rounding
   step;
-- raw event timestamps are nanosecond-precision in the parquet while
-  Spark reads microseconds — so timestamps are always truncated to
-  seconds/hours (epoch BIGINT) or dates before being returned or used as
-  ordering keys (ties broken by unique ids);
+- raw event timestamps have shipped as nanosecond INT64 and as µs
+  TIMESTAMP (the loader branches on the stored dtype) — so timestamps
+  are always truncated to seconds/hours (epoch BIGINT) or dates before
+  being returned or used as ordering keys (ties broken by unique ids);
 - hashes use md5 (present and identical in both engines); DuckDB lacks
   xxhash64/width_bucket, so fingerprints are md5-prefix 60-bit ints and
   histograms use floor();

@@ -104,55 +104,118 @@ class ArgoGdacReader(DataSourceReader):
         yield from _read_profile_file(partition.value)
 
 
-def _file_fingerprint(path: str) -> str:
+def _file_fingerprint(path: str) -> str | None:
     """mtime_ns:size — changes whenever the GDAC rewrites the file
-    (every new cycle rewrites <wmo>_prof.nc in place)."""
+    (every new cycle rewrites <wmo>_prof.nc in place). None if the file
+    vanished between listing and stat."""
     import os
 
-    st = os.stat(path)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
     return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _fp_mtime(fp: str) -> int:
+    return int(fp.split(":", 1)[0])
+
+
+def _is_newer_than(path: str, fp: str, offset: dict) -> bool:
+    """True iff (path, fingerprint) postdates ``offset``, under either
+    offset encoding: legacy exact map ({"seen": {path: fp}}) or the
+    compacted watermark form ({"wm": mtime_ns, "tail": {path: fp}})."""
+    if "seen" in offset:  # legacy exact-map offset (pre-compaction ckpt)
+        return offset["seen"].get(path) != fp
+    mt = _fp_mtime(fp)
+    wm = offset.get("wm", -1)
+    if mt != wm:
+        return mt > wm
+    # exactly at the watermark: the tail tie-set disambiguates files
+    # that share the boundary mtime
+    return offset.get("tail", {}).get(path) != fp
 
 
 class ArgoGdacStreamReader(DataSourceStreamReader):
     """Micro-batch GDAC sync: each trigger ingests the *_prof.nc files
     that appeared OR CHANGED since the last committed offset.
 
-    The offset maps every emitted file to its mtime:size fingerprint (a
-    recursive dict of primitives, per the protocol), so replay between
-    two checkpointed offsets is deterministic regardless of listing
-    races, and a GDAC in-place rewrite (the normal update path — each
-    new cycle rewrites <wmo>_prof.nc, reference re-walks everything,
-    toctools.py:97-106) re-emits the whole file as change data. A
-    changed file re-emits ALL its profiles; pair this source with a
-    MERGE-by-WMO sink (streaming/gdac.py), not a blind append. At GDAC
-    scale (~10⁶ files) the exact-map offset is ~100 MB of checkpoint
-    JSON; a production deployment would compact it to (mtime watermark
-    + tail-tie set), bounding the offset by churn rate. Per-file work is
-    identical to batch: parse on executors, corrupt files → zero rows."""
+    The committed offset is COMPACTED to (mtime watermark, tail tie-set):
+    ``{"wm": max mtime_ns across the listing, "tail": {path: fingerprint
+    for files AT the watermark}}``. A file postdates an offset iff its
+    mtime exceeds the watermark, or equals it with a fingerprint missing
+    from the tail set — so offset size is bounded by boundary-tie count
+    (≈ per-trigger churn), not corpus size: at GDAC scale (~10⁶ files)
+    this is bytes of checkpoint JSON per offset instead of the ~100 MB
+    an exact seen-file map costs. Legacy exact-map offsets
+    (``{"seen": ...}``) in existing checkpoints are still understood, so
+    a running query upgrades in place; ``offsetMode=exact`` restores the
+    full-map behavior for auditability.
+
+    A GDAC in-place rewrite (the normal update path — each new cycle
+    rewrites <wmo>_prof.nc; the reference re-walks everything,
+    toctools.py:97-106) bumps mtime past the watermark and re-emits the
+    whole file as change data; pair this source with a MERGE-by-WMO sink
+    (streaming/gdac.py), not a blind append. Replay between two
+    checkpointed offsets re-selects by the same mtime window, so a batch
+    is deterministic up to files rewritten AGAIN after the end offset —
+    those are excluded from the replayed batch and re-emitted by the
+    NEXT batch whose window covers them (the exact-map offset has the
+    same property: read() always parses current bytes). The mtime
+    watermark shares the standard caveat of file-watermark sources: a
+    file *moved in* with an old preserved mtime is invisible (rsync -t
+    into the tree); GDAC mirrors touch files on update, and offsetMode=
+    exact covers archival re-syncs. Per-file work is identical to batch:
+    parse on executors, corrupt files → zero rows."""
 
     def __init__(self, options):
         self.path = options.get("path")
         self.pattern = options.get("pattern", "*_prof.nc")
+        self.offset_mode = options.get("offsetMode", "watermark")
+        if self.offset_mode not in ("watermark", "exact"):
+            raise ValueError(f"offsetMode must be watermark|exact, got {self.offset_mode!r}")
         if not self.path:
             raise ValueError("argo_gdac requires a path: .load('/gdac/*/*')")
 
+    def _listing(self) -> dict[str, str]:
+        files = {}
+        for f in _glob_profile_files(self.path, self.pattern):
+            fp = _file_fingerprint(f)
+            if fp is not None:
+                files[f] = fp
+        return files
+
     def initialOffset(self) -> dict:
-        return {"seen": {}}
+        if self.offset_mode == "exact":
+            return {"seen": {}}
+        return {"wm": -1, "tail": {}}
 
     def latestOffset(self) -> dict:
+        files = self._listing()
+        if self.offset_mode == "exact":
+            return {"seen": files}
+        if not files:
+            return {"wm": -1, "tail": {}}
+        wm = max(_fp_mtime(fp) for fp in files.values())
         return {
-            "seen": {
-                f: _file_fingerprint(f)
-                for f in _glob_profile_files(self.path, self.pattern)
-            }
+            "wm": wm,
+            "tail": {f: fp for f, fp in files.items() if _fp_mtime(fp) == wm},
         }
 
     def partitions(self, start: dict, end: dict):
-        already = start.get("seen", {})
+        if "seen" in end:
+            # exact-map end offset: pure offset diff, no relisting
+            return [
+                InputPartition(f)
+                for f, fp in end["seen"].items()
+                if _is_newer_than(f, fp, start)
+            ]
+        # watermark end offset: select from the current listing the files
+        # inside the (start, end] modification window
         return [
             InputPartition(f)
-            for f, fp in end.get("seen", {}).items()
-            if already.get(f) != fp
+            for f, fp in self._listing().items()
+            if _is_newer_than(f, fp, start) and not _is_newer_than(f, fp, end)
         ]
 
     def read(self, partition):

@@ -548,3 +548,43 @@ def test_argo_atlas_pipeline_query_nonempty(spark):
     rows = out.collect()
     assert len(rows) > 50
     assert all(r["n_points"] >= 1 for r in rows)
+
+
+def test_interpolation_gsw_method_env_gated(spark, raw):
+    """The reference's alternate interpolation surface
+    (interpolation.py:21,79 `method="gsw"` → gsw.sa_ct_interp) is
+    env-gated exactly like the NetCDF-4 branch: without the gsw package
+    the call is a clearly-marked NotImplementedError (fast-fail on the
+    driver, before any shuffle); where gsw exists the kernel runs
+    end-to-end and must agree with the cubic path within a loose
+    interpolation-scheme tolerance (MRST-PCHIP vs natural spline)."""
+    import numpy as np
+    import pytest
+
+    from argostats_spark.operators.interpolation import interpolate_profiles
+
+    try:
+        import gsw  # noqa: F401
+        has_gsw = True
+    except ImportError:
+        has_gsw = False
+
+    if not has_gsw:
+        with pytest.raises(NotImplementedError, match="gsw"):
+            interpolate_profiles(raw, method="gsw")
+        with pytest.raises(ValueError, match="cubic|gsw"):
+            interpolate_profiles(raw, method="nearest")
+        pytest.skip("gsw not installed; method='gsw' branch env-gated")
+
+    # pragma: no cover — runs only where gsw exists
+    cubic = (
+        interpolate_profiles(raw, method="cubic")
+        .orderBy("WMO", "IPROF").toPandas()
+    )
+    via_gsw = (
+        interpolate_profiles(raw, method="gsw")
+        .orderBy("WMO", "IPROF").toPandas()
+    )
+    assert list(via_gsw.WMO) == list(cubic.WMO)
+    for a, b in zip(via_gsw.CT, cubic.CT):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.5)

@@ -161,3 +161,35 @@ def test_ivf_topk_scalable_equals_collected(spark, emb):
     sa = {(r["qid"], r["vec_id"]) for r in a.collect()}
     sb = {(r["qid"], r["vec_id"]) for r in b.collect()}
     assert sa == sb and len(sa) == 8 * 5
+
+
+def test_minhash_lsh_salted_verify_equals_unsalted(spark, docs):
+    """salt_verify routes the Jaccard-verification join through
+    salted_join (operators/skew.py) — the user-visible skew remedy for a
+    hot template document. Plant one template duplicated 25× (one id_a
+    carries O(dupes·shingles) verification work): the salted and plain
+    paths must return row-identical pairs."""
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 60)
+    one = base.filter(F.col("doc_id") == 0).toPandas().iloc[0]
+    words = one.text.split()
+    clones = pd.DataFrame(
+        {
+            # near-identical template clones: same prefix, tiny suffix
+            # variation keeps them distinct rows but in the same bands
+            "doc_id": [300000 + i for i in range(25)],
+            "text": [" ".join(words) + f" tail{i % 3}" for i in range(25)],
+        }
+    )
+    d = base.unionByName(spark.createDataFrame(clones))
+
+    plain = (
+        minhash_lsh_pairs(d, threshold=0.5)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    salted = (
+        minhash_lsh_pairs(d, threshold=0.5, salt_verify=8)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    # the hot template really did generate a pair pileup worth salting
+    assert (plain.id_a == 0).sum() + (plain.id_b == 0).sum() >= 20
+    pd.testing.assert_frame_equal(plain, salted)

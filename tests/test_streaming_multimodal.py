@@ -956,3 +956,87 @@ def test_gdac_summary_sync_pipeline(spark, tmp_path):
     q.awaitTermination()
     third = spark.read.parquet(table).toPandas()
     assert len(third) == 4
+
+
+def test_gdac_offset_compaction_replay_exactly_once(tmp_path):
+    """Property test for the compacted (mtime watermark + tail tie-set)
+    streaming offset: offsets stay O(boundary ties) not O(corpus);
+    replay across a compacted offset boundary — including files
+    rewritten in place — covers every live file version exactly once
+    (no file in two batches, none dropped); boundary mtime ties resolve
+    via the tail set; legacy exact-map offsets from pre-compaction
+    checkpoints still diff correctly."""
+    import os
+
+    from argostats_spark.sources.datasource import (
+        ArgoGdacStreamReader,
+        _file_fingerprint,
+    )
+
+    gdac = tmp_path / "gdac"
+    files = []
+    base_ns = 1_700_000_000_000_000_000
+    for i in range(20):
+        d = gdac / "dac" / f"69{i:05d}"
+        d.mkdir(parents=True)
+        p = d / f"69{i:05d}_prof.nc"
+        p.write_bytes(b"x" * (10 + i))
+        # distinct mtimes, except i=18,19 deliberately TIE at the max —
+        # the watermark-boundary case the tail set exists for
+        mt = base_ns + min(i, 18) * 1_000_000
+        os.utime(p, ns=(mt, mt))
+        files.append(str(p))
+
+    opts = {"path": str(gdac / "*" / "*"), "pattern": "*_prof.nc"}
+    rdr = ArgoGdacStreamReader(opts)
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    batch1 = sorted(p.value for p in rdr.partitions(o0, o1))
+    assert batch1 == sorted(files)  # everything is new in batch 1
+    # compaction: the offset names only the two boundary-tied files,
+    # not the 20-file corpus
+    assert "seen" not in o1
+    assert sorted(o1["tail"]) == sorted(files[18:])
+
+    # between triggers: one in-place rewrite (GDAC new-cycle path) and
+    # one brand-new float
+    os.utime(files[3])  # rewrite-in-place: same path, newer mtime
+    d_new = gdac / "dac" / "6999999"
+    d_new.mkdir(parents=True)
+    f_new = str(d_new / "6999999_prof.nc")
+    with open(f_new, "wb") as fh:
+        fh.write(b"new")
+    o2 = rdr.latestOffset()
+    batch2 = sorted(p.value for p in rdr.partitions(o1, o2))
+    assert batch2 == sorted([files[3], f_new])
+
+    # "restart": a fresh reader replays both batches from the
+    # checkpointed offsets alone — union covers every live file exactly
+    # once (the rewritten file moves from batch 1 to batch 2; no file
+    # appears twice, none is dropped)
+    rdr2 = ArgoGdacStreamReader(opts)
+    replayed = [
+        p.value for p in rdr2.partitions(o0, o1)
+    ] + [p.value for p in rdr2.partitions(o1, o2)]
+    assert sorted(replayed) == sorted(files + [f_new])
+    assert len(replayed) == len(set(replayed))
+
+    # drained: nothing new → empty batch, watermark stable
+    o3 = rdr.latestOffset()
+    assert rdr.partitions(o2, o3) == []
+
+    # legacy exact-map checkpoint continues against a compacted end:
+    # a start offset naming all files but with a stale fingerprint for
+    # files[5] re-emits exactly that file
+    legacy = {"seen": {f: _file_fingerprint(f) for f in files + [f_new]}}
+    legacy["seen"][files[5]] = "0:0"
+    cont = sorted(p.value for p in rdr.partitions(legacy, o3))
+    assert cont == [files[5]]
+
+    # offsetMode=exact keeps the audit-grade full map
+    exact = ArgoGdacStreamReader({**opts, "offsetMode": "exact"})
+    e1 = exact.latestOffset()
+    assert set(e1["seen"]) == set(files + [f_new])
+    assert sorted(p.value for p in exact.partitions(exact.initialOffset(), e1)) == sorted(
+        files + [f_new]
+    )
