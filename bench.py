@@ -45,6 +45,9 @@ HEADLINE = [
     # correctness-checked at sf0.01, not a headline scale number.
     "cosine_topk",
     "text_suite",
+    # multimodal family: real PGM construction + mapInPandas decode +
+    # grid featurization over every document payload
+    "multimodal_features",
 ]
 
 
