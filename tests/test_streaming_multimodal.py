@@ -1040,3 +1040,68 @@ def test_gdac_offset_compaction_replay_exactly_once(tmp_path):
     assert sorted(p.value for p in exact.partitions(exact.initialOffset(), e1)) == sorted(
         files + [f_new]
     )
+
+
+def test_gdac_offset_compaction_random_churn_exactly_once(tmp_path):
+    """Randomized churn property for the compacted offsets: across many
+    triggers of interleaved creates / in-place rewrites (with forced
+    mtime ties at trigger boundaries), chained batches emit every file
+    version at most once per trigger and the full replayed chain covers
+    every live file exactly once. Seeded RNG — deterministic failures."""
+    import os
+    import random
+
+    from argostats_spark.sources.datasource import ArgoGdacStreamReader
+
+    rng = random.Random(20260813)
+    gdac = tmp_path / "gdac"
+    (gdac / "dac").mkdir(parents=True)
+    clock = 1_700_000_000_000_000_000
+    live: list[str] = []
+
+    def create(i: int, mt: int) -> str:
+        d = gdac / "dac" / f"69{i:05d}"
+        d.mkdir(exist_ok=True)
+        p = str(d / f"69{i:05d}_prof.nc")
+        with open(p, "wb") as fh:
+            fh.write(os.urandom(rng.randrange(4, 64)))
+        os.utime(p, ns=(mt, mt))
+        return p
+
+    rdr = ArgoGdacStreamReader({"path": str(gdac / "*" / "*")})
+    offsets = [rdr.initialOffset()]
+    per_trigger_batches = []
+    n_files = 0
+    for trigger in range(12):
+        # random churn: a few creates and rewrites per trigger, some
+        # sharing one mtime (watermark boundary ties)
+        tie_mt = clock = clock + rng.randrange(1, 10) * 1_000_000
+        for _ in range(rng.randrange(0, 4)):
+            clock += rng.randrange(0, 2) * 1_000  # 50%: tie with previous
+            live.append(create(n_files, clock))
+            n_files += 1
+        for _ in range(rng.randrange(0, 3)):
+            if live:
+                clock += rng.randrange(0, 2) * 1_000
+                victim = rng.choice(live)
+                with open(victim, "ab") as fh:
+                    fh.write(b"x")
+                os.utime(victim, ns=(clock, clock))
+        del tie_mt
+        offsets.append(rdr.latestOffset())
+        batch = sorted(p.value for p in rdr.partitions(offsets[-2], offsets[-1]))
+        assert len(batch) == len(set(batch))  # no dupes inside a batch
+        per_trigger_batches.append(batch)
+
+    # quiescent filesystem: replaying the whole offset chain from a
+    # fresh reader ("restart") covers every live file exactly once
+    fresh = ArgoGdacStreamReader({"path": str(gdac / "*" / "*")})
+    replayed: list[str] = []
+    for start, end in zip(offsets, offsets[1:]):
+        replayed.extend(p.value for p in fresh.partitions(start, end))
+    assert sorted(replayed) == sorted(live)
+    # and replay is deterministic: a second pass yields the same chain
+    again: list[str] = []
+    for start, end in zip(offsets, offsets[1:]):
+        again.extend(p.value for p in fresh.partitions(start, end))
+    assert sorted(again) == sorted(replayed)
