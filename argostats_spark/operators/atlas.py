@@ -148,6 +148,53 @@ def _ts_cell_kernel(theta: float):
     return kernel
 
 
+def _ts_cell_kernel_arrow(theta: float):
+    """Arrow twin of _ts_cell_kernel (row-identical, pinned by test) —
+    kept as the measured-and-rejected variant: see the clim_ts docstring
+    for why the pandas kernel stays the default at this group shape."""
+
+    def kernel(key, table):
+        import pyarrow as pa
+
+        limit_blas_threads()
+        glon, glat = (k.as_py() if hasattr(k, "as_py") else k for k in key)
+        n = table.num_rows
+        hav = table.column("hav").to_numpy(zero_copy_only=False).astype("f8")
+
+        def mat(name: str) -> np.ndarray:
+            arr = table.column(name).combine_chunks()
+            return (
+                arr.flatten().to_numpy(zero_copy_only=False)
+                .astype("f8", copy=False).reshape(n, NLEVELS)
+            )
+
+        w = np.exp(-hav / theta)
+        coef = w[:, None] * mat("IDX")
+        n_lev = coef.sum(axis=0)
+        ok = n_lev > 0
+        ct_m = np.zeros(NLEVELS, dtype="f8")
+        sr_m = np.zeros(NLEVELS, dtype="f8")
+        ct_m[ok] = (coef * mat("CT")).sum(axis=0)[ok] / n_lev[ok]
+        sr_m[ok] = (coef * mat("SR")).sum(axis=0)[ok] / n_lev[ok]
+        offs = pa.array(np.array([0, NLEVELS], dtype="i4"))
+
+        def one(v: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(offs, pa.array(v.astype("f4")))
+
+        return pa.table(
+            {
+                "glon": pa.array([float(glon)], pa.float64()),
+                "glat": pa.array([float(glat)], pa.float64()),
+                "n_points": pa.array([n], pa.int32()),
+                "CT": one(ct_m),
+                "SR": one(sr_m),
+                "W": one(n_lev),
+            }
+        )
+
+    return kernel
+
+
 def match_pairs(
     grid: DataFrame,
     profiles: DataFrame,
@@ -177,20 +224,28 @@ def clim_ts(
     reso_deg: float,
     smoothing_factor: float = 4.0,
     pairs: DataFrame | None = None,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Weighted-mean CT/SR climatology per ocean grid cell (the
-    reference's clim_TS, atlas.py:427-437 → proceed_TS_tile:256-279)."""
+    reference's clim_TS, atlas.py:427-437 → proceed_TS_tile:256-279).
+
+    ``engine``: "pandas" (default) or "arrow" — row-identical, pinned by
+    test. MEASURED the opposite way round from interpolation: at a
+    global 5° grid (≈2k cells, 1-row outputs) applyInArrow ran 1.8×
+    SLOWER (10.4s vs 5.8s warm) — thousands of tiny groups amortize
+    nothing per group, while applyInPandas converts many groups per
+    Arrow batch. Interpolation's fewer/larger groups with variable-
+    length lists are the shape where arrow wins (interpolation.py)."""
     theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
     if pairs is None:
         pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
     # pin parallelism for the Python kernel stage (AQE coalescing targets
     # bytes, not UDF CPU — see interpolation.py note)
     n = pairs.sparkSession.sparkContext.defaultParallelism
-    return (
-        pairs.repartition(n, "glon", "glat")
-        .groupBy("glon", "glat")
-        .applyInPandas(_ts_cell_kernel(theta), _TS_SCHEMA)
-    )
+    grouped = pairs.repartition(n, "glon", "glat").groupBy("glon", "glat")
+    if engine == "arrow" and hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(_ts_cell_kernel_arrow(theta), _TS_SCHEMA)
+    return grouped.applyInPandas(_ts_cell_kernel(theta), _TS_SCHEMA)
 
 
 def clim_ts_exploded(

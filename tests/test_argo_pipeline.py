@@ -588,3 +588,51 @@ def test_interpolation_gsw_method_env_gated(spark, raw):
     assert list(via_gsw.WMO) == list(cubic.WMO)
     for a, b in zip(via_gsw.CT, cubic.CT):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.5)
+
+
+def test_interpolation_arrow_engine_equals_pandas(spark, raw):
+    """The applyInArrow kernel (flat list buffers, Table.take
+    passthrough) must be row-identical to the applyInPandas twin —
+    including the adjusted-variable branch, validity gates, NVALUES and
+    every CT/SR/IDX element."""
+    import pandas as pd
+
+    from argostats_spark.operators.interpolation import interpolate_profiles
+
+    a = interpolate_profiles(raw, engine="arrow").orderBy("WMO", "IPROF").toPandas()
+    p = interpolate_profiles(raw, engine="pandas").orderBy("WMO", "IPROF").toPandas()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, p)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="arrow|pandas"):
+        interpolate_profiles(raw, engine="rdd")
+
+
+def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):
+    """The applyInArrow cell kernel must match the applyInPandas default
+    exactly (it is the measured-and-rejected variant at this group
+    shape — see clim_ts docstring — but correctness is pinned so the
+    routing choice stays a pure performance decision)."""
+    import pandas as pd
+
+    from argostats_spark.operators.atlas import clim_ts, make_grid
+
+    b = profiles.filter(
+        (F.col("FLAG") == 1) & (F.col("DATA_MODE") == 1)
+    ).agg(
+        F.floor(F.min("LONGITUDE")).alias("w"), F.ceil(F.max("LONGITUDE")).alias("e"),
+        F.floor(F.min("LATITUDE")).alias("s"), F.ceil(F.max("LATITUDE")).alias("n"),
+    ).first()
+    grid = make_grid(
+        spark, (float(b.w), float(b.e) + 2, float(b.s), float(b.n) + 2), reso_deg=5.0
+    )
+    a = clim_ts(grid, profiles, 5.0, 2.0, engine="arrow").orderBy(
+        "glon", "glat"
+    ).toPandas()
+    p = clim_ts(grid, profiles, 5.0, 2.0, engine="pandas").orderBy(
+        "glon", "glat"
+    ).toPandas()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, p)
