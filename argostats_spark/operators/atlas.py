@@ -120,7 +120,7 @@ _TS_SCHEMA = T.StructType([
 
 
 def _ts_cell_kernel(theta: float):
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         limit_blas_threads()
         glon, glat = key
         w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)          # (n,)
@@ -472,7 +472,7 @@ def _eape_cell_kernel(theta: float, algo: str = "R14"):
     pref = pref64().astype("f8")
     unit = eape_unit()
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         limit_blas_threads()
         glon, glat = key
         w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)
