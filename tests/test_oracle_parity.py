@@ -80,3 +80,18 @@ def test_all_queries_have_entries():
     assert QUERIES, "query inventory is empty"
     # every oracle refers to a real query
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_sized_to_driver_window():
+    """The correctness driver records the first 50 queries() entries
+    (COVERAGE.md 'Registry sizing'). The registry must stay EXACTLY 50 —
+    adding a 51st entry silently drops it out of the driver's window,
+    and shrinking wastes a row — and every entry except the one
+    justified holdout (argo_atlas_pipeline: seeded-NumPy + spline
+    kernels, no independent SQL twin possible) must carry an oracle."""
+    assert len(QUERIES) == 50, f"registry drifted to {len(QUERIES)} entries"
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing == {"argo_atlas_pipeline"}, (
+        f"rows-only queries changed: {sorted(missing)} — new entries need "
+        "a DuckDB twin or a documented justification in COVERAGE.md"
+    )
