@@ -193,3 +193,30 @@ def test_minhash_lsh_salted_verify_equals_unsalted(spark, docs):
     # the hot template really did generate a pair pileup worth salting
     assert (plain.id_a == 0).sum() + (plain.id_b == 0).sum() >= 20
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_ivf_cell_partitioned_store_prunes(spark, emb, tmp_path_factory):
+    """The IVF scale path at rest: writing the assigned corpus
+    partitioned by ivf_cell turns nprobe-cell queries into partition-
+    pruned scans — the parquet reader must list only the probed cells'
+    directories, not the corpus (the 100 TB point of the inverted
+    file)."""
+    from argostats_spark.operators.similarity import ivf_assign, train_centroids
+
+    out = str(tmp_path_factory.mktemp("ivf_store"))
+    cents = train_centroids(emb, n_centroids=8, sample_rows=1000)
+    ivf_assign(emb, cents).write.mode("overwrite").partitionBy("ivf_cell").parquet(out)
+
+    store = spark.read.parquet(out)
+    probed = store.filter(F.col("ivf_cell").isin(1, 3))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # partition pruning shows up as a PartitionFilters entry on the scan
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # and the pruned read returns exactly the probed cells' rows
+    got = probed.select("ivf_cell").distinct().toPandas()
+    assert set(got.ivf_cell) <= {1, 3}
+    n_all = store.count()
+    n_probed = probed.count()
+    assert 0 < n_probed < n_all
