@@ -76,8 +76,16 @@ def _interp_wmo_kernel(pdf: pd.DataFrame, method: str) -> pd.DataFrame:
     limit_blas_threads()
     pref = pref64().astype("f8")
     # adjusted variables iff ALL profiles of the WMO are delayed-mode
-    # (reference interpolation.py:188-192; DATA_MODE: 0=R,1=D,2=A)
-    use_adj = (pdf["DATA_MODE"] == 1).all() and pdf["PRES_ADJUSTED"].notna().all()
+    # AND all three adjusted columns are fully populated (reference
+    # interpolation.py:188-192; DATA_MODE: 0=R,1=D,2=A). Checking only
+    # PRES_ADJUSTED would select the adjusted set for a WMO with a null
+    # TEMP/PSAL_ADJUSTED row and then crash on the boolean index —
+    # same gate as the arrow kernel, pinned by
+    # test_null_adjusted_row_falls_back_both_engines.
+    use_adj = (pdf["DATA_MODE"] == 1).all() and all(
+        pdf[c].notna().all()
+        for c in ("PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED")
+    )
     p_col, t_col, s_col = (
         ("PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED")
         if use_adj
@@ -199,13 +207,26 @@ def _interp_wmo_arrow_kernel(table, method: str):
         )
 
     pres_f, po = flat(p_col, "f8")
-    temp_f, _ = flat(t_col, "f8")
-    psal_f, _ = flat(s_col, "f8")
+
+    def flat_aligned(name: str, dtype: str) -> np.ndarray:
+        # every level column is sliced with PRES's offsets (po); ragged
+        # input (per-row list lengths disagreeing across columns) must
+        # fail fast here, not silently misalign every later profile
+        vals, offs = flat(name, dtype)
+        if not np.array_equal(offs, po):
+            raise ValueError(
+                f"ragged level arrays: {name} offsets disagree with "
+                f"{p_col} (per-row lengths must match across level columns)"
+            )
+        return vals
+
+    temp_f = flat_aligned(t_col, "f8")
+    psal_f = flat_aligned(s_col, "f8")
     # per-level QC product vectorized over the whole flat buffer at once
     qc_f = (
-        flat("PRES_QC", "i1")[0]
-        * flat("TEMP_QC", "i1")[0]
-        * flat("PSAL_QC", "i1")[0]
+        flat_aligned("PRES_QC", "i1")
+        * flat_aligned("TEMP_QC", "i1")
+        * flat_aligned("PSAL_QC", "i1")
     )
     good_f = qc_f == 1
 

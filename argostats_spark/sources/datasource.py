@@ -124,15 +124,22 @@ def _fp_mtime(fp: str) -> int:
 def _is_newer_than(path: str, fp: str, offset: dict) -> bool:
     """True iff (path, fingerprint) postdates ``offset``, under either
     offset encoding: legacy exact map ({"seen": {path: fp}}) or the
-    compacted watermark form ({"wm": mtime_ns, "tail": {path: fp}})."""
+    compacted watermark form ({"wm": mtime_ns, "slack": ns,
+    "tail": {path: fp}}). Files with mtime inside the bounded-lateness
+    window [wm - slack, wm] are judged by the tail fingerprint set, so a
+    file that was created during a listing race (mtime below the
+    watermark but listed late) is still detected as new on the next
+    trigger instead of being silently skipped forever."""
     if "seen" in offset:  # legacy exact-map offset (pre-compaction ckpt)
         return offset["seen"].get(path) != fp
     mt = _fp_mtime(fp)
     wm = offset.get("wm", -1)
-    if mt != wm:
-        return mt > wm
-    # exactly at the watermark: the tail tie-set disambiguates files
-    # that share the boundary mtime
+    if mt > wm:
+        return True
+    if mt < wm - offset.get("slack", 0):
+        return False
+    # inside the lateness window (or exactly at the watermark with
+    # slack=0): the tail fingerprint set disambiguates
     return offset.get("tail", {}).get(path) != fp
 
 
@@ -163,10 +170,32 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
     NEXT batch whose window covers them (the exact-map offset has the
     same property: read() always parses current bytes). The mtime
     watermark shares the standard caveat of file-watermark sources: a
-    file *moved in* with an old preserved mtime is invisible (rsync -t
-    into the tree); GDAC mirrors touch files on update, and offsetMode=
-    exact covers archival re-syncs. Per-file work is identical to batch:
-    parse on executors, corrupt files → zero rows."""
+    file *moved in* with an mtime preserved BELOW the lateness window is
+    invisible (rsync -t of old archives into the tree); GDAC mirrors
+    touch files on update, and offsetMode=exact covers archival
+    re-syncs. Per-file work is identical to batch: parse on executors,
+    corrupt files → zero rows.
+
+    Two hardenings close the races an exact map never had:
+
+    * **Monotone watermark.** latestOffset() never returns a watermark
+      below one it already returned (or below a committed start offset
+      seen by partitions()). A transiently-empty or shrunken listing
+      (NFS hiccup, path blip) carries the previous offset forward
+      instead of regressing to wm=-1 — which would otherwise commit,
+      and re-emit the entire corpus when the files reappear.
+    * **Bounded-lateness slack** (``latenessSlackSec``, default 5).
+      The tail set keeps fingerprints for every file inside
+      [wm - slack, wm], not just mtime ties AT the watermark. A file
+      created with mtime t while the listing glob was in flight — so a
+      later-mtime file advanced the watermark past t before t was ever
+      listed — is still inside the window on the next trigger, absent
+      from the tail, and therefore selected rather than lost. Offset
+      size becomes O(churn within the slack window), still bytes-scale
+      against a ~10⁶-file corpus. The slack is stored in the offset so
+      replayed batches use the window that was committed, and a file
+      racing in later than the slack remains the documented rsync-style
+      blind spot (raise the option or use offsetMode=exact)."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -176,6 +205,11 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
             raise ValueError(f"offsetMode must be watermark|exact, got {self.offset_mode!r}")
         if not self.path:
             raise ValueError("argo_gdac requires a path: .load('/gdac/*/*')")
+        self.slack_ns = int(float(options.get("latenessSlackSec", "5")) * 1_000_000_000)
+        # driver-side monotone guard: the highest watermark this reader
+        # has returned or seen committed, and the offset that carried it
+        self._carry_wm = -1
+        self._carry_offset: dict = {"wm": -1, "slack": self.slack_ns, "tail": {}}
 
     def _listing(self) -> dict[str, str]:
         files = {}
@@ -188,21 +222,31 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.offset_mode == "exact":
             return {"seen": {}}
-        return {"wm": -1, "tail": {}}
+        return {"wm": -1, "slack": self.slack_ns, "tail": {}}
 
     def latestOffset(self) -> dict:
         files = self._listing()
         if self.offset_mode == "exact":
             return {"seen": files}
-        if not files:
-            return {"wm": -1, "tail": {}}
-        wm = max(_fp_mtime(fp) for fp in files.values())
-        return {
+        wm = max((_fp_mtime(fp) for fp in files.values()), default=-1)
+        if wm < self._carry_wm:
+            # empty or regressed listing (NFS blip): the watermark is
+            # monotone — re-issue the last good offset unchanged
+            return self._carry_offset
+        lo = wm - self.slack_ns
+        off = {
             "wm": wm,
-            "tail": {f: fp for f, fp in files.items() if _fp_mtime(fp) == wm},
+            "slack": self.slack_ns,
+            "tail": {f: fp for f, fp in files.items() if _fp_mtime(fp) >= lo},
         }
+        self._carry_wm, self._carry_offset = wm, off
+        return off
 
     def partitions(self, start: dict, end: dict):
+        if start.get("wm", -1) > self._carry_wm:
+            # restart path: adopt the committed watermark so a
+            # transiently-empty first listing cannot regress below it
+            self._carry_wm, self._carry_offset = start["wm"], start
         if "seen" in end:
             # exact-map end offset: pure offset diff, no relisting
             return [

@@ -610,6 +610,89 @@ def test_interpolation_arrow_engine_equals_pandas(spark, raw):
         interpolate_profiles(raw, engine="rdd")
 
 
+def _delayed_mode_wmo_pdf(n_prof=3, n_lev=20):
+    """A delayed-mode WMO whose adjusted variables differ measurably
+    from the raw ones (+1 degC), so which branch the kernel picked is
+    visible in the output."""
+    pres = np.arange(0.0, 40.0 * n_lev, 40.0)[:n_lev].astype("f4")
+    rows = []
+    for i in range(n_prof):
+        temp = (25.0 - pres / 100.0 - 0.1 * i).astype("f4")
+        psal = np.full(n_lev, 35.0, dtype="f4")
+        rows.append({
+            "WMO": 2900077, "DAC": 0, "IPROF": i,
+            "JULD": pd.Timestamp("2020-06-01"),
+            "LATITUDE": 10.0, "LONGITUDE": 20.0,
+            "DATA_MODE": 1, "FLAG": 1,
+            "PRES": pres.copy(), "TEMP": temp, "PSAL": psal,
+            "PRES_ADJUSTED": pres.copy(),
+            "TEMP_ADJUSTED": (temp + 1.0).astype("f4"),
+            "PSAL_ADJUSTED": psal.copy(),
+            "PRES_QC": np.ones(n_lev, dtype="i1"),
+            "TEMP_QC": np.ones(n_lev, dtype="i1"),
+            "PSAL_QC": np.ones(n_lev, dtype="i1"),
+        })
+    return pd.DataFrame(rows)
+
+
+def _arrow_table_from_pdf(pdf):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def test_null_adjusted_row_falls_back_both_engines():
+    """ADVICE r4: a delayed-mode WMO with PRES_ADJUSTED fully populated
+    but ONE null TEMP_ADJUSTED row must make BOTH kernels fall back to
+    the unadjusted variables (the arrow kernel always did; the pandas
+    twin used to pick adjusted and crash on the null row). Both engines
+    must agree with each other and with the forced-unadjusted run."""
+    from argostats_spark.operators.interpolation import (
+        _interp_one_wmo,
+        _interp_one_wmo_arrow,
+    )
+
+    clean = _delayed_mode_wmo_pdf()
+    # sanity: with all adjusted columns populated, adjusted is selected
+    # (CT reflects the +1 degC offset vs the forced-unadjusted twin)
+    unadj = clean.assign(
+        PRES_ADJUSTED=None, TEMP_ADJUSTED=None, PSAL_ADJUSTED=None
+    )
+    ct_adj = np.array(_interp_one_wmo(clean).CT.iloc[0])
+    ct_raw = np.array(_interp_one_wmo(unadj).CT.iloc[0])
+    assert np.nanmax(np.abs(ct_adj - ct_raw)) > 0.5
+
+    holed = clean.copy()
+    holed.at[1, "TEMP_ADJUSTED"] = None
+    p_out = _interp_one_wmo(holed)  # must not raise (the old IndexError)
+    # fallback semantics: identical to the unadjusted run
+    pd.testing.assert_frame_equal(p_out, _interp_one_wmo(unadj))
+
+    a_out = _interp_one_wmo_arrow(_arrow_table_from_pdf(holed)).to_pandas()
+    assert a_out.IPROF.tolist() == p_out.IPROF.tolist()
+    for col in ("CT", "SR", "IDX"):
+        for a_row, p_row in zip(a_out[col], p_out[col]):
+            np.testing.assert_allclose(
+                np.asarray(a_row, dtype="f8"), np.asarray(p_row, dtype="f8")
+            )
+    assert a_out.NVALUES.tolist() == p_out.NVALUES.tolist()
+
+
+def test_ragged_level_arrays_fail_fast_in_arrow_kernel():
+    """ADVICE r4: the arrow kernel slices every flat level buffer with
+    PRES's offsets; ragged input (a TEMP list shorter than its PRES)
+    must raise immediately, not silently misalign every later profile."""
+    import pytest
+
+    from argostats_spark.operators.interpolation import _interp_one_wmo_arrow
+
+    pdf = _delayed_mode_wmo_pdf()
+    pdf["DATA_MODE"] = 0  # unadjusted path; adjusted columns unused
+    pdf.at[1, "TEMP"] = pdf.at[1, "TEMP"][:-3]  # ragged: 3 levels short
+    with pytest.raises(ValueError, match="ragged"):
+        _interp_one_wmo_arrow(_arrow_table_from_pdf(pdf))
+
+
 def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):
     """The applyInArrow cell kernel must match the applyInPandas default
     exactly (it is the measured-and-rejected variant at this group

@@ -987,7 +987,9 @@ def test_gdac_offset_compaction_replay_exactly_once(tmp_path):
         os.utime(p, ns=(mt, mt))
         files.append(str(p))
 
-    opts = {"path": str(gdac / "*" / "*"), "pattern": "*_prof.nc"}
+    # slack=0 pins the pure watermark+tie-set compaction shape; the
+    # bounded-lateness window has its own test below
+    opts = {"path": str(gdac / "*" / "*"), "pattern": "*_prof.nc", "latenessSlackSec": "0"}
     rdr = ArgoGdacStreamReader(opts)
     o0 = rdr.initialOffset()
     o1 = rdr.latestOffset()
@@ -1105,3 +1107,71 @@ def test_gdac_offset_compaction_random_churn_exactly_once(tmp_path):
     for start, end in zip(offsets, offsets[1:]):
         again.extend(p.value for p in fresh.partitions(start, end))
     assert sorted(again) == sorted(replayed)
+
+
+def test_gdac_watermark_monotone_and_lateness_slack(tmp_path):
+    """The two compacted-offset races an exact map never had, closed:
+
+    1. a transiently-EMPTY listing (NFS hiccup) must not regress the
+       watermark to -1 — that offset would commit, and the corpus would
+       be re-emitted wholesale when the files reappear;
+    2. a file created with an mtime BELOW the watermark (its creation
+       raced the listing glob, a later-mtime file was listed first) must
+       still be picked up on the next trigger via the bounded-lateness
+       tail window, not skipped forever.
+    """
+    import os
+    import shutil
+
+    from argostats_spark.sources.datasource import ArgoGdacStreamReader
+
+    gdac = tmp_path / "gdac"
+    base_ns = 1_700_000_000_000_000_000
+
+    def create(name: str, mt_ns: int) -> str:
+        d = gdac / "dac" / name
+        d.mkdir(parents=True, exist_ok=True)
+        p = str(d / f"{name}_prof.nc")
+        with open(p, "wb") as fh:
+            fh.write(name.encode())
+        os.utime(p, ns=(mt_ns, mt_ns))
+        return p
+
+    f_b = create("6900001", base_ns + 2_000_000_000)  # "listed first"
+    opts = {"path": str(gdac / "*" / "*"), "latenessSlackSec": "5"}
+    rdr = ArgoGdacStreamReader(opts)
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert sorted(p.value for p in rdr.partitions(o0, o1)) == [f_b]
+
+    # --- race 2: file a was being written while o1's glob ran; its
+    # mtime predates the watermark but is inside the 5 s slack window
+    f_a = create("6900000", base_ns + 1_000_000_000)
+    o2 = rdr.latestOffset()
+    assert sorted(p.value for p in rdr.partitions(o1, o2)) == [f_a]
+    # and it is emitted exactly once: the next window excludes it
+    o3 = rdr.latestOffset()
+    assert rdr.partitions(o2, o3) == []
+
+    # --- race 1: the whole tree blips away; the watermark must carry,
+    # not collapse to -1
+    saved = tmp_path / "saved"
+    shutil.move(str(gdac), str(saved))
+    o4 = rdr.latestOffset()
+    assert o4["wm"] == o2["wm"]
+    assert rdr.partitions(o3, o4) == []
+    # files reappear with their old mtimes: nothing is re-emitted
+    shutil.move(str(saved), str(gdac))
+    o5 = rdr.latestOffset()
+    assert rdr.partitions(o4, o5) == []
+
+    # --- restart during the blip: a FRESH reader (carry state lost)
+    # adopts the committed start watermark via partitions(), so its next
+    # latestOffset cannot regress either
+    shutil.move(str(gdac), str(saved))
+    rdr2 = ArgoGdacStreamReader(opts)
+    assert rdr2.partitions(o3, o3) == []  # replay of committed window
+    o6 = rdr2.latestOffset()
+    assert o6["wm"] == o3["wm"]
+    shutil.move(str(saved), str(gdac))
+    assert rdr2.partitions(o3, o6) == []
