@@ -1961,39 +1961,260 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("argo_atlas_pipeline")
+# -------------------------------------------------------------------------
+# argo_atlas_pipeline oracle: the full interpolate→θ-join→weighted-mean→
+# EAPE pipeline, brute-forced in DuckDB over a MATERIALIZED intermediate.
+#
+# The Spark query writes its interpolated profiles to a parquet temp-path
+# and reads them back; the oracle reads the SAME parquet and recomputes
+# everything downstream independently in pure SQL: grid generation,
+# brute-force haversine θ-join, per-level kernel-weighted CT/SR means,
+# the TEOS-10 75-term specific-volume polynomial (ρ and sound speed are
+# GENERATED as SQL from the same published coefficient table the NumPy
+# kernel uses — functions/teos10.py), the compressibility factor
+# (running-sum window), the monotone reference curve (running max), the
+# isopycnal-displacement linear interpolation (np.interp semantics:
+# in-range segment lookup incl. duplicate-knot ties, clamped ends), and
+# the R14 EAPE weighted mean. Only the interpolation itself (cubic
+# spline, allclose-tested in tests/test_argo_pipeline.py per BASELINE.md
+# tolerance policy) rides in as data. Reference precedent for
+# differential testing: src/argostats/lorenz/lorenz_state.py:5-29.
+# -------------------------------------------------------------------------
+
+_ATLAS_ORACLE_PARQUET = os.path.join(
+    __import__("tempfile").gettempdir(), "argostats_spark_atlas_profiles.parquet"
+)
+_ATLAS_THETA = math.sin(math.radians(4.0 * 2.0) / 2.0) ** 2  # sf=4, reso=2°
+
+
+def _specvol_poly_sql(xs: str, ys: str, zz: str) -> tuple[str, str]:
+    """The Roquet et al. (2015) 75-term specific-volume polynomial and
+    its analytic z-derivative as SQL expressions over pre-computed
+    normalized columns — the same coefficient table functions/teos10.py
+    evaluates with NumPy, so the oracle's ρ and sound speed are fully
+    independent recomputations (summation order differs; the query's
+    4-decimal rounding absorbs the ~1e-12 relative float divergence)."""
+    from .functions.teos10 import _SPECVOL_COEFS
+
+    def term(coef: float, a: int, b: int, c: int) -> str:
+        fs = [f"({coef!r})"]
+        for v, e in ((xs, a), (ys, b), (zz, c)):
+            if e == 1:
+                fs.append(v)
+            elif e > 1:
+                fs.append(f"pow({v},{e})")
+        return "*".join(fs)
+
+    v = " + ".join(term(val, a, b, c) for (a, b, c), val in sorted(_SPECVOL_COEFS.items()))
+    dvdz = " + ".join(
+        term(val * c, a, b, c - 1)
+        for (a, b, c), val in sorted(_SPECVOL_COEFS.items())
+        if c >= 1
+    )
+    return f"({v})", f"({dvdz})"
+
+
+def _atlas_pipeline_oracle_sql() -> str:
+    from .functions.teos10 import _OFFSET, _SFAC
+    from .schemas import pref64
+
+    th = repr(_ATLAS_THETA)
+    pref_rows = ", ".join(
+        f"({k + 1}, {float(p)!r})" for k, p in enumerate(pref64())
+    )
+    # density at level 10 (1-based; element_at(CT, 10) ↔ pref index 9)
+    p10 = repr(float(pref64()[9]))
+    hav = (
+        "pow(sin(radians(p.lat - g.glat)/2),2)"
+        " + cos(radians(g.glat))*cos(radians(p.lat))"
+        "*pow(sin(radians(p.lon - g.glon)/2),2)"
+    )
+    norm = (
+        f"sqrt(greatest({_SFAC!r}*CAST({{sa}} AS DOUBLE) + {_OFFSET!r}, 0.0))",
+        "CAST({ct} AS DOUBLE)*0.025",
+        "{p}*1e-4",
+    )
+    v_cell, dvdz_cell = _specvol_poly_sql("xs", "ys", "zz")
+    v_pair, _ = _specvol_poly_sql("xsi", "ysi", f"({p10}*1e-4)")
+    return f"""
+    WITH prof AS (
+      SELECT CAST(LONGITUDE AS DOUBLE) AS lon, CAST(LATITUDE AS DOUBLE) AS lat,
+             CT, SR, IDX
+      FROM read_parquet('{_ATLAS_ORACLE_PARQUET}/*.parquet')
+      WHERE FLAG = 1 AND DATA_MODE = 1
+    ),
+    bounds AS (
+      SELECT CAST(floor(min(lon)) AS DOUBLE) AS lo_w,
+             CAST(ceil(max(lon)) AS DOUBLE) AS lo_e,
+             CAST(floor(min(lat)) AS DOUBLE) AS la_s,
+             CAST(ceil(max(lat)) AS DOUBLE) AS la_n
+      FROM prof
+    ),
+    grid AS (
+      SELECT CAST(b.lo_w + i.i*2 + 1 AS DOUBLE) AS glon,
+             CAST(b.la_s + j.j*2 + 1 AS DOUBLE) AS glat
+      FROM bounds b, range(0, 200) i(i), range(0, 100) j(j)
+      WHERE i.i < CAST(ceil((b.lo_e + 2 - b.lo_w)/2.0) AS BIGINT)
+        AND j.j < CAST(ceil((b.la_n + 2 - b.la_s)/2.0) AS BIGINT)
+    ),
+    pairs AS (
+      SELECT g.glon, g.glat, p.CT, p.SR, p.IDX, {hav} AS hav
+      FROM grid g JOIN prof p ON {hav} <= {th}
+    ),
+    plev AS (
+      SELECT glon, glat, exp(-hav/{th}) AS w,
+             unnest(CT) AS ct, unnest(SR) AS sr, unnest(IDX) AS idx,
+             unnest(generate_series(1, 64)) AS lev
+      FROM pairs
+    ),
+    cellmean AS (
+      SELECT glon, glat, lev,
+             sum(w*idx) AS n_lev,
+             CASE WHEN sum(w*idx) > 0
+                  THEN CAST(sum(w*idx*ct)/sum(w*idx) AS REAL)
+                  ELSE CAST(0.0 AS REAL) END AS ct_bar,
+             CASE WHEN sum(w*idx) > 0
+                  THEN CAST(sum(w*idx*sr)/sum(w*idx) AS REAL)
+                  ELSE CAST(0.0 AS REAL) END AS sr_bar
+      FROM plev GROUP BY glon, glat, lev
+    ),
+    pref(lev, p) AS (VALUES {pref_rows}),
+    celltherm AS (
+      SELECT m.glon, m.glat, m.lev, r.p, m.ct_bar, m.sr_bar,
+             {norm[0].format(sa="m.sr_bar")} AS xs,
+             {norm[1].format(ct="m.ct_bar")} AS ys,
+             {norm[2].format(p="r.p")} AS zz
+      FROM cellmean m JOIN pref r ON m.lev = r.lev
+    ),
+    cellv AS (
+      SELECT *, {v_cell} AS v, {dvdz_cell} AS dvdz FROM celltherm
+    ),
+    cellc AS (
+      SELECT glon, glat, lev, p, 1.0/v AS rho_bar,
+             1e4*sqrt(-v*v/dvdz) AS c,
+             p - coalesce(lag(p) OVER (PARTITION BY glon, glat ORDER BY lev), p) AS dp
+      FROM cellv
+    ),
+    cellcf AS (
+      SELECT *, exp(-sum(1e4*dp/(rho_bar*c*c))
+                    OVER (PARTITION BY glon, glat ORDER BY lev)) AS cf
+      FROM cellc
+    ),
+    cellcurve AS (
+      SELECT *, max(rho_bar*cf) OVER (PARTITION BY glon, glat ORDER BY lev) AS curve
+      FROM cellcf
+    ),
+    seg AS (
+      SELECT glon, glat, curve AS ck, p AS yk,
+             lead(curve) OVER (PARTITION BY glon, glat ORDER BY lev) AS ck1,
+             lead(p) OVER (PARTITION BY glon, glat ORDER BY lev) AS yk1
+      FROM cellcurve
+    ),
+    cbound AS (
+      SELECT glon, glat, arg_min(curve, lev) AS c_first, arg_min(p, lev) AS p_first,
+             arg_max(curve, lev) AS c_last, arg_max(p, lev) AS p_last
+      FROM cellcurve GROUP BY glon, glat
+    ),
+    p10 AS (
+      SELECT glon, glat, exp(-hav/{th}) AS w,
+             CAST(IDX[10] AS DOUBLE) AS idx10,
+             {norm[0].format(sa="SR[10]")} AS xsi,
+             {norm[1].format(ct="CT[10]")} AS ysi
+      FROM pairs
+    ),
+    pi10 AS (
+      SELECT glon, glat, w, idx10, 1.0/({v_pair}) AS rho_i FROM p10
+    ),
+    d10 AS (
+      SELECT pi.glon, pi.glat, pi.w, pi.idx10, pi.rho_i,
+             cc.rho_bar AS rho_bar10,
+             coalesce(
+               (SELECT s.yk + (pi.rho_i*cc.cf - s.ck)*(s.yk1 - s.yk)/(s.ck1 - s.ck)
+                FROM seg s
+                WHERE s.glon = pi.glon AND s.glat = pi.glat
+                  AND s.ck <= pi.rho_i*cc.cf AND pi.rho_i*cc.cf < s.ck1),
+               CASE WHEN pi.rho_i*cc.cf >= b.c_last THEN b.p_last ELSE b.p_first END
+             ) AS disp
+      FROM pi10 pi
+      JOIN cellcurve cc ON cc.glon = pi.glon AND cc.glat = pi.glat AND cc.lev = 10
+      JOIN cbound b ON b.glon = pi.glon AND b.glat = pi.glat
+    ),
+    eape10 AS (
+      SELECT glon, glat,
+             CASE WHEN sum(w*idx10) > 0
+                  THEN sum(w*idx10 * 0.5*100.0*(rho_i - rho_bar10)*(disp - {p10}))
+                       / sum(w*idx10)
+                  ELSE 0.0 END AS eape_m
+      FROM d10 GROUP BY glon, glat
+    ),
+    npts AS (
+      SELECT glon, glat, count(*) AS n_points FROM pairs GROUP BY glon, glat
+    )
+    SELECT n.glon, n.glat, n.n_points,
+           round(CAST(m.ct_bar AS DOUBLE), 4) AS ct_l10,
+           round(CAST(m.sr_bar AS DOUBLE), 4) AS sr_l10,
+           round(CAST(CAST(e.eape_m AS REAL) AS DOUBLE), 4) AS eape_l10
+    FROM npts n
+    JOIN cellmean m ON m.glon = n.glon AND m.glat = n.glat AND m.lev = 10
+    JOIN eape10 e ON e.glon = n.glon AND e.glat = n.glat
+    """
+
+
+@query("argo_atlas_pipeline", _atlas_pipeline_oracle_sql())
 def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity pipeline end-to-end (SURVEY §3.1-3.3): synthetic
     raw profiles → summary gates → applyInPandas interpolation onto 64
-    levels → binned neighborhood join → kernel-weighted TS climatology.
-    Deterministic (seed 42) but NumPy-kernel-based → rows-only check;
-    golden-value tests live in tests/test_argo_pipeline.py."""
-    from .operators.atlas import clim_ts, make_grid
+    levels → materialized parquet intermediate → binned neighborhood
+    join → kernel-weighted TS climatology (A1-A3) → two-pass R14 EAPE
+    (A4: cell-mean → broadcast-back → isopycnal displacement → weighted
+    mean; reference atlas.py:152-191, 281-298).
+
+    The interpolated profiles are written to a parquet temp-path and
+    read back, so the DuckDB oracle (above) brute-forces the ENTIRE
+    downstream pipeline over literally the same bytes — the spline
+    kernel upstream of the materialization stays pinned by the golden/
+    property tests in tests/test_argo_pipeline.py."""
+    from .operators.atlas import clim_eape, clim_ts, make_grid, match_pairs
     from .operators.interpolation import interpolate_profiles
     from .sources.synthetic import make_raw
 
     ensure_workers_can_import(spark)
     raw = make_raw(spark, n_wmos=6, profiles_per_wmo=8, seed=42)
-    profiles = interpolate_profiles(raw)
+    interpolate_profiles(raw).write.mode("overwrite").parquet(_ATLAS_ORACLE_PARQUET)
+    profiles = spark.read.parquet(_ATLAS_ORACLE_PARQUET)
     # grid over the FULL bounding box of eligible profiles: WMOs scatter
     # globally, so a fixed-size box at (min lon, min lat) — one corner
-    # from one WMO, the other from another — can contain zero profiles
+    # from one WMO, the other from another — can contain zero profiles.
+    # Cell count via ceil (not round) so the SQL twin is exact: Python's
+    # round() is banker's at .5 and DuckDB's is half-away-from-zero.
     bounds = profiles.filter((F.col("FLAG") == 1) & (F.col("DATA_MODE") == 1)).agg(
         F.floor(F.min("LONGITUDE")).alias("lo_w"),
         F.ceil(F.max("LONGITUDE")).alias("lo_e"),
         F.floor(F.min("LATITUDE")).alias("la_s"),
         F.ceil(F.max("LATITUDE")).alias("la_n"),
     ).first()
+    nlon = int(math.ceil((bounds.lo_e + 2 - bounds.lo_w) / 2.0))
+    nlat = int(math.ceil((bounds.la_n + 2 - bounds.la_s) / 2.0))
     grid = make_grid(
         spark,
-        (float(bounds.lo_w), float(bounds.lo_e) + 2, float(bounds.la_s), float(bounds.la_n) + 2),
+        (float(bounds.lo_w), float(bounds.lo_w) + 2.0 * nlon,
+         float(bounds.la_s), float(bounds.la_s) + 2.0 * nlat),
         reso_deg=2.0,
     )
-    out = clim_ts(grid, profiles, reso_deg=2.0, smoothing_factor=4.0)
+    # the pair set feeds both the TS and EAPE passes (SURVEY §7.4.2) —
+    # persist it and the pass-1 means so pass 2 reuses, not recomputes
+    pairs = match_pairs(grid, profiles, reso_deg=2.0, smoothing_factor=4.0).persist()
+    ts = clim_ts(grid, profiles, reso_deg=2.0, smoothing_factor=4.0, pairs=pairs).persist()
+    eape = clim_eape(
+        grid, profiles, reso_deg=2.0, smoothing_factor=4.0, pairs=pairs, ts=ts
+    )
+    out = ts.join(eape.select("glon", "glat", "EAPE"), on=["glon", "glat"])
     return out.select(
-        "glon", "glat", "n_points",
+        "glon", "glat",
+        F.col("n_points").cast("long").alias("n_points"),
         F.round(F.element_at("CT", 10).cast("double"), 4).alias("ct_l10"),
         F.round(F.element_at("SR", 10).cast("double"), 4).alias("sr_l10"),
+        F.round(F.element_at("EAPE", 10).cast("double"), 4).alias("eape_l10"),
     )
 
 

@@ -86,12 +86,13 @@ def test_registry_sized_to_driver_window():
     """The correctness driver records the first 50 queries() entries
     (COVERAGE.md 'Registry sizing'). The registry must stay EXACTLY 50 —
     adding a 51st entry silently drops it out of the driver's window,
-    and shrinking wastes a row — and every entry except the one
-    justified holdout (argo_atlas_pipeline: seeded-NumPy + spline
-    kernels, no independent SQL twin possible) must carry an oracle."""
+    and shrinking wastes a row — and EVERY entry must carry an oracle
+    (the last holdout, argo_atlas_pipeline, gained a DuckDB twin in
+    round 5 via the materialized-parquet intermediate + generated
+    TEOS-10 polynomial SQL)."""
     assert len(QUERIES) == 50, f"registry drifted to {len(QUERIES)} entries"
     missing = set(QUERIES) - set(ORACLES)
-    assert missing == {"argo_atlas_pipeline"}, (
-        f"rows-only queries changed: {sorted(missing)} — new entries need "
+    assert missing == set(), (
+        f"rows-only queries appeared: {sorted(missing)} — new entries need "
         "a DuckDB twin or a documented justification in COVERAGE.md"
     )
