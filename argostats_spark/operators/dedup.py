@@ -24,13 +24,43 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 100,
+) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content with the
-    kept id (lowest) and the number of copies."""
-    return df.groupBy(F.xxhash64(text_col).alias("content_hash")).agg(
-        F.min(id_col).alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-        F.collect_list(id_col).alias("all_ids"),
+    kept id (lowest), the TRUE copy count, and a bounded sample of
+    member ids.
+
+    ``all_ids`` is capped at ``max_ids`` (the ``max_ids`` LOWEST ids, so
+    the sample is deterministic and starts at ``keep_id``): a degenerate
+    corpus — one template document copied 10⁸ times, the normal shape of
+    crawl boilerplate — would otherwise materialize an unbounded array
+    in a single aggregation buffer and OOM that executor. The cap is
+    enforced BEFORE collection (row_number over the same hash
+    partitioning gates the collect, and the window sort spills to disk
+    where an agg buffer cannot), not by slicing an already-materialized
+    list — so no unbounded per-group array exists anywhere in the plan.
+    The window's exchange is reused by the groupBy (same key), so this
+    still costs exactly one shuffle. ``n_copies`` stays the exact count;
+    consumers that need the full membership stream it with a normal
+    groupBy join instead."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("content_hash").orderBy(id_col)
+    base = df.select(F.xxhash64(text_col).alias("content_hash"), F.col(id_col))
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col(id_col)))
+            ).alias("all_ids"),
+        )
     )
 
 

@@ -53,6 +53,32 @@ def test_exact_duplicates_found(spark, docs):
     assert (out.n_copies == 2).all()
 
 
+def test_exact_duplicates_bounded_on_degenerate_corpus(spark):
+    """VERDICT r4 item 3: one content × 10⁵ copies (the crawl-boilerplate
+    shape) must not materialize an unbounded per-group array — all_ids
+    caps at max_ids (the lowest ids, deterministic), n_copies stays the
+    TRUE count, and the plan still has exactly one exchange (the window
+    reuses the groupBy's hash partitioning)."""
+    n = 100_000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate").alias("text")
+    ).union(
+        spark.range(3).select(
+            (F.col("id") + n).alias("doc_id"), F.lit("unique-" ).alias("text")
+        )
+    )
+    out = exact_duplicates(d, max_ids=16).orderBy(F.desc("n_copies")).toPandas()
+    big = out.iloc[0]
+    assert big.n_copies == n                      # exact count survives the cap
+    assert list(big.all_ids) == list(range(16))   # the 16 LOWEST ids, sorted
+    assert big.keep_id == 0
+    assert all(len(r) <= 16 for r in out.all_ids)
+    # one shuffle total: the row_number window and the groupBy share the
+    # content_hash hash partitioning
+    plan = exact_duplicates(d, max_ids=16)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_dedup_keep_first_removes_copies(spark, docs):
     d = _with_dups(spark, docs)
     kept = dedup_keep_first(d)
