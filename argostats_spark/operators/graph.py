@@ -45,13 +45,19 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    round_hook=None,
 ) -> DataFrame:
     """Undirected connected components over an edge list.
 
     Returns (node, comp) for every node appearing in ``edges``; ``comp``
     is the component's minimum node id. Nodes not in ``edges`` are
     absent — see :func:`duplicate_groups` for full labeling.
+
+    ``round_hook(round_no, seconds)``, if given, is called after each
+    completed propagation round — the scale probes use it to record
+    rounds-to-converge and per-round wall time (SCALE.md).
     """
+    import time as _time
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the symmetrized edge list ONCE: the loop below references
     # `sym` every round, and Spark rebuilds lineage per action — an edge
@@ -72,7 +78,8 @@ def connected_components(
         F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     ).first()["s"]
 
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        _t0 = _time.perf_counter()
         # neighbor min: smallest label among v's neighbors
         nbr = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -96,6 +103,8 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
         labels = jumped
+        if round_hook is not None:
+            round_hook(_round, _time.perf_counter() - _t0)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

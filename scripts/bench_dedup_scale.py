@@ -45,12 +45,40 @@ def synth_docs(spark, n: int, words_per_doc: int = 60):
     return base.unionByName(dups)
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    wpd = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    spark = get_spark("bench_dedup_scale", extra_conf={
-        "spark.driver.memory": os.environ.get("DEDUP_PROBE_MEM", "32g"),
-    })
+def _max_task_ms(spark, since_epoch_ms: float) -> int:
+    """Max executorRunTime (ms) over any task of any stage submitted
+    after ``since_epoch_ms`` — via the Spark UI REST API (requires
+    spark.ui.enabled=true). The skew metric the salting exists to fix:
+    wall-clock of a stage == its slowest task."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete") as r:
+        stages = json.load(r)
+    worst = 0
+    for st in stages:
+        sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
+        if sub is None:
+            continue
+        from datetime import datetime
+
+        t = datetime.strptime(sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z")
+        if t.timestamp() * 1000 < since_epoch_ms:
+            continue
+        url = (
+            f"{base}/api/v1/applications/{app}/stages/{st['stageId']}/"
+            f"{st['attemptId']}/taskSummary?quantiles=1.0"
+        )
+        try:
+            with urllib.request.urlopen(url) as r:
+                worst = max(worst, int(json.load(r)["executorRunTime"][0]))
+        except Exception:
+            pass
+    return worst
+
+
+def probe_lsh(spark, n: int, wpd: int):
     docs = synth_docs(spark, n, wpd)
     n_docs = docs.count()
 
@@ -66,6 +94,146 @@ def main():
         "n_pairs": n_pairs, "planted_dups": planted,
         "sec": round(sec, 1), "docs_per_sec": round(n_docs / sec),
     }), flush=True)
+
+
+def probe_salt(spark, k_hot: int, n_bg: int, s_hot: int = 2000, s_doc: int = 60):
+    """The verify-join skew the ``salt_verify`` option exists for,
+    measured end-to-end: a STAR candidate set — one boilerplate template
+    (id 0, ``s_hot`` shingles) paired with ``k_hot`` docs, the canonical
+    shape after pair pruning of a template duplicated across a crawl —
+    plus a uniform background. Unsalted, every (0, j) pair lands in ONE
+    shuffle partition whose task does k_hot × s_hot row-joins while the
+    rest idle; salted_join spreads it over n_salts tasks. Reports wall
+    time AND max-task executorRunTime for both variants (row-identity is
+    pinned by tests/test_dedup_similarity.py; this probe is the perf
+    evidence)."""
+    from argostats_spark.operators.skew import salted_join
+
+    # shingle table, generated JVM-side: doc 0 is the wide template
+    sh = spark.range(n_bg + k_hot + 1).select(F.col("id").alias("doc_id")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("doc_id") == 0, F.lit(s_hot)).otherwise(F.lit(s_doc)),
+                ),
+                lambda i: F.concat(
+                    F.lit("g"),
+                    F.pmod(F.xxhash64(F.col("doc_id") * 100_000 + i), F.lit(500_000)).cast("string"),
+                ),
+            )
+        ).alias("g"),
+    ).localCheckpoint(eager=True)
+
+    # star: template (0, j) for j in 1..k_hot; background chain pairs
+    star = spark.range(1, k_hot + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b"),
+        F.lit(s_hot).alias("n_a"), F.lit(s_doc).alias("n_b"),
+    )
+    bg = spark.range(k_hot + 1, k_hot + n_bg).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"),
+        F.lit(s_doc).alias("n_a"), F.lit(s_doc).alias("n_b"),
+    )
+    cands = star.unionByName(bg).localCheckpoint(eager=True)
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "g")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "g")
+
+    def verify(first):
+        return (
+            first.join(sh_b, ["id_b", "g"])
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+
+    results = {}
+    for name, joined in (
+        ("unsalted", cands.join(sh_a, "id_a")),
+        ("salted", salted_join(cands, sh_a, on=["id_a"], n_salts=32)),
+    ):
+        verify(joined).count()  # warm codegen + shuffle files
+        t_wall = time.time() * 1000
+        t0 = time.perf_counter()
+        n_pairs = verify(joined).count()
+        sec = time.perf_counter() - t0
+        results[name] = {
+            "sec": round(sec, 2),
+            "max_task_ms": _max_task_ms(spark, t_wall),
+            "n_verified": n_pairs,
+        }
+    print(json.dumps({
+        "probe": "salt_verify", "k_hot": k_hot, "n_bg": n_bg,
+        "s_hot": s_hot, "s_doc": s_doc, **results,
+        "speedup": round(results["unsalted"]["sec"] / results["salted"]["sec"], 2),
+        "max_task_ratio": round(
+            results["unsalted"]["max_task_ms"] / max(results["salted"]["max_task_ms"], 1), 1
+        ),
+    }), flush=True)
+
+
+def probe_cc(spark, n_edges: int, chain_len: int):
+    """Connected components at scale with an adversarial long-chain
+    component: a path of ``chain_len`` nodes (diameter = chain_len — the
+    worst case for label propagation; pointer jumping must close it in
+    O(log d) rounds) drowned in ~``n_edges`` background edges forming
+    5-node chains. Records rounds-to-converge and per-round wall time —
+    the measured constant behind graph.py's O(log d) claim."""
+    from argostats_spark.operators.graph import connected_components
+
+    chain = spark.range(chain_len - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    n_bg = n_edges - (chain_len - 1)
+    base = 10_000_000
+    # background: 5-node chains => 4/5 of ids emit an edge to id+1
+    bg = spark.range(base, base + n_bg * 5 // 4).filter(
+        F.pmod(F.col("id"), F.lit(5)) != 4
+    ).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    edges = chain.unionByName(bg).repartition(64).localCheckpoint(eager=True)
+    n_e = edges.count()
+
+    rounds: list[float] = []
+    t0 = time.perf_counter()
+    cc = connected_components(
+        edges, max_iter=40, round_hook=lambda r, s: rounds.append(round(s, 2))
+    )
+    # chain collapses to comp 0 for all chain nodes; background to x-x%5
+    n_comp = cc.select("comp").distinct().count()
+    sec = time.perf_counter() - t0
+    chain_ok = (
+        cc.filter(F.col("node") < chain_len).select("comp").distinct().count() == 1
+    )
+    print(json.dumps({
+        "probe": "connected_components", "n_edges": n_e,
+        "chain_len": chain_len, "n_components": n_comp,
+        "chain_collapsed": chain_ok, "rounds": len(rounds),
+        "per_round_sec": rounds, "total_sec": round(sec, 1),
+    }), flush=True)
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() else "lsh"
+    args = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    conf = {
+        "spark.driver.memory": os.environ.get("DEDUP_PROBE_MEM", "32g"),
+        "spark.ui.enabled": "true",  # the REST API is the max-task probe
+    }
+    if mode == "salt":
+        # the scenario salting targets: a probe side too big to
+        # broadcast (at 100 TB the shingle table never broadcasts; at
+        # probe scale it would, which would bypass the join under test)
+        conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    spark = get_spark("bench_dedup_scale", extra_conf=conf)
+    if mode == "salt":
+        probe_salt(spark, args[0] if args else 5000, args[1] if len(args) > 1 else 20_000)
+    elif mode == "cc":
+        probe_cc(
+            spark,
+            args[0] if args else 1_200_000,
+            args[1] if len(args) > 1 else 100_000,
+        )
+    else:
+        probe_lsh(spark, args[0] if args else 50_000, args[1] if len(args) > 1 else 60)
 
 
 if __name__ == "__main__":
