@@ -23,6 +23,31 @@ from argostats_spark.queries import QUERIES  # noqa: E402
 from argostats_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
+    """Per-query timings from the newest BENCH_r{N}.json at the same sf —
+    the baseline for the perf-regression tripwire (VERDICT r4 item 8)."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") != sf_val or not parsed.get("queries"):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, parsed["queries"])
+    return best
 
 # Headline set: one per operator family — scan/agg, joins, windows,
 # spatial kernel join, dedup, similarity, text.
@@ -178,6 +203,21 @@ def main() -> None:
         "sf": sf_val,
         "argo": argo,
     }
+    # perf-regression tripwire: any headline query >1.5× slower than the
+    # newest same-sf BENCH_r{N}.json shows up IN the artifact, so a plan
+    # change that hurts is visible at the round it lands, not one judge
+    # diff later. The key is always present; empty = no regressions.
+    prev = _prev_bench(sf_val)
+    out["regressions"] = {}
+    if prev is not None:
+        rnd, prev_q = prev
+        out["regression_baseline_round"] = rnd
+        for name, now in timings.items():
+            was = prev_q.get(name)
+            if was and now > 1.5 * was:
+                out["regressions"][name] = {
+                    "prev_sec": was, "now_sec": now, "ratio": round(now / was, 2),
+                }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
