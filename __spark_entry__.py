@@ -36,4 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the argo_atlas_pipeline oracle reads a materialized parquet
+    # intermediate; make sure it exists even if the driver evaluates the
+    # SQL before running the Spark query (deterministic driver-side twin)
+    from argostats_spark.queries import ensure_atlas_oracle_parquet
+
+    ensure_atlas_oracle_parquet()
     return dict(ORACLES)

@@ -2160,6 +2160,50 @@ def _atlas_pipeline_oracle_sql() -> str:
     """
 
 
+def ensure_atlas_oracle_parquet() -> None:
+    """Driver-ordering guard: if the correctness driver evaluates the
+    oracle SQL BEFORE running the Spark query on a clean machine, the
+    materialized intermediate would not exist yet. The pipeline upstream
+    of the materialization is deterministic (seed 42) and driver-sized
+    (48 profiles), so generate it here WITHOUT Spark via the pandas
+    twins — make_raw_pandas (row-identical to the distributed make_raw,
+    pinned by test) and the same _interp_one_wmo kernel the Spark query
+    maps — writing only the columns the oracle reads. The Spark query
+    overwrites the path with identical values whenever it runs
+    (tests/test_argo_pipeline.py::test_atlas_oracle_parquet_driver_twin
+    pins the equality)."""
+    if os.path.exists(_ATLAS_ORACLE_PARQUET):
+        return
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .operators.interpolation import _interp_one_wmo
+    from .sources.synthetic import make_raw_pandas
+
+    raw = make_raw_pandas(n_wmos=6, profiles_per_wmo=8, seed=42)
+    # FLAG gate exactly as interpolate_profiles: product-combine, keep 1
+    raw = raw.assign(FLAG=raw.POSITION_QC * raw.JULD_QC)
+    raw = raw[raw.FLAG == 1]
+    out = pd.concat(
+        [_interp_one_wmo(g) for _, g in raw.groupby("WMO")], ignore_index=True
+    )
+    cols = ["LONGITUDE", "LATITUDE", "FLAG", "DATA_MODE", "CT", "SR", "IDX"]
+    table = pa.table(
+        {
+            "LONGITUDE": pa.array(out.LONGITUDE, pa.float32()),
+            "LATITUDE": pa.array(out.LATITUDE, pa.float32()),
+            "FLAG": pa.array(out.FLAG, pa.int8()),
+            "DATA_MODE": pa.array(out.DATA_MODE, pa.int8()),
+            "CT": pa.array(out.CT, pa.list_(pa.float32())),
+            "SR": pa.array(out.SR, pa.list_(pa.float32())),
+            "IDX": pa.array(out.IDX, pa.list_(pa.int8())),
+        }
+    ).select(cols)
+    os.makedirs(_ATLAS_ORACLE_PARQUET, exist_ok=True)
+    pq.write_table(table, os.path.join(_ATLAS_ORACLE_PARQUET, "part-driver.parquet"))
+
+
 @query("argo_atlas_pipeline", _atlas_pipeline_oracle_sql())
 def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity pipeline end-to-end (SURVEY §3.1-3.3): synthetic

@@ -693,6 +693,38 @@ def test_ragged_level_arrays_fail_fast_in_arrow_kernel():
         _interp_one_wmo_arrow(_arrow_table_from_pdf(pdf))
 
 
+def test_atlas_oracle_parquet_driver_twin(spark, tmp_path, monkeypatch):
+    """The driver-ordering guard (queries.ensure_atlas_oracle_parquet)
+    must produce EXACTLY the rows the Spark query materializes — same
+    eligible profiles, same f4 values in every oracle-read column — so
+    the argo_atlas_pipeline oracle is correct no matter which side the
+    correctness driver evaluates first."""
+    import numpy as np
+
+    from argostats_spark import queries as Q
+
+    twin_path = str(tmp_path / "twin.parquet")
+    monkeypatch.setattr(Q, "_ATLAS_ORACLE_PARQUET", twin_path)
+    Q.ensure_atlas_oracle_parquet()
+    twin = pd.read_parquet(twin_path)
+
+    spark_path = str(tmp_path / "spark.parquet")
+    monkeypatch.setattr(Q, "_ATLAS_ORACLE_PARQUET", spark_path)
+    Q.QUERIES["argo_atlas_pipeline"](spark, "/root/testdata/sf0.001")
+    full = pd.read_parquet(spark_path)
+
+    cols = ["LONGITUDE", "LATITUDE", "FLAG", "DATA_MODE", "CT", "SR", "IDX"]
+    key = ["LONGITUDE", "LATITUDE"]
+    t = twin[cols].sort_values(key).reset_index(drop=True)
+    s = full[cols].sort_values(key).reset_index(drop=True)
+    assert len(t) == len(s) > 0
+    for c in ("LONGITUDE", "LATITUDE", "FLAG", "DATA_MODE"):
+        assert (t[c].to_numpy() == s[c].to_numpy()).all(), c
+    for c in ("CT", "SR", "IDX"):
+        for a, b in zip(t[c], s[c]):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), c
+
+
 def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):
     """The applyInArrow cell kernel must match the applyInPandas default
     exactly (it is the measured-and-rejected variant at this group
