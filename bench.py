@@ -135,10 +135,21 @@ def main() -> None:
         # raw table plus the broadcast platform-dictionary join.
         from argostats_spark.operators.summary import build_summary
 
+        def warm_min(fn, runs: int = 2) -> float:
+            """Same warm-min policy as the headline rows — the argo rows
+            were single-run and the atlas number swung ~2× between bench
+            invocations (GC/page-cache jitter, not plan changes)."""
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
         build_summary(raw).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        build_summary(raw).write.format("noop").mode("overwrite").save()
-        summary_sec = time.perf_counter() - t0
+        summary_sec = warm_min(
+            lambda: build_summary(raw).write.format("noop").mode("overwrite").save()
+        )
         timings["argo_summary_build_30k"] = round(summary_sec, 3)
         argo.update(
             summary_sec=round(summary_sec, 3),
@@ -152,10 +163,10 @@ def main() -> None:
             "overwrite"
         ).save()
 
-        t0 = time.perf_counter()
+        interp_sec = warm_min(
+            lambda: interpolate_profiles(raw).write.format("noop").mode("overwrite").save()
+        )
         profiles = interpolate_profiles(raw)
-        profiles.write.format("noop").mode("overwrite").save()
-        interp_sec = time.perf_counter() - t0
         timings["argo_interp_30k_profiles"] = round(interp_sec, 3)
         argo.update(
             interp_profiles_in=n_raw,
@@ -181,12 +192,15 @@ def main() -> None:
             grid, profiles, reso_deg=5.0, smoothing_factor=2.0
         )
         argo["atlas_variant"] = atlas_variant
-        t0 = time.perf_counter()
-        clim_ts_auto(
-            grid, profiles, reso_deg=5.0, smoothing_factor=2.0,
-            variant=atlas_variant,
-        ).write.format("noop").mode("overwrite").save()
-        timings["argo_atlas_global_5deg"] = round(time.perf_counter() - t0, 3)
+        timings["argo_atlas_global_5deg"] = round(
+            warm_min(
+                lambda: clim_ts_auto(
+                    grid, profiles, reso_deg=5.0, smoothing_factor=2.0,
+                    variant=atlas_variant,
+                ).write.format("noop").mode("overwrite").save()
+            ),
+            3,
+        )
     except Exception as exc:  # partial argo numbers beat no artifact
         errors["argo_microbench"] = f"{type(exc).__name__}: {exc}"[:300]
 
