@@ -726,10 +726,11 @@ def test_atlas_oracle_parquet_driver_twin(spark, tmp_path, monkeypatch):
 
 
 def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):
-    """The applyInArrow cell kernel must match the applyInPandas default
-    exactly (it is the measured-and-rejected variant at this group
-    shape — see clim_ts docstring — but correctness is pinned so the
-    routing choice stays a pure performance decision)."""
+    """The applyInArrow cell kernel (the round-5 default — re-measured
+    2-5× faster at every group shape, SCALE.md) must match the pandas
+    twin exactly (the fallback where applyInArrow is unavailable);
+    correctness pinned here so the transport choice stays a pure
+    performance decision."""
     import pandas as pd
 
     from argostats_spark.operators.atlas import clim_ts, make_grid

@@ -119,3 +119,26 @@ def test_all_sf_dirs_consistent():
         if os.path.exists(p):
             encodings[d] = str(pq.read_schema(p).field("ts").type)
     assert len(set(encodings.values())) <= 1, f"mixed ts encodings: {encodings}"
+
+
+def test_bench_regression_tripwire_reads_driver_artifacts():
+    """The perf-regression tripwire (bench.py::_prev_bench) must keep
+    parsing the driver's BENCH_r{N}.json format — if the artifact shape
+    drifts, the tripwire silently reports no baseline and every
+    regression goes unnoticed. Pin against the real round-4 artifact."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = bench._prev_bench(0.1)
+    assert prev is not None, "no same-sf BENCH_r*.json parsed"
+    rnd, queries = prev
+    assert rnd >= 4
+    assert "q1_pricing_summary" in queries
+    assert all(isinstance(v, (int, float)) and v > 0 for v in queries.values())
+    # a different sf has no baseline -> tripwire degrades to no-op, not crash
+    assert bench._prev_bench(0.001) is None
