@@ -2014,6 +2014,31 @@ def _specvol_poly_sql(xs: str, ys: str, zz: str) -> tuple[str, str]:
     return f"({v})", f"({dvdz})"
 
 
+def _np_interp_sql(x: str) -> str:
+    """``np.interp(x, curve, p)`` as a SQL expression, evaluated against
+    a per-cell segment table aliased ``seg`` (columns glon, glat, ck,
+    ck1, yk, yk1 — consecutive curve knots via lead()) and a bounds row
+    aliased ``b`` (c_first/p_first, c_last/p_last), correlated on an
+    outer row aliased ``pi`` carrying glon/glat. Semantics pinned
+    against np.interp by a hypothesis property test
+    (tests/test_oracle_parity.py), including the corners:
+
+    - in-range x: exactly one non-empty segment satisfies
+      ck <= x < ck1 (zero-width segments from duplicate knots can never
+      match) — at a duplicated knot the surviving segment starts at the
+      LAST duplicate, which is what np.interp returns;
+    - x past either end (or equal to the last knot, where no segment
+      matches): clamp to the end value, like np.interp.
+    """
+    return f"""coalesce(
+               (SELECT s.yk + ({x} - s.ck)*(s.yk1 - s.yk)/(s.ck1 - s.ck)
+                FROM seg s
+                WHERE s.glon = pi.glon AND s.glat = pi.glat
+                  AND s.ck <= {x} AND {x} < s.ck1),
+               CASE WHEN {x} >= b.c_last THEN b.p_last ELSE b.p_first END
+             )"""
+
+
 def _atlas_pipeline_oracle_sql() -> str:
     from .functions.teos10 import _OFFSET, _SFAC
     from .schemas import pref64
@@ -2128,13 +2153,7 @@ def _atlas_pipeline_oracle_sql() -> str:
     d10 AS (
       SELECT pi.glon, pi.glat, pi.w, pi.idx10, pi.rho_i,
              cc.rho_bar AS rho_bar10,
-             coalesce(
-               (SELECT s.yk + (pi.rho_i*cc.cf - s.ck)*(s.yk1 - s.yk)/(s.ck1 - s.ck)
-                FROM seg s
-                WHERE s.glon = pi.glon AND s.glat = pi.glat
-                  AND s.ck <= pi.rho_i*cc.cf AND pi.rho_i*cc.cf < s.ck1),
-               CASE WHEN pi.rho_i*cc.cf >= b.c_last THEN b.p_last ELSE b.p_first END
-             ) AS disp
+             {_np_interp_sql("pi.rho_i*cc.cf")} AS disp
       FROM pi10 pi
       JOIN cellcurve cc ON cc.glon = pi.glon AND cc.glat = pi.glat AND cc.lev = 10
       JOIN cbound b ON b.glon = pi.glon AND b.glat = pi.glat

@@ -96,3 +96,67 @@ def test_registry_sized_to_driver_window():
         f"rows-only queries appeared: {sorted(missing)} — new entries need "
         "a DuckDB twin or a documented justification in COVERAGE.md"
     )
+
+
+def test_np_interp_sql_matches_numpy_property():
+    """Hypothesis property test for queries._np_interp_sql — the
+    trickiest fragment of the atlas-pipeline oracle. Adversarial
+    non-decreasing curves (duplicate knots from maximum.accumulate flats
+    included) and probe points sampled inside, outside, and EXACTLY ON
+    knots must reproduce np.interp bit-for-bit-ish (1e-9), including the
+    duplicate-knot tie rule (np.interp returns the LAST duplicate's y)
+    and both end clamps."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.queries import _np_interp_sql
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        incs=st.lists(
+            st.sampled_from([0.0, 0.25, 1.0, 3.5]), min_size=2, max_size=12
+        ).filter(lambda v: sum(v) > 0),
+        probes=st.lists(
+            st.floats(min_value=-3.0, max_value=40.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=8,
+        ),
+        knot_probe_idx=st.integers(min_value=0, max_value=100),
+    )
+    def check(incs, probes, knot_probe_idx):
+        xp = np.concatenate([[1.0], 1.0 + np.cumsum(incs)])  # non-decreasing
+        yp = np.arange(len(xp), dtype="f8") * 7.5            # strictly increasing
+        # probe set: random points + one exact knot + both exact ends
+        xs = list(probes) + [float(xp[knot_probe_idx % len(xp)]),
+                             float(xp[0]), float(xp[-1])]
+        expected = np.interp(xs, xp, yp)
+
+        con = duckdb.connect()
+        knots = ", ".join(
+            f"(0.0, 0.0, {k}, {x!r}, {y!r})" for k, (x, y) in enumerate(zip(xp, yp))
+        )
+        probes_rows = ", ".join(f"({i}, 0.0, 0.0, {v!r})" for i, v in enumerate(xs))
+        got = con.execute(f"""
+            WITH cellcurve(glon, glat, lev, curve, p) AS (VALUES {knots}),
+            seg AS (
+              SELECT glon, glat, curve AS ck, p AS yk,
+                     lead(curve) OVER (PARTITION BY glon, glat ORDER BY lev) AS ck1,
+                     lead(p) OVER (PARTITION BY glon, glat ORDER BY lev) AS yk1
+              FROM cellcurve
+            ),
+            cbound AS (
+              SELECT glon, glat,
+                     arg_min(curve, lev) AS c_first, arg_min(p, lev) AS p_first,
+                     arg_max(curve, lev) AS c_last, arg_max(p, lev) AS p_last
+              FROM cellcurve GROUP BY glon, glat
+            ),
+            pi(i, glon, glat, x) AS (VALUES {probes_rows})
+            SELECT {_np_interp_sql("pi.x")} AS disp
+            FROM pi JOIN cbound b ON b.glon = pi.glon AND b.glat = pi.glat
+            ORDER BY pi.i
+        """).df()["disp"].to_numpy()
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-9)
+
+    check()
