@@ -160,3 +160,48 @@ def test_np_interp_sql_matches_numpy_property():
         np.testing.assert_allclose(got, expected, rtol=0, atol=1e-9)
 
     check()
+
+
+def test_specvol_poly_sql_matches_numpy_property():
+    """Hypothesis property test for queries._specvol_poly_sql — the
+    GENERATED 75-term TEOS-10 polynomial (and its analytic z-derivative)
+    must match the NumPy evaluation (functions/teos10.py::_poly3, einsum
+    contraction) across the Argo range to ~1e-12 relative; the oracle's
+    ρ, sound speed and EAPE all flow through these two expressions."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.functions.teos10 import (
+        _OFFSET,
+        _SFAC,
+        _V,
+        _V_DZ,
+        _norm,
+        _poly3,
+    )
+    from argostats_spark.queries import _specvol_poly_sql
+
+    v_sql, dvdz_sql = _specvol_poly_sql("xs", "ys", "zz")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sa=st.floats(min_value=0.0, max_value=42.0, allow_nan=False),
+        ct=st.floats(min_value=-3.0, max_value=40.0, allow_nan=False),
+        p=st.floats(min_value=0.0, max_value=10_000.0, allow_nan=False),
+    )
+    def check(sa, ct, p):
+        xs, ys, z = _norm(sa, ct, p)
+        want_v = float(_poly3(_V, xs, ys, z))
+        want_dvdz = float(_poly3(_V_DZ, xs, ys, z))
+        got_v, got_dvdz = duckdb.connect().execute(f"""
+            WITH n(xs, ys, zz) AS (VALUES (
+              sqrt(greatest({_SFAC!r}*{sa!r} + {_OFFSET!r}, 0.0)),
+              {ct!r}*0.025, {p!r}*1e-4))
+            SELECT {v_sql}, {dvdz_sql} FROM n
+        """).fetchone()
+        np.testing.assert_allclose(got_v, want_v, rtol=1e-11)
+        np.testing.assert_allclose(got_dvdz, want_dvdz, rtol=1e-9, atol=1e-18)
+
+    check()
