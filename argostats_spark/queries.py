@@ -1981,8 +1981,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differential testing: src/argostats/lorenz/lorenz_state.py:5-29.
 # -------------------------------------------------------------------------
 
-_ATLAS_ORACLE_PARQUET = os.path.join(
-    __import__("tempfile").gettempdir(), "argostats_spark_atlas_profiles.parquet"
+# Read at import so the Spark writer and the oracle SQL (which embeds
+# the path as a literal) always agree. On a cluster, point this at a
+# shared filesystem — local /tmp is only valid where driver and
+# executors share a machine.
+_ATLAS_ORACLE_PARQUET = os.environ.get(
+    "ARGOSTATS_ATLAS_TMP",
+    os.path.join(
+        __import__("tempfile").gettempdir(), "argostats_spark_atlas_profiles.parquet"
+    ),
 )
 _ATLAS_THETA = math.sin(math.radians(4.0 * 2.0) / 2.0) ** 2  # sf=4, reso=2°
 
