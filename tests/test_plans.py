@@ -246,3 +246,44 @@ def test_registry_plans_free_of_antipatterns(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, f"scale antipatterns compiled into: {offenders}"
+
+
+def test_eape_two_pass_reuses_cached_pairs_and_broadcasts_means(spark):
+    """SURVEY §7.4.2: the EAPE second pass must consume the CACHED pair
+    set and the CACHED pass-1 means (not re-derive either lineage), and
+    the cell-means join-back must be a broadcast — re-shuffling the pair
+    set against a per-cell table of a few thousand rows would be the
+    100 TB mistake. With both inputs materialized, the EAPE plan
+    collapses to: two InMemoryTableScans, ONE broadcast join for the
+    means, ONE Python kernel (the EAPE cell kernel itself)."""
+    from argostats_spark.operators.atlas import (
+        clim_eape,
+        clim_ts,
+        make_grid,
+        match_pairs,
+    )
+    from argostats_spark.operators.interpolation import interpolate_profiles
+    from argostats_spark.sources.synthetic import make_raw
+
+    raw = make_raw(spark, n_wmos=4, profiles_per_wmo=5, seed=7)
+    profiles = interpolate_profiles(raw)
+    grid = make_grid(spark, (-180.0, 180.0, -60.0, 64.0), reso_deg=10.0)
+    pairs = match_pairs(grid, profiles, 10.0, 2.0).persist()
+    ts = clim_ts(grid, profiles, 10.0, 2.0, pairs=pairs).persist()
+    try:
+        pairs.count(), ts.count()  # materialize: lineage collapses
+        eape = clim_eape(grid, profiles, 10.0, 2.0, pairs=pairs, ts=ts)
+        plan = physical_plan(eape)
+        # plan text embeds each cached relation's ORIGINAL lineage inside
+        # its InMemoryRelation description; the pass-2 skeleton is the
+        # prefix before the first such description (depth-first print:
+        # kernel → repartition → join → stream-side cache scan)
+        pre, _, rest = plan.partition("InMemoryRelation")
+        assert pre.count("FlatMapGroupsIn") == 1, pre      # ONLY the EAPE kernel
+        assert pre.count("BroadcastHashJoin") == 1, pre    # means join-back
+        assert pre.count("InMemoryTableScan") == 1, pre    # cached pair set
+        assert "SortMergeJoin" not in pre, pre
+        # the broadcast build side reads the cached pass-1 means
+        assert "InMemoryTableScan" in rest and "CT_BAR" in pre, plan
+    finally:
+        pairs.unpersist(), ts.unpersist()
