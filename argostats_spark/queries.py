@@ -2197,9 +2197,15 @@ def ensure_atlas_oracle_parquet() -> None:
     maps — writing only the columns the oracle reads. The Spark query
     overwrites the path with identical values whenever it runs
     (tests/test_argo_pipeline.py::test_atlas_oracle_parquet_driver_twin
-    pins the equality)."""
-    if os.path.exists(_ATLAS_ORACLE_PARQUET):
-        return
+    pins the equality).
+
+    Regenerates UNCONDITIONALLY into a fresh directory swapped into
+    place (round-5 review): an exists-check would trust forever a
+    half-written directory from a killed process, or rows produced by
+    an older kernel version — both self-heal here, and the swap keeps a
+    concurrent reader from observing an empty directory."""
+    import shutil
+
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -2226,8 +2232,12 @@ def ensure_atlas_oracle_parquet() -> None:
             "IDX": pa.array(out.IDX, pa.list_(pa.int8())),
         }
     ).select(cols)
-    os.makedirs(_ATLAS_ORACLE_PARQUET, exist_ok=True)
-    pq.write_table(table, os.path.join(_ATLAS_ORACLE_PARQUET, "part-driver.parquet"))
+    tmp = _ATLAS_ORACLE_PARQUET + ".twin-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-driver.parquet"))
+    shutil.rmtree(_ATLAS_ORACLE_PARQUET, ignore_errors=True)
+    os.replace(tmp, _ATLAS_ORACLE_PARQUET)
 
 
 @query("argo_atlas_pipeline", _atlas_pipeline_oracle_sql())
@@ -2272,9 +2282,15 @@ def q_argo_atlas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reso_deg=2.0,
     )
     # the pair set feeds both the TS and EAPE passes (SURVEY §7.4.2) —
-    # persist it and the pass-1 means so pass 2 reuses, not recomputes
-    pairs = match_pairs(grid, profiles, reso_deg=2.0, smoothing_factor=4.0).persist()
-    ts = clim_ts(grid, profiles, reso_deg=2.0, smoothing_factor=4.0, pairs=pairs).persist()
+    # materialize it and the pass-1 means so pass 2 reuses, not
+    # recomputes. localCheckpoint (not persist): a query builder cannot
+    # unpersist after its caller collects, and CacheManager pins
+    # persisted relations for the session — checkpointed RDDs are freed
+    # by the ContextCleaner once unreferenced (round-5 review).
+    pairs = match_pairs(grid, profiles, reso_deg=2.0, smoothing_factor=4.0
+                        ).localCheckpoint(eager=True)
+    ts = clim_ts(grid, profiles, reso_deg=2.0, smoothing_factor=4.0, pairs=pairs
+                 ).localCheckpoint(eager=True)
     eape = clim_eape(
         grid, profiles, reso_deg=2.0, smoothing_factor=4.0, pairs=pairs, ts=ts
     )

@@ -179,11 +179,20 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
     Two hardenings close the races an exact map never had:
 
     * **Monotone watermark.** latestOffset() never returns a watermark
-      below one it already returned (or below a committed start offset
-      seen by partitions()). A transiently-empty or shrunken listing
-      (NFS hiccup, path blip) carries the previous offset forward
-      instead of regressing to wm=-1 — which would otherwise commit,
-      and re-emit the entire corpus when the files reappear.
+      below one it already returned, or below any offset it has seen
+      through partitions(start, end) or commit(end) — commit() is the
+      channel through which a restarted reader relearns the committed
+      watermark. A transiently-empty or shrunken listing (NFS hiccup,
+      path blip) carries the previous offset forward instead of
+      regressing to wm=-1 — which would otherwise commit, and re-emit
+      the entire corpus when the files reappear. The same carry guards
+      ``offsetMode=exact`` against an empty listing collapsing its map.
+      Residual window (Python Data Source API limit): on a CLEAN
+      restart (no batch to replay, nothing yet committed in this
+      process) the very first latestOffset() has seen no offset at all;
+      if THAT listing is empty the reader cannot distinguish a blip
+      from a genuinely empty corpus and re-bootstraps. Every later
+      trigger is protected.
     * **Bounded-lateness slack** (``latenessSlackSec``, default 5).
       The tail set keeps fingerprints for every file inside
       [wm - slack, wm], not just mtime ties AT the watermark. A file
@@ -210,6 +219,18 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
         # has returned or seen committed, and the offset that carried it
         self._carry_wm = -1
         self._carry_offset: dict = {"wm": -1, "slack": self.slack_ns, "tail": {}}
+        # exact-mode twin: the last non-empty seen-map observed
+        self._carry_seen: dict[str, str] | None = None
+
+    def _adopt(self, offset: dict) -> None:
+        """Fold an offset seen via partitions()/commit() into the carry
+        state so a later empty listing cannot regress below it."""
+        if "seen" in offset:
+            if offset["seen"]:
+                self._carry_seen = offset["seen"]
+            return
+        if offset.get("wm", -1) > self._carry_wm:
+            self._carry_wm, self._carry_offset = offset["wm"], offset
 
     def _listing(self) -> dict[str, str]:
         files = {}
@@ -227,6 +248,12 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         files = self._listing()
         if self.offset_mode == "exact":
+            if not files and self._carry_seen:
+                # empty listing after a non-empty committed map: carry —
+                # committing {} would re-emit the corpus on recovery
+                return {"seen": self._carry_seen}
+            if files:
+                self._carry_seen = files
             return {"seen": files}
         wm = max((_fp_mtime(fp) for fp in files.values()), default=-1)
         if wm < self._carry_wm:
@@ -243,10 +270,12 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
         return off
 
     def partitions(self, start: dict, end: dict):
-        if start.get("wm", -1) > self._carry_wm:
-            # restart path: adopt the committed watermark so a
-            # transiently-empty first listing cannot regress below it
-            self._carry_wm, self._carry_offset = start["wm"], start
+        # restart path: adopt BOTH offsets — after a crash the replayed
+        # batch's END is the about-to-be-committed watermark (start
+        # alone would leave the carry one batch behind, finding of
+        # round-5 review), and commit() below re-adopts it anyway
+        self._adopt(start)
+        self._adopt(end)
         if "seen" in end:
             # exact-map end offset: pure offset diff, no relisting
             return [
@@ -268,7 +297,11 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
         yield from _read_profile_file(partition.value)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint log; nothing external to ack
+        # offsets live in the checkpoint log; nothing external to ack —
+        # but commit is the one API channel through which a restarted
+        # reader learns the committed offset BEFORE its first listing,
+        # so fold it into the monotone-carry state
+        self._adopt(end)
 
 
 def register_argo_source(spark) -> None:

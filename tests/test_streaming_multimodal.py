@@ -1175,3 +1175,38 @@ def test_gdac_watermark_monotone_and_lateness_slack(tmp_path):
     assert o6["wm"] == o3["wm"]
     shutil.move(str(saved), str(gdac))
     assert rdr2.partitions(o3, o6) == []
+
+    # --- restart where only commit() fires before the blip (crash after
+    # the batch completed): commit is the channel that relearns the
+    # committed watermark (round-5 review finding)
+    rdr3 = ArgoGdacStreamReader(opts)
+    rdr3.commit(o3)
+    shutil.move(str(gdac), str(saved))
+    o7 = rdr3.latestOffset()
+    assert o7["wm"] == o3["wm"]
+    shutil.move(str(saved), str(gdac))
+    assert rdr3.partitions(o3, o7) == []
+
+    # --- replayed-uncommitted-batch restart adopts the END offset too:
+    # a fresh reader replaying (o1 -> o2] must not let a later empty
+    # listing regress below o2 (start-only adoption left the carry one
+    # batch behind — round-5 review finding)
+    rdr4 = ArgoGdacStreamReader(opts)
+    assert sorted(p.value for p in rdr4.partitions(o1, o2)) == [f_a]
+    shutil.move(str(gdac), str(saved))
+    o8 = rdr4.latestOffset()
+    assert o8["wm"] == o2["wm"]
+    shutil.move(str(saved), str(gdac))
+    assert rdr4.partitions(o2, o8) == []
+
+    # --- offsetMode=exact has the same empty-listing guard: the map
+    # carries instead of collapsing to {} (which would re-emit the
+    # corpus when files reappear)
+    ex = ArgoGdacStreamReader({**opts, "offsetMode": "exact"})
+    e1 = ex.latestOffset()
+    assert set(e1["seen"]) == {f_a, f_b}
+    shutil.move(str(gdac), str(saved))
+    e2 = ex.latestOffset()
+    assert e2["seen"] == e1["seen"]
+    shutil.move(str(saved), str(gdac))
+    assert ex.partitions(e1, e2) == []
