@@ -228,7 +228,11 @@ def main() -> None:
         out["regression_baseline_round"] = rnd
         for name, now in timings.items():
             was = prev_q.get(name)
-            if was and now > 1.5 * was:
+            # ratio gate + absolute floor: a 1.5× swing on a 0.25 s query
+            # is scheduler/page-cache jitter, not a plan regression
+            # (observed: untouched filter_project 0.27→0.41 s on a busy
+            # box) — real plan damage moves both knobs
+            if was and now > 1.5 * was and now - was > 0.25:
                 out["regressions"][name] = {
                     "prev_sec": was, "now_sec": now, "ratio": round(now / was, 2),
                 }
