@@ -28,39 +28,46 @@ def exact_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_ids: int = 100,
+    max_ids: int | None = 100,
 ) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content with the
-    kept id (lowest), the TRUE copy count, and a bounded sample of
-    member ids.
+    kept id (lowest), the TRUE copy count, and the member-id column.
 
-    ``all_ids`` is capped at ``max_ids`` (the ``max_ids`` LOWEST ids, so
-    the sample is deterministic and starts at ``keep_id``): a degenerate
-    corpus — one template document copied 10⁸ times, the normal shape of
-    crawl boilerplate — would otherwise materialize an unbounded array
-    in a single aggregation buffer and OOM that executor. The cap is
-    enforced BEFORE collection (row_number over the same hash
-    partitioning gates the collect, and the window sort spills to disk
-    where an agg buffer cannot), not by slicing an already-materialized
-    list — so no unbounded per-group array exists anywhere in the plan.
-    The window's exchange is reused by the groupBy (same key), so this
-    still costs exactly one shuffle. ``n_copies`` stays the exact count;
-    consumers that need the full membership stream it with a normal
-    groupBy join instead."""
+    With the default bounded ``max_ids`` the id column is named
+    ``sample_ids`` (the ``max_ids`` LOWEST ids, so the sample is
+    deterministic and starts at ``keep_id``): a degenerate corpus — one
+    template document copied 10⁸ times, the normal shape of crawl
+    boilerplate — would otherwise materialize an unbounded array in a
+    single aggregation buffer and OOM that executor. The cap is enforced
+    BEFORE collection (row_number over the same hash partitioning gates
+    the collect, and the window sort spills to disk where an agg buffer
+    cannot), not by slicing an already-materialized list — so no
+    unbounded per-group array exists anywhere in the plan. The window's
+    exchange is reused by the groupBy (same key), so this still costs
+    exactly one shuffle. ``n_copies`` stays the exact count.
+
+    ``max_ids=None`` is the explicit full-membership opt-in: the column
+    is then named ``all_ids`` and genuinely complete. The names differ
+    ON PURPOSE (round-5 advice): a consumer reading ``all_ids`` off a
+    capped result would silently lose group members — now it fails on
+    column resolution instead. Full membership at scale is better
+    streamed with a normal groupBy join."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("content_hash").orderBy(id_col)
     base = df.select(F.xxhash64(text_col).alias("content_hash"), F.col(id_col))
-    return (
-        base.withColumn("_rn", F.row_number().over(w))
-        .groupBy("content_hash")
-        .agg(
-            F.min(id_col).alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col(id_col)))
-            ).alias("all_ids"),
-        )
+    if max_ids is None:
+        ids = F.sort_array(F.collect_list(id_col)).alias("all_ids")
+        gated = base
+    else:
+        w = W.partitionBy("content_hash").orderBy(id_col)
+        ids = F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_ids, F.col(id_col)))
+        ).alias("sample_ids")
+        gated = base.withColumn("_rn", F.row_number().over(w))
+    return gated.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        ids,
     )
 
 

@@ -199,9 +199,14 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
       created with mtime t while the listing glob was in flight — so a
       later-mtime file advanced the watermark past t before t was ever
       listed — is still inside the window on the next trigger, absent
-      from the tail, and therefore selected rather than lost. Offset
-      size becomes O(churn within the slack window), still bytes-scale
-      against a ~10⁶-file corpus. The slack is stored in the offset so
+      from the tail, and therefore selected rather than lost. The
+      mirror-image race (a file PREVIOUSLY emitted inside the window
+      missing from one flaky listing) is covered too: tail entries from
+      the carried offset that still fall inside the new window are
+      unioned into the new tail, so the file's reappearance with an
+      unchanged fingerprint is not re-emitted. Offset size becomes
+      O(churn within the slack window), still bytes-scale against a
+      ~10⁶-file corpus. The slack is stored in the offset so
       replayed batches use the window that was committed, and a file
       racing in later than the slack remains the documented rsync-style
       blind spot (raise the option or use offsetMode=exact)."""
@@ -261,11 +266,21 @@ class ArgoGdacStreamReader(DataSourceStreamReader):
             # monotone — re-issue the last good offset unchanged
             return self._carry_offset
         lo = wm - self.slack_ns
-        off = {
-            "wm": wm,
-            "slack": self.slack_ns,
-            "tail": {f: fp for f, fp in files.items() if _fp_mtime(fp) >= lo},
-        }
+        tail = {f: fp for f, fp in files.items() if _fp_mtime(fp) >= lo}
+        # A PARTIAL listing can still advance the watermark while
+        # omitting a file that an earlier listing observed inside the
+        # new window; rebuilding the tail from the current listing alone
+        # would drop that file's fingerprint and re-emit it when it
+        # reappears (round-5 advice: exactly-once silently degrading to
+        # at-least-once under flaky listings). Carry forward previously
+        # committed tail entries still inside [wm - slack, wm] — they
+        # were observed, so their fingerprints stay authoritative until
+        # they age out of the window or the file is listed again (a
+        # fresh listing entry wins: a changed fingerprint must re-emit).
+        for f, fp in self._carry_offset.get("tail", {}).items():
+            if f not in tail and lo <= _fp_mtime(fp) <= wm:
+                tail[f] = fp
+        off = {"wm": wm, "slack": self.slack_ns, "tail": tail}
         self._carry_wm, self._carry_offset = wm, off
         return off
 

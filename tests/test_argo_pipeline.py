@@ -701,15 +701,16 @@ def test_atlas_oracle_parquet_driver_twin(spark, tmp_path, monkeypatch):
     correctness driver evaluates first."""
     import numpy as np
 
+    from argostats_spark import atlas_oracle as AO
     from argostats_spark import queries as Q
 
     twin_path = str(tmp_path / "twin.parquet")
-    monkeypatch.setattr(Q, "_ATLAS_ORACLE_PARQUET", twin_path)
-    Q.ensure_atlas_oracle_parquet()
+    monkeypatch.setattr(AO, "_ATLAS_ORACLE_PARQUET", twin_path)
+    AO.ensure_atlas_oracle_parquet()
     twin = pd.read_parquet(twin_path)
 
     spark_path = str(tmp_path / "spark.parquet")
-    monkeypatch.setattr(Q, "_ATLAS_ORACLE_PARQUET", spark_path)
+    monkeypatch.setattr(AO, "_ATLAS_ORACLE_PARQUET", spark_path)
     Q.QUERIES["argo_atlas_pipeline"](spark, "/root/testdata/sf0.001")
     full = pd.read_parquet(spark_path)
 
@@ -723,6 +724,27 @@ def test_atlas_oracle_parquet_driver_twin(spark, tmp_path, monkeypatch):
     for c in ("CT", "SR", "IDX"):
         for a, b in zip(t[c], s[c]):
             assert np.array_equal(np.asarray(a), np.asarray(b)), c
+
+
+def test_atlas_pipeline_refuses_nonlocal_master_without_shared_tmp(monkeypatch):
+    """Cluster foot-gun gate (round-5 verdict): with a non-local master
+    and no ARGOSTATS_ATLAS_TMP, the pipeline's tempdir intermediate
+    would scatter across executor-local disks and the oracle readback
+    would be silently wrong — the query must raise loudly BEFORE
+    touching any data."""
+    import pytest
+
+    from argostats_spark import queries as Q
+
+    class _Ctx:
+        master = "spark://cluster-head:7077"
+
+    class _FakeSpark:
+        sparkContext = _Ctx()
+
+    monkeypatch.delenv("ARGOSTATS_ATLAS_TMP", raising=False)
+    with pytest.raises(RuntimeError, match="ARGOSTATS_ATLAS_TMP"):
+        Q.QUERIES["argo_atlas_pipeline"](_FakeSpark(), "/root/testdata/sf0.001")
 
 
 def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):

@@ -55,10 +55,12 @@ def test_exact_duplicates_found(spark, docs):
 
 def test_exact_duplicates_bounded_on_degenerate_corpus(spark):
     """VERDICT r4 item 3: one content × 10⁵ copies (the crawl-boilerplate
-    shape) must not materialize an unbounded per-group array — all_ids
-    caps at max_ids (the lowest ids, deterministic), n_copies stays the
-    TRUE count, and the plan still has exactly one exchange (the window
-    reuses the groupBy's hash partitioning)."""
+    shape) must not materialize an unbounded per-group array — the
+    bounded result is named sample_ids (round-5 advice: a capped column
+    must not be readable under the all_ids name), caps at max_ids (the
+    lowest ids, deterministic), n_copies stays the TRUE count, and the
+    plan still has exactly one exchange (the window reuses the groupBy's
+    hash partitioning)."""
     n = 100_000
     d = spark.range(n).select(
         F.col("id").alias("doc_id"), F.lit("the same boilerplate").alias("text")
@@ -67,16 +69,24 @@ def test_exact_duplicates_bounded_on_degenerate_corpus(spark):
             (F.col("id") + n).alias("doc_id"), F.lit("unique-" ).alias("text")
         )
     )
-    out = exact_duplicates(d, max_ids=16).orderBy(F.desc("n_copies")).toPandas()
+    capped = exact_duplicates(d, max_ids=16)
+    assert "sample_ids" in capped.columns and "all_ids" not in capped.columns
+    out = capped.orderBy(F.desc("n_copies")).toPandas()
     big = out.iloc[0]
-    assert big.n_copies == n                      # exact count survives the cap
-    assert list(big.all_ids) == list(range(16))   # the 16 LOWEST ids, sorted
+    assert big.n_copies == n                       # exact count survives the cap
+    assert list(big.sample_ids) == list(range(16))  # the 16 LOWEST ids, sorted
     assert big.keep_id == 0
-    assert all(len(r) <= 16 for r in out.all_ids)
+    assert all(len(r) <= 16 for r in out.sample_ids)
     # one shuffle total: the row_number window and the groupBy share the
     # content_hash hash partitioning
     plan = exact_duplicates(d, max_ids=16)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the explicit full-membership opt-in keeps the honest name (the 3
+    # "unique-" rows share one content, so one complete group)
+    full = exact_duplicates(d.filter(F.col("doc_id") >= n), max_ids=None)
+    assert "all_ids" in full.columns
+    rows = full.toPandas()
+    assert len(rows) == 1 and list(rows.all_ids.iloc[0]) == [n, n + 1, n + 2]
 
 
 def test_dedup_keep_first_removes_copies(spark, docs):

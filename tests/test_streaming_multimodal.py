@@ -1044,6 +1044,131 @@ def test_gdac_offset_compaction_replay_exactly_once(tmp_path):
     )
 
 
+def test_streaming_atlas_refresh_equals_batch(spark, tmp_path):
+    """The EAPE batch-refresh trigger (streaming/atlas.py — the SCALE.md
+    "pass 2 does not stream" item): profiles arriving over several
+    micro-batches through the incremental pair join + periodic two-pass
+    rebuild must land on the SAME atlas as one batch run over all
+    profiles — per-cell n_points exact, CT/SR/W/RHO/EAPE arrays equal to
+    float tolerance (the kernel's f8 accumulation order differs with
+    batch arrival order; everything else is identical math over the
+    identical pair multiset)."""
+    from argostats_spark.operators.atlas import clim_eape, clim_ts, make_grid
+    from argostats_spark.operators.interpolation import interpolate_profiles
+    from argostats_spark.sources.synthetic import make_raw
+    from argostats_spark.streaming.atlas import atlas_refresh_writer
+
+    raw = make_raw(spark, n_wmos=4, profiles_per_wmo=5, seed=7)
+    profiles = interpolate_profiles(raw)
+    prof_dir = str(tmp_path / "profiles")
+    profiles.repartition(2).write.mode("overwrite").parquet(prof_dir)
+    schema = spark.read.parquet(prof_dir).schema
+
+    grid = make_grid(spark, (-180.0, 180.0, -60.0, 64.0), reso_deg=10.0)
+    pair_dir = str(tmp_path / "pairs")
+    atlas_dir = str(tmp_path / "atlas")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(prof_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            atlas_refresh_writer(grid, pair_dir, atlas_dir, 10.0, 2.0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(atlas_dir).toPandas().sort_values(
+        ["glon", "glat"]
+    ).reset_index(drop=True)
+
+    full = spark.read.parquet(prof_dir)
+    ts = clim_ts(grid, full, 10.0, 2.0).localCheckpoint(eager=True)
+    eape = clim_eape(grid, full, 10.0, 2.0, ts=ts)
+    want = (
+        ts.join(eape.select("glon", "glat", "RHO", "EAPE"), on=["glon", "glat"])
+        .toPandas().sort_values(["glon", "glat"]).reset_index(drop=True)
+    )
+
+    assert len(got) == len(want) > 0
+    assert (got.glon.to_numpy() == want.glon.to_numpy()).all()
+    assert (got.glat.to_numpy() == want.glat.to_numpy()).all()
+    assert (got.n_points.to_numpy() == want.n_points.to_numpy()).all()
+    for col in ("CT", "SR", "W", "RHO", "EAPE"):
+        a = np.stack(got[col].to_numpy())
+        b = np.stack(want[col].to_numpy())
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=col)
+
+
+def test_gdac_flaky_partial_listing_keeps_emitted_tail(tmp_path):
+    """Round-5 advice: a PARTIAL listing that still advances the
+    watermark must not rebuild the tail without a previously-emitted
+    file inside the slack window — that file's reappearance (unchanged)
+    would be re-emitted, degrading exactly-once to at-least-once. The
+    carried tail entry rides along until it ages out; a file that
+    actually CHANGED during the outage is still re-emitted (fingerprint
+    mismatch)."""
+    import os
+
+    from argostats_spark.sources.datasource import ArgoGdacStreamReader
+
+    gdac = tmp_path / "gdac"
+    base_ns = 1_700_000_000_000_000_000
+    paths = {}
+    for name, off_ms in (("a", 0), ("b", 1), ("c", 2)):
+        d = gdac / "dac" / name
+        d.mkdir(parents=True)
+        p = d / f"{name}_prof.nc"
+        p.write_bytes(b"x")
+        mt = base_ns + off_ms * 1_000_000
+        os.utime(p, ns=(mt, mt))
+        paths[name] = str(p)
+
+    opts = {"path": str(gdac / "*" / "*"), "latenessSlackSec": "10"}
+    rdr = ArgoGdacStreamReader(opts)
+
+    # trigger 1: a and b exist, both emitted, both in the slack tail
+    os.remove(paths["c"])
+    o1 = rdr.latestOffset()
+    assert sorted(p.value for p in rdr.partitions(rdr.initialOffset(), o1)) == sorted(
+        [paths["a"], paths["b"]]
+    )
+    assert sorted(o1["tail"]) == sorted([paths["a"], paths["b"]])
+    fp_a = o1["tail"][paths["a"]]
+
+    # trigger 2: flaky listing omits a; c appears so the watermark still
+    # advances. The new tail must CARRY a's committed fingerprint.
+    with open(paths["c"], "wb") as fh:
+        fh.write(b"x")
+    mt_c = base_ns + 2_000_000
+    os.utime(paths["c"], ns=(mt_c, mt_c))
+    real_listing = rdr._listing
+    rdr._listing = lambda: {
+        f: fp for f, fp in real_listing().items() if f != paths["a"]
+    }
+    o2 = rdr.latestOffset()
+    assert o2["wm"] == mt_c
+    assert o2["tail"].get(paths["a"]) == fp_a, "carried tail entry dropped"
+    batch2 = sorted(p.value for p in rdr.partitions(o1, o2))
+    assert batch2 == [paths["c"]]
+
+    # trigger 3: listing heals, a reappears UNCHANGED → not re-emitted
+    rdr._listing = real_listing
+    o3 = rdr.latestOffset()
+    assert rdr.partitions(o2, o3) == []
+
+    # but a file that changed during the outage is still re-emitted
+    os.utime(paths["a"], ns=(mt_c, mt_c))  # in-window rewrite, same size
+    o4 = rdr.latestOffset()
+    assert [p.value for p in rdr.partitions(o3, o4)] == [paths["a"]]
+
+
 def test_gdac_offset_compaction_random_churn_exactly_once(tmp_path):
     """Randomized churn property for the compacted offsets: across many
     triggers of interleaved creates / in-place rewrites (with forced
