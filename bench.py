@@ -158,10 +158,16 @@ def main() -> None:
         )
         # spawn/warm the Python UDF daemons so the measurement reflects the
         # steady state (the reference's pool is likewise persistent); a
-        # sample keeps all WMO groups → all shuffle partitions → all workers
+        # sample keeps all WMO groups → all shuffle partitions → all workers,
+        # then ONE full-size warm run: the arrow kernel's Arrow-batch
+        # buffers/worker threads take several full invocations to plateau
+        # (r6 A/B: 1.84→1.24 s over 6 runs on unchanged code — the
+        # r4→r5 "interp drift" was exactly this warm-up under-sampling,
+        # steady state ≥27k profiles/s on both engines; SCALE.md)
         interpolate_profiles(raw.sample(0.02, seed=1)).write.format("noop").mode(
             "overwrite"
         ).save()
+        interpolate_profiles(raw).write.format("noop").mode("overwrite").save()
 
         interp_sec = warm_min(
             lambda: interpolate_profiles(raw).write.format("noop").mode("overwrite").save()
