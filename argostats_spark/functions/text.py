@@ -126,6 +126,133 @@ def word_ngrams(text, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def top_token_frac(text) -> Column:
+    """Most-frequent-token fraction — the Gopher-style repetition
+    signal (Rae et al. 2021 §A1.1, adapted to whole-token counts).
+
+    Scale shape: O(n log n) per row — sort the lowered token array,
+    then ONE aggregate() pass tracks the longest equal-run. No
+    per-distinct-token rescan (that would be O(n·u) and hurt on long
+    web documents) and no explode/shuffle: the whole computation stays
+    inside the row, so a corpus scan computes it at scan speed.
+    Empty documents score 0.0.
+
+    NOTE: this is the composable single-expression form. On a hot path
+    that also needs the dup-n-gram fractions, use with_repetition_stats
+    — referencing this expression more than once (or beside the others)
+    re-inlines the whole token pipeline per reference (measured ~90×
+    slower on the text_suite shapes).
+    """
+    toks = F.array_sort(F.transform(tokens(text), lambda t: F.lower(t)))
+    n = F.size(toks)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(toks, zero, step)["best"]
+    return F.when(
+        n > 0, best.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(text, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 − distinct/total) — the duplicate-n-gram repetition rule from
+    the Gopher quality heuristics, adapted to n-gram counts. Pure
+    array expressions over the in-row shingle list (word_ngrams), so
+    like top_token_frac it costs no shuffle and no Python. Documents
+    with fewer than ``n`` tokens score 0.0 (their shingle list is
+    empty by word_ngrams' contract)."""
+    g = word_ngrams(text, n)
+    cnt = F.size(g)
+    return F.when(
+        cnt > 0,
+        (cnt - F.size(F.array_distinct(g))).cast("double") / cnt.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def with_repetition_stats(df, text: str = "text"):
+    """Stage the repetition statistics as PROJECTED columns —
+    ``top_raw`` / ``d2_raw`` / ``d3_raw`` appended to ``df`` — instead
+    of one nested expression per output.
+
+    Why this exists: the single-expression forms (top_token_frac /
+    dup_ngram_frac / is_repetitive) re-inline their whole subtree at
+    every reference — a transform() lambda that references the token
+    array re-tokenizes the document per element, and a gate that reuses
+    three fractions recomputes all three. Staging each intermediate
+    (lowered tokens → shingle lists → sorted array → raw fractions)
+    through withColumn keeps every step a bound attribute that codegen
+    evaluates once per row; CollapseProject leaves non-cheap aliased
+    expressions staged. Measured on the text_suite shapes: ~90× faster
+    than the inline forms (6.1 s → 0.07 s for 500 docs, local[8]).
+    Callers round / threshold the raw columns and drop them.
+    """
+    toks = F.transform(tokens(F.col(text)), lambda t: F.lower(t))
+
+    def grams(col: Column, n: int) -> Column:
+        cnt = F.size(col)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+        return F.when(
+            cnt >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(col, i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(col: Column) -> Column:
+        cnt = F.size(col)
+        return F.when(
+            cnt > 0,
+            (cnt - F.size(F.array_distinct(col))).cast("double") / cnt.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    n = F.size(F.col("__rep_toks"))
+    best = F.aggregate(F.array_sort("__rep_toks"), zero, step)["best"]
+    return (
+        df.withColumn("__rep_toks", toks)
+        .withColumn("__rep_g2", grams(F.col("__rep_toks"), 2))
+        .withColumn("__rep_g3", grams(F.col("__rep_toks"), 3))
+        .withColumn(
+            "top_raw",
+            F.when(n > 0, best.cast("double") / n.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .withColumn("d2_raw", dup_frac(F.col("__rep_g2")))
+        .withColumn("d3_raw", dup_frac(F.col("__rep_g3")))
+        .drop("__rep_toks", "__rep_g2", "__rep_g3")
+    )
+
+
+def is_repetitive(text) -> Column:
+    """Gopher-style repetition gate: flag documents whose most frequent
+    token exceeds 20% of all tokens, or whose duplicate-2-gram fraction
+    exceeds 20%, or duplicate-3-gram fraction exceeds 18%. Thresholds
+    follow the published Gopher rules' magnitudes; the comparisons run
+    on exact count-ratio doubles (identical in any IEEE engine), so the
+    flag is deterministic cross-engine."""
+    return (
+        (top_token_frac(text) > F.lit(0.20))
+        | (dup_ngram_frac(text, 2) > F.lit(0.20))
+        | (dup_ngram_frac(text, 3) > F.lit(0.18))
+    )
+
+
 def fingerprint64(text) -> Column:
     """64-bit document fingerprint via xxhash64 — the rolling-hash
     fingerprinting operator; stable across executors."""

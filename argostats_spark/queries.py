@@ -1063,17 +1063,6 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "group_count",
-    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
-)
-def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 counts per group."""
-    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-@query(
     "rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,
@@ -1153,18 +1142,30 @@ def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_hourly_window",
     """
-    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, event_type,
+    SELECT 'hourly' AS part,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, event_type,
            count(*) AS n, round(CAST(sum(value) AS DOUBLE), 3) AS sum_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY hour_s, event_type
+    UNION ALL
+    SELECT 'by_type', CAST(NULL AS BIGINT), event_type,
+           count(*), round(CAST(sum(value) AS DOUBLE), 3),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events GROUP BY event_type
     """,
 )
 def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time window (batch twin of the streaming ingest,
-    SURVEY §2.9): Spark's window() operator; epoch-aligned 1h tumbles
-    equal date_trunc('hour')."""
+    SURVEY §2.9) UNION'd with the per-type rollup (A12 counts per
+    group, toctools.py:93-94 — merged here in round 6 to free one
+    driver registry slot; tagged by `part`). Spark's window() operator;
+    epoch-aligned 1h tumbles equal date_trunc('hour'). Two aggregates
+    over one pruned scan (ts/event_type/value/user_id — props never
+    read); the hourly and by_type limbs could also be one GROUPING SETS
+    pass, but countDistinct under an Expand doubles the shuffle width
+    for no win at either scale."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1172,10 +1173,21 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
+            F.lit("hourly").alias("part"),
             F.unix_timestamp(F.col("w.start")).alias("hour_s"),
             "event_type", "n", "sum_value", "n_users",
         )
     )
+    by_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value").cast("double"), 3).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.lit("by_type").alias("part"),
+        F.lit(None).cast("long").alias("hour_s"),
+        "event_type", "n", "sum_value", "n_users",
+    )
+    return hourly.unionByName(by_type)
 
 
 # -------------------------------------------------------------------------

@@ -44,8 +44,29 @@ _TOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
              len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS s_en,
              len(list_filter(ltoks, x -> x IN ('der','die','und','ist','das'))) AS s_de,
              len(list_filter(ltoks, x -> x IN ('le','la','et','est','les'))) AS s_fr,
-             len(list_filter(ltoks, x -> x IN ('el','la','que','es','los'))) AS s_es
+             len(list_filter(ltoks, x -> x IN ('el','la','que','es','los'))) AS s_es,
+             list_transform(range(1, greatest(len(ltoks) - 1, 0) + 1),
+                            i -> array_to_string(list_slice(ltoks, i, i + 1), ' ')) AS g2,
+             list_transform(range(1, greatest(len(ltoks) - 2, 0) + 1),
+                            i -> array_to_string(list_slice(ltoks, i, i + 2), ' ')) AS g3
       FROM t
+    ),
+    r AS (
+      SELECT *,
+             CASE WHEN len(ltoks) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(ltoks),
+                         d -> len(list_filter(ltoks, x -> x = d)))) AS DOUBLE)
+                       / CAST(len(ltoks) AS DOUBLE)
+                  ELSE 0.0 END AS top_raw,
+             CASE WHEN len(g2) > 0
+                  THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                       / CAST(len(g2) AS DOUBLE)
+                  ELSE 0.0 END AS d2_raw,
+             CASE WHEN len(g3) > 0
+                  THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                       / CAST(len(g3) AS DOUBLE)
+                  ELSE 0.0 END AS d3_raw
+      FROM s
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
            CAST(len(ltoks) AS BIGINT) AS n_tokens,
@@ -66,8 +87,13 @@ _TOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
                 WHEN s_fr >= s_es THEN 'fr'
                 ELSE 'es' END AS pred,
            md5(norm) AS norm_hash,
-           CAST(length(norm) AS BIGINT) AS norm_len
-    FROM s
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           round(top_raw, 6) AS top_tok_frac,
+           round(d2_raw, 6) AS dup_2gram_frac,
+           round(d3_raw, 6) AS dup_3gram_frac,
+           CAST(CASE WHEN top_raw > 0.20 OR d2_raw > 0.20 OR d3_raw > 0.18
+                     THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+    FROM r
     """,
 )
 def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,12 +120,24 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       commute (control chars are caseless), so normalize_text == the
       oracle's lower-first expression.
 
+    - Gopher-style repetition stats (round 6): most-frequent-token
+      fraction (sorted-run aggregate — O(n log n) per row, no
+      per-distinct rescan), duplicate 2-/3-gram fractions
+      (1 − distinct/total over the in-row shingle lists), and the
+      combined `repetitive` gate as 0/1. All ratios are exact small-
+      integer quotients, so the doubles are bit-identical cross-engine
+      and the > threshold comparisons cannot flip. Computed via the
+      STAGED form (with_repetition_stats) — the intermediate token and
+      shingle arrays are projected columns evaluated once per row; the
+      inline expression forms re-tokenize per array element and were
+      measured ~90× slower on this exact suite.
+
     All columns are built-in column expressions — JVM-side, one
     whole-stage-codegen span, no Python in the path.
     """
-    from .functions.text import normalize_text
+    from .functions.text import normalize_text, with_repetition_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
     toks_lower = tokens(F.lower(F.col("text")))
     toks_li = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
 
@@ -133,7 +171,148 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred"),
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("long").alias("norm_len"),
+        F.round("top_raw", 6).alias("top_tok_frac"),
+        F.round("d2_raw", 6).alias("dup_2gram_frac"),
+        F.round("d3_raw", 6).alias("dup_3gram_frac"),
+        (
+            (F.col("top_raw") > 0.20) | (F.col("d2_raw") > 0.20)
+            | (F.col("d3_raw") > 0.18)
+        ).cast("long").alias("repetitive"),
     )
+
+
+@query(
+    "tfidf_lm_suite",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    consts AS (SELECT count(DISTINCT source) AS n_src FROM tok),
+    tf AS (SELECT source, tok, count(*) AS tf FROM tok GROUP BY source, tok),
+    dft AS (SELECT tok, count(DISTINCT source) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.source, tf.tok, tf.tf, dft.df,
+             tf.tf * (ln((1.0 + consts.n_src) / (1.0 + dft.df)) + 1.0) AS score
+      FROM tf, dft, consts WHERE tf.tok = dft.tok
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, tok ASC) AS rnk
+      FROM scored
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM vocab),
+    nll AS (
+      SELECT doc_id,
+             round(avg(-ln((vocab.c + 1.0) / (tot.t + tot.v))), 6) AS d_nll
+      FROM tok, vocab, tot WHERE tok.tok = vocab.tok GROUP BY doc_id
+    ),
+    dec AS (
+      SELECT doc_id, d_nll,
+             CAST(ntile(10) OVER (ORDER BY d_nll, doc_id) AS BIGINT) AS decile
+      FROM nll
+    )
+    SELECT 'tfidf' AS part, source AS k1, tok AS k2,
+           CAST(rnk AS BIGINT) AS rnk, tf AS n, round(score, 6) AS score
+    FROM ranked WHERE rnk <= 5
+    UNION ALL
+    SELECT 'lm_decile', 'all', CAST(NULL AS VARCHAR), decile,
+           count(*), round(avg(d_nll), 5)
+    FROM dec GROUP BY decile
+    UNION ALL
+    SELECT 'vocab', 'all', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           v, CAST(t AS DOUBLE)
+    FROM tot
+    """,
+)
+def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level text statistics a training-data curation pipeline
+    runs beside the per-document pass (tagged union, three parts):
+
+    - ``tfidf``: per-source top-5 terms by smoothed TF-IDF
+      (tf · (ln((1+N)/(1+df)) + 1), the sklearn smoothing), ranked
+      with a deterministic (score DESC, term ASC) tiebreak. One
+      explode → one (source, term) shuffle; the per-term document-
+      frequency table is vocabulary-sized and broadcast back — the
+      corpus is never reshuffled a second time.
+    - ``lm_decile``: CCNet-style unigram language-model quality score
+      (Wenzek et al. 2019): add-one-smoothed corpus unigram LM, each
+      document scored by its mean negative log-probability, documents
+      ranked into exact deciles, per-decile count + mean NLL. The
+      vocab count table is broadcast onto the exploded tokens (at
+      web-corpus scale a 100M-type vocab outgrows a broadcast — the
+      join key is the token, so the fallback is a plain shuffle join
+      on the same plan); the exact-decile ntile is a global sort over
+      (rounded NLL, doc_id) — the scale path replaces it with
+      approx_percentile bucket edges, this demo keeps it exact so the
+      oracle can hash it.
+    - ``vocab``: corpus totals (vocabulary size, total token count) —
+      the LM's denominators, pinned so a smoothing drift cannot pass
+      silently.
+
+    Cross-engine determinism: ranks compare (score, term) where equal
+    scores come from equal (tf, df) integers — identical doubles both
+    sides — so ties break on the term string in both engines; the ln()
+    outputs are rounded (6/5 dp) in every hashed value.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    n_src = d.select("source").distinct().count()  # scalar: source count
+
+    tf = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    scored = tf.join(F.broadcast(dft), "tok").withColumn(
+        "score",
+        F.col("tf")
+        * (F.log((F.lit(1.0) + F.lit(float(n_src))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), F.col("tok").asc())
+    tfidf_rows = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.lit("tfidf").alias("part"),
+            F.col("source").alias("k1"),
+            F.col("tok").alias("k2"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("tf").cast("long").alias("n"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
+    ).first()
+    t_total, v_size = int(tot["t"]), int(tot["v"])
+    logp = F.log((F.col("c") + F.lit(1.0)) / F.lit(float(t_total + v_size)))
+    nll = (
+        d.join(F.broadcast(vocab.withColumn("m_nlp", -logp).drop("c")), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("m_nlp"), 6).alias("d_nll"))
+    )
+    dec = nll.withColumn(
+        "decile",
+        F.ntile(10).over(W.orderBy(F.col("d_nll").asc(), F.col("doc_id").asc())).cast("long"),
+    )
+    lm_rows = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("d_nll"), 5).alias("avg_nll")
+    ).select(
+        F.lit("lm_decile").alias("part"), F.lit("all").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("decile").alias("rnk"), F.col("n_docs").alias("n"),
+        F.col("avg_nll").alias("score"),
+    )
+
+    vocab_row = spark.createDataFrame(
+        [("vocab", "all", None, None, v_size, float(t_total))],
+        "part string, k1 string, k2 string, rnk bigint, n bigint, score double",
+    )
+    return tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)
 
 
 @query(

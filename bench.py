@@ -83,7 +83,7 @@ def main() -> None:
     # warmup: JVM, parquet footer caches, codegen. Fail-soft — a broken
     # warmup query must cost its own headline row below, not the whole
     # artifact (r3 lost every bench number to one analysis error here).
-    for warm in ("group_count", "q1_pricing_summary"):
+    for warm in ("events_hourly_window", "q1_pricing_summary"):
         try:
             QUERIES[warm](spark, SF_DIR).count()
             break

@@ -332,3 +332,69 @@ def test_cubic_matches_scipy_where_installed():
     assert np.abs(ours - ref)[interior].max() < 0.01
     # and the stand-in used by the divergence test IS scipy's spline
     assert np.allclose(_notaknot_interp(x, y, xq), ref, atol=1e-8)
+
+
+# -------------------------------------------------------------------------
+# Gopher-style repetition stats (functions/text.py, round 6): the sorted-
+# run aggregate vs a direct Python Counter on the same strings.
+# -------------------------------------------------------------------------
+
+def test_repetition_stats_match_counter(spark):
+    from collections import Counter
+
+    from argostats_spark.functions.text import (
+        dup_ngram_frac, is_repetitive, top_token_frac, with_repetition_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd", "spam", "x"]
+    docs = [
+        "",                         # empty → all fracs 0.0, not NaN
+        "one",                      # single token, no 2-grams
+        "a a a a",                  # pure repetition: top=1.0, dup2=2/3
+        "a b a b a b",              # alternating: top=0.5, all 2-grams repeat after first pair
+        "Tab\tand  double  space",  # whitespace variety
+        "MiXeD CaSe mixed case",    # lowering folds tokens
+    ] + [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 40, size=25)
+    ]
+
+    def py_stats(text: str):
+        toks = [t.lower() for t in text.split()]
+        n = len(toks)
+        top = (max(Counter(toks).values()) / n) if n else 0.0
+
+        def dup(k):
+            grams = [" ".join(toks[i:i + k]) for i in range(n - k + 1)] if n >= k else []
+            return (1 - len(set(grams)) / len(grams)) if grams else 0.0
+
+        return top, dup(2), dup(3)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, text string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            top_token_frac("text").alias("top"),
+            dup_ngram_frac("text", 2).alias("d2"),
+            dup_ngram_frac("text", 3).alias("d3"),
+            is_repetitive("text").alias("rep"),
+        ).collect()
+    }
+    # the staged (hot-path) form must agree exactly with the inline form
+    staged = {
+        r["i"]: r
+        for r in with_repetition_stats(df).select(
+            "i", "top_raw", "d2_raw", "d3_raw"
+        ).collect()
+    }
+    for i, text in enumerate(docs):
+        top, d2, d3 = py_stats(text)
+        r = got[i]
+        assert math.isclose(r["top"], top, abs_tol=1e-12), (i, text, r["top"], top)
+        assert math.isclose(r["d2"], d2, abs_tol=1e-12), (i, text, r["d2"], d2)
+        assert math.isclose(r["d3"], d3, abs_tol=1e-12), (i, text, r["d3"], d3)
+        assert r["rep"] == (top > 0.20 or d2 > 0.20 or d3 > 0.18), (i, text)
+        s = staged[i]
+        assert (s["top_raw"], s["d2_raw"], s["d3_raw"]) == (r["top"], r["d2"], r["d3"]), (i, text)

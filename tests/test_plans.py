@@ -77,11 +77,12 @@ def test_semi_anti_plan_as_joins(spark, sf):
 
 
 def test_events_scan_prunes_columns(spark, sf):
-    """group_count touches only event_type — the scan must not read
-    props/value/user_id."""
-    df = QUERIES["group_count"](spark, sf)
+    """events_hourly_window (which absorbed group_count in round 6)
+    touches ts/event_type/value/user_id — the scan must never read the
+    wide props JSON column."""
+    df = QUERIES["events_hourly_window"](spark, sf)
     rs = scan_read_schema(df)
-    assert "props" not in rs and "value" not in rs
+    assert "props" not in rs
 
 
 def test_interpolation_single_exchange(spark):
