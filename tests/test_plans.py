@@ -288,3 +288,24 @@ def test_eape_two_pass_reuses_cached_pairs_and_broadcasts_means(spark):
         assert "InMemoryTableScan" in rest and "CT_BAR" in pre, plan
     finally:
         pairs.unpersist(), ts.unpersist()
+
+
+def test_text_suite_is_pure_scan_project(spark, sf):
+    """text_suite (incl. the round-6 staged repetition stats) is a
+    single scan + projections: zero exchanges, no Python operator. The
+    staged with_repetition_stats columns must stay JVM expressions."""
+    df = QUERIES["text_suite"](spark, sf)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 0, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_lm_broadcasts_vocab_tables(spark, sf):
+    """tfidf_lm_suite reshuffles the exploded corpus ONCE per branch
+    (the (source,term) tf agg and the per-term vocab agg); the
+    vocabulary-sized df/log-prob tables come back as broadcast hash
+    joins, never a second corpus-wide sort-merge join."""
+    df = QUERIES["tfidf_lm_suite"](spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:1200]
