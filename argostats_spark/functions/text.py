@@ -267,3 +267,79 @@ def normalize_text(text) -> Column:
     DuckDB's RE2 — so the oracle computes the identical string."""
     t = F.regexp_replace(_c(text), "[\\x00-\\x1f\\x7f]", " ")
     return F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+
+
+# -------------------------------------------------------------------------
+# PII scrubbing + URL handling (round 6) — the remaining standard
+# text-curation operators. All pure regexp column expressions (Java
+# regex, JVM-side); the patterns avoid constructs whose semantics
+# differ between regex engines so tests can mirror them in Python `re`.
+# -------------------------------------------------------------------------
+
+# Conservative, high-precision patterns: a curation pipeline prefers
+# missing an exotic phone format over redacting ordinary numbers.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # IPv4 with per-octet 0-255 bound (no \b on the dot side — Java and
+    # re agree on \b, but the explicit bound keeps 999.1.1.1 unredacted)
+    "ipv4": r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+            r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+    # +international (7-15 digits) or NANP-style 333-333-4444 groupings
+    "phone": r"(?<![\d.])(?:\+\d{7,15}|\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4})(?![\d.])",
+}
+
+
+def pii_counts(text) -> Column:
+    """Struct of per-category PII match counts (emails, ipv4s, phones)
+    — the audit pass a curation pipeline runs before deciding to scrub
+    or drop. One regexp_count per category, whole-stage codegen."""
+    t = _c(text)
+    return F.struct(
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"])).alias("emails"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"])).alias("ipv4s"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["phone"])).alias("phones"),
+    )
+
+
+def scrub_pii(text) -> Column:
+    """Redact emails → <EMAIL>, IPv4 addresses → <IP>, phone numbers →
+    <PHONE>. Email runs first so an address's digits can't be half-
+    eaten by the phone pass; the order is part of the contract."""
+    t = F.regexp_replace(_c(text), PII_PATTERNS["email"], "<EMAIL>")
+    t = F.regexp_replace(t, PII_PATTERNS["ipv4"], "<IP>")
+    return F.regexp_replace(t, PII_PATTERNS["phone"], "<PHONE>")
+
+
+_URL_RE = r"https?://[^\s<>\"']+"
+
+
+def extract_urls(text) -> Column:
+    """Array of raw http(s) URLs found in free text."""
+    return F.regexp_extract_all(_c(text), F.lit(_URL_RE), 0)
+
+
+def url_host(url) -> Column:
+    """Lower-cased host (authority minus userinfo/port) of a URL —
+    empty string when the input is not an http(s) URL. The host is the
+    key for per-domain dedup/blocklist joins, so it must be canonical:
+    case-folded, port and credentials stripped."""
+    host = F.regexp_extract(_c(url), r"^[Hh][Tt][Tt][Pp][Ss]?://(?:[^/@\s]*@)?([^/:?#\s]+)", 1)
+    return F.lower(host)
+
+
+def normalize_url(url) -> Column:
+    """Canonical URL for exact URL-level dedup: scheme and host
+    lower-cased, fragment dropped, utm_* tracking params dropped (and
+    a then-empty query dropped), trailing slash trimmed off a bare
+    path. Pure regexp passes — no UDF, no parsing library."""
+    u = _c(url)
+    # lower the scheme://host[:port] prefix only (path stays cased)
+    prefix = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(prefix, rest)
+    u = F.regexp_replace(u, r"#.*$", "")                      # fragment
+    u = F.regexp_replace(u, r"([?&])utm_[^=&#]*=[^&#]*", "$1")  # utm params
+    u = F.regexp_replace(u, r"\?&+", "?")                     # tidy ?&&
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")                     # dangling ? or &
+    return F.regexp_replace(u, r"^(https?://[^/?#]+)/$", "$1")  # bare trailing /

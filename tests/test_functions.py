@@ -398,3 +398,68 @@ def test_repetition_stats_match_counter(spark):
         assert r["rep"] == (top > 0.20 or d2 > 0.20 or d3 > 0.18), (i, text)
         s = staged[i]
         assert (s["top_raw"], s["d2_raw"], s["d3_raw"]) == (r["top"], r["d2"], r["d3"]), (i, text)
+
+
+def test_pii_scrub_and_counts_match_re(spark):
+    """PII patterns evaluated by Spark's Java regex must agree with the
+    same patterns under Python re on planted + adversarial strings."""
+    import re
+
+    from argostats_spark.functions.text import PII_PATTERNS, pii_counts, scrub_pii
+
+    docs = [
+        "contact john.doe+spam@example.co.uk or admin@sub.domain.org today",
+        "server at 192.168.0.1 and 255.255.255.255 but not 999.1.1.1 or 1.2.3.4.5",
+        "call +4915123456789 or (555) 123-4567 or 555-123-4567 x89",
+        "no pii here, just pi 3.14159 and a year 2026",
+        "mixed: a@b.io at 10.0.0.7 ring 333.444.5555",
+        "",
+        "v1.2.3.4 release notes",           # version string, not an IP (no \b break fails? digits flanked by letters)
+        "+123456 too short, +1234567 just long enough",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, text string")
+    got = {
+        r["i"]: r
+        for r in df.select("i", pii_counts("text").alias("c"), scrub_pii("text").alias("s")).collect()
+    }
+    for i, text in enumerate(docs):
+        email, ipv4, phone = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+        exp_counts = (
+            len(re.findall(email, text)),
+            len(re.findall(ipv4, text)),
+            len(re.findall(phone, text)),
+        )
+        s = re.sub(email, "<EMAIL>", text)
+        s = re.sub(ipv4, "<IP>", s)
+        s = re.sub(phone, "<PHONE>", s)
+        r = got[i]
+        assert (r["c"]["emails"], r["c"]["ipv4s"], r["c"]["phones"]) == exp_counts, (i, text, r["c"])
+        assert r["s"] == s, (i, text, r["s"], s)
+
+
+def test_url_extract_and_normalize(spark):
+    from argostats_spark.functions.text import extract_urls, normalize_url, url_host
+
+    cases = [
+        # (raw, expected_host, expected_normalized)
+        ("HTTPS://User:Pw@Example.COM:8080/Path/?utm_source=x&q=1#frag",
+         "example.com",
+         "https://user:pw@example.com:8080/Path/?q=1"),
+        ("http://example.org/", "example.org", "http://example.org"),
+        ("http://EXAMPLE.org/a/B/c?utm_medium=email", "example.org",
+         "http://example.org/a/B/c"),
+        ("https://a.b.c.d/e?x=1&utm_campaign=z&y=2#s", "a.b.c.d",
+         "https://a.b.c.d/e?x=1&y=2"),
+        ("not a url", "", "not a url"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r for r in df.select("i", url_host("u").alias("h"), normalize_url("u").alias("n")).collect()}
+    for i, (raw, host, norm) in enumerate(cases):
+        assert got[i]["h"] == host, (raw, got[i]["h"], host)
+        assert got[i]["n"] == norm, (raw, got[i]["n"], norm)
+
+    text = "see http://a.io/x and https://b.io/y?z=1 plus ftp://skip.me"
+    urls = spark.createDataFrame([(text,)], "t string").select(
+        extract_urls("t").alias("u")
+    ).first()["u"]
+    assert urls == ["http://a.io/x", "https://b.io/y?z=1"]
