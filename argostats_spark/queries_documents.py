@@ -284,21 +284,12 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(
-        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
-    ).first()
-    t_total, v_size = int(tot["t"]), int(tot["v"])
-    logp = F.log((F.col("c") + F.lit(1.0)) / F.lit(float(t_total + v_size)))
-    nll = (
-        d.join(F.broadcast(vocab.withColumn("m_nlp", -logp).drop("c")), "tok")
-        .groupBy("doc_id")
-        .agg(F.round(F.avg("m_nlp"), 6).alias("d_nll"))
+    from .operators.textstats import nll_deciles, unigram_lm_nll
+
+    nll, t_total, v_size = unigram_lm_nll(
+        _t(spark, sf_dir, "documents"), return_totals=True
     )
-    dec = nll.withColumn(
-        "decile",
-        F.ntile(10).over(W.orderBy(F.col("d_nll").asc(), F.col("doc_id").asc())).cast("long"),
-    )
+    dec = nll_deciles(nll, exact=True)
     lm_rows = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("d_nll"), 5).alias("avg_nll")
     ).select(

