@@ -284,8 +284,11 @@ PII_PATTERNS = {
     # re agree on \b, but the explicit bound keeps 999.1.1.1 unredacted)
     "ipv4": r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
             r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
-    # +international (7-15 digits) or NANP-style 333-333-4444 groupings
-    "phone": r"(?<![\d.])(?:\+\d{7,15}|\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4})(?![\d.])",
+    # +international (7-15 digits) or NANP-style 333-333-4444 groupings.
+    # Boundary guards: no digit (or dotted-digit continuation, i.e. a
+    # version/IP segment) may adjoin either end — but a bare sentence-
+    # final '.' is NOT a continuation, so "call 555-123-4567." redacts.
+    "phone": r"(?<!\d)(?<!\d\.)(?:\+\d{7,15}|\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4})(?!\.?\d)",
 }
 
 
@@ -310,7 +313,7 @@ def scrub_pii(text) -> Column:
     return F.regexp_replace(t, PII_PATTERNS["phone"], "<PHONE>")
 
 
-_URL_RE = r"https?://[^\s<>\"']+"
+_URL_RE = r"(?i)https?://[^\s<>\"']+"
 
 
 def extract_urls(text) -> Column:
@@ -329,14 +332,21 @@ def url_host(url) -> Column:
 
 def normalize_url(url) -> Column:
     """Canonical URL for exact URL-level dedup: scheme and host
-    lower-cased, fragment dropped, utm_* tracking params dropped (and
-    a then-empty query dropped), trailing slash trimmed off a bare
-    path. Pure regexp passes — no UDF, no parsing library."""
+    lower-cased (userinfo preserved — RFC 3986 credentials are
+    case-sensitive, so lowering them would merge genuinely distinct
+    URLs), fragment dropped, utm_* tracking params dropped (and a
+    then-empty query dropped), trailing slash trimmed off a bare path.
+    Pure regexp passes — no UDF, no parsing library."""
     u = _c(url)
-    # lower the scheme://host[:port] prefix only (path stays cased)
-    prefix = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    # lower scheme and host[:port] separately; userinfo and path keep case
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)   # '' when absent
+    hostport = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    u = F.concat(prefix, rest)
+    u = F.when(
+        scheme == F.lit(""), _c(url)  # not a scheme://... input: pass through
+    ).otherwise(F.concat(scheme, F.lit("://"), userinfo, hostport, rest))
     u = F.regexp_replace(u, r"#.*$", "")                      # fragment
     u = F.regexp_replace(u, r"([?&])utm_[^=&#]*=[^&#]*", "$1")  # utm params
     u = F.regexp_replace(u, r"\?&+", "?")                     # tidy ?&&

@@ -6,7 +6,9 @@ with both an exact and a cluster-scale path.
 Green-field scope (no counterpart in the reference's oceanographic
 engine); the Spark shapes are the point:
 
-- the corpus is exploded ONCE and shuffled once per aggregate;
+- each aggregate costs exactly one pass over the exploded corpus —
+  vocabulary-sized intermediates are localCheckpointed and broadcast
+  so no pass runs twice;
 - the vocabulary table rides back as a broadcast (at web scale a
   100M-type vocab outgrows a broadcast — the join key is the token, so
   the same plan degrades gracefully to a shuffle join);
@@ -30,17 +32,30 @@ def unigram_lm_nll(docs: DataFrame, text_col: str = "text",
     6 dp (the cross-engine determinism policy — sum order inside the
     avg is nondeterministic at ~1e-15).
 
-    Two shuffles over the exploded corpus (vocab counts, per-doc agg);
-    the smoothing denominator T+V comes back as two scalars (driver
-    traffic is 16 bytes, not data). With ``return_totals`` the
+    Two corpus passes (one explode+agg for the vocab table — then
+    localCheckpointed, so the totals action costs a vocabulary-sized
+    scan, not a second corpus pass — and one explode+join+agg for the
+    per-document score); the smoothing denominator T+V comes back as
+    two scalars (driver traffic is 16 bytes, not data). With
+    ``return_totals`` the
     (df, total_tokens, vocab_size) triple is returned so callers that
     also report the totals don't recount the corpus.
     """
     d = docs.select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # one corpus pass builds the vocab table; localCheckpoint it so the
+    # totals action and the broadcast join below both reuse the
+    # materialized (vocabulary-sized) result instead of re-exploding the
+    # corpus a second time
+    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     tot = vocab.agg(
         F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
     ).first()
+    if tot["t"] is None:  # empty corpus (or all-empty documents)
+        id_type = docs.schema[id_col].dataType.simpleString()
+        empty = docs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, d_nll double"
+        )
+        return (empty, 0, 0) if return_totals else empty
     t_total, v_size = int(tot["t"]), int(tot["v"])
     m_nlp = -F.log((F.col("c") + F.lit(1.0)) / F.lit(float(t_total + v_size)))
     out = (
@@ -76,6 +91,8 @@ def nll_deciles(nll: DataFrame, id_col: str = "doc_id",
             "d_nll", [i / 10.0 for i in range(1, 10)], 10000
         ).alias("e")
     ).first()
+    if edges_row["e"] is None:  # empty input: keep the output schema
+        return nll.withColumn("decile", F.lit(None).cast("long"))
     edges = list(edges_row["e"])
     edge_arr = F.array(*[F.lit(float(e)) for e in edges])
     # decile = 1 + number of edges strictly below the score: documents

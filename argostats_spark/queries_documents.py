@@ -189,7 +189,7 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
       FROM documents
     ),
-    consts AS (SELECT count(DISTINCT source) AS n_src FROM tok),
+    consts AS (SELECT count(DISTINCT source) AS n_src FROM documents),
     tf AS (SELECT source, tok, count(*) AS tf FROM tok GROUP BY source, tok),
     dft AS (SELECT tok, count(DISTINCT source) AS df FROM tf GROUP BY tok),
     scored AS (
@@ -261,7 +261,11 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
     )
-    n_src = d.select("source").distinct().count()  # scalar: source count
+    # N = number of source collections, counted on the documents table
+    # (NOT the exploded tokens — that would cost a full tokenize pass
+    # for a scalar, and would silently exclude a source whose documents
+    # are all token-less; the oracle counts the same way)
+    n_src = _t(spark, sf_dir, "documents").select("source").distinct().count()
 
     tf = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("tok").agg(F.countDistinct("source").alias("df"))

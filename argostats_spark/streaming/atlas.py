@@ -65,7 +65,15 @@ def atlas_refresh_writer(
     """
     if refresh_every < 1:
         raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
-    grid = grid.localCheckpoint(eager=True)  # static side: plan once
+    # Static side: cache, do NOT localCheckpoint. A localCheckpoint held
+    # for the stream's lifetime is non-recomputable — losing one
+    # executor (preemption, OOM kill) would invalidate the truncated
+    # lineage and fail every later micro-batch. A cached grid re-derives
+    # evicted blocks from its (deterministic) plan; the per-batch
+    # localCheckpoints inside refresh() are safe because each trigger
+    # rebuilds them from scratch.
+    grid = grid.cache()
+    grid.count()  # materialize once up front
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -89,4 +97,6 @@ def atlas_refresh_writer(
         )
         out.write.mode("overwrite").parquet(atlas_store)
 
+    # let callers release the cached grid once the stream is stopped
+    refresh.unpersist_grid = lambda blocking=False: grid.unpersist(blocking)
     return refresh

@@ -416,6 +416,8 @@ def test_pii_scrub_and_counts_match_re(spark):
         "",
         "v1.2.3.4 release notes",           # version string, not an IP (no \b break fails? digits flanked by letters)
         "+123456 too short, +1234567 just long enough",
+        "call 555-123-4567. Then +4915123456789. done",  # sentence-final '.' must redact
+        "not a phone: 1.555-123-4567 nor 555-123-4567.1",  # dotted-digit continuations
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, text string")
     got = {
@@ -442,9 +444,11 @@ def test_url_extract_and_normalize(spark):
 
     cases = [
         # (raw, expected_host, expected_normalized)
+        # userinfo keeps its case (RFC 3986: credentials are case-
+        # sensitive); only scheme and host[:port] fold
         ("HTTPS://User:Pw@Example.COM:8080/Path/?utm_source=x&q=1#frag",
          "example.com",
-         "https://user:pw@example.com:8080/Path/?q=1"),
+         "https://User:Pw@example.com:8080/Path/?q=1"),
         ("http://example.org/", "example.org", "http://example.org"),
         ("http://EXAMPLE.org/a/B/c?utm_medium=email", "example.org",
          "http://example.org/a/B/c"),
@@ -458,8 +462,10 @@ def test_url_extract_and_normalize(spark):
         assert got[i]["h"] == host, (raw, got[i]["h"], host)
         assert got[i]["n"] == norm, (raw, got[i]["n"], norm)
 
-    text = "see http://a.io/x and https://b.io/y?z=1 plus ftp://skip.me"
+    text = "see http://a.io/x and https://b.io/y?z=1 plus ftp://skip.me and HTTPS://C.io/z"
     urls = spark.createDataFrame([(text,)], "t string").select(
         extract_urls("t").alias("u")
     ).first()["u"]
-    assert urls == ["http://a.io/x", "https://b.io/y?z=1"]
+    # uppercase schemes extract too — the sibling url_host/normalize_url
+    # accept them, so extraction must not silently drop them
+    assert urls == ["http://a.io/x", "https://b.io/y?z=1", "HTTPS://C.io/z"]

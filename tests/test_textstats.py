@@ -65,3 +65,19 @@ def test_nll_deciles_approx_matches_exact_off_edges(docs_df):
     for d in range(1, 11):
         assert abs(pops.get(d, 0) - n / 10) <= max(3, 0.05 * n), (d, pops.get(d, 0), n)
     nll.unpersist()
+
+
+def test_textstats_empty_corpus(spark):
+    """Empty inputs return empty results with the right schema, not a
+    TypeError from int(None)/list(None)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    nll, t, v = unigram_lm_nll(empty, return_totals=True)
+    assert (t, v) == (0, 0)
+    assert nll.columns == ["doc_id", "d_nll"] and nll.count() == 0
+    # all-empty documents behave identically
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert unigram_lm_nll(blank).count() == 0
+    # both decile paths survive empty input
+    assert nll_deciles(nll, exact=True).count() == 0
+    out = nll_deciles(nll, exact=False)
+    assert out.columns == ["doc_id", "d_nll", "decile"] and out.count() == 0
