@@ -125,3 +125,66 @@ def pack_chunks(
     return df.withColumn(
         "chunk_id", F.floor(cum_excl / F.lit(float(budget))).cast("long")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size (optionally overlapping) token
+    windows — the long-document preprocessing step before packing /
+    embedding: one output row per chunk with
+    (id_col, chunk_id, tok_start, tok_end, chunk_text, n_chunk_tokens).
+
+    ``stride`` is the distance between chunk starts (default =
+    chunk_tokens, i.e. disjoint windows; stride < chunk_tokens gives
+    overlap). tok_start/tok_end are 0-based token offsets [start, end).
+    The final chunk may be short; documents with no tokens yield no
+    rows.
+
+    Scale shape: entirely row-local — tokenize once (projected column,
+    evaluated once per row), posexplode the per-document start index
+    array, slice+join per chunk. No shuffle, no Python; output row
+    count is Σ ceil(tokens/stride), so a corpus scan chunks at scan
+    speed and downstream operators see ordinary string rows.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got {stride} vs {chunk_tokens}"
+        )
+    from ..functions.text import tokens
+
+    n = F.size("__toks")
+    # 0-based chunk starts: 0, stride, 2·stride, ... < n  (empty when n=0)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            id_col,
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_id", "tok_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.least(
+                F.col("tok_start") + F.lit(chunk_tokens), F.size("__toks")
+            ).cast("long").alias("tok_end"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("tok_start") + 1, F.lit(chunk_tokens)),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("__toks") - F.col("tok_start")
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )

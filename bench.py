@@ -70,6 +70,9 @@ HEADLINE = [
     # correctness-checked at sf0.01, not a headline scale number.
     "cosine_topk",
     "text_suite",
+    # corpus-level curation analytics (round 6): TF-IDF top terms +
+    # unigram-LM quality deciles — explode/broadcast/window family
+    "tfidf_lm_suite",
     # multimodal family: real PGM construction + mapInPandas decode +
     # grid featurization over every document payload
     "multimodal_features",

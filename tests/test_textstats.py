@@ -81,3 +81,50 @@ def test_textstats_empty_corpus(spark):
     assert nll_deciles(nll, exact=True).count() == 0
     out = nll_deciles(nll, exact=False)
     assert out.columns == ["doc_id", "d_nll", "decile"] and out.count() == 0
+
+
+def test_chunk_documents_matches_python(spark):
+    """chunk_documents vs a direct Python chunker: disjoint and
+    overlapping strides, short docs, empty docs."""
+    from argostats_spark.operators.sampling import chunk_documents
+
+    texts = [
+        "a b c d e f g h i j",   # 10 tokens
+        "one two three",          # shorter than a chunk
+        "",                       # no tokens -> no rows
+        "  x   y  ",              # messy whitespace
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    for chunk, stride in [(4, 4), (4, 2), (3, 1), (512, 512)]:
+        got = sorted(
+            (
+                (r["doc_id"], r["chunk_id"], r["tok_start"], r["tok_end"],
+                 r["chunk_text"], r["n_chunk_tokens"])
+                for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+            )
+        )
+        want = []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            for cid, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start:start + chunk]
+                want.append((i, cid, start, start + len(piece), " ".join(piece), len(piece)))
+        assert got == sorted(want), (chunk, stride, got[:4], sorted(want)[:4])
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    from argostats_spark.operators.sampling import chunk_documents
+    from argostats_spark.plans.explain import count_exchanges, physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=16, stride=8)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan[:800]
+    assert "BatchEvalPython" not in plan
