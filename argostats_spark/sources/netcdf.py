@@ -129,15 +129,17 @@ def parse_netcdf_bytes(path: str, content: bytes) -> pd.DataFrame:
     """One <WMO>_prof.nc → one row per profile (reference
     load_wmo_profiles_from_netcdf, interpolation.py:182-197).
 
-    Classic-format (CDF-1) files — which is what GDAC core files are —
-    parse through the built-in pure codec; NetCDF-4/HDF5 files fall
-    back to xarray where installed."""
-    if content[:4] == b"CDF\x01":
+    Classic-format files — which is what GDAC core files are — parse
+    through the built-in pure codec, in both the CDF-1 and the
+    64-bit-offset CDF-2 flavor (large aggregates exceed the classic
+    2 GiB ceiling and ship as CDF-2); NetCDF-4/HDF5 files fall back to
+    xarray where installed."""
+    if content[:3] == b"CDF" and content[3:4] in (b"\x01", b"\x02"):
         return parse_argo_classic(path, content)
     if _xr is None:
         raise NotImplementedError(
-            "non-classic NetCDF parsing requires xarray/netCDF4 (not "
-            "installed); classic CDF-1 files parse natively"
+            "NetCDF-4/HDF5 parsing requires xarray/netCDF4 (not "
+            "installed); classic CDF-1/CDF-2 files parse natively"
         )
     # pragma: no cover — real branch exercised only where xarray exists
     import io
@@ -232,6 +234,7 @@ def write_argo_prof_nc(
     temp_adj=None,
     psal_adj=None,
     adj_qc_digit: int = 1,
+    version: int | None = None,
 ) -> str:
     """Write a synthetic <WMO>_prof.nc in genuine NetCDF-3 classic form
     (Argo GDAC conventions: JULD days since 1950, NC_CHAR DATA_MODE/QC,
@@ -280,5 +283,5 @@ def write_argo_prof_nc(
             }
         )
     full = f"{path}/{wmo}_prof.nc"
-    write_netcdf3(full, dims, variables)
+    write_netcdf3(full, dims, variables, version=version)
     return full

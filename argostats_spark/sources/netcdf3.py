@@ -1,13 +1,24 @@
-"""Dependency-free NetCDF-3 "classic" (CDF-1) writer/reader.
+"""Dependency-free NetCDF-3 "classic" (CDF-1) and 64-bit-offset
+(CDF-2) writer/reader.
 
 The NetCDF classic file format is a small, fully public specification
 (magic ``CDF\\x01``; big-endian; header = dim list, global attributes,
 variable list with 32-bit data offsets; then fixed-size variable data,
-each padded to 4 bytes). This module implements the fixed-size subset —
-no unlimited/record dimension — in pure NumPy, which is exactly what the
-atlas export needs (cells × levels float grids), so S9 works with NO
-optional dependency. netCDF4, where installed, reads these files
-natively (same on-disk format as ``format='NETCDF3_CLASSIC'``).
+each padded to 4 bytes). The 64-bit-offset variant (magic ``CDF\\x02``,
+netCDF's ``NC_64BIT_OFFSET`` / ``format='NETCDF3_64BIT_OFFSET'``)
+differs in exactly one field: each variable's ``begin`` data offset is
+8 bytes instead of 4, lifting the 2 GiB file ceiling — large real-GDAC
+aggregates ship in this variant, so the reader accepts both and the
+writer auto-promotes when the layout needs it. This module implements
+the fixed-size subset — no unlimited/record dimension — in pure NumPy,
+which is exactly what the atlas export needs (cells × levels float
+grids), so S9 works with NO optional dependency. netCDF4, where
+installed, reads these files natively.
+
+Out of scope: CDF-5 (``CDF\\x05``, 64-bit *sizes* + unsigned/64-bit
+types). Its header widens several more fields and this container has
+no independent implementation to validate byte layouts against; CDF-2
+is the variant real Argo aggregates actually use.
 
 Scope: NC_BYTE/SHORT/INT/FLOAT/DOUBLE/CHAR variables over fixed dims,
 name+value global attributes of those types. Enough for the reference's
@@ -78,19 +89,31 @@ def _nc_type(arr: np.ndarray) -> int:
     return _TYPE_OF_DTYPE[key]
 
 
+_CDF1_MAX_BEGIN = 2**31 - 1
+
+
 def write_netcdf3(
     path: str,
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
     global_attrs: dict | None = None,
     var_attrs: dict[str, dict] | None = None,
+    version: int | None = None,
 ) -> None:
     """Write fixed-size variables. ``variables`` maps name → (dim names,
     array); every array shape must match its dims. ``global_attrs`` and
     ``var_attrs[name]`` (str / int / float / array values) land in the
     header attribute lists — the reference stamps units and provenance
-    on its atlas files (reference atlas.py:576-607)."""
+    on its atlas files (reference atlas.py:576-607).
+
+    ``version``: 1 (classic), 2 (64-bit offset), or None to pick
+    automatically — classic while every variable's data offset fits the
+    spec's 4-byte ``begin`` field, 64-bit offset beyond (a classic file
+    physically cannot address data past 2 GiB; silently wrapping the
+    offset would corrupt the file)."""
     var_attrs = var_attrs or {}
+    if version not in (None, 1, 2):
+        raise ValueError(f"version must be 1, 2 or None, got {version!r}")
     dim_ids = {name: i for i, name in enumerate(dims)}
     for name, (vdims, arr) in variables.items():
         shape = tuple(dims[d] for d in vdims)
@@ -120,23 +143,44 @@ def write_netcdf3(
         )
         entries.append((name, vdims, np.asarray(arr), typ, nbytes, vsize, meta))
 
-    header_len = (
-        4 + 4  # magic + numrecs
-        + len(body)
-        + struct.pack(">ii", NC_VARIABLE, len(entries)).__len__()
-        + sum(len(m) + 4 for *_, m in entries)  # +4 for each 32-bit begin
-    )
+    def layout(begin_width: int) -> list[int]:
+        """Per-variable begin offsets for a given begin-field width."""
+        header_len = (
+            4 + 4  # magic + numrecs
+            + len(body)
+            + 8  # NC_VARIABLE tag + count
+            + sum(len(m) + begin_width for *_, m in entries)
+        )
+        begins, begin = [], header_len
+        for *_, vsize, _meta in entries:
+            begins.append(begin)
+            begin += vsize
+        return begins
+
+    if version is None:
+        begins = layout(4)
+        version = 1 if (not begins or max(begins) <= _CDF1_MAX_BEGIN) else 2
+    if version == 1:
+        begins = layout(4)
+        if begins and max(begins) > _CDF1_MAX_BEGIN:
+            raise ValueError(
+                "data offsets exceed the CDF-1 4-byte begin field; write "
+                "with version=2 (64-bit offset) or version=None (auto)"
+            )
+        begin_fmt, magic = ">I", b"CDF\x01"
+    else:
+        begins = layout(8)
+        begin_fmt, magic = ">Q", b"CDF\x02"
+
     var_list = struct.pack(">ii", NC_VARIABLE, len(entries))
-    begin = header_len
     data_chunks = []
-    for name, vdims, arr, typ, nbytes, vsize, meta in entries:
-        var_list += meta + struct.pack(">I", begin)
+    for (name, vdims, arr, typ, nbytes, vsize, meta), begin in zip(entries, begins):
+        var_list += meta + struct.pack(begin_fmt, begin)
         raw = arr.astype(_DTYPE_OF_TYPE[typ]).tobytes()
         data_chunks.append(raw + b"\x00" * _pad4(len(raw)))
-        begin += vsize
 
     with open(path, "wb") as f:
-        f.write(b"CDF\x01" + struct.pack(">i", 0))
+        f.write(magic + struct.pack(">i", 0))
         f.write(body)
         f.write(var_list)
         for chunk in data_chunks:
@@ -159,9 +203,12 @@ def read_netcdf3_bytes(buf: bytes) -> tuple[dict[str, int], dict[str, np.ndarray
 def read_netcdf3_full(
     buf: bytes,
 ) -> tuple[dict[str, int], dict[str, np.ndarray], dict, dict[str, dict]]:
-    """Full parse: (dims, variables, global_attrs, per-var attrs)."""
-    if buf[:4] != b"CDF\x01":
-        raise ValueError("not a NetCDF-3 classic (CDF-1) file")
+    """Full parse: (dims, variables, global_attrs, per-var attrs).
+    Accepts classic (CDF-1) and 64-bit-offset (CDF-2) files — the only
+    layout difference is the width of each variable's begin field."""
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError("not a NetCDF-3 classic/64-bit-offset (CDF-1/2) file")
+    begin_fmt, begin_width = (">I", 4) if buf[3] == 1 else (">Q", 8)
     pos = 8  # magic + numrecs
 
     def read_i4() -> int:
@@ -222,8 +269,8 @@ def read_netcdf3_full(
             vattrs[name] = read_attrs()
             typ = read_i4()
             read_i4()  # vsize
-            begin = struct.unpack_from(">I", buf, pos)[0]
-            pos += 4
+            begin = struct.unpack_from(begin_fmt, buf, pos)[0]
+            pos += begin_width
             count = int(np.prod(shape, dtype=np.int64)) if shape else 1
             arr = np.frombuffer(
                 buf, dtype=_DTYPE_OF_TYPE[typ], count=count, offset=begin

@@ -774,3 +774,95 @@ def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):
     ).toPandas()
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, p)
+
+
+def test_netcdf3_cdf2_spec_fixture_and_roundtrip(tmp_path):
+    """CDF-2 (64-bit offset) support, round 6.
+
+    Ground truth half: a minimal CDF-2 file hand-assembled byte-by-byte
+    from the published classic-format spec (NOT via our writer), so the
+    reader is validated against the spec itself: magic 'CDF\\x02',
+    numrecs=0, one dim (x=3), ABSENT global atts, one NC_INT variable
+    over x with an 8-BYTE begin — the single field CDF-2 changes.
+
+    Engineering half: writer roundtrip at version=2, auto-promotion
+    contract, CDF-1 refusal of out-of-range offsets, and the GDAC
+    profile parser accepting a CDF-2 <WMO>_prof.nc.
+    """
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from argostats_spark.sources.netcdf3 import (
+        read_netcdf3, read_netcdf3_bytes, write_netcdf3,
+    )
+
+    # --- spec fixture -----------------------------------------------------
+    # header: magic, numrecs, dim_list, gatt_list(ABSENT), var_list
+    hdr = b"CDF\x02" + struct.pack(">i", 0)
+    hdr += struct.pack(">ii", 0x0A, 1)                      # NC_DIMENSION, ndims=1
+    hdr += struct.pack(">i", 1) + b"x" + b"\x00" * 3        # name "x" (padded)
+    hdr += struct.pack(">i", 3)                             # dim length 3
+    hdr += struct.pack(">ii", 0, 0)                         # gatt ABSENT
+    hdr += struct.pack(">ii", 0x0B, 1)                      # NC_VARIABLE, nvars=1
+    hdr += struct.pack(">i", 1) + b"v" + b"\x00" * 3        # var name "v"
+    hdr += struct.pack(">i", 1) + struct.pack(">i", 0)      # 1 dim, dimid 0
+    hdr += struct.pack(">ii", 0, 0)                         # vatt ABSENT
+    hdr += struct.pack(">i", 4)                             # NC_INT
+    hdr += struct.pack(">i", 12)                            # vsize
+    begin = len(hdr) + 8                                    # after the 8-byte begin itself
+    hdr += struct.pack(">Q", begin)                         # 64-bit begin
+    payload = np.array([7, -8, 9], ">i4").tobytes()
+    dims, data = read_netcdf3_bytes(hdr + payload)
+    assert dims == {"x": 3}
+    np.testing.assert_array_equal(data["v"], np.array([7, -8, 9], "i4"))
+
+    # --- writer roundtrip + promotion contract ---------------------------
+    variables = {"v": (("x",), np.array([1.5, 2.5, 3.5], "f8"))}
+    p2 = str(tmp_path / "v2.nc")
+    write_netcdf3(p2, {"x": 3}, variables, version=2)
+    assert open(p2, "rb").read(4) == b"CDF\x02"
+    rd, rv = read_netcdf3(p2)
+    assert rd == {"x": 3}
+    np.testing.assert_array_equal(rv["v"], variables["v"][1])
+
+    # auto (version=None) stays classic for small files
+    p1 = str(tmp_path / "v1.nc")
+    write_netcdf3(p1, {"x": 3}, variables)
+    assert open(p1, "rb").read(4) == b"CDF\x01"
+
+    # the version-1 begin-field overflow refusal (simulated via the
+    # layout math: monkeypatch the guard constant rather than writing
+    # a real >2GiB file)
+    import argostats_spark.sources.netcdf3 as m
+    old = m._CDF1_MAX_BEGIN
+    try:
+        m._CDF1_MAX_BEGIN = 10  # every offset now "overflows"
+        with _pytest.raises(ValueError, match="begin"):
+            write_netcdf3(str(tmp_path / "ov.nc"), {"x": 3}, variables, version=1)
+        pauto = str(tmp_path / "auto2.nc")
+        write_netcdf3(pauto, {"x": 3}, variables)  # auto → promotes
+        assert open(pauto, "rb").read(4) == b"CDF\x02"
+        rdm, rvm = read_netcdf3(pauto)
+        np.testing.assert_array_equal(rvm["v"], variables["v"][1])
+    finally:
+        m._CDF1_MAX_BEGIN = old
+
+    # --- GDAC profile parser accepts CDF-2 -------------------------------
+    from argostats_spark.sources.netcdf import parse_netcdf_bytes, write_argo_prof_nc
+
+    full = write_argo_prof_nc(
+        str(tmp_path), 6900001,
+        lons=[10.0, 11.0], lats=[-40.0, -41.0], juld_days=[20000.0, 20001.0],
+        data_modes="RR",
+        pres=[[5.0, 100.0, 500.0], [5.0, 100.0, 500.0]],
+        temp=[[15.0, 10.0, 4.0], [15.5, 10.5, 4.5]],
+        psal=[[35.0, 35.1, 34.9], [35.0, 35.1, 34.9]],
+        version=2,
+    )
+    content = open(full, "rb").read()
+    assert content[:4] == b"CDF\x02"
+    pdf = parse_netcdf_bytes(full, content)
+    assert len(pdf) == 2 and set(pdf["WMO"]) == {6900001}
+    np.testing.assert_allclose(sorted(pdf["LONGITUDE"]), [10.0, 11.0])

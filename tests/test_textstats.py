@@ -128,3 +128,13 @@ def test_chunk_documents_no_shuffle(spark, sf_dir):
     plan = physical_plan(out)
     assert count_exchanges(out) == 0, plan[:800]
     assert "BatchEvalPython" not in plan
+
+
+def test_nll_deciles_approx_has_no_global_sort(docs_df):
+    """The scale path must not contain the exact path's single-partition
+    Window sort — one aggregate for the edges, then row-local bucketing."""
+    from argostats_spark.plans.explain import physical_plan
+
+    nll = unigram_lm_nll(docs_df)
+    plan = physical_plan(nll_deciles(nll, exact=False))
+    assert "Window" not in plan, plan[:800]
