@@ -205,10 +205,20 @@ def read_netcdf3_full(
 ) -> tuple[dict[str, int], dict[str, np.ndarray], dict, dict[str, dict]]:
     """Full parse: (dims, variables, global_attrs, per-var attrs).
     Accepts classic (CDF-1) and 64-bit-offset (CDF-2) files — the only
-    layout difference is the width of each variable's begin field."""
+    layout difference is the width of each variable's begin field.
+
+    Record variables (first dimension UNLIMITED) are read per the spec:
+    each record interleaves one record's worth of every record variable
+    (each slab padded to 4 bytes — EXCEPT when the file has exactly one
+    record variable, which the spec stores unpadded) and the returned
+    array's leading axis is numrecs. The UNLIMITED dim reports its
+    numrecs count in ``dims``. Real GDAC <WMO>_prof.nc files carry an
+    UNLIMITED N_HISTORY with HISTORY_* record variables, so the codec
+    must read such files fully, not just their fixed variables."""
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF-3 classic/64-bit-offset (CDF-1/2) file")
     begin_fmt, begin_width = (">I", 4) if buf[3] == 1 else (">Q", 8)
+    numrecs = struct.unpack_from(">i", buf, 4)[0]
     pos = 8  # magic + numrecs
 
     def read_i4() -> int:
@@ -247,12 +257,15 @@ def read_netcdf3_full(
 
     tag, ndims = read_i4(), read_i4()
     dims: dict[str, int] = {}
+    rec_dim = -1  # header length 0 marks the (single) UNLIMITED dim
     if tag == NC_DIMENSION:
-        for _ in range(ndims):
+        for i in range(ndims):
             # order matters: assignments evaluate the RHS first, which
             # would consume the length field before the name
             dname = read_name()
             dims[dname] = read_i4()
+            if dims[dname] == 0:
+                rec_dim = i
     elif tag != 0:
         raise ValueError("malformed dimension list")
     gattrs = read_attrs()
@@ -262,18 +275,65 @@ def read_netcdf3_full(
     vattrs: dict[str, dict] = {}
     if vtag == NC_VARIABLE:
         dim_names = list(dims)
+        metas = []
         for _ in range(nvars):
             name = read_name()
             nd = read_i4()
-            shape = tuple(dims[dim_names[read_i4()]] for _ in range(nd))
+            dimids = [read_i4() for _ in range(nd)]
             vattrs[name] = read_attrs()
             typ = read_i4()
-            read_i4()  # vsize
+            read_i4()  # vsize (recomputed below; the header copy may clamp)
             begin = struct.unpack_from(begin_fmt, buf, pos)[0]
             pos += begin_width
-            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            arr = np.frombuffer(
-                buf, dtype=_DTYPE_OF_TYPE[typ], count=count, offset=begin
-            ).reshape(shape)
+            metas.append((name, dimids, typ, begin))
+
+        def _slab_bytes(dimids: list[int], typ: int) -> int:
+            """Bytes of one record's slab (record vars) / whole payload
+            (fixed vars), before padding."""
+            rest = [dims[dim_names[d]] for d in dimids if d != rec_dim]
+            n = int(np.prod(rest, dtype=np.int64)) if rest else 1
+            return n * _SIZE_OF_TYPE[typ]
+
+        # record stride: every record var's slab padded to 4 — except
+        # the spec's special case of exactly one record var (unpadded)
+        rec_metas = [m for m in metas if m[1] and m[1][0] == rec_dim]
+        if len(rec_metas) == 1:
+            recsize = _slab_bytes(rec_metas[0][1], rec_metas[0][2])
+        else:
+            recsize = sum(
+                (lambda b: b + _pad4(b))(_slab_bytes(d, t))
+                for _, d, t, _ in rec_metas
+            )
+        nrec = max(numrecs, 0)
+
+        for name, dimids, typ, begin in metas:
+            dt = _DTYPE_OF_TYPE[typ]
+            if not (dimids and dimids[0] == rec_dim):
+                shape = tuple(dims[dim_names[d]] for d in dimids)
+                count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+                arr = np.frombuffer(buf, dtype=dt, count=count, offset=begin)
+                arr = arr.reshape(shape)
+            else:
+                rest = tuple(dims[dim_names[d]] for d in dimids[1:])
+                nbytes = _slab_bytes(dimids, typ)
+                if nrec:
+                    # the final record holds only this var's slab tail —
+                    # reading nrec*recsize from begin would overrun the
+                    # buffer for the last record variable, so gather
+                    # exactly the slab bytes at each record stride
+                    needed = (nrec - 1) * recsize + nbytes
+                    flat = np.frombuffer(buf, dtype="u1", count=needed, offset=begin)
+                    gather = (
+                        np.arange(nrec, dtype=np.int64)[:, None] * recsize
+                        + np.arange(nbytes, dtype=np.int64)[None, :]
+                    )
+                    raw = flat[gather]
+                else:
+                    raw = np.zeros((0, nbytes), "u1")
+                arr = (
+                    np.ascontiguousarray(raw).view(dt).reshape((nrec,) + rest)
+                )
             out[name] = arr.astype(arr.dtype.newbyteorder("="))
+        if rec_dim >= 0:
+            dims[dim_names[rec_dim]] = nrec
     return dims, out, gattrs, vattrs

@@ -866,3 +866,78 @@ def test_netcdf3_cdf2_spec_fixture_and_roundtrip(tmp_path):
     pdf = parse_netcdf_bytes(full, content)
     assert len(pdf) == 2 and set(pdf["WMO"]) == {6900001}
     np.testing.assert_allclose(sorted(pdf["LONGITUDE"]), [10.0, 11.0])
+
+
+def test_netcdf3_record_variables_spec_fixtures():
+    """UNLIMITED-dimension (record) variables, round 6 — real GDAC
+    <WMO>_prof.nc files carry an UNLIMITED N_HISTORY with HISTORY_*
+    record variables, so the codec must read the interleaved record
+    section, not just fixed variables.
+
+    Both fixtures are hand-assembled from the published spec:
+    1. two record vars → each per-record slab padded to 4 bytes;
+    2. exactly one record var → slab stored UNPADDED (the spec's
+       special case).
+    """
+    import struct
+
+    import numpy as np
+
+    from argostats_spark.sources.netcdf3 import read_netcdf3_bytes
+
+    def name(s: str) -> bytes:
+        raw = s.encode()
+        return struct.pack(">i", len(raw)) + raw + b"\x00" * ((4 - len(raw) % 4) % 4)
+
+    # --- fixture 1: dims t(UNLIMITED), x=2; vars fv(x) i4, rv1(t,x) i2,
+    # rv2(t) i2; numrecs=3; recsize = pad4(2*2) + pad4(2) = 4 + 4 = 8
+    hdr = b"CDF\x01" + struct.pack(">i", 3)                       # numrecs=3
+    hdr += struct.pack(">ii", 0x0A, 2)
+    hdr += name("t") + struct.pack(">i", 0)                       # UNLIMITED
+    hdr += name("x") + struct.pack(">i", 2)
+    hdr += struct.pack(">ii", 0, 0)                               # gatts ABSENT
+    hdr += struct.pack(">ii", 0x0B, 3)                            # 3 vars
+    var_meta = b""
+    var_meta += (name("fv") + struct.pack(">ii", 1, 1)            # dims: x
+                 + struct.pack(">ii", 0, 0) + struct.pack(">ii", 4, 8))
+    var_meta += (name("rv1") + struct.pack(">iii", 2, 0, 1)       # dims: t,x
+                 + struct.pack(">ii", 0, 0) + struct.pack(">ii", 3, 4))
+    var_meta += (name("rv2") + struct.pack(">ii", 1, 0)           # dims: t
+                 + struct.pack(">ii", 0, 0) + struct.pack(">ii", 3, 4))
+    header_len = len(hdr) + len(var_meta) + 3 * 4                 # + three 4B begins
+    b_fv = header_len
+    b_rv1 = b_fv + 8
+    b_rv2 = b_rv1 + 4                                             # rv1 slab first in each record
+    # re-emit metas with begins
+    hdr += (name("fv") + struct.pack(">ii", 1, 1)
+            + struct.pack(">ii", 0, 0) + struct.pack(">ii", 4, 8)
+            + struct.pack(">I", b_fv))
+    hdr += (name("rv1") + struct.pack(">iii", 2, 0, 1)
+            + struct.pack(">ii", 0, 0) + struct.pack(">ii", 3, 4)
+            + struct.pack(">I", b_rv1))
+    hdr += (name("rv2") + struct.pack(">ii", 1, 0)
+            + struct.pack(">ii", 0, 0) + struct.pack(">ii", 3, 4)
+            + struct.pack(">I", b_rv2))
+    data = np.array([7, 8], ">i4").tobytes()                      # fv
+    for r in range(3):                                            # records
+        data += np.array([10 * r, 10 * r + 1], ">i2").tobytes()   # rv1 slab (4B)
+        data += np.array([100 + r], ">i2").tobytes() + b"\x00\x00"  # rv2 + pad
+    dims, v = read_netcdf3_bytes(hdr + data)
+    assert dims == {"t": 3, "x": 2}
+    np.testing.assert_array_equal(v["fv"], [7, 8])
+    np.testing.assert_array_equal(v["rv1"], [[0, 1], [10, 11], [20, 21]])
+    np.testing.assert_array_equal(v["rv2"], [100, 101, 102])
+
+    # --- fixture 2: single record var rv(t) i2, numrecs=4, UNPADDED
+    hdr = b"CDF\x01" + struct.pack(">i", 4)
+    hdr += struct.pack(">ii", 0x0A, 1) + name("t") + struct.pack(">i", 0)
+    hdr += struct.pack(">ii", 0, 0)
+    hdr += struct.pack(">ii", 0x0B, 1)
+    meta = (name("rv") + struct.pack(">ii", 1, 0)
+            + struct.pack(">ii", 0, 0) + struct.pack(">ii", 3, 4))
+    begin = len(hdr) + len(meta) + 4
+    hdr += meta + struct.pack(">I", begin)
+    data = np.array([1, 2, 3, 4], ">i2").tobytes()                # 2B stride, no pad
+    dims, v = read_netcdf3_bytes(hdr + data)
+    assert dims == {"t": 4}
+    np.testing.assert_array_equal(v["rv"], [1, 2, 3, 4])
