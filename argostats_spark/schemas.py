@@ -165,10 +165,25 @@ ATLAS_SCHEMA = T.StructType([
     T.StructField("W", T.ArrayType(T.FloatType()), True),
 ])
 
-# Named domains (reference: atlas.py:19-35) — [lon_min, lon_max, lat_min, lat_max]
+# Named domains — (lon_min, lon_max, lat_min, lat_max). The first 15
+# mirror the reference's table EXACTLY (atlas.py:19-35; a switching
+# user must get identical crops); "kuroshio" and "global" are additions.
 DOMAINS = {
+    "biscaye": (-15.0, 0.0, 35.0, 60.0),
+    "subpolar": (-70.0, 0.0, 50.0, 70.0),
+    "korea": (130.0, 140.0, 36.0, 44.0),
+    "natl": (-90.0, 10.0, -10.0, 70.0),
+    "satl": (-80.0, 0.0, -70.0, 10.0),
+    "acc_indian": (0.0, 100.0, -60.0, -20.0),
+    "acc": (-180.0, 180.0, -70.0, -30.0),
+    "zapiola": (-60.0, -40.0, -50.0, -30.0),
+    "atl": (-80.0, 20.0, -60.0, 60.0),
+    "senegal": (-30.0, -10.0, 10.0, 30.0),
     "agulhas": (10.0, 30.0, -50.0, -30.0),
-    "gulfstream": (-80.0, -50.0, 25.0, 45.0),
+    "newzealand": (140.0, 180.0, -60.0, -30.0),
+    "gulfstream": (-80.0, -50.0, 20.0, 50.0),
+    "drake": (-80.0, -50.0, -70.0, -40.0),
+    "gulfmexico": (-100.0, -60.0, 10.0, 30.0),
     "kuroshio": (130.0, 160.0, 20.0, 40.0),
     "global": (-180.0, 180.0, -80.0, 80.0),
 }

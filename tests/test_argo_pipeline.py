@@ -941,3 +941,23 @@ def test_netcdf3_record_variables_spec_fixtures():
     dims, v = read_netcdf3_bytes(hdr + data)
     assert dims == {"t": 4}
     np.testing.assert_array_equal(v["rv"], [1, 2, 3, 4])
+
+
+def test_domains_match_reference_table():
+    """The 15 reference-named domains must carry the reference's exact
+    coordinates (atlas.py:19-35) — a switching user's crop('agulhas')
+    must select the same box."""
+    from argostats_spark.schemas import DOMAINS
+
+    ref = {
+        "biscaye": (-15, 0, 35, 60), "subpolar": (-70, 0, 50, 70),
+        "korea": (130, 140, 36, 44), "natl": (-90, 10, -10, 70),
+        "satl": (-80, 0, -70, 10), "acc_indian": (0, 100, -60, -20),
+        "acc": (-180, 180, -70, -30), "zapiola": (-60, -40, -50, -30),
+        "atl": (-80, 20, -60, 60), "senegal": (-30, -10, 10, 30),
+        "agulhas": (10, 30, -50, -30), "newzealand": (140, 180, -60, -30),
+        "gulfstream": (-80, -50, 20, 50), "drake": (-80, -50, -70, -40),
+        "gulfmexico": (-100, -60, 10, 30),
+    }
+    for name, box in ref.items():
+        assert tuple(DOMAINS[name]) == tuple(float(x) for x in box), name
