@@ -9,11 +9,14 @@ netCDF's ``NC_64BIT_OFFSET`` / ``format='NETCDF3_64BIT_OFFSET'``)
 differs in exactly one field: each variable's ``begin`` data offset is
 8 bytes instead of 4, lifting the 2 GiB file ceiling — large real-GDAC
 aggregates ship in this variant, so the reader accepts both and the
-writer auto-promotes when the layout needs it. This module implements
-the fixed-size subset — no unlimited/record dimension — in pure NumPy,
-which is exactly what the atlas export needs (cells × levels float
-grids), so S9 works with NO optional dependency. netCDF4, where
-installed, reads these files natively.
+writer auto-promotes when the layout needs it. The READER handles the
+full classic data model including UNLIMITED/record variables (real
+<WMO>_prof.nc files carry an UNLIMITED N_HISTORY) and the STREAMING
+numrecs sentinel; the WRITER implements the fixed-size subset — no
+record dimension — in pure NumPy, which is exactly what the atlas
+export needs (cells × levels float grids), so S9 works with NO
+optional dependency. netCDF4, where installed, reads these files
+natively.
 
 Out of scope: CDF-5 (``CDF\\x05``, 64-bit *sizes* + unsigned/64-bit
 types). Its header widens several more fields and this container has
@@ -139,7 +142,10 @@ def write_netcdf3(
             + b"".join(struct.pack(">i", dim_ids[d]) for d in vdims)
             + _attr_list_bytes(var_attrs.get(name))
             + struct.pack(">i", typ)
-            + struct.pack(">i", vsize)
+            # vsize is a 4-byte field even in CDF-2; the spec says to
+            # clamp an overflowing size to 2^32-1 (readers recompute
+            # from the dims — ours ignores the header copy entirely)
+            + struct.pack(">I", min(vsize, 2**32 - 1))
         )
         entries.append((name, vdims, np.asarray(arr), typ, nbytes, vsize, meta))
 
@@ -215,10 +221,13 @@ def read_netcdf3_full(
     numrecs count in ``dims``. Real GDAC <WMO>_prof.nc files carry an
     UNLIMITED N_HISTORY with HISTORY_* record variables, so the codec
     must read such files fully, not just their fixed variables."""
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+    if len(buf) < 8 or buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF-3 classic/64-bit-offset (CDF-1/2) file")
     begin_fmt, begin_width = (">I", 4) if buf[3] == 1 else (">Q", 8)
-    numrecs = struct.unpack_from(">i", buf, 4)[0]
+    # unsigned read: 0xFFFFFFFF is the spec's STREAMING sentinel (file
+    # not closed normally; record count indeterminate) — resolved below
+    # from the buffer size once the record stride is known
+    numrecs = struct.unpack_from(">I", buf, 4)[0]
     pos = 8  # magic + numrecs
 
     def read_i4() -> int:
@@ -304,7 +313,14 @@ def read_netcdf3_full(
                 (lambda b: b + _pad4(b))(_slab_bytes(d, t))
                 for _, d, t, _ in rec_metas
             )
-        nrec = max(numrecs, 0)
+        if numrecs == 0xFFFFFFFF:  # STREAMING: derive from the bytes
+            if rec_metas and recsize > 0:
+                rec_begin = min(m[3] for m in rec_metas)
+                nrec = max((len(buf) - rec_begin) // recsize, 0)
+            else:
+                nrec = 0
+        else:
+            nrec = numrecs
 
         for name, dimids, typ, begin in metas:
             dt = _DTYPE_OF_TYPE[typ]
@@ -319,15 +335,20 @@ def read_netcdf3_full(
                 if nrec:
                     # the final record holds only this var's slab tail —
                     # reading nrec*recsize from begin would overrun the
-                    # buffer for the last record variable, so gather
-                    # exactly the slab bytes at each record stride
+                    # buffer for the last record variable, so view the
+                    # slab bytes at each record stride. as_strided costs
+                    # ZERO index memory (a fancy-index gather would
+                    # allocate 8 index bytes per payload byte — an OOM
+                    # risk on multi-GiB aggregates); the .copy()
+                    # materializes just the payload
                     needed = (nrec - 1) * recsize + nbytes
                     flat = np.frombuffer(buf, dtype="u1", count=needed, offset=begin)
-                    gather = (
-                        np.arange(nrec, dtype=np.int64)[:, None] * recsize
-                        + np.arange(nbytes, dtype=np.int64)[None, :]
-                    )
-                    raw = flat[gather]
+                    if nbytes == recsize:  # single-record-var: contiguous
+                        raw = flat.reshape(nrec, nbytes)
+                    else:
+                        raw = np.lib.stride_tricks.as_strided(
+                            flat, shape=(nrec, nbytes), strides=(recsize, 1)
+                        ).copy()
                 else:
                     raw = np.zeros((0, nbytes), "u1")
                 arr = (

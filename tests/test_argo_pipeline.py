@@ -961,3 +961,39 @@ def test_domains_match_reference_table():
     }
     for name, box in ref.items():
         assert tuple(DOMAINS[name]) == tuple(float(x) for x in box), name
+
+
+def test_netcdf3_streaming_numrecs_and_short_buffers():
+    """Round-6 review fixes: the STREAMING numrecs sentinel (0xFFFFFFFF,
+    written when a file wasn't closed normally) derives the record count
+    from the buffer size instead of silently reading 0 records, and
+    truncated sub-4-byte buffers raise the documented ValueError (not
+    IndexError)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from argostats_spark.sources.netcdf3 import read_netcdf3_bytes
+
+    def name(s: str) -> bytes:
+        raw = s.encode()
+        return struct.pack(">i", len(raw)) + raw + b"\x00" * ((4 - len(raw) % 4) % 4)
+
+    # single record var rv(t) i2, numrecs=STREAMING, 5 records on disk
+    hdr = b"CDF\x01" + struct.pack(">I", 0xFFFFFFFF)
+    hdr += struct.pack(">ii", 0x0A, 1) + name("t") + struct.pack(">i", 0)
+    hdr += struct.pack(">ii", 0, 0)
+    hdr += struct.pack(">ii", 0x0B, 1)
+    meta = (name("rv") + struct.pack(">ii", 1, 0)
+            + struct.pack(">ii", 0, 0) + struct.pack(">ii", 3, 4))
+    begin = len(hdr) + len(meta) + 4
+    hdr += meta + struct.pack(">I", begin)
+    data = np.array([5, 6, 7, 8, 9], ">i2").tobytes()
+    dims, v = read_netcdf3_bytes(hdr + data)
+    assert dims == {"t": 5}
+    np.testing.assert_array_equal(v["rv"], [5, 6, 7, 8, 9])
+
+    for junk in (b"", b"C", b"CDF", b"CDF\x03rest", b"PAR1"):
+        with _pytest.raises(ValueError):
+            read_netcdf3_bytes(junk)
