@@ -997,3 +997,60 @@ def test_netcdf3_streaming_numrecs_and_short_buffers():
     for junk in (b"", b"C", b"CDF", b"CDF\x03rest", b"PAR1"):
         with _pytest.raises(ValueError):
             read_netcdf3_bytes(junk)
+
+
+def test_netcdf3_roundtrip_property(tmp_path):
+    """Property test: arbitrary fixed-size dim/var/attr combinations
+    roundtrip bit-exactly through the codec in BOTH versions (classic
+    and 64-bit offset) — names with odd lengths (padding), every
+    supported dtype, scalar and array attributes, empty attr dicts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.sources.netcdf3 import read_netcdf3_full, write_netcdf3
+
+    names = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=9
+    ).filter(lambda s: not s[0].isdigit())
+    dtypes = st.sampled_from(["i1", "i2", "i4", "f4", "f8"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data(), version=st.sampled_from([1, 2]))
+    def check(data, version):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+        dim_names = data.draw(
+            st.lists(names, min_size=1, max_size=3, unique=True)
+        )
+        dims = {n: int(rng.integers(1, 5)) for n in dim_names}
+        var_names = data.draw(
+            st.lists(names, min_size=1, max_size=4, unique=True)
+        )
+        variables = {}
+        for vn in var_names:
+            nd = int(rng.integers(0, len(dim_names) + 1))
+            vdims = tuple(rng.choice(dim_names, nd, replace=False)) if nd else ()
+            shape = tuple(dims[d] for d in vdims)
+            dt = data.draw(dtypes)
+            if dt.startswith("f"):
+                arr = rng.standard_normal(shape).astype(dt)
+            else:
+                arr = rng.integers(-100, 100, shape).astype(dt)
+            variables[vn] = (vdims, arr)
+        gattrs = {"t": "s", "n": int(rng.integers(-1000, 1000)),
+                  "arr": rng.standard_normal(3)}
+        p = str(tmp_path / f"prop_{version}.nc")
+        write_netcdf3(p, dims, variables, global_attrs=gattrs,
+                      version=version)
+        buf = open(p, "rb").read()
+        assert buf[3] == version
+        rdims, rvars, rg, _ = read_netcdf3_full(buf)
+        assert rdims == dims
+        assert set(rvars) == set(variables)
+        for vn, (vdims, arr) in variables.items():
+            got = rvars[vn]
+            assert got.shape == arr.shape, (vn, got.shape, arr.shape)
+            np.testing.assert_array_equal(got, arr)
+        assert rg["t"] == "s" and rg["n"] == gattrs["n"]
+        np.testing.assert_array_equal(rg["arr"], gattrs["arr"])
+
+    check()
