@@ -207,7 +207,7 @@ def match_pairs(
     passes — cache it when computing both."""
     pred = F.col("FLAG") == 1
     if delayed_only:
-        pred = pred & (F.col("DATA_MODE") == 1)  # atlas.py:253 (parameterized, P5 TODO)
+        pred = pred & (F.col("DATA_MODE") == 1)  # reference atlas.py:253 (P5, parameterized here)
     pts = profiles.filter(pred).select(
         F.col("LONGITUDE").cast("double").alias("lon"),
         F.col("LATITUDE").cast("double").alias("lat"),
