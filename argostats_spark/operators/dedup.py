@@ -366,3 +366,56 @@ def embedding_near_dups(
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row.d) if row else 0
+
+
+def minhash_lsh_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Exact-collapse pre-pass for the LSH pipeline: run MinHash-LSH on
+    one REPRESENTATIVE per distinct text (min id), then attach every
+    exact-duplicate member to its representative with a jaccard-1.0
+    edge.
+
+    Why: real crawls are 30-60% exact duplicates; byte-identical texts
+    are by construction jaccard-1.0 near-dups, so shingling/hashing/
+    banding them again is pure waste — and the plain pipeline emits
+    ALL-PAIRS edges inside each exact group (a 1000-copy boilerplate
+    page → 499,500 candidate pairs through the verify join) where the
+    collapsed form emits 999 linear member edges.
+
+    Contract: the returned edge set is NOT the plain pipeline's full
+    pair set — it is a component-equivalent subset: connected-components
+    / duplicate_groups over these edges yields IDENTICAL groups, keep
+    flags and sizes (pinned by test). Representative pairs carry the
+    exact verified jaccard (equal to any member pair's, same texts);
+    member edges carry 1.0. Dedup keyed on md5 (128-bit) of the text
+    bytes, not xxhash64 — a 64-bit collision across a 10^9-doc corpus
+    is plausible, a 128-bit one is not.
+
+    Scale shape: one text-hash shuffle for the collapse (key uniform by
+    construction), one id semi-join to pull representative rows, then
+    the unchanged LSH plan over the (possibly much smaller)
+    representative set.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("__tk"),
+    )
+    reps = keyed.groupBy("__tk").agg(F.min("doc_id").alias("rep_id"))
+    members = keyed.join(reps, "__tk")
+    member_edges = (
+        members.filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),       # rep = min id → id_a < id_b
+            F.col("doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_docs = df.join(
+        reps.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+    )
+    rep_pairs = minhash_lsh_pairs(rep_docs, id_col, text_col, **lsh_kwargs)
+    return rep_pairs.unionByName(member_edges)

@@ -256,3 +256,42 @@ def test_ivf_cell_partitioned_store_prunes(spark, emb, tmp_path_factory):
     n_all = store.count()
     n_probed = probed.count()
     assert 0 < n_probed < n_all
+
+
+def test_collapsed_lsh_groups_equal_plain(spark, docs):
+    """minhash_lsh_pairs_collapsed emits a component-equivalent edge
+    set: duplicate_groups over it must be IDENTICAL (comp_id, size,
+    keep) to the plain pipeline's on a corpus where every document has
+    2 extra exact copies and near-dups are planted among the copies."""
+    from argostats_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_lsh_pairs_collapsed,
+    )
+    from argostats_spark.operators.graph import duplicate_groups
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 120)
+    corpus = base
+    for k in (1, 2):  # exact copies of EVERY doc under shifted ids
+        corpus = corpus.unionByName(
+            base.select((F.col("doc_id") + 100000 * k).alias("doc_id"), "text")
+        )
+    corpus = corpus.cache()
+
+    kw = dict(threshold=0.5)
+    plain = duplicate_groups(
+        corpus, minhash_lsh_pairs(corpus, **kw).select("id_a", "id_b")
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    coll = duplicate_groups(
+        corpus, minhash_lsh_pairs_collapsed(corpus, **kw).select("id_a", "id_b")
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert plain.equals(coll), (
+        plain.compare(coll).head() if len(plain) == len(coll) else (len(plain), len(coll))
+    )
+    # every doc must be in a component of >= 3 (its two exact copies)
+    assert (coll.comp_size >= 3).all()
+    # member edges are linear, not quadratic: the collapsed edge count
+    # must be strictly smaller than the plain all-pairs edge count
+    n_plain = minhash_lsh_pairs(corpus, **kw).count()
+    n_coll = minhash_lsh_pairs_collapsed(corpus, **kw).count()
+    assert n_coll < n_plain, (n_coll, n_plain)
+    corpus.unpersist()
