@@ -54,13 +54,24 @@ def kmeans_fit(
     vec_col: str = "embedding",
     seed: int = 42,
     tol: float = 1e-6,
+    init: str = "hash",
 ) -> list[list[float]]:
     """Distributed Lloyd's: returns the trained centroid table (k·dim —
     the only artifact). One shuffle per iteration; empty clusters keep
-    their previous centroid (the standard fix)."""
+    their previous centroid (the standard fix).
+
+    ``init``: "hash" (content-addressed top-k — deterministic, one
+    cheap job, quality of random init) or "kmeans||" (Bahmani et al.
+    2012 — O(log n) extra corpus passes for k-means++-quality seeding;
+    the right default when Lloyd rounds are the expensive part)."""
     import numpy as np
 
-    cents = _init_centroids(corpus, k, vec_col, seed)
+    if init == "kmeans||":
+        cents = kmeans_parallel_init(corpus, k, vec_col, seed)
+    elif init == "hash":
+        cents = _init_centroids(corpus, k, vec_col, seed)
+    else:
+        raise ValueError(f'init must be "hash" or "kmeans||", got {init!r}')
     vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
         assigned = vecs.withColumn("cell", _nearest_centroid("v", cents))
@@ -130,3 +141,106 @@ def semantic_dedup(
 
     pairs = semantic_near_pairs(corpus, centroids, threshold, id_col, vec_col)
     return duplicate_groups(corpus, pairs.select("id_a", "id_b"), id_col=id_col)
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al. 2012, public): the
+    distributed k-means++ replacement. Per round, every point is
+    sampled with probability min(1, ℓ·d²(x,C)/Σd²) — expected ℓ new
+    candidates per round, O(log n) rounds — then the ≤ rounds·ℓ
+    candidates are weighted by how many corpus points they are nearest
+    to and reduced to k with a driver-side weighted k-means++ (the
+    candidate set is tiny, so the driver step is k·ℓ·rounds work, not
+    corpus work).
+
+    Scale shape: each round is ONE corpus pass — the running
+    min-distance column is updated against only the round's NEW
+    candidates (`least(d2, dist-to-ΔC)`), so the per-round expression
+    is O(ℓ) literal arrays regardless of how many candidates have
+    accumulated, and the frame is localCheckpointed per round to keep
+    the plan flat. Driver traffic per round: Σd² (8 bytes) + the
+    sampled candidate vectors.
+
+    Expression-size bound: ℓ (default 2k) literal centroid arrays per
+    round block — fine to k ≈ 128; beyond that, run a two-level
+    (hierarchical) init instead.
+    """
+    import numpy as np
+
+    ell = oversample or 2 * k
+    rng = np.random.default_rng(seed)
+
+    def d2_to(cands: list[list[float]]):
+        v = F.col("v")
+        expr = F.lit(float("inf"))
+        for c in cands:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            expr = F.least(expr, d)
+        return expr
+
+    first = _init_centroids(corpus, 1, vec_col, seed)
+    cands: list[list[float]] = list(first)
+    vecs = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .withColumn("d2", d2_to(first))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(rounds):
+        tot = vecs.agg(F.sum("d2").alias("s")).first()["s"]
+        if not tot or tot <= 0.0:  # corpus fully covered already
+            break
+        p = F.least(F.lit(1.0), F.lit(float(ell)) * F.col("d2") / F.lit(float(tot)))
+        new_rows = vecs.filter(F.rand(seed + 1 + r) < p).select("v").collect()
+        new = [[float(x) for x in row["v"]] for row in new_rows]
+        if not new:
+            continue
+        cands.extend(new)
+        vecs = vecs.withColumn(
+            "d2", F.least(F.col("d2"), d2_to(new))
+        ).localCheckpoint(eager=True)
+
+    # weights: corpus points nearest to each candidate (one pass)
+    assigned = vecs.select(
+        F.col("v"), _nearest_centroid_from(cands, "v").alias("cell")
+    )
+    wrows = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("w")).collect()
+    weights = np.zeros(len(cands))
+    for row in wrows:
+        weights[row["cell"]] = row["w"]
+
+    # driver-side weighted k-means++ over the small candidate set
+    C = np.array(cands, dtype="f8")
+    chosen = [int(np.argmax(weights))]
+    d2 = ((C - C[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(cands)):
+        probs = weights * d2
+        s = probs.sum()
+        if s <= 0:  # fewer distinct candidates than k: pad by weight rank
+            remaining = [i for i in np.argsort(-weights) if i not in chosen]
+            chosen.extend(remaining[: k - len(chosen)])
+            break
+        nxt = int(rng.choice(len(cands), p=probs / s))
+        if nxt in chosen:
+            d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+            continue
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+    return [C[i].tolist() for i in chosen[:k]]
+
+
+def _nearest_centroid_from(cands: list[list[float]], vec_col: str):
+    """_nearest_centroid over an explicit candidate list (helper for the
+    k-means|| weighting pass)."""
+    return _nearest_centroid(vec_col, cands)
