@@ -171,6 +171,14 @@ def kmeans_parallel_init(
     Expression-size bound: ℓ (default 2k) literal centroid arrays per
     round block — fine to k ≈ 128; beyond that, run a two-level
     (hierarchical) init instead.
+
+    Determinism: candidate sampling thresholds come from a CONTENT hash
+    of the vector (murmur3 of the array + round-salted seed), not
+    F.rand — per-row rand streams depend on partition layout, which
+    would make the init (and its tests) vary with cluster shape. Exactly
+    k centroids are always returned: degenerate corpora with fewer than
+    k distinct points pad by cycling candidates (Lloyd's empty-cell
+    rule keeps duplicates harmless).
     """
     import numpy as np
 
@@ -192,30 +200,40 @@ def kmeans_parallel_init(
 
     first = _init_centroids(corpus, 1, vec_col, seed)
     cands: list[list[float]] = list(first)
-    vecs = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .withColumn("d2", d2_to(first))
-        .localCheckpoint(eager=True)
-    )
+    # persist (not localCheckpoint): each round's frame is derived from
+    # the previous, so an explicit unpersist keeps exactly ONE corpus
+    # copy in executor storage — eager checkpoints would pin rounds+1
+    # copies until the context cleaner got around to them
+    vecs = corpus.select(F.col(vec_col).alias("v")).withColumn("d2", d2_to(first))
+    vecs.persist()
+    vecs.count()
     for r in range(rounds):
         tot = vecs.agg(F.sum("d2").alias("s")).first()["s"]
         if not tot or tot <= 0.0:  # corpus fully covered already
             break
+        # content-addressed uniform in [0,1): partition-layout-independent
+        u = (
+            F.pmod(F.hash("v", F.lit(seed + 1 + r)), F.lit(2**31 - 1)).cast("double")
+            / F.lit(float(2**31 - 1))
+        )
         p = F.least(F.lit(1.0), F.lit(float(ell)) * F.col("d2") / F.lit(float(tot)))
-        new_rows = vecs.filter(F.rand(seed + 1 + r) < p).select("v").collect()
+        new_rows = vecs.filter(u < p).select("v").collect()
         new = [[float(x) for x in row["v"]] for row in new_rows]
         if not new:
             continue
         cands.extend(new)
-        vecs = vecs.withColumn(
-            "d2", F.least(F.col("d2"), d2_to(new))
-        ).localCheckpoint(eager=True)
+        nxt_vecs = vecs.withColumn("d2", F.least(F.col("d2"), d2_to(new)))
+        nxt_vecs.persist()
+        nxt_vecs.count()
+        vecs.unpersist()
+        vecs = nxt_vecs
 
     # weights: corpus points nearest to each candidate (one pass)
     assigned = vecs.select(
-        F.col("v"), _nearest_centroid_from(cands, "v").alias("cell")
+        F.col("v"), _nearest_centroid("v", cands).alias("cell")
     )
     wrows = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("w")).collect()
+    vecs.unpersist()
     weights = np.zeros(len(cands))
     for row in wrows:
         weights[row["cell"]] = row["w"]
@@ -225,22 +243,16 @@ def kmeans_parallel_init(
     chosen = [int(np.argmax(weights))]
     d2 = ((C - C[chosen[0]]) ** 2).sum(axis=1)
     while len(chosen) < min(k, len(cands)):
-        probs = weights * d2
-        s = probs.sum()
+        probs = weights * d2  # chosen indices have d2 == 0.0 exactly,
+        s = probs.sum()       # so rng.choice can never re-draw them
         if s <= 0:  # fewer distinct candidates than k: pad by weight rank
             remaining = [i for i in np.argsort(-weights) if i not in chosen]
             chosen.extend(remaining[: k - len(chosen)])
             break
         nxt = int(rng.choice(len(cands), p=probs / s))
-        if nxt in chosen:
-            d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
-            continue
         chosen.append(nxt)
         d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
-    return [C[i].tolist() for i in chosen[:k]]
-
-
-def _nearest_centroid_from(cands: list[list[float]], vec_col: str):
-    """_nearest_centroid over an explicit candidate list (helper for the
-    k-means|| weighting pass)."""
-    return _nearest_centroid(vec_col, cands)
+    out = [C[i].tolist() for i in chosen[:k]]
+    while len(out) < k:  # exact-k contract for degenerate corpora
+        out.append(out[len(out) % max(len(chosen), 1)])
+    return out

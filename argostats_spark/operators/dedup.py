@@ -399,8 +399,19 @@ def minhash_lsh_pairs_collapsed(
     construction), one id semi-join to pull representative rows, then
     the unchanged LSH plan over the (possibly much smaller)
     representative set.
+
+    Component-equivalence demands the collapse only merge documents the
+    PLAIN pipeline could merge: a text with fewer than ``shingle_n``
+    tokens (or NULL) emits zero shingles, never reaches the candidate
+    join, and stays a singleton there — so such documents are excluded
+    from the collapse here too (md5(NULL) is NULL, which would
+    otherwise glue every NULL-text doc into one bogus group).
     """
-    keyed = df.select(
+    shingle_n = lsh_kwargs.get("shingle_n", 3)
+    eligible = F.col(text_col).isNotNull() & (
+        F.size(tokens(F.lower(F.col(text_col)))) >= shingle_n
+    )
+    keyed = df.filter(eligible).select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col).cast("binary")).alias("__tk"),
     )

@@ -113,3 +113,17 @@ def test_semantic_dedup_within_clusters(spark, blobs):
     singles = groups[~groups.vec_id.isin([x for p in planted for x in p])]
     assert (singles.keep == 1).all()
     corpus.unpersist()
+
+
+def test_kmeans_parallel_init_exact_k_on_degenerate_corpus(spark):
+    """A corpus with fewer distinct points than k still yields exactly
+    k centroids (padded by cycling) — downstream per-cluster code
+    relies on the k-length contract, and Lloyd's empty-cell rule keeps
+    duplicate centroids harmless."""
+    rows = [(i, [1.0] * DIM if i % 2 else [-1.0] * DIM) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_parallel_init(df, k=6, seed=3)
+    assert len(cents) == 6
+    distinct = {tuple(c) for c in cents}
+    assert distinct <= {tuple([1.0] * DIM), tuple([-1.0] * DIM)}
+    assert len(distinct) == 2  # both real points found before padding

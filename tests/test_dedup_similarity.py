@@ -295,3 +295,35 @@ def test_collapsed_lsh_groups_equal_plain(spark, docs):
     n_coll = minhash_lsh_pairs_collapsed(corpus, **kw).count()
     assert n_coll < n_plain, (n_coll, n_plain)
     corpus.unpersist()
+
+
+def test_collapsed_lsh_ignores_subshingle_and_null_texts(spark):
+    """Component-equivalence at the edges: byte-identical texts that
+    emit ZERO shingles (fewer than shingle_n tokens, empty, or NULL)
+    stay singletons in the plain pipeline, so the collapse must not
+    glue them together either (md5(NULL)=NULL would otherwise merge
+    every NULL-text doc into one group)."""
+    from argostats_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_lsh_pairs_collapsed,
+    )
+    from argostats_spark.operators.graph import duplicate_groups
+
+    rows = [
+        (0, "hello world"), (1, "hello world"),        # 2 toks < shingle_n=3
+        (2, ""), (3, ""),
+        (4, None), (5, None),
+        (6, "a genuinely long duplicated document body here"),
+        (7, "a genuinely long duplicated document body here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = duplicate_groups(
+        d, minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    coll = duplicate_groups(
+        d, minhash_lsh_pairs_collapsed(d, threshold=0.5).select("id_a", "id_b")
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert plain.equals(coll), (plain.to_string(), coll.to_string())
+    # the real duplicate pair IS merged; every zero-shingle doc is alone
+    assert coll.loc[coll.doc_id == 7, "comp_id"].item() == 6
+    for i in range(6):
+        assert coll.loc[coll.doc_id == i, "comp_size"].item() == 1, i
