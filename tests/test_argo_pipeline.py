@@ -1054,3 +1054,42 @@ def test_netcdf3_roundtrip_property(tmp_path):
         np.testing.assert_array_equal(rg["arr"], gattrs["arr"])
 
     check()
+
+
+def test_netcdf3_reader_survives_fuzzed_bytes(tmp_path):
+    """Robustness fuzz: random truncations and byte flips of a valid
+    file must either parse or raise promptly (ValueError / struct.error
+    / Unicode / numpy size errors) — never hang, loop, or segfault.
+    The GDAC ingest wraps per-file parses in corrupt-file tolerance, so
+    'raises promptly' is the full contract."""
+    import struct
+
+    import numpy as np
+
+    from argostats_spark.sources.netcdf3 import read_netcdf3_bytes, write_netcdf3
+
+    p = str(tmp_path / "base.nc")
+    rng = np.random.default_rng(99)
+    write_netcdf3(
+        p, {"a": 4, "b": 3},
+        {"x": (("a", "b"), rng.random((4, 3)).astype("f4")),
+         "y": (("a",), np.arange(4, dtype="i4"))},
+        global_attrs={"t": "fuzz", "n": 7},
+    )
+    base = open(p, "rb").read()
+
+    for i in range(60):
+        buf = bytearray(base)
+        if i % 3 == 0:                       # truncate
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        elif i % 3 == 1:                     # flip 1-4 bytes
+            for _ in range(int(rng.integers(1, 5))):
+                buf[int(rng.integers(0, len(buf)))] ^= int(rng.integers(1, 256))
+        else:                                # splice garbage
+            at = int(rng.integers(0, len(buf)))
+            buf[at:at] = bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+        try:
+            read_netcdf3_bytes(bytes(buf))
+        except (ValueError, struct.error, IndexError, KeyError,
+                UnicodeDecodeError, OverflowError, MemoryError):
+            pass  # prompt, typed failure — acceptable for corrupt input
