@@ -1,0 +1,198 @@
+"""Product quantization (PQ) for compressed approximate nearest
+neighbor search — Jégou et al. 2011 ("Product quantization for nearest
+neighbor search", public), the standard memory-scale path when raw
+float32 embeddings outgrow storage: a d-dim vector becomes m uint8-ish
+codes (one per d/m-dim subvector), a 4d/m× compression at m sub-bytes,
+and query scoring runs on per-query lookup tables without ever
+decompressing the corpus.
+
+Green-field scope beyond the reference (training-data pipeline family),
+composing with the existing ANN operators: IVF prunes WHICH vectors to
+score (similarity.py), PQ shrinks WHAT is stored and scored.
+
+Scale shape (100 TB posture):
+- training touches a bounded sample (codebooks are m·ksub·(d/m) floats
+  — KBs); encoding is one corpus scan of pure column expressions (the
+  per-block nearest-sub-centroid argmin fold — no Python, no shuffle);
+- the encoded table is the ONLY thing a query scan reads: d/4 bytes →
+  m bytes per vector (d=64, m=8 → 32×);
+- ADC scoring: each query precomputes an m×ksub distance table
+  (driver NumPy, m·ksub doubles), broadcast as a literal array; a
+  corpus row's approximate distance is m element_at lookups summed in
+  whole-stage codegen. Queries are a broadcast-sized set by assumption
+  (same contract as cosine_topk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2000,
+    seed: int = 42,
+    iters: int = 12,
+) -> list[list[list[float]]]:
+    """Train the m sub-codebooks (k-means with ksub centroids over each
+    d/m-dim subvector block) on a bounded sample — returns
+    ``codebooks[block][code] -> sub-centroid`` (m·ksub·(d/m) floats, a
+    driver/broadcast-sized model like the IVF centroid table).
+
+    The sample is content-ordered (hash of the vector), so the model is
+    deterministic for a given corpus regardless of partitioning."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .withColumn("__h", F.md5(F.concat_ws(",", F.lit(seed), F.col("v").cast("string"))))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype="f8")
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for b in range(m):
+        Xb = X[:, b * dsub : (b + 1) * dsub]
+        k = min(ksub, len(np.unique(Xb, axis=0)))
+        # k-means++ init on the sample (driver NumPy — sample-sized)
+        cents = [Xb[rng.integers(0, n)]]
+        d2 = ((Xb - cents[0]) ** 2).sum(axis=1)
+        while len(cents) < k:
+            s = d2.sum()
+            if s <= 0:
+                break
+            cents.append(Xb[int(rng.choice(n, p=d2 / s))])
+            d2 = np.minimum(d2, ((Xb - cents[-1]) ** 2).sum(axis=1))
+        C = np.array(cents)
+        for _ in range(iters):
+            assign = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for j in range(len(C)):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xb[mask].mean(axis=0)
+        # pad degenerate blocks to ksub (duplicate centroids are inert)
+        while len(C) < ksub:
+            C = np.vstack([C, C[len(C) % max(len(cents), 1)]])
+        books.append([c.tolist() for c in C])
+    return books
+
+
+def _block_code(vec_col: str, block: int, dsub: int, book: list[list[float]]):
+    """Nearest sub-centroid index for one block. Built as ONE transform
+    over the literal ksub×dsub codebook array (distance per sub-
+    centroid) + array_min + array_position — a flat expression, where
+    the when-chain argmin fold used elsewhere for small centroid lists
+    would nest ksub aggregates per block and blow analysis/codegen time
+    at m·ksub expression blocks (measured: the fold variant made a
+    500-row encode take minutes; this shape is interactive).
+    array_position takes the FIRST minimum — deterministic ties."""
+    sub = F.slice(F.col(vec_col), block * dsub + 1, dsub)
+    books_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in book
+    ])
+    darr = F.transform(
+        books_lit,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-element code array (and optionally drop the raw
+    vector downstream) — one scan, pure codegen, no shuffle. The caller
+    persists the (id, pq_code) table; that table IS the compressed
+    index."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = F.array(*[
+        _block_code(vec_col, b, dsub, codebooks[b]) for b in range(m)
+    ])
+    return corpus.withColumn(code_col, codes)
+
+
+def pq_decode_expr(code_col: str, codebooks: list[list[list[float]]]):
+    """Reconstruction expression (concat of looked-up sub-centroids) —
+    used by tests to bound quantization error; production scoring never
+    decodes."""
+    parts = []
+    for b, book in enumerate(codebooks):
+        flat = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in book
+        ])
+        parts.append(F.element_at(flat, F.element_at(F.col(code_col), b + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: for each query, the exact
+    squared distance from the query's subvectors to every sub-centroid
+    is tabulated once (m·ksub doubles, driver NumPy over the
+    broadcast-sized query set), then every corpus row scores with m
+    element_at lookups + sum — whole-stage codegen over the compressed
+    table, the raw vectors never read.
+
+    Returns (qid, vec_id, adc_dist, rnk) with rnk 1..k per query by
+    (distance, vec_id) — the deterministic tiebreak the rest of the ANN
+    family uses."""
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    books = np.array(codebooks, dtype="f8")          # m × ksub × dsub
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+
+    scored = []
+    for qr in qrows:
+        qv = np.asarray(qr[q_vec_col], dtype="f8")
+        # dt[b, j] = ||q_b - c_bj||²  (flattened row-major to m·ksub)
+        dt = ((qv.reshape(m, 1, dsub) - books) ** 2).sum(axis=2).ravel()
+        dt_arr = F.array(*[F.lit(float(x)) for x in dt])
+        idx = F.sequence(F.lit(0), F.lit(m - 1))
+        dist = F.aggregate(
+            F.zip_with(
+                idx, F.col(code_col),
+                lambda b, c: F.element_at(dt_arr, b * ksub + c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(
+            encoded.select(
+                F.lit(qr[q_id_col]).alias("qid"),
+                F.col(id_col).alias("vec_id"),
+                F.round(dist, 6).alias("adc_dist"),
+            )
+        )
+    out = scored[0]
+    for s in scored[1:]:
+        out = out.unionByName(s)
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return out.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

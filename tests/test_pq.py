@@ -1,0 +1,85 @@
+"""Product quantization (operators/pq.py): codebook shape, encode
+determinism, reconstruction-error bound, and ADC recall vs brute force
+on the embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.pq import (
+    pq_decode_expr, pq_encode, pq_topk, pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, m=16, ksub=32, sample_rows=500, seed=7)
+
+
+def test_pq_codebook_shape_and_encode(spark, emb, books):
+    dim = len(emb.first()["embedding"])
+    assert len(books) == 16 and all(len(b) == 32 for b in books)
+    assert all(len(c) == dim // 16 for b in books for c in b)
+
+    enc = pq_encode(emb, books)
+    pdf = enc.select("vec_id", "pq_code").limit(50).toPandas()
+    assert all(len(c) == 16 for c in pdf.pq_code)
+    assert all(0 <= x < 32 for c in pdf.pq_code for x in c)
+    # encoding is deterministic (pure expression over the same model)
+    pdf2 = pq_encode(emb, books).select("vec_id", "pq_code").limit(50).toPandas()
+    assert [list(c) for c in pdf.pq_code] == [list(c) for c in pdf2.pq_code]
+
+
+def test_pq_reconstruction_beats_zero_codebook(spark, emb, books):
+    """Quantization must explain most of the variance: mean squared
+    reconstruction error well under the mean squared vector norm."""
+    enc = pq_encode(emb, books)
+    rec = enc.withColumn("dec", pq_decode_expr("pq_code", books))
+    err = rec.select(
+        F.aggregate(
+            F.zip_with("embedding", "dec",
+                       lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("e"),
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("n"),
+    ).agg(F.avg("e").alias("mse"), F.avg("n").alias("mnorm")).first()
+    assert err["mse"] < 0.5 * err["mnorm"], (err["mse"], err["mnorm"])
+
+
+def test_pq_adc_recall_vs_brute_force(spark, emb, books):
+    """ADC top-10 must recover most of the exact Euclidean top-10 —
+    the standard PQ quality check (recall@10 ≥ 0.5 at m=16, ksub=32 on
+    clustered embeddings; exact values are data-dependent, the bound is
+    deliberately conservative)."""
+    enc = pq_encode(emb, books).cache()
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = pq_topk(enc, queries, books, k=10).toPandas()
+
+    qrows = queries.collect()
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack(corpus.embedding.to_numpy()).astype("f8")
+    recalls = []
+    for qr in qrows:
+        qv = np.asarray(qr["qv"], dtype="f8")
+        d = ((V - qv) ** 2).sum(axis=1)
+        order = np.lexsort((corpus.vec_id.to_numpy(), d))
+        true10 = set(corpus.vec_id.to_numpy()[order[:10]])
+        mine = set(got[got.qid == qr["qid"]].vec_id)
+        recalls.append(len(true10 & mine) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+    # the query vector itself (distance 0) must always be found
+    for qr in qrows:
+        assert qr["qid"] in set(got[got.qid == qr["qid"]].vec_id)
+    enc.unpersist()
