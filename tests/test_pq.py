@@ -83,3 +83,40 @@ def test_pq_adc_recall_vs_brute_force(spark, emb, books):
     for qr in qrows:
         assert qr["qid"] in set(got[got.qid == qr["qid"]].vec_id)
     enc.unpersist()
+
+
+def test_pq_composes_with_ivf_pruning(spark, emb, books):
+    """The memory+compute scale path: IVF prunes cells, ADC scores the
+    compressed codes of surviving cells only. Sanity: the composed path
+    returns k rows per query from probed cells, finds the query itself
+    (its own cell is always its nearest → always probed), and its
+    distances agree with the unpruned ADC path on shared candidates."""
+    from argostats_spark.operators.similarity import ivf_assign, train_centroids
+
+    cents = train_centroids(emb, n_centroids=8, sample_rows=500)
+    enc = pq_encode(ivf_assign(emb, cents), books).cache()
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # probe the query's own cell (nprobe=1 equivalent): prune then score
+    q_cells = ivf_assign(
+        queries.select("qid", F.col("qv").alias("embedding")), cents
+    ).select("qid", F.col("ivf_cell").alias("qcell"))
+    full = pq_topk(enc, queries, books, k=10)
+    pruned_rows = []
+    for qr in q_cells.collect():
+        sub = enc.where(F.col("ivf_cell") == qr["qcell"])
+        one_q = queries.where(F.col("qid") == qr["qid"])
+        pruned_rows.append(pq_topk(sub, one_q, books, k=10).toPandas())
+    import pandas as pd
+    pruned = pd.concat(pruned_rows, ignore_index=True)
+
+    fullp = full.toPandas()
+    for qid in pruned.qid.unique():
+        mine = pruned[pruned.qid == qid]
+        assert qid in set(mine.vec_id)          # self always found
+        ref = fullp[fullp.qid == qid].set_index("vec_id").adc_dist
+        for _, r in mine.iterrows():            # same ADC distance both paths
+            if r.vec_id in ref.index:
+                assert abs(r.adc_dist - ref[r.vec_id]) < 1e-9
+    enc.unpersist()
