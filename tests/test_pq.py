@@ -120,3 +120,12 @@ def test_pq_composes_with_ivf_pruning(spark, emb, books):
             if r.vec_id in ref.index:
                 assert abs(r.adc_dist - ref[r.vec_id]) < 1e-9
     enc.unpersist()
+
+
+def test_pq_train_partition_independent(spark, emb):
+    """The content-ordered sample makes the model a pure function of
+    the corpus: different partitionings must yield identical
+    codebooks."""
+    a = pq_train(emb.repartition(7), m=4, ksub=8, sample_rows=200, seed=3)
+    b = pq_train(emb.repartition(3), m=4, ksub=8, sample_rows=200, seed=3)
+    assert a == b
