@@ -44,6 +44,17 @@ def ngram_contamination(
     Returns one row per corpus document: ``(id, n_grams, n_hits,
     hit_ratio, contaminated)`` where ``n_hits`` counts DISTINCT corpus
     n-grams that appear anywhere in the benchmark set.
+
+    Scale note (round-6 analysis): the broadcast side is the 8-byte
+    hash per DISTINCT benchmark n-gram — ~1 GB per 10⁸ n-grams, fine
+    for any real benchmark suite. A Bloom filter was considered and
+    rejected: Spark's bloom_filter_agg/might_contain are internal
+    runtime-filter expressions (not user-callable — probed on 4.1.2),
+    a hand-rolled bitmap only shrinks the broadcast ~6× (10 bits vs 64
+    per element) while adding false-positive contamination flags and h
+    probe-joins per corpus n-gram. If the eval side ever outgrows a
+    broadcast, the right fallback is the plain shuffle join on the
+    n-gram hash — same plan shape, no new operator.
     """
     sh = F.array_distinct(word_ngrams(text_col, n))
     bench_grams = (
