@@ -104,7 +104,7 @@ def pack_chunks(
     token_col: str,
     budget: int,
     strata_col: str,
-    order_col: str,
+    order_col: str | list[str],
 ) -> DataFrame:
     """Deterministic sequence-packing index: assign each document to the
     training chunk where its stratum's running token total lands —
@@ -115,10 +115,14 @@ def pack_chunks(
     independent, and one window shuffle. The window partitions by the
     stratum (shard/language), never globally — a global running sum is
     a single-partition scale antipattern; packing within shards is both
-    the realistic pipeline shape and the scalable one."""
+    the realistic pipeline shape and the scalable one.
+
+    ``order_col`` may be a list for composite orderings (e.g.
+    ``["doc_id", "window_id"]`` when packing document chunks)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         W.partitionBy(strata_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))

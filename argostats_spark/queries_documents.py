@@ -1214,30 +1214,61 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pack_sequences",
     r"""
-    WITH t AS (
+    WITH toks AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
       FROM documents
+    ),
+    st AS (
+      SELECT doc_id, lang, tk, unnest(range(0, len(tk), 24)) AS tok_start
+      FROM toks WHERE len(tk) > 0
+    ),
+    ch AS (
+      SELECT doc_id, lang,
+             CAST(tok_start // 24 AS BIGINT) AS window_id,
+             CAST(tok_start AS BIGINT) AS tok_start,
+             CAST(least(tok_start + 32, len(tk)) AS BIGINT) AS tok_end,
+             CAST(least(32, len(tk) - tok_start) AS BIGINT) AS n_chunk_tokens,
+             md5(array_to_string(
+               list_slice(tk, tok_start + 1, least(tok_start + 32, len(tk))),
+               ' ')) AS chunk_md5
+      FROM st
     )
-    SELECT doc_id, lang, n_tok,
+    SELECT doc_id, window_id, tok_start, tok_end, n_chunk_tokens, chunk_md5,
+           lang,
            CAST(floor(
-             coalesce(sum(n_tok) OVER (
-               PARTITION BY lang ORDER BY doc_id
+             coalesce(sum(n_chunk_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id, window_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             / 512.0) AS BIGINT) AS chunk_id
-    FROM t
+             / 256.0) AS BIGINT) AS pack_id
+    FROM ch
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-packing assignment: chunk_id = floor(per-language
-    exclusive running token total / 512) in doc_id order
-    (operators/sampling.py::pack_chunks). The window partitions by
-    language — never a global single-partition running sum."""
-    from .functions.text import token_count
-    from .operators.sampling import pack_chunks
+    """The long-document preprocessing composition a training pipeline
+    actually runs: ``chunk_documents`` (32-token windows, stride 24 —
+    overlapping) splits every document into token windows, then
+    ``pack_chunks`` assigns each window to a per-language training pack
+    by exclusive running token total / 256 (operators/sampling.py).
+    Both halves are driver-hashed in one row: the window boundaries,
+    the md5 of every chunk's text, and the pack assignment. Chunking is
+    row-local (zero shuffle); packing is the one per-stratum window
+    exchange — never a global running sum."""
+    from .operators.sampling import chunk_documents, pack_chunks
 
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", token_count("text").alias("n_tok"))
-    return pack_chunks(t, "n_tok", 512, "lang", "doc_id").select(
-        "doc_id", "lang", "n_tok", "chunk_id"
+    chunks = (
+        chunk_documents(d, text_col="text", id_col="doc_id",
+                        chunk_tokens=32, stride=24)
+        .withColumnRenamed("chunk_id", "window_id")
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+        .drop("chunk_text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    packed = pack_chunks(
+        chunks, "n_chunk_tokens", 256, "lang", ["doc_id", "window_id"]
+    ).withColumnRenamed("chunk_id", "pack_id")
+    return packed.select(
+        "doc_id", "window_id", "tok_start", "tok_end", "n_chunk_tokens",
+        "chunk_md5", "lang", "pack_id",
     )
