@@ -137,6 +137,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 512,
     stride: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into fixed-size (optionally overlapping) token
     windows — the long-document preprocessing step before packing /
@@ -154,6 +155,10 @@ def chunk_documents(
     array, slice+join per chunk. No shuffle, no Python; output row
     count is Σ ceil(tokens/stride), so a corpus scan chunks at scan
     speed and downstream operators see ordinary string rows.
+
+    ``carry_cols`` projects additional input columns (language, shard,
+    source) through to every chunk row — row-local, so downstream
+    per-stratum operators never join back to the corpus for them.
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
@@ -169,15 +174,18 @@ def chunk_documents(
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
+    carry = list(carry_cols)
     return (
         df.withColumn("__toks", tokens(F.col(text_col)))
         .select(
             id_col,
+            *carry,
             F.col("__toks"),
             F.posexplode(starts).alias("chunk_id", "tok_start"),
         )
         .select(
             id_col,
+            *carry,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.col("tok_start").cast("long").alias("tok_start"),
             F.least(
