@@ -150,6 +150,7 @@ def pq_topk(
     code_col: str = "pq_code",
     q_id_col: str = "qid",
     q_vec_col: str = "qv",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: for each query, the exact
     squared distance from the query's subvectors to every sub-centroid
@@ -160,7 +161,9 @@ def pq_topk(
 
     Returns (qid, vec_id, adc_dist, rnk) with rnk 1..k per query by
     (distance, vec_id) — the deterministic tiebreak the rest of the ANN
-    family uses."""
+    family uses. ``exclude_self`` drops corpus rows whose id equals the
+    query id BEFORE ranking (for corpus-drawn query sets, matching the
+    IVF/brute-force convention)."""
     from pyspark.sql import Window as W
 
     m = len(codebooks)
@@ -184,8 +187,11 @@ def pq_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        base = encoded
+        if exclude_self:
+            base = base.filter(F.col(id_col) != F.lit(qr[q_id_col]))
         scored.append(
-            encoded.select(
+            base.select(
                 F.lit(qr[q_id_col]).alias("qid"),
                 F.col(id_col).alias("vec_id"),
                 F.round(dist, 6).alias("adc_dist"),

@@ -18,6 +18,52 @@ from .functions.text import STOPWORDS, quality_score, tokens, word_ngrams
 from .queries import _t, query
 
 # =========================================================================
+# Trained-model materialization for derived oracles
+# =========================================================================
+#
+# Some operators (PQ codebooks, k-means centroids) carry a driver-
+# trained model whose floats are partition-order artifacts; verifying
+# the OPERATOR (encode / score / assign) cross-engine means the model
+# rides in as data — the same tolerance policy BASELINE.md applies to
+# the atlas spline. The queries() callable writes the model to a
+# per-user tmp parquet (driver-local pyarrow — the model is KBs, no
+# cluster filesystem involved) and the DuckDB twin recomputes the
+# whole operator from it. Staging into a unique mkdtemp + os.replace
+# keeps concurrent runs atomic (round-5 advice).
+
+
+def _model_parquet_path(name: str) -> str:
+    import getpass
+    import os
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    return os.path.join(
+        tempfile.gettempdir(), f"argostats_spark_{user}", f"{name}.parquet"
+    )
+
+
+def _write_model_parquet(name: str, columns: dict) -> str:
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    dest = _model_parquet_path(name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    stage_dir = tempfile.mkdtemp(dir=os.path.dirname(dest))
+    stage = os.path.join(stage_dir, "model.parquet")
+    pq_.write_table(pa.table(columns), stage)
+    os.replace(stage, dest)
+    os.rmdir(stage_dir)
+    return dest
+
+
+# =========================================================================
 # Text analysis on documents (training-data pipeline surface)
 # =========================================================================
 
@@ -593,28 +639,117 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "centroid_per_label",
-    """
-    SELECT label, count(*) AS n,
+def _clustering_suite_oracle_sql(dim: int = 64) -> str:
+    """Generated DuckDB twin for the clustering suite: the label-
+    centroid half is a plain grouped mean; the k-means half reads the
+    driver-trained centroids from the model parquet and re-derives the
+    nearest-centroid assignment independently, with the 64-term squared
+    distance written as an explicit left-associated chain so the
+    arithmetic is bit-identical to the engine's zip_with fold
+    (similarity.py::_nearest_centroid) — argmin ties and round(...,6)
+    then agree exactly."""
+    path = _model_parquet_path("kmeans_centroids")
+    d64 = " + ".join(
+        f"(e.v[{i}] - c.centroid[{i}])*(e.v[{i}] - c.centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(cell AS INT) AS cell, centroid FROM read_parquet('{path}')
+    ),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    kd AS (
+      SELECT e.vec_id, c.cell, {d64} AS d2 FROM emb e CROSS JOIN c
+    ),
+    ka AS (
+      SELECT vec_id, cell, d2, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM kd
+    )
+    SELECT 'label_centroid' AS part, CAST(label AS BIGINT) AS id,
+           CAST(NULL AS INT) AS cell, count(*) AS n,
            round(CAST(sum(CAST(embedding[1] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c0,
            round(CAST(sum(CAST(embedding[2] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c1,
-           round(CAST(sum(CAST(embedding[64] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c63
+           round(CAST(sum(CAST(embedding[64] AS DOUBLE)) AS DOUBLE) / count(*), 5) AS c63,
+           CAST(NULL AS DOUBLE) AS d2
     FROM embeddings GROUP BY label
-    """,
-)
-def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid components (the IVF coarse-quantizer training
-    step): element_at on the vector + grouped mean."""
+    UNION ALL
+    SELECT 'kmeans_assign' AS part, vec_id AS id, cell,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS c0,
+           CAST(NULL AS DOUBLE) AS c1, CAST(NULL AS DOUBLE) AS c63,
+           round(d2, 6) AS d2
+    FROM ka WHERE rn = 1
+    """
+
+
+@query("clustering_suite", _clustering_suite_oracle_sql())
+def q_clustering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering family as one tagged union:
+
+    - ``label_centroid``: per-label centroid components (the IVF
+      coarse-quantizer training step): element_at on the vector +
+      grouped mean.
+    - ``kmeans_assign``: distributed Lloyd's k-means
+      (operators/clustering.py::kmeans_fit — one shuffle per round,
+      k·dim driver traffic) trained with the deterministic
+      content-addressed init, centroids materialized to the model
+      parquet, then every vector assigned to its nearest centroid with
+      the JVM fold expression (assign_clusters). The oracle re-derives
+      the assignment AND the per-vector squared distance from the
+      centroids alone, so the driver hash covers the assignment
+      operator end-to-end (the trained model rides in as data — the
+      float sums in Lloyd's updates are partition-order artifacts, the
+      assignment is not)."""
+    from .operators.clustering import assign_clusters, kmeans_fit
+
     e = _t(spark, sf_dir, "embeddings")
     comp = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
     n = F.count(F.lit(1))
-    return e.groupBy("label").agg(
+    labels = e.groupBy("label").agg(
         n.alias("n"),
         F.round(F.sum(comp(1)) / n, 5).alias("c0"),
         F.round(F.sum(comp(2)) / n, 5).alias("c1"),
         F.round(F.sum(comp(64)) / n, 5).alias("c63"),
+    ).select(
+        F.lit("label_centroid").alias("part"),
+        F.col("label").cast("long").alias("id"),
+        F.lit(None).cast("int").alias("cell"),
+        "n", "c0", "c1", "c63",
+        F.lit(None).cast("double").alias("d2"),
     )
+
+    cents = kmeans_fit(e, k=8, iters=8, vec_col="embedding", seed=42,
+                       init="hash")
+    _write_model_parquet(
+        "kmeans_centroids",
+        {"cell": list(range(len(cents))), "centroid": cents},
+    )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in cents
+    ]
+    assigned = assign_clusters(e, cents).select(
+        F.lit("kmeans_assign").alias("part"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("c0"),
+        F.lit(None).cast("double").alias("c1"),
+        F.lit(None).cast("double").alias("c63"),
+        F.round(F.array_min(F.array(*dists)), 6).alias("d2"),
+    )
+    return labels.unionByName(assigned)
 
 
 @query(
@@ -887,9 +1022,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    """
+def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
+    """Generated DuckDB twin for the ANN suite: the IVF half is the
+    exhaustive cosine scan (nprobe = all cells ≡ brute force); the PQ
+    half reads the driver-trained codebooks from the materialized model
+    parquet and recomputes EVERYTHING else — per-block nearest-sub-
+    centroid code assignment AND the per-query ADC distances —
+    independently.
+
+    Every float sum is written as an explicit left-associated term
+    chain so the arithmetic is bit-identical to the engine's
+    fold/NumPy evaluation order (sub-distances: (a-b)*(a-b) summed in
+    index order; the block total: d0+d1+...+d7 in block order): code
+    argmin ties and the rank tiebreak then agree exactly, and
+    round(...,6) compares equal rather than merely close."""
+    path = _model_parquet_path("pq_codebooks")
+
+    def sub_dist(vec: str) -> str:
+        return " + ".join(
+            f"({vec}[cb.block*{dsub} + {i}] - cb.centroid[{i}])"
+            f"*({vec}[cb.block*{dsub} + {i}] - cb.centroid[{i}])"
+            for i in range(1, dsub + 1)
+        )
+
+    d_cols = ", ".join(
+        f"sum(CASE WHEN block = {b} THEN dd ELSE 0 END) AS d{b}"
+        for b in range(m)
+    )
+    total = " + ".join(f"d{b}" for b in range(m))
+    return f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
     pairs AS (
       SELECT qid, vec_id,
@@ -902,22 +1063,67 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
              5) AS sim
       FROM q JOIN embeddings ON vec_id <> qid
-    )
-    SELECT qid, vec_id, sim FROM (
+    ),
+    cb AS (SELECT block, code, centroid FROM read_parquet('{path}')),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bd AS (
+      SELECT e.vec_id, cb.block, cb.code, {sub_dist('e.v')} AS d
+      FROM emb e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, block, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, block ORDER BY d, code) AS rn
+        FROM bd
+      ) WHERE rn = 1
+    ),
+    qv2 AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+    pb AS (
+      SELECT q.qid, c.vec_id, c.block, {sub_dist('q.qv')} AS dd
+      FROM qv2 q CROSS JOIN codes c
+      JOIN cb ON cb.block = c.block AND cb.code = c.code
+      WHERE c.vec_id <> q.qid
+    ),
+    qd AS (SELECT qid, vec_id, {d_cols} FROM pb GROUP BY qid, vec_id)
+    SELECT 'ivf' AS method, qid, vec_id, sim AS score FROM (
       SELECT qid, vec_id, sim,
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       FROM pairs
     ) WHERE rn <= 5
-    """,
-)
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF nearest neighbors, the zero-driver-round-trip variant
-    (ivf_topk_scalable): k-means coarse quantizer, probe-cell explode →
-    cell equi-join → ranking window. Probing ALL cells makes the IVF
-    result EXACTLY brute force (every corpus vector lives in exactly one
-    cell), so the driver can hash it against the DuckDB exhaustive scan
-    — the derived deterministic oracle for an approximate-by-design
-    operator. Recall at nprobe<ncells is pinned separately in tests."""
+    UNION ALL
+    SELECT 'pq' AS method, qid, vec_id, score FROM (
+      SELECT qid, vec_id, round({total}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY round({total}, 6), vec_id) AS rn
+      FROM qd
+    ) WHERE rn <= 5
+    """
+
+
+@query("ann_suite", _ann_suite_oracle_sql())
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-nearest-neighbor family as one tagged union:
+
+    - ``ivf``: IVF top-k, the zero-driver-round-trip variant
+      (ivf_topk_scalable): k-means coarse quantizer, probe-cell explode
+      → cell equi-join → ranking window. Probing ALL cells makes the
+      IVF result EXACTLY brute force (every corpus vector lives in
+      exactly one cell), so the driver hashes it against DuckDB's
+      exhaustive scan — the derived deterministic oracle for an
+      approximate-by-design operator. Recall at nprobe < ncells is
+      pinned separately in tests.
+    - ``pq``: product quantization (operators/pq.py): codebooks trained
+      on a content-ordered sample (driver NumPy, KBs), the corpus
+      encoded to m=8 uint8 codes in pure codegen, then ADC top-k —
+      per-query distance tables over the COMPRESSED codes only. The
+      codebooks are materialized to the model parquet and the oracle
+      re-derives both the code assignment and the ADC scores from them
+      (_pq_oracle_sql), so the driver hash covers encode + scoring
+      end-to-end."""
+    from .operators.pq import pq_encode, pq_topk, pq_train
     from .operators.similarity import ivf_assign, ivf_topk_scalable, train_centroids
 
     e = _t(spark, sf_dir, "embeddings")
@@ -926,10 +1132,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = ivf_topk_scalable(
+    ivf = ivf_topk_scalable(
         assigned, q, cents, k=5, nprobe=len(cents), round_digits=5
+    ).select(
+        F.lit("ivf").alias("method"), "qid", "vec_id",
+        F.col("cosine").alias("score"),
     )
-    return out.select("qid", "vec_id", F.col("cosine").alias("sim"))
+
+    books = pq_train(e, m=8, ksub=16, vec_col="embedding",
+                     sample_rows=400, seed=7)
+    _write_model_parquet(
+        "pq_codebooks",
+        {
+            "block": [b for b in range(len(books)) for _ in books[b]],
+            "code": [c for b in range(len(books)) for c in range(len(books[b]))],
+            "centroid": [books[b][c] for b in range(len(books))
+                         for c in range(len(books[b]))],
+        },
+    )
+    enc = pq_encode(e.select("vec_id", "embedding"), books)
+    pq = pq_topk(enc, q, books, k=5, exclude_self=True).select(
+        F.lit("pq").alias("method"), "qid", "vec_id",
+        F.col("adc_dist").alias("score"),
+    )
+    return ivf.unionByName(pq)
 
 
 @query(
@@ -1189,25 +1415,78 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     thr AS (SELECT round(quantile_cont(quality, 0.1), 6) AS thr FROM t)
-    SELECT doc_id, quality FROM t, thr WHERE quality >= thr
+    SELECT t.doc_id, t.quality,
+           1 AS n_email, 1 AS n_ip, 1 AS n_phone,
+           'HTTPS://Sub.Example.com:8080/Path/x?utm_source=news&ref='
+             || d.doc_id || '#frag' AS first_url,
+           'sub.example.com' AS url_host,
+           'https://sub.example.com:8080/Path/x?ref=' || d.doc_id AS norm_url,
+           'Contact <EMAIL> via HTTPS://Sub.Example.com:8080/Path/x'
+             || '?utm_source=news&ref=' || d.doc_id
+             || '#frag at <IP> or call <PHONE> :: '
+             || substr(d.text, 1, 48) AS scrubbed
+    FROM t JOIN documents d ON t.doc_id = d.doc_id, thr
+    WHERE t.quality >= thr.thr
     """,
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus quality gate: keep documents at or above the exact global
-    10th percentile of the quality score. Exact percentile via one agg,
+    """Corpus quality gate + the PII/URL curation surface, one row per
+    surviving document.
+
+    Quality half: keep documents at or above the exact global 10th
+    percentile of the quality score. Exact percentile via one agg,
     threshold broadcast as a 1-row cross join — no second scan, no
     driver round-trip. Score and threshold are both rounded to 6
     decimals BEFORE comparison so the boundary set is bit-identical
-    across engines (raw doubles can differ in the last ulp)."""
-    from .functions.text import quality_score
+    across engines (raw doubles can differ in the last ulp).
+
+    PII/URL half: the synthetic corpus contains no PII or URLs, so the
+    query PLANTS deterministic positives — a per-row derived string
+    carrying one email, one mixed-case tracking URL, one IPv4, one
+    NANP phone, and 48 chars of real document text as the
+    false-positive guard — and runs the full curation surface over it:
+    ``pii_counts``, ``scrub_pii`` (email → ip → phone order, with the
+    lookaround-guarded phone pattern), ``extract_urls``, ``url_host``,
+    and ``normalize_url`` (case-fold, fragment/utm strip). The oracle
+    cannot replay Java-regex lookarounds in RE2, so it CONSTRUCTS the
+    expected outputs from the known layout instead — every redaction
+    span, the canonical URL, and the untouched filler are all
+    driver-hashed."""
+    from .functions.text import (
+        extract_urls, normalize_url, pii_counts, quality_score, scrub_pii,
+        url_host,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    q = d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.lit("Contact user"), did,
+        F.lit("@Example.COM via HTTPS://Sub.Example.com:8080/Path/x"
+              "?utm_source=news&ref="), did,
+        F.lit("#frag at 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "), F.substring("text", 1, 48),
+    )
+    first_url = F.element_at(extract_urls(aug), 1)
+    counts = pii_counts(aug)
+    q = d.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        counts.getField("emails").alias("n_email"),
+        counts.getField("ipv4s").alias("n_ip"),
+        counts.getField("phones").alias("n_phone"),
+        first_url.alias("first_url"),
+        url_host(first_url).alias("url_host"),
+        normalize_url(first_url).alias("norm_url"),
+        scrub_pii(aug).alias("scrubbed"),
+    )
     thr = q.agg(F.round(F.percentile("quality", F.lit(0.1)), 6).alias("thr"))
     return (
         q.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("thr"))
-        .select("doc_id", "quality")
+        .drop("thr")
     )
 
 
@@ -1259,11 +1538,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     chunks = (
         chunk_documents(d, text_col="text", id_col="doc_id",
-                        chunk_tokens=32, stride=24)
+                        chunk_tokens=32, stride=24, carry_cols=("lang",))
         .withColumnRenamed("chunk_id", "window_id")
         .withColumn("chunk_md5", F.md5("chunk_text"))
         .drop("chunk_text")
-        .join(d.select("doc_id", "lang"), "doc_id")
     )
     packed = pack_chunks(
         chunks, "n_chunk_tokens", 256, "lang", ["doc_id", "window_id"]
