@@ -1,5 +1,7 @@
-"""Benchmark decontamination: n-gram overlap between a training corpus
-and an evaluation/benchmark set.
+"""Corpus contamination hygiene: n-gram overlap between a training
+corpus and an evaluation/benchmark set, plus corpus-INTERNAL
+duplicated-passage detection (the window-hash form of exact substring
+dedup, Lee et al. 2021).
 
 Green-field scope beyond the reference (training-data pipeline family,
 same tier as dedup/similarity): before a corpus feeds a training run,
@@ -81,4 +83,122 @@ def ngram_contamination(
             ).alias("hit_ratio"),
             (n_hits >= min_hits).cast("int").alias("contaminated"),
         )
+    )
+
+
+def _passage_windows(
+    corpus: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str,
+    text_col: str,
+    hasher: str,
+) -> DataFrame:
+    """(id, tok_start, h) for every full `window`-token span at `stride`
+    — entirely row-local (the token array is staged as a projected
+    column so the transform lambda does not re-inline tokenization per
+    element; see SCALE.md's repetition-stats pitfall). Documents shorter
+    than `window` yield no spans."""
+    from ..functions.text import tokens
+
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f'hasher must be "xxhash64" or "md5", got {hasher!r}')
+    hfn = F.xxhash64 if hasher == "xxhash64" else F.md5
+    n = F.size("__toks")
+    starts = F.when(
+        n >= window, F.sequence(F.lit(0), n - window, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    span = lambda s: F.array_join(  # noqa: E731
+        F.slice(F.col("__toks"), s + 1, window), " "
+    )
+    return (
+        corpus.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.cast("long").alias("tok_start"),
+                        hfn(span(s)).alias("h"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.tok_start").alias("tok_start"), F.col("p.h").alias("h"))
+    )
+
+
+def duplicate_passages(
+    corpus: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-INTERNAL duplicated-passage detection — the window-hash
+    form of exact substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public:
+    any span repeated anywhere in the corpus is a dedup candidate; the
+    suffix-array construction is replaced by fixed `window`-token
+    rolling spans, which is the shape a distributed engine can run as
+    one scan + one uniform shuffle).
+
+    Returns one row per duplicated span text: ``(h, n_docs,
+    n_occurrences, first_doc_id)`` for spans occurring >=
+    ``min_occurrences`` times corpus-wide (within-document repeats
+    count — same as Lee et al.).
+
+    Scale shape (100 TB posture): span generation is row-local
+    (Σ(tokens-window+1)/stride output rows — linear in corpus tokens,
+    `stride` is the recall/cost dial); the single exchange keys on the
+    64-bit span hash — uniform by construction, no skew. Counts and a
+    min-id exemplar are the only aggregates; nothing reaches the
+    driver. ``hasher="md5"`` swaps in the DuckDB-shared family for
+    oracle parity (same convention as simhash)."""
+    p = _passage_windows(corpus, window, stride, id_col, text_col, hasher)
+    return (
+        p.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def flag_duplicate_passages(
+    corpus: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-passage stats — the actionable curation
+    metric: ``(id, n_windows, n_dup_windows, dup_frac, has_dup)``
+    where a window is duplicated when its span text occurs >= 2 times
+    corpus-wide (any document, including this one).
+
+    Plan shape: span stream → count(*) OVER (PARTITION BY span hash)
+    → groupBy(document). Two exchanges total (span hash, then id) —
+    the per-hash window avoids materializing + joining back a
+    duplicate-span table, and both keys are uniform."""
+    from pyspark.sql import Window as W
+
+    p = _passage_windows(corpus, window, stride, id_col, text_col, hasher)
+    c = F.count(F.lit(1)).over(W.partitionBy("h"))
+    per_win = p.withColumn("c", c)
+    n_dup = F.sum((F.col("c") >= 2).cast("int"))
+    n_win = F.count(F.lit(1))
+    return per_win.groupBy(id_col).agg(
+        n_win.cast("int").alias("n_windows"),
+        n_dup.cast("int").alias("n_dup_windows"),
+        F.round(n_dup.cast("double") / n_win, 6).alias("dup_frac"),
+        (n_dup >= 1).cast("int").alias("has_dup"),
     )

@@ -1309,30 +1309,78 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, count(*) AS n_hits
       FROM (SELECT doc_id, unnest(sh) AS g FROM c) t JOIN b USING (g)
       GROUP BY doc_id
-    )
-    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+    ),
+    toks2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    st2 AS (
+      SELECT doc_id, tk, unnest(range(0, len(tk) - 10 + 1, 1)) AS s
+      FROM toks2 WHERE len(tk) >= 10
+    ),
+    p2 AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, s + 1, s + 10), ' ')) AS h
+      FROM st2
+    ),
+    c2 AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM p2)
+    SELECT 'eval_ngram' AS part,
+           CAST(c.doc_id AS BIGINT) AS doc_id,
            CAST(len(c.sh) AS INT) AS n_grams,
            CAST(coalesce(hits.n_hits, 0) AS INT) AS n_hits,
            round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
                  / greatest(len(c.sh), 1), 6) AS hit_ratio,
            CAST(coalesce(hits.n_hits, 0) >= 1 AS INT) AS contaminated
     FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    UNION ALL
+    SELECT 'dup_passage' AS part,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS INT) AS n_grams,
+           CAST(sum(CAST(c >= 2 AS INT)) AS INT) AS n_hits,
+           round(CAST(sum(CAST(c >= 2 AS INT)) AS DOUBLE) / count(*), 6)
+             AS hit_ratio,
+           CAST(sum(CAST(c >= 2 AS INT)) >= 1 AS INT) AS contaminated
+    FROM c2 GROUP BY doc_id
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (training-pipeline family): every 50th
-    document plays the held-out eval set; the rest are the corpus. A
-    corpus doc is contaminated when any of its distinct word-3-grams
-    appears in the benchmark n-gram set (the published exact-overlap
-    practice — GPT-3 appendix C / The Pile use 13-grams on full-length
-    text). Scale shape: benchmark n-grams broadcast (eval sets are tiny
-    vs the corpus), corpus never fully shuffles (operators/decontam.py)."""
-    from .operators.decontam import ngram_contamination
+    """Corpus contamination hygiene as one tagged union:
+
+    - ``eval_ngram``: benchmark decontamination — every 50th document
+      plays the held-out eval set; the rest are the corpus. A corpus
+      doc is contaminated when any of its distinct word-3-grams appears
+      in the benchmark n-gram set (the published exact-overlap practice
+      — GPT-3 appendix C / The Pile use 13-grams on full-length text).
+      Scale shape: benchmark n-grams broadcast (eval sets are tiny vs
+      the corpus), corpus never fully shuffles (operators/decontam.py).
+    - ``dup_passage``: corpus-INTERNAL duplicated-passage flags — the
+      window-hash form of exact substring dedup (Lee et al. 2021):
+      every 10-token span is hashed row-locally, a per-hash count
+      window marks spans occurring >= 2 times anywhere in the corpus
+      (within-document repeats count), and per-doc stats reuse the
+      contamination column shape (n_windows / n_dup_windows / dup_frac
+      / has_dup). One uniform span-hash exchange + one per-doc agg."""
+    from .operators.decontam import flag_duplicate_passages, ngram_contamination
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
-    return ngram_contamination(corpus, bench, n=3)
+    ev = ngram_contamination(corpus, bench, n=3).select(
+        F.lit("eval_ngram").alias("part"),
+        "doc_id", "n_grams", "n_hits", "hit_ratio", "contaminated",
+    )
+    dp = flag_duplicate_passages(
+        d, window=10, stride=1, hasher="md5"
+    ).select(
+        F.lit("dup_passage").alias("part"),
+        "doc_id",
+        F.col("n_windows").alias("n_grams"),
+        F.col("n_dup_windows").alias("n_hits"),
+        F.col("dup_frac").alias("hit_ratio"),
+        F.col("has_dup").alias("contaminated"),
+    )
+    return ev.unionByName(dp)
 
 
 # =========================================================================

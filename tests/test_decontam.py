@@ -73,3 +73,99 @@ def test_benchmark_side_is_broadcast(spark, tables):
     assert "BroadcastHashJoin" in plan
     # the corpus n-gram stream must not sort-merge against the benchmark
     assert "SortMergeJoin" not in plan.split("n_hits")[0]
+
+
+# -------------------------------------------------------------------------
+# Corpus-internal duplicated passages (window-hash substring dedup)
+# -------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def passage_corpus(spark):
+    shared = "alpha beta gamma delta epsilon"          # 5-token span
+    return spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),        # shares span with 2
+            (2, f"{shared} five six seven eight nine"),
+            (3, "ten eleven twelve thirteen fourteen fifteen"),   # clean
+            (4, "rep rep rep rep rep rep rep rep"),     # within-doc repeat
+            (5, "short doc"),                           # < window tokens
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _py_windows(text: str, window: int, stride: int):
+    toks = text.split()
+    return [
+        " ".join(toks[s : s + window])
+        for s in range(0, len(toks) - window + 1, stride)
+    ]
+
+
+def test_duplicate_passages_planted(spark, passage_corpus):
+    from argostats_spark.operators.decontam import duplicate_passages
+
+    out = duplicate_passages(passage_corpus, window=5, stride=1).collect()
+    # cross-doc: exactly the shared 5-gram; within-doc: every "rep"*5
+    # window of doc 4 hashes identically (4 occurrences, 1 doc)
+    by_docs = {(r["n_docs"], r["n_occurrences"]) for r in out}
+    assert (2, 2) in by_docs            # the alpha..epsilon span
+    assert (1, 4) in by_docs            # doc 4's repeated window
+    assert all(r["n_occurrences"] >= 2 for r in out)
+    cross = [r for r in out if r["n_docs"] == 2]
+    assert len(cross) == 1 and cross[0]["first_doc_id"] == 1
+
+
+def test_duplicate_passages_differential_vs_python(spark, passage_corpus):
+    """Window census agrees with a pure-Python rolling-window counter."""
+    from collections import Counter
+
+    from argostats_spark.operators.decontam import duplicate_passages
+
+    rows = passage_corpus.collect()
+    for window, stride in ((5, 1), (3, 2), (8, 1)):
+        cnt = Counter()
+        for r in rows:
+            cnt.update(_py_windows(r["text"], window, stride))
+        expect = sorted(c for c in cnt.values() if c >= 2)
+        got = sorted(
+            r["n_occurrences"]
+            for r in duplicate_passages(
+                passage_corpus, window=window, stride=stride
+            ).collect()
+        )
+        assert got == expect, (window, stride)
+
+
+def test_flag_duplicate_passages_per_doc(spark, passage_corpus):
+    from argostats_spark.operators.decontam import flag_duplicate_passages
+
+    out = {
+        r["doc_id"]: r
+        for r in flag_duplicate_passages(
+            passage_corpus, window=5, stride=1
+        ).collect()
+    }
+    assert 5 not in out                       # shorter than the window
+    assert out[3]["has_dup"] == 0 and out[3]["n_dup_windows"] == 0
+    assert out[1]["has_dup"] == 1 and out[2]["has_dup"] == 1
+    assert out[4]["n_windows"] == 4 and out[4]["n_dup_windows"] == 4
+    assert out[4]["dup_frac"] == 1.0
+    # doc 1: 9 tokens -> 5 windows, exactly one duplicated
+    assert out[1]["n_windows"] == 5 and out[1]["n_dup_windows"] == 1
+
+
+def test_passage_hashers_and_validation(spark, passage_corpus):
+    from argostats_spark.operators.decontam import duplicate_passages
+
+    a = duplicate_passages(passage_corpus, window=5, hasher="xxhash64")
+    b = duplicate_passages(passage_corpus, window=5, hasher="md5")
+    # same census regardless of hash family
+    key = lambda df: sorted(  # noqa: E731
+        (r["n_docs"], r["n_occurrences"]) for r in df.collect()
+    )
+    assert key(a) == key(b)
+    with pytest.raises(ValueError, match="hasher"):
+        duplicate_passages(passage_corpus, hasher="sha1").collect()
+    with pytest.raises(ValueError, match="window"):
+        duplicate_passages(passage_corpus, window=0).collect()
