@@ -113,6 +113,21 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # one broken query = one missing row
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        # Isolate queries from each other's storage debris:
+        # localCheckpointed RDDs (LSH edge lists, atlas pair sets) are
+        # reclaimed only when the DRIVER GCs their handles and the
+        # ContextCleaner runs — without this, blocks from an earlier
+        # query tax a later one's executor memory and a min-of-3 can
+        # come out uniformly slow (measured: atlas 6.8 s min-of-3 right
+        # after dedup_groups_lsh vs 1.6 s in isolation, same plan).
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # Reference-parity microbench: interpolation throughput (BASELINE.md
     # derived rate ~5e3 profiles/s on 28 cores). Python workers are warm
