@@ -37,9 +37,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # the argo_atlas_pipeline oracle reads a materialized parquet
-    # intermediate; make sure it exists even if the driver evaluates the
-    # SQL before running the Spark query (deterministic driver-side twin)
+    # intermediate, and the ann_suite / clustering_suite oracles read
+    # materialized model parquets (PQ codebooks, k-means centroids);
+    # make sure all of them exist even if the driver evaluates the SQL
+    # before running the Spark queries. Both guards regenerate
+    # deterministically (the trainings are partition-independent), so
+    # any ordering yields byte-identical models.
     from argostats_spark.queries import ensure_atlas_oracle_parquet
+    from argostats_spark.queries_documents import ensure_model_parquets
 
     ensure_atlas_oracle_parquet()
+    ensure_model_parquets()
     return dict(ORACLES)

@@ -344,12 +344,13 @@ def normalize_url(url) -> Column:
     userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)   # '' when absent
     hostport = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    u = F.when(
-        scheme == F.lit(""), _c(url)  # not a scheme://... input: pass through
-    ).otherwise(F.concat(scheme, F.lit("://"), userinfo, hostport, rest))
-    u = F.regexp_replace(u, r"#.*$", "")                      # fragment
-    u = F.regexp_replace(u, r"([?&])utm_[^=&#]*=[^&#]*", "$1")  # utm params
-    u = F.regexp_replace(u, r"\?&+", "?")                     # tidy ?&&
-    u = F.regexp_replace(u, r"&&+", "&")
-    u = F.regexp_replace(u, r"[?&]$", "")                     # dangling ? or &
-    return F.regexp_replace(u, r"^(https?://[^/?#]+)/$", "$1")  # bare trailing /
+    n = F.concat(scheme, F.lit("://"), userinfo, hostport, rest)
+    n = F.regexp_replace(n, r"#.*$", "")                      # fragment
+    n = F.regexp_replace(n, r"([?&])utm_[^=&#]*=[^&#]*", "$1")  # utm params
+    n = F.regexp_replace(n, r"\?&+", "?")                     # tidy ?&&
+    n = F.regexp_replace(n, r"&&+", "&")
+    n = F.regexp_replace(n, r"[?&]$", "")                     # dangling ? or &
+    n = F.regexp_replace(n, r"^(https?://[^/?#]+)/$", "$1")   # bare trailing /
+    # the fragment/utm passes apply ONLY on the rebuilt-URL branch — a
+    # non-scheme input passes through byte-for-byte (contract)
+    return F.when(scheme == F.lit(""), _c(url)).otherwise(n)

@@ -63,7 +63,12 @@ def kmeans_fit(
     ``init``: "hash" (content-addressed top-k — deterministic, one
     cheap job, quality of random init) or "kmeans||" (Bahmani et al.
     2012 — O(log n) extra corpus passes for k-means++-quality seeding;
-    the right default when Lloyd rounds are the expensive part)."""
+    the right default when Lloyd rounds are the expensive part).
+
+    With init="hash" the whole fit is PARTITION-INDEPENDENT: the init
+    is content-addressed and the Lloyd sums are exact DECIMAL, so the
+    same corpus yields bit-identical centroids in any session/layout
+    (pinned by test; the model-parquet oracle guard relies on it)."""
     import numpy as np
 
     if init == "kmeans||":
@@ -76,17 +81,27 @@ def kmeans_fit(
     for _ in range(iters):
         assigned = vecs.withColumn("cell", _nearest_centroid("v", cents))
         # per-(cell, dim) partial sums: map-side combine shrinks the
-        # exchange to ≤ tasks·k·dim rows regardless of corpus size
+        # exchange to ≤ tasks·k·dim rows regardless of corpus size.
+        # DECIMAL sum, not double: decimal addition is exact, so the
+        # trained centroids are independent of partition layout /
+        # reduction order — the property that lets an oracle-ordering
+        # guard (queries_documents.ensure_model_parquets) regenerate
+        # the SAME model in a different session. float32 inputs are
+        # exact in DECIMAL(28,14); the per-dim mean is cast back to
+        # double once, deterministically.
         sums = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,14)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new = np.array(cents, dtype="f8")
         counts = {}
         for r in sums:
-            new[r["cell"], r["dim"]] = r["s"] / r["n"]
+            new[r["cell"], r["dim"]] = float(r["s"]) / r["n"]
             counts[r["cell"]] = r["n"]
         shift = float(np.abs(new - np.array(cents)).max())
         cents = [row.tolist() for row in new]
@@ -164,9 +179,14 @@ def kmeans_parallel_init(
     min-distance column is updated against only the round's NEW
     candidates (`least(d2, dist-to-ΔC)`), so the per-round expression
     is O(ℓ) literal arrays regardless of how many candidates have
-    accumulated, and the frame is localCheckpointed per round to keep
-    the plan flat. Driver traffic per round: Σd² (8 bytes) + the
-    sampled candidate vectors.
+    accumulated, and each round's frame is persisted (then explicitly
+    unpersisted — see the in-code comment: exactly ONE corpus copy in
+    executor storage, where eager checkpoints would pin rounds+1).
+    Driver traffic per round: Σd² (8 bytes) + the sampled candidate
+    vectors. The final weighting pass assigns against ALL accumulated
+    candidates, so it uses the flat transform/array_position argmin
+    (`_nearest_centroid` switches shape above 32 candidates) — the
+    when-chain fold at rounds·ℓ ≈ 10⁴ blocks would stall codegen.
 
     Expression-size bound: ℓ (default 2k) literal centroid arrays per
     round block — fine to k ≈ 128; beyond that, run a two-level

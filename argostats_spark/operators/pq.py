@@ -171,6 +171,18 @@ def pq_topk(
     dsub = len(codebooks[0][0])
     books = np.array(codebooks, dtype="f8")          # m × ksub × dsub
     qrows = queries.select(q_id_col, q_vec_col).collect()
+    if not qrows:  # empty query set degrades to an empty result, like
+        from pyspark.sql.types import (  # the rest of the ANN family
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("qid", queries.schema[q_id_col].dataType),
+            StructField("vec_id", encoded.schema[id_col].dataType),
+            StructField("adc_dist", DoubleType()),
+            StructField("rnk", IntegerType()),
+        ])
+        return encoded.sparkSession.createDataFrame([], schema)
 
     scored = []
     for qr in qrows:

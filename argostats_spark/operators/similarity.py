@@ -96,18 +96,46 @@ def train_centroids(
 
 
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
-    """argmin over centroid dot-distances as a fold over literal arrays
-    (centroid count is small — the expression stays JVM-side)."""
-    best_id = F.lit(0)
-    best_d = F.lit(float("inf"))
+    """argmin over centroid squared distances, JVM-side, first minimum
+    wins (lowest index on exact ties).
+
+    Two shapes with identical semantics AND identical per-distance
+    arithmetic (zip_with fold in index order): a when/least chain for
+    small centroid lists (≤32 — the plan tests pin this shape for the
+    IVF/k-means demos), and a flat transform + array_min +
+    array_position over one literal array-of-arrays beyond that — the
+    chain nests one aggregate per centroid inside the growing
+    conditional, which stalls analysis/codegen at hundreds of blocks
+    (measured on the same fold shape in pq._block_code), while k-means||
+    weighting legitimately assigns against rounds·ℓ ≈ 10⁴ candidates."""
     v = F.col(vec_col)
-    for i, c in enumerate(centroids):
+
+    def d_to(c: list[float]) -> Column:
         carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
+        return F.aggregate(
             F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+
+    if len(centroids) > 32:
+        cents_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ])
+        darr = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    best_id = F.lit(0)
+    best_d = F.lit(float("inf"))
+    for i, c in enumerate(centroids):
+        d = d_to(c)
         best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
         best_d = F.least(best_d, d)
     return best_id

@@ -63,6 +63,86 @@ def _write_model_parquet(name: str, columns: dict) -> str:
     return dest
 
 
+def _train_and_write_pq(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks (deterministic: content-ordered sample →
+    driver NumPy, partition-independent by test) and materialize them
+    for the oracle. Shared by the ann_suite builder and the
+    oracle-ordering guard below — ONE definition of the model recipe."""
+    from .operators.pq import pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, ksub=16, vec_col="embedding",
+                     sample_rows=400, seed=7)
+    _write_model_parquet(
+        "pq_codebooks",
+        {
+            "block": [b for b in range(len(books)) for _ in books[b]],
+            "code": [c for b in range(len(books)) for c in range(len(books[b]))],
+            "centroid": [books[b][c] for b in range(len(books))
+                         for c in range(len(books[b]))],
+        },
+    )
+    return books
+
+
+def _train_and_write_kmeans(spark: SparkSession, sf_dir: str):
+    """Train the k-means model (deterministic: content-hash init + exact
+    DECIMAL Lloyd sums, partition-independent by test) and materialize
+    the centroids for the oracle. Shared by the clustering_suite
+    builder and the oracle-ordering guard below."""
+    from .operators.clustering import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=8, vec_col="embedding", seed=42,
+                       init="hash")
+    _write_model_parquet(
+        "kmeans_centroids",
+        {"cell": list(range(len(cents))), "centroid": cents},
+    )
+    return cents
+
+
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def ensure_model_parquets(sf_dir: str = _DRIVER_SF_DIR) -> None:
+    """Driver-ordering guard, mirroring ensure_atlas_oracle_parquet: if
+    the correctness driver evaluates the ann_suite / clustering_suite
+    oracle SQL BEFORE running the Spark queries on a clean machine, the
+    model parquets would not exist (or could be stale from an older
+    corpus). Both trainings are PARTITION-INDEPENDENT (content-ordered
+    PQ sample; content-hash k-means init + exact DECIMAL Lloyd sums —
+    pinned by tests), so regenerating here yields byte-identical models
+    to whatever the Spark queries will (re)write, at any ordering.
+
+    Regenerates unconditionally (the atlas policy: an exists-check
+    would trust a stale or half-written model forever; the writer
+    stages into a unique tempdir and os.replace()s atomically). Uses
+    the active SparkSession when one exists; otherwise spins up a small
+    local one and stops it."""
+    import os
+
+    if not os.path.isdir(sf_dir):  # no testdata in this environment —
+        return                     # nothing the oracles could read either
+    spark = SparkSession.getActiveSession()
+    own = spark is None
+    if own:
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("argostats_model_twin")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    try:
+        _train_and_write_pq(spark, sf_dir)
+        _train_and_write_kmeans(spark, sf_dir)
+    finally:
+        if own:
+            spark.stop()
+
+
 # =========================================================================
 # Text analysis on documents (training-data pipeline surface)
 # =========================================================================
@@ -310,8 +390,15 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N = number of source collections, counted on the documents table
     # (NOT the exploded tokens — that would cost a full tokenize pass
     # for a scalar, and would silently exclude a source whose documents
-    # are all token-less; the oracle counts the same way)
-    n_src = _t(spark, sf_dir, "documents").select("source").distinct().count()
+    # are all token-less; the oracle counts the same way). NULL sources
+    # are excluded to match SQL count(DISTINCT source) semantics —
+    # DataFrame .distinct() would count NULL as a group and skew every
+    # idf on corpora with unattributed documents.
+    n_src = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select("source").distinct().count()
+    )
 
     tf = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("tok").agg(F.countDistinct("source").alias("df"))
@@ -703,7 +790,7 @@ def q_clustering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       operator end-to-end (the trained model rides in as data — the
       float sums in Lloyd's updates are partition-order artifacts, the
       assignment is not)."""
-    from .operators.clustering import assign_clusters, kmeans_fit
+    from .operators.clustering import assign_clusters
 
     e = _t(spark, sf_dir, "embeddings")
     comp = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
@@ -721,12 +808,7 @@ def q_clustering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("d2"),
     )
 
-    cents = kmeans_fit(e, k=8, iters=8, vec_col="embedding", seed=42,
-                       init="hash")
-    _write_model_parquet(
-        "kmeans_centroids",
-        {"cell": list(range(len(cents))), "centroid": cents},
-    )
+    cents = _train_and_write_kmeans(spark, sf_dir)
     dists = [
         F.aggregate(
             F.zip_with(
@@ -1123,7 +1205,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-derives both the code assignment and the ADC scores from them
       (_pq_oracle_sql), so the driver hash covers encode + scoring
       end-to-end."""
-    from .operators.pq import pq_encode, pq_topk, pq_train
+    from .operators.pq import pq_encode, pq_topk
     from .operators.similarity import ivf_assign, ivf_topk_scalable, train_centroids
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1139,17 +1221,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("score"),
     )
 
-    books = pq_train(e, m=8, ksub=16, vec_col="embedding",
-                     sample_rows=400, seed=7)
-    _write_model_parquet(
-        "pq_codebooks",
-        {
-            "block": [b for b in range(len(books)) for _ in books[b]],
-            "code": [c for b in range(len(books)) for c in range(len(books[b]))],
-            "centroid": [books[b][c] for b in range(len(books))
-                         for c in range(len(books[b]))],
-        },
-    )
+    books = _train_and_write_pq(spark, sf_dir)
     enc = pq_encode(e.select("vec_id", "embedding"), books)
     pq = pq_topk(enc, q, books, k=5, exclude_self=True).select(
         F.lit("pq").alias("method"), "qid", "vec_id",

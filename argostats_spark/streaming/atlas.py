@@ -85,7 +85,15 @@ def atlas_refresh_writer(
         new_pairs.write.mode("overwrite").parquet(f"{pair_store}/batch={batch_id}")
         if batch_id % refresh_every != 0:
             return
-        pairs = spark.read.parquet(f"{pair_store}/batch=*").localCheckpoint(eager=True)
+        # explicit schema: when every batch so far produced zero pairs
+        # the store holds only _SUCCESS markers and schema inference
+        # would raise inside foreachBatch, killing the stream — an empty
+        # frame with the pair schema rebuilds an empty atlas instead
+        pairs = (
+            spark.read.schema(new_pairs.schema)
+            .parquet(f"{pair_store}/batch=*")
+            .localCheckpoint(eager=True)
+        )
         ts = clim_ts(
             grid, None, reso_deg, smoothing_factor, pairs=pairs
         ).localCheckpoint(eager=True)

@@ -455,6 +455,11 @@ def test_url_extract_and_normalize(spark):
         ("https://a.b.c.d/e?x=1&utm_campaign=z&y=2#s", "a.b.c.d",
          "https://a.b.c.d/e?x=1&y=2"),
         ("not a url", "", "not a url"),
+        # pass-through must be byte-for-byte even when the input
+        # CONTAINS fragment/utm-looking substrings (round-6 review: the
+        # cleanup passes used to run outside the scheme branch)
+        ("example.com/page#section", "", "example.com/page#section"),
+        ("notes?utm_source=x&k=v", "", "notes?utm_source=x&k=v"),
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i long, u string")
     got = {r["i"]: r for r in df.select("i", url_host("u").alias("h"), normalize_url("u").alias("n")).collect()}

@@ -205,3 +205,30 @@ def test_specvol_poly_sql_matches_numpy_property():
         np.testing.assert_allclose(got_dvdz, want_dvdz, rtol=1e-9, atol=1e-18)
 
     check()
+
+
+def test_model_parquets_order_independent(spark):
+    """The ann_suite/clustering_suite oracles read model parquets the
+    Spark builders write. If the driver evaluates oracle SQL FIRST,
+    ensure_model_parquets regenerates them — and because both trainings
+    are partition-independent (content-ordered PQ sample; content-hash
+    k-means init + exact DECIMAL Lloyd sums), the bytes it writes must
+    be IDENTICAL to what the query builders then overwrite them with,
+    making the ordering immaterial."""
+    import pyarrow.parquet as pq
+
+    from argostats_spark.queries_documents import (
+        _model_parquet_path,
+        ensure_model_parquets,
+    )
+
+    ensure_model_parquets(PARITY_SF)
+    before = {
+        n: pq.read_table(_model_parquet_path(n))
+        for n in ("pq_codebooks", "kmeans_centroids")
+    }
+    # the builders retrain and overwrite on their own path
+    QUERIES["ann_suite"](spark, PARITY_SF).count()
+    QUERIES["clustering_suite"](spark, PARITY_SF).count()
+    for n, t in before.items():
+        assert pq.read_table(_model_parquet_path(n)).equals(t), n

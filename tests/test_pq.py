@@ -129,3 +129,15 @@ def test_pq_train_partition_independent(spark, emb):
     a = pq_train(emb.repartition(7), m=4, ksub=8, sample_rows=200, seed=3)
     b = pq_train(emb.repartition(3), m=4, ksub=8, sample_rows=200, seed=3)
     assert a == b
+
+
+def test_pq_topk_empty_query_set(spark, emb, books):
+    """Zero query rows degrade to an empty (qid, vec_id, adc_dist, rnk)
+    frame — the ANN-family convention — rather than an IndexError."""
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = pq_topk(enc, q, books, k=5)
+    assert out.columns == ["qid", "vec_id", "adc_dist", "rnk"]
+    assert out.count() == 0
