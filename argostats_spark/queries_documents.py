@@ -726,22 +726,27 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clustering_suite_oracle_sql(dim: int = 64) -> str:
+def _clustering_suite_oracle_sql(dim: int = 64, sem_threshold: float = 0.4) -> str:
     """Generated DuckDB twin for the clustering suite: the label-
-    centroid half is a plain grouped mean; the k-means half reads the
+    centroid limb is a plain grouped mean; the k-means limb reads the
     driver-trained centroids from the model parquet and re-derives the
     nearest-centroid assignment independently, with the 64-term squared
     distance written as an explicit left-associated chain so the
     arithmetic is bit-identical to the engine's zip_with fold
     (similarity.py::_nearest_centroid) — argmin ties and round(...,6)
-    then agree exactly."""
+    then agree exactly. The semdedup limb re-derives the WHOLE
+    SemDeDup pipeline from the same model: within-cell cosine pairs
+    (the list_transform dot/norm shape embedding_near_pairs proved
+    bit-equal to the engine's fold, so the raw >= threshold boundary
+    set matches), then components by recursive transitive closure vs
+    the engine's pointer jumping — two algorithms, one answer."""
     path = _model_parquet_path("kmeans_centroids")
     d64 = " + ".join(
         f"(e.v[{i}] - c.centroid[{i}])*(e.v[{i}] - c.centroid[{i}])"
         for i in range(1, dim + 1)
     )
     return f"""
-    WITH c AS (
+    WITH RECURSIVE c AS (
       SELECT CAST(cell AS INT) AS cell, centroid FROM read_parquet('{path}')
     ),
     emb AS (
@@ -755,6 +760,29 @@ def _clustering_suite_oracle_sql(dim: int = 64) -> str:
       SELECT vec_id, cell, d2, row_number() OVER (
         PARTITION BY vec_id ORDER BY d2, cell) AS rn
       FROM kd
+    ),
+    av AS (
+      SELECT ka.vec_id, ka.cell, emb.v,
+             sqrt(list_sum(list_transform(emb.v, x -> x * x))) AS nrm
+      FROM ka JOIN emb ON ka.vec_id = emb.vec_id WHERE ka.rn = 1
+    ),
+    pr AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+            >= {sem_threshold!r}
+    ),
+    ud AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+    reach(node, comp) AS (
+      SELECT u, u FROM ud
+      UNION
+      SELECT ud.v, reach.comp FROM reach JOIN ud ON ud.u = reach.node
+    ),
+    lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    sd AS (
+      SELECT e.vec_id, coalesce(lab.comp, e.vec_id) AS comp_id
+      FROM embeddings e LEFT JOIN lab ON e.vec_id = lab.node
     )
     SELECT 'label_centroid' AS part, CAST(label AS BIGINT) AS id,
            CAST(NULL AS INT) AS cell, count(*) AS n,
@@ -769,6 +797,14 @@ def _clustering_suite_oracle_sql(dim: int = 64) -> str:
            CAST(NULL AS DOUBLE) AS c1, CAST(NULL AS DOUBLE) AS c63,
            round(d2, 6) AS d2
     FROM ka WHERE rn = 1
+    UNION ALL
+    SELECT 'semdedup' AS part, CAST(vec_id AS BIGINT) AS id,
+           CAST(NULL AS INT) AS cell,
+           CAST(comp_id AS BIGINT) AS n,
+           CAST(count(*) OVER (PARTITION BY comp_id) AS DOUBLE) AS c0,
+           CAST(vec_id = comp_id AS DOUBLE) AS c1,
+           CAST(NULL AS DOUBLE) AS c63, CAST(NULL AS DOUBLE) AS d2
+    FROM sd
     """
 
 
@@ -782,15 +818,22 @@ def q_clustering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``kmeans_assign``: distributed Lloyd's k-means
       (operators/clustering.py::kmeans_fit — one shuffle per round,
       k·dim driver traffic) trained with the deterministic
-      content-addressed init, centroids materialized to the model
-      parquet, then every vector assigned to its nearest centroid with
-      the JVM fold expression (assign_clusters). The oracle re-derives
-      the assignment AND the per-vector squared distance from the
-      centroids alone, so the driver hash covers the assignment
-      operator end-to-end (the trained model rides in as data — the
-      float sums in Lloyd's updates are partition-order artifacts, the
-      assignment is not)."""
-    from .operators.clustering import assign_clusters
+      content-addressed init + exact-DECIMAL sums, centroids
+      materialized to the model parquet, then every vector assigned to
+      its nearest centroid with the JVM fold expression
+      (assign_clusters). The oracle re-derives the assignment AND the
+      per-vector squared distance from the centroids alone, so the
+      driver hash covers the assignment operator end-to-end (the
+      trained model rides in as data).
+    - ``semdedup``: the full SemDeDup pipeline (Abbas et al. 2023,
+      operators/clustering.py::semantic_dedup): within-cell cosine >=
+      0.4 pairs (pair space bounded by the clustering — never
+      corpus²) → pointer-jumping connected components → per-vector
+      (comp_id, comp_size, keep) mapped onto the suite columns
+      (n=comp_id, c0=comp_size, c1=keep). The oracle recomputes
+      everything from the materialized centroids, with components by
+      recursive transitive closure."""
+    from .operators.clustering import assign_clusters, semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
     comp = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
@@ -831,7 +874,20 @@ def q_clustering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("c63"),
         F.round(F.array_min(F.array(*dists)), 6).alias("d2"),
     )
-    return labels.unionByName(assigned)
+
+    sd = semantic_dedup(
+        e, cents, threshold=0.4, id_col="vec_id", vec_col="embedding"
+    ).select(
+        F.lit("semdedup").alias("part"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.lit(None).cast("int").alias("cell"),
+        F.col("comp_id").cast("long").alias("n"),
+        F.col("comp_size").cast("double").alias("c0"),
+        F.col("keep").cast("double").alias("c1"),
+        F.lit(None).cast("double").alias("c63"),
+        F.lit(None).cast("double").alias("d2"),
+    )
+    return labels.unionByName(assigned).unionByName(sd)
 
 
 @query(
