@@ -211,6 +211,32 @@ def probe_cc(spark, n_edges: int, chain_len: int):
     }), flush=True)
 
 
+def probe_passages(spark, n_docs: int, wpd: int, window: int = 20):
+    """Duplicate-passage detection at scale (decontam.py): the 5%
+    planted near-dup copies share their full base text, so every
+    window of a copied doc is duplicated — a known ground truth at any
+    size. Records span-stream volume, spans/sec through the two-
+    exchange plan (span-hash count window + per-doc agg), and that the
+    planted copies are exactly the all-windows-duplicated docs."""
+    from argostats_spark.operators.decontam import flag_duplicate_passages
+
+    docs = synth_docs(spark, n_docs, wpd).repartition(64).localCheckpoint(eager=True)
+    n = docs.count()
+    n_spans = n * (wpd - window + 1) + (n - n_docs) * 1  # copies add ' dupmark'
+    t0 = time.perf_counter()
+    out = flag_duplicate_passages(docs, window=window, stride=1).localCheckpoint(eager=True)
+    full_dup = out.filter(F.col("dup_frac") == 1.0).count()
+    any_dup = out.filter(F.col("has_dup") == 1).count()
+    sec = time.perf_counter() - t0
+    print(json.dumps({
+        "probe": "duplicate_passages", "n_docs": n, "words_per_doc": wpd,
+        "window": window, "approx_spans": n_spans,
+        "docs_fully_duplicated": full_dup, "docs_any_dup": any_dup,
+        "total_sec": round(sec, 1),
+        "spans_per_sec": int(n_spans / sec),
+    }), flush=True)
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() else "lsh"
     args = [int(a) for a in sys.argv[1:] if a.isdigit()]
@@ -226,6 +252,8 @@ def main():
     spark = get_spark("bench_dedup_scale", extra_conf=conf)
     if mode == "salt":
         probe_salt(spark, args[0] if args else 5000, args[1] if len(args) > 1 else 20_000)
+    elif mode == "passages":
+        probe_passages(spark, args[0] if args else 50_000, args[1] if len(args) > 1 else 60)
     elif mode == "cc":
         probe_cc(
             spark,
