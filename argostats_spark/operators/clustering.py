@@ -82,22 +82,32 @@ def kmeans_fit(
         assigned = vecs.withColumn("cell", _nearest_centroid("v", cents))
         # per-(cell, dim) partial sums: map-side combine shrinks the
         # exchange to ≤ tasks·k·dim rows regardless of corpus size.
-        # DECIMAL sum, not double: decimal addition is exact, so the
-        # trained centroids are independent of partition layout /
-        # reduction order — the property that lets an oracle-ordering
-        # guard (queries_documents.ensure_model_parquets) regenerate
-        # the SAME model in a different session. float32 inputs are
-        # exact in DECIMAL(28,14); the per-dim mean is cast back to
-        # double once, deterministically.
+        # DECIMAL sum, not double: each element is rounded ONCE to 14 dp
+        # by the cast (deterministic per value) and decimal addition is
+        # exact, so the trained centroids are independent of partition
+        # layout / reduction order — the property that lets the
+        # oracle-ordering guard (queries_documents.ensure_model_parquets)
+        # regenerate the SAME model in a different session. The n_bad
+        # column turns the cast's silent NULL on |x| ≥ 1e14 (non-ANSI
+        # mode) into a loud error instead of a skewed mean.
+        xd = F.col("x").cast("decimal(28,14)")
         sums = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(
-                F.sum(F.col("x").cast("decimal(28,14)")).alias("s"),
+                F.sum(xd).alias("s"),
                 F.count(F.lit(1)).alias("n"),
+                F.sum(xd.isNull().cast("int")).alias("n_bad"),
             )
             .collect()
         )
+        bad = sum(r["n_bad"] for r in sums)
+        if bad or any(r["s"] is None for r in sums):
+            raise ValueError(
+                f"kmeans_fit: {bad} embedding element(s) outside "
+                "DECIMAL(28,14) range (|x| >= 1e14) — clean or rescale "
+                "the corpus; a silent NULL here would skew the centroid"
+            )
         new = np.array(cents, dtype="f8")
         counts = {}
         for r in sums:

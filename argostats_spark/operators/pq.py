@@ -87,27 +87,19 @@ def pq_train(
 
 
 def _block_code(vec_col: str, block: int, dsub: int, book: list[list[float]]):
-    """Nearest sub-centroid index for one block. Built as ONE transform
-    over the literal ksub×dsub codebook array (distance per sub-
-    centroid) + array_min + array_position — a flat expression, where
-    the when-chain argmin fold used elsewhere for small centroid lists
-    would nest ksub aggregates per block and blow analysis/codegen time
-    at m·ksub expression blocks (measured: the fold variant made a
-    500-row encode take minutes; this shape is interactive).
-    array_position takes the FIRST minimum — deterministic ties."""
+    """Nearest sub-centroid index for one block — the shared flat
+    argmin (similarity._argmin_flat: one transform over the literal
+    ksub×dsub codebook + array_min + array_position) over the block's
+    slice. The when-chain argmin used for small centroid lists would
+    nest ksub aggregates per block and blow analysis/codegen time at
+    m·ksub expression blocks (measured: the fold variant made a 500-row
+    encode take minutes; this shape is interactive). First minimum —
+    deterministic ties; one helper, one tie/NULL contract for the
+    whole ANN family."""
+    from .similarity import _argmin_flat
+
     sub = F.slice(F.col(vec_col), block * dsub + 1, dsub)
-    books_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in book
-    ])
-    darr = F.transform(
-        books_lit,
-        lambda c: F.aggregate(
-            F.zip_with(sub, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return _argmin_flat(sub, book)
 
 
 def pq_encode(

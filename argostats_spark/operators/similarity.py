@@ -95,50 +95,62 @@ def train_centroids(
     return [c.tolist() for c in cents]
 
 
+def _sq_dist_fold(v: Column, carr: Column) -> Column:
+    """Σ(a-b)² as a zip_with fold in index order — the ONE distance
+    expression every argmin shape (and pq.py's block encoder) builds
+    on, so oracle bit-parity claims hold for all of them at once."""
+    return F.aggregate(
+        F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_chain(v: Column, centroids: list[list[float]]) -> Column:
+    """when/least-chain argmin: first strict minimum wins (lowest index
+    on exact ties); an all-NULL distance row yields index 0 (NULLs never
+    beat the running best)."""
+    best_id = F.lit(0)
+    best_d = F.lit(float("inf"))
+    for i, c in enumerate(centroids):
+        d = _sq_dist_fold(v, F.array(*[F.lit(float(x)) for x in c]))
+        best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
+        best_d = F.least(best_d, d)
+    return best_id
+
+
+def _argmin_flat(v: Column, centroids: list[list[float]]) -> Column:
+    """Flat transform + array_min + array_position argmin over one
+    literal array-of-arrays. Same semantics as the chain: array_min
+    skips NULL distances and array_position takes the FIRST equal
+    element (NULL elements never match), and the coalesce pins the
+    all-NULL row to index 0 exactly like the chain."""
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    darr = F.transform(cents_lit, lambda c: _sq_dist_fold(v, c))
+    pos = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return F.coalesce(pos, F.lit(0))
+
+
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
     """argmin over centroid squared distances, JVM-side, first minimum
     wins (lowest index on exact ties).
 
     Two shapes with identical semantics AND identical per-distance
-    arithmetic (zip_with fold in index order): a when/least chain for
-    small centroid lists (≤32 — the plan tests pin this shape for the
-    IVF/k-means demos), and a flat transform + array_min +
-    array_position over one literal array-of-arrays beyond that — the
-    chain nests one aggregate per centroid inside the growing
-    conditional, which stalls analysis/codegen at hundreds of blocks
-    (measured on the same fold shape in pq._block_code), while k-means||
-    weighting legitimately assigns against rounds·ℓ ≈ 10⁴ candidates."""
+    arithmetic (`_sq_dist_fold`): the when/least chain for small
+    centroid lists (≤32 — the plan tests pin this shape for the
+    IVF/k-means demos), and the flat transform shape beyond that — the
+    chain nests one aggregate per centroid inside a growing
+    conditional, and its analysis/codegen cost is superlinear
+    (MEASURED, SCALE.md: 64 candidates 74.5 s vs 6.6 s flat; 128:
+    237 s vs 5.2 s), while k-means|| weighting legitimately assigns
+    against rounds·ℓ ≈ 10⁴ candidates. Shape equivalence incl. the
+    tie and NULL rules is pinned by test."""
     v = F.col(vec_col)
-
-    def d_to(c: list[float]) -> Column:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     if len(centroids) > 32:
-        cents_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-        ])
-        darr = F.transform(
-            cents_lit,
-            lambda c: F.aggregate(
-                F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-
-    best_id = F.lit(0)
-    best_d = F.lit(float("inf"))
-    for i, c in enumerate(centroids):
-        d = d_to(c)
-        best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
-        best_d = F.least(best_d, d)
-    return best_id
+        return _argmin_flat(v, centroids)
+    return _argmin_chain(v, centroids)
 
 
 def ivf_assign(

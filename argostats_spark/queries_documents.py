@@ -102,7 +102,17 @@ def _train_and_write_kmeans(spark: SparkSession, sf_dir: str):
     return cents
 
 
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+# The driver's correctness scale (the brief pins oracle comparison at
+# sf=0.01). The model parquet path is NOT keyed by sf, so the guard
+# must train at the same sf the driver queries at — honor the parity
+# harness's env override so a non-default run stays aligned. If a
+# caller nevertheless queries at a third sf, the BUILDERS overwrite the
+# models at their own sf, so query-before-oracle ordering is always
+# consistent; only oracle-first at a non-default sf would read a
+# wrong-scale model — and the driver contract fixes that sf here.
+import os as _os
+
+_DRIVER_SF_DIR = _os.environ.get("ARGOSTATS_PARITY_SF", "/root/testdata/sf0.01")
 
 
 def ensure_model_parquets(sf_dir: str = _DRIVER_SF_DIR) -> None:
@@ -124,7 +134,17 @@ def ensure_model_parquets(sf_dir: str = _DRIVER_SF_DIR) -> None:
 
     if not os.path.isdir(sf_dir):  # no testdata in this environment —
         return                     # nothing the oracles could read either
+    # getActiveSession() is thread-local: a driver that created its
+    # session on another thread would look session-less here, and
+    # builder.getOrCreate() would hand back that SAME default session —
+    # which the finally block must then NOT stop (stopping the shared
+    # SparkContext kills every later driver query). Only own a session
+    # when no SparkContext exists at all.
+    from pyspark import SparkContext
+
     spark = SparkSession.getActiveSession()
+    if spark is None and SparkContext._active_spark_context is not None:
+        spark = SparkSession.builder.getOrCreate()  # reuse, never stop
     own = spark is None
     if own:
         spark = (
@@ -769,7 +789,11 @@ def _clustering_suite_oracle_sql(dim: int = 64, sem_threshold: float = 0.4) -> s
     pr AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib
       FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+      WHERE a.nrm * b.nrm > 0  -- zero-norm guard: the engine's
+        -- cosine_similarity yields NULL there (pair dropped); without
+        -- this, DuckDB's 0/0 = NaN compares >= threshold and the pair
+        -- would enter the oracle's graph only
+        AND list_sum(list_transform(range(1, len(a.v) + 1),
                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
             >= {sem_threshold!r}
     ),

@@ -140,27 +140,56 @@ def test_kmeans_fit_partition_independent(spark, blobs):
     assert a == b  # exact float equality, not allclose
 
 
-def test_nearest_centroid_flat_shape_matches_chain(spark, blobs):
-    """_nearest_centroid switches to the flat transform/array_position
-    argmin above 32 candidates; both shapes must assign identically
-    (same arithmetic, first-minimum tie rule)."""
-    from argostats_spark.operators.similarity import _nearest_centroid
+def test_nearest_centroid_shapes_agree(spark, blobs):
+    """_nearest_centroid dispatches to the when/least chain (<=32
+    candidates) or the flat transform/array_position argmin. Both
+    shapes must agree with each other AND a NumPy truth, including
+    first-minimum ties and the all-NULL-distance rule."""
+    from argostats_spark.operators.similarity import (
+        _argmin_chain, _argmin_flat,
+    )
 
     rng = np.random.default_rng(3)
-    # 40 candidates (> 32, flat) whose first 3 are the true centers,
-    # plus a duplicated candidate pair to exercise the tie rule
-    cands = CENTERS.tolist() + rng.normal(0, 4, (36, DIM)).tolist()
-    cands.append(list(cands[5]))  # exact duplicate of index 5
-    flat = blobs.select("vec_id", _nearest_centroid("embedding", cands).alias("cell"))
-    chain_rows = []
-    # chain shape forced by splitting below the threshold and folding
-    # manually: compute via numpy as the independent truth instead
+    # candidates: the true centers, random decoys, then EXACT
+    # duplicates of the true centers appended LAST — every blob point
+    # ties its center's distance bit-for-bit with the duplicate, so the
+    # first-minimum rule decides every single row
+    cands = CENTERS.tolist() + rng.normal(0, 4, (34, DIM)).tolist()
+    cands += CENTERS.tolist()               # indices 37, 38, 39
+    dup_idx = set(range(len(cands) - 3, len(cands)))
+
+    both = blobs.select(
+        "vec_id",
+        _argmin_chain(F.col("embedding"), cands).alias("chain"),
+        _argmin_flat(F.col("embedding"), cands).alias("flat"),
+    ).collect()
     pdf = blobs.select("vec_id", "embedding").toPandas()
     C = np.array(cands)
     vec = np.stack(pdf["embedding"].to_numpy())
     d = ((vec[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     expect = dict(zip(pdf["vec_id"].tolist(), d.argmin(axis=1).tolist()))
-    got = {r["vec_id"]: r["cell"] for r in flat.collect()}
-    assert got == expect
-    # no assignment may land on the duplicate (index 40) — first wins
-    assert 40 not in set(got.values())
+    for r in both:
+        assert r["chain"] == r["flat"] == expect[r["vec_id"]], r
+        assert r["chain"] not in dup_idx  # first minimum wins the tie
+
+
+def test_nearest_centroid_null_vector_pins_to_zero(spark):
+    """A NULL element makes every distance NULL; both shapes must
+    resolve to index 0 (chain: NULL never beats the running best;
+    flat: coalesce over the NULL array_position)."""
+    from argostats_spark.operators.similarity import (
+        _argmin_chain, _argmin_flat,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [None, 1.0, 2.0]), (2, [7.0, 1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cands = [[7.0, 1.0, 2.0], [0.0, 0.0, 0.0], [9.0, 9.0, 9.0]]
+    rows = {r["vec_id"]: r for r in df.select(
+        "vec_id",
+        _argmin_chain(F.col("embedding"), cands).alias("chain"),
+        _argmin_flat(F.col("embedding"), cands).alias("flat"),
+    ).collect()}
+    assert rows[1]["chain"] == rows[1]["flat"] == 0   # all-NULL row
+    assert rows[2]["chain"] == rows[2]["flat"] == 0   # exact match row
