@@ -169,3 +169,38 @@ def test_passage_hashers_and_validation(spark, passage_corpus):
         duplicate_passages(passage_corpus, hasher="sha1").collect()
     with pytest.raises(ValueError, match="window"):
         duplicate_passages(passage_corpus, window=0).collect()
+
+
+def test_duplicate_passages_randomized_differential(spark):
+    """Randomized sweep: small-vocab corpora force genuine cross-doc
+    window collisions; the engine's census must equal a pure-Python
+    rolling-window counter for every (window, stride) drawn."""
+    from collections import Counter
+
+    import numpy as np
+
+    from argostats_spark.operators.decontam import duplicate_passages
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(6)]   # tiny vocab -> dense collisions
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(vocab, size=rng.integers(0, 25))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        window = int(rng.integers(2, 6))
+        stride = int(rng.integers(1, window + 1))
+        cnt = Counter()
+        for _, t in docs:
+            toks = t.split()
+            cnt.update(
+                " ".join(toks[s:s + window])
+                for s in range(0, len(toks) - window + 1, stride)
+            )
+        expect = sorted(c for c in cnt.values() if c >= 2)
+        got = sorted(
+            r["n_occurrences"]
+            for r in duplicate_passages(df, window=window, stride=stride).collect()
+        )
+        assert got == expect, (trial, window, stride)

@@ -138,3 +138,25 @@ def test_nll_deciles_approx_has_no_global_sort(docs_df):
     nll = unigram_lm_nll(docs_df)
     plan = physical_plan(nll_deciles(nll, exact=False))
     assert "Window" not in plan, plan[:800]
+
+
+def test_chunk_documents_carry_cols_row_local(spark, sf_dir):
+    """carry_cols projects stratum columns through to every chunk row
+    without any join or shuffle (the pack_sequences composition relies
+    on this staying single-exchange)."""
+    from argostats_spark.operators.sampling import chunk_documents
+    from argostats_spark.plans.explain import count_exchanges, physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=16, stride=8,
+                          carry_cols=("lang", "source"))
+    assert count_exchanges(out) == 0
+    assert "Join" not in physical_plan(out)
+    langs = dict(
+        docs.select("doc_id", "lang").collect()
+    )
+    for r in out.limit(200).collect():
+        assert r["lang"] == langs[r["doc_id"]]
+    assert set(out.columns) >= {"doc_id", "lang", "source", "chunk_id",
+                                "tok_start", "tok_end", "chunk_text",
+                                "n_chunk_tokens"}
