@@ -89,6 +89,60 @@ def stratified_sample_exact(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    target_rows: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """α-temperature domain mixing — the standard pretraining mixture
+    reweighting (public practice: GPT-3's mixture weights, The Pile's
+    epoch factors, multilingual BERT's exponential smoothing): stratum
+    ``s`` receives sampling weight p_s ∝ n_s^α, so α<1 flattens the
+    mixture (small domains over-represented relative to their raw
+    share) and α=1 is proportional. Keeps ``k_s = min(n_s,
+    ceil(round(target·p_s, 6)))`` rows per stratum, chosen in
+    deterministic md5-hash order; ``target_rows`` defaults to the
+    corpus size. The round-before-ceil absorbs cross-engine float
+    summation-order differences in Σ n^α (repo convention).
+
+    Scale shape: one tiny counts aggregation (|strata| rows to the
+    driver — domains, not documents), the per-stratum quota attached
+    as a literal map (no join), then the same single stratum-window
+    exchange as the exact sampler. Clamped quotas are NOT
+    redistributed (no waterfilling) — deterministic and one-pass;
+    callers wanting the exact target after clamping re-run with a
+    higher target."""
+    import math
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df
+    z = sum(c ** alpha for _, c in sorted(counts.items(), key=lambda kv: str(kv[0])))
+    target = sum(counts.values()) if target_rows is None else target_rows
+    ks = {
+        s: min(c, math.ceil(round(target * (c ** alpha) / z, 6)))
+        for s, c in counts.items()
+    }
+    quota = F.create_map(*[
+        x for s, k in sorted(ks.items(), key=lambda kv: str(kv[0]))
+        for x in (F.lit(s), F.lit(int(k)))
+    ])
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = W.partitionBy(strata_col).orderBy(h)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.element_at(quota, F.col(strata_col)))
+        .drop("_rn")
+    )
+
+
 def stratified_sample_approx(
     df: DataFrame, strata_col: str, fraction: float, seed: int = 42
 ) -> DataFrame:

@@ -1574,21 +1574,57 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY lang
                ORDER BY md5('sample' || CAST(doc_id AS VARCHAR))) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z,
+                   CAST(sum(n) AS DOUBLE) AS big_n
+            FROM cnt),
+    ks AS (
+      SELECT lang,
+             least(n, CAST(ceil(round(
+               big_n * sqrt(CAST(n AS DOUBLE)) / z, 6)) AS BIGINT)) AS k
+      FROM cnt, tot),
+    m AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('mix' || CAST(doc_id AS VARCHAR))) AS rn
       FROM documents)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    SELECT 'frac20' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang
     FROM s WHERE rn <= CEIL(n * 0.2)
+    UNION ALL
+    SELECT 'temp_mix' AS part, CAST(m.doc_id AS BIGINT) AS doc_id, m.lang
+    FROM m JOIN ks ON m.lang = ks.lang WHERE m.rn <= ks.k
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 20% per-language sample, chosen by md5-hash order —
-    deterministic and engine-independent (operators/sampling.py). One
-    window shuffle; the approximate no-shuffle twin is sampleBy."""
-    from .operators.sampling import stratified_sample_exact
+    """The sampling family as one tagged union:
+
+    - ``frac20``: exact 20% per-language sample, chosen by md5-hash
+      order — deterministic and engine-independent
+      (operators/sampling.py::stratified_sample_exact). One window
+      shuffle; the approximate no-shuffle twin is sampleBy.
+    - ``temp_mix``: α-temperature domain mixing (α=0.5, target =
+      corpus size): per-language quota ∝ √n_lang — the standard
+      pretraining mixture flattening (GPT-3 weights / Pile epochs /
+      mBERT smoothing), small languages over-represented relative to
+      raw share. Quotas from a tiny counts agg, attached as a literal
+      map (no join), same single window exchange
+      (operators/sampling.py::temperature_mixture); the oracle
+      recomputes the quota arithmetic in SQL with the shared
+      round-before-ceil convention."""
+    from .operators.sampling import stratified_sample_exact, temperature_mixture
 
     d = _t(spark, sf_dir, "documents")
-    return stratified_sample_exact(d, "lang", 0.2, "doc_id").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    frac = stratified_sample_exact(d, "lang", 0.2, "doc_id").select(
+        F.lit("frac20").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
     )
+    mix = temperature_mixture(d, "lang", alpha=0.5, key_col="doc_id").select(
+        F.lit("temp_mix").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+    )
+    return frac.unionByName(mix)
 
 
 @query(
