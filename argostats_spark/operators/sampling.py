@@ -185,6 +185,41 @@ def pack_chunks(
     )
 
 
+def materialize_packs(
+    df: DataFrame,
+    text_col: str,
+    strata_col: str,
+    pack_col: str = "chunk_id",
+    order_col: str | list[str] = "doc_id",
+    separator: str = "<|endoftext|>",
+) -> DataFrame:
+    """The byte half of sequence packing (``pack_chunks`` is the
+    assignment half): concatenate each pack's member texts, in the SAME
+    deterministic order the assignment used, into one training-sequence
+    row ``(strata, pack, n_members, pack_text)``.
+
+    Scale shape: ONE groupBy((strata, pack)) exchange; member order is
+    restored inside the row (sort_array over (order-key, text) structs
+    — no window, no second shuffle). Per-row size is bounded by the
+    packing budget (a pack holds ≈ budget tokens by construction), so
+    collect_list cannot accumulate more than one training sequence —
+    the property that makes in-row concatenation safe at any corpus
+    size. The separator defaults to the conventional EOS sentinel."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    key = F.struct(*[F.col(c) for c in order_cols], F.col(text_col).alias("__t"))
+    ordered = F.array_sort(F.collect_list(key))
+    return (
+        df.groupBy(strata_col, pack_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.array_join(
+                F.transform(ordered, lambda s: s.getField("__t")),
+                separator,
+            ).alias("pack_text"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

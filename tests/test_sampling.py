@@ -73,3 +73,48 @@ def test_deterministic_and_prefix_stable(spark, skewed):
 def test_alpha_validation(spark, skewed):
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture(skewed, "lang", alpha=-0.1)
+
+
+def test_materialize_packs_roundtrip(spark):
+    """chunk -> pack -> materialize: every token of every document
+    lands in exactly one pack, in assignment order, and per-pack token
+    totals respect the budget bound (first member may straddle)."""
+    from argostats_spark.operators.sampling import (
+        chunk_documents, materialize_packs, pack_chunks,
+    )
+
+    texts = {
+        0: " ".join(f"a{i}" for i in range(23)),
+        1: " ".join(f"b{i}" for i in range(7)),
+        2: " ".join(f"c{i}" for i in range(15)),
+    }
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in texts.items()],
+        "doc_id long, lang string, text string",
+    )
+    chunks = chunk_documents(df, chunk_tokens=6, stride=6, carry_cols=("lang",)) \
+        .withColumnRenamed("chunk_id", "window_id")
+    packed = pack_chunks(
+        chunks, "n_chunk_tokens", 10, "lang", ["doc_id", "window_id"]
+    ).withColumnRenamed("chunk_id", "pack_id")
+    packs = materialize_packs(
+        packed, "chunk_text", "lang", pack_col="pack_id",
+        order_col=["doc_id", "window_id"], separator=" | ",
+    ).collect()
+
+    # lossless + ordered: re-splitting the packs in pack_id order
+    # reproduces the exact chunk stream, which reproduces every token
+    stream = []
+    for r in sorted(packs, key=lambda r: r["pack_id"]):
+        stream.extend(r["pack_text"].split(" | "))
+    expect = [
+        r["chunk_text"]
+        for r in packed.orderBy("doc_id", "window_id").collect()
+    ]
+    assert stream == expect
+    joined = " ".join(stream).split()
+    assert joined == " ".join(texts[i] for i in sorted(texts)).split()
+    # budget bound: each pack's exclusive prefix was < 10 tokens, so
+    # token count < 10 + last member's tokens (<= 6)
+    for r in packs:
+        assert len(r["pack_text"].replace(" | ", " ").split()) < 16
