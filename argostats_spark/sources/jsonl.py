@@ -84,6 +84,50 @@ def read_jsonl(
     return good, bad
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> DataFrame:
+    """Continuous JSONL ingestion (Structured Streaming file source):
+    the same enforced-schema parse as :func:`read_jsonl`, returned as
+    ONE stream with the caller's columns plus an ``is_corrupt`` flag
+    and the ``raw_line``.
+
+    One stream, not a (good, bad) pair: a streaming source cannot be
+    consumed twice without reading every file twice, so the split
+    belongs at the SINK — route ``is_corrupt`` inside one foreachBatch
+    (or two filters feeding two sinks off a persisted batch). Good
+    rows carry their parsed columns; corrupt rows carry NULLs there
+    and the raw line for replay — the batch reader's quarantine
+    contract, streamified. Blank lines skip as in batch."""
+    if _CORRUPT in schema.fieldNames():
+        raise ValueError(f"schema must not define the reserved column {_CORRUPT!r}")
+    full = StructType(
+        list(schema.fields) + [StructField(_CORRUPT, StringType(), True)]
+    )
+    parsed = (
+        spark.readStream.text(path)
+        .filter(F.trim("value") != F.lit(""))
+        .select(
+            F.col("value"),
+            F.from_json(
+                "value", full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+            ).alias("j"),
+        )
+    )
+    is_bad = F.col("j").isNull() | F.col(f"j.{_CORRUPT}").isNotNull()
+    return parsed.select(
+        *[
+            F.when(~is_bad, F.col(f"j.{f.name}")).alias(f.name)
+            for f in schema.fields
+        ],
+        is_bad.alias("is_corrupt"),
+        F.col("value").alias("raw_line"),
+    )
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
     """Write a frame as JSONL (one object per line per the interchange
     convention), compressed by default — the shape downstream trainers

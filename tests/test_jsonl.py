@@ -69,3 +69,31 @@ def test_write_read_roundtrip(spark, tmp_path_factory):
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
         (1, "a b"), (2, "c d"),
     ]
+
+
+def test_streaming_matches_batch(spark, corpus_path, tmp_path_factory):
+    """read_jsonl_stream over the same files equals the batch split:
+    good rows identical, corrupt raw lines identical, flag routing at
+    the sink."""
+    import shutil
+
+    from argostats_spark.sources.jsonl import read_jsonl_stream
+    from argostats_spark.streaming.events import run_to_memory
+
+    d = tmp_path_factory.mktemp("jsonl_stream")
+    shutil.copy(corpus_path, d / "part-000.jsonl")
+    stream = read_jsonl_stream(spark, str(d), SCHEMA)
+    assert stream.isStreaming
+    q = run_to_memory(stream, "jsonl_stream", output_mode="append")
+    try:
+        rows = spark.table("jsonl_stream").collect()
+    finally:
+        q.stop()
+    good = {r["doc_id"]: r for r in rows if not r["is_corrupt"]}
+    bad = sorted(r["raw_line"] for r in rows if r["is_corrupt"])
+    bgood, bbad = read_jsonl(spark, corpus_path, SCHEMA)
+    assert set(good) == {r["doc_id"] for r in bgood.collect()}
+    assert bad == sorted(r["raw_line"] for r in bbad.collect())
+    for r in rows:
+        if r["is_corrupt"]:
+            assert r["doc_id"] is None and r["text"] is None
