@@ -1,0 +1,234 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): pick the k raw-corpus documents that look most like
+a small high-quality target corpus, by importance weights computed in
+a hashed n-gram feature space, sampled without replacement via Gumbel
+top-k.
+
+Green-field scope (no counterpart in the reference's oceanographic
+engine): this is the standard published technique for targeted
+pre-training-data selection, and it slots between quality filtering
+and tokenization in a 100 TB corpus build.
+
+The math (paper §3, bag-of-hashed-ngrams instantiation):
+
+- every word unigram and bigram is hashed into one of B buckets;
+- two multinomials are fit over bucket counts — p̂ on the target
+  corpus, q̂ on the raw corpus — with add-α smoothing
+  (p̂_b = (c_b + α) / (T + α·B));
+- a document's importance log-weight is Σ_b c_b·(ln p̂_b − ln q̂_b),
+  i.e. its gram count vector dotted with the bucket log-ratio λ;
+- k documents are drawn WITHOUT replacement with probability
+  ∝ exp(logw / temperature) via the Gumbel top-k trick: rank by
+  logw/temperature + g_i, g_i ~ Gumbel(0,1), take the top k.
+
+Determinism policy (matches operators/sampling.py): the Gumbel noise
+is content-derived, never rand() — u_i comes from the md5 of
+(salt‖doc_id), so the selection is byte-identical on every run, every
+partitioning, every engine (DuckDB computes the identical u_i; that is
+the oracle). Ranking compares ROUNDED (6 dp) scores with a doc-id
+tiebreak so a 1-ulp ln() difference between libm implementations can
+never flip an ordering.
+
+Scale shape (the point of the Spark re-expression):
+
+- feature extraction is a row-local explode — no shuffle until the
+  (id, bucket) aggregate;
+- the fitted model is a ≤B-row λ table (B defaults to 4096; the paper
+  uses 10k) — broadcast back, never a corpus reshuffle;
+- raw-corpus bucket totals are derived FROM the per-doc feature table
+  (groupBy(bucket), map-side combine), so the raw corpus is tokenized
+  exactly once; the feature table is localCheckpointed because both
+  the fit and the scoring pass consume it (at 100 TB you'd persist it
+  as a parquet table instead — it is the natural pipeline
+  intermediate, smaller than the corpus and reused by every re-fit);
+- selection is orderBy(...).limit(k) — TakeOrdered (per-partition
+  top-k, then a k-row driver merge), never a global sort.
+
+Shuffle inventory: target fit 1 (B-bounded output), per-doc features
+1 (keyed (id, bucket)), raw totals 1 (B-bounded, from features not
+text), scoring 1 (keyed id). Nothing quadratic, nothing driver-side
+except the k selected rows and two scalar totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.text import tokens, word_ngrams
+
+__all__ = [
+    "hashed_gram_buckets",
+    "doc_bucket_counts",
+    "dsir_logratio",
+    "dsir_scores",
+    "gumbel_key",
+    "dsir_resample",
+    "dsir_select",
+]
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def hashed_gram_buckets(text, n_buckets: int = 4096) -> Column:
+    """Array of feature-bucket ids (bigint, [0, n_buckets)) for every
+    word unigram AND bigram of ``text`` — the hashed n-gram feature map
+    of DSIR §3. One array expression, row-local, whole-stage codegen.
+
+    Bucket = first 8 hex chars of md5 → 32-bit int → mod. md5 is the
+    cross-engine hash family (identical in Spark and DuckDB, see
+    sampling.hash_bucket); repeated grams repeat their bucket — counts
+    are carried by multiplicity, not pre-aggregated here."""
+    unis = F.transform(tokens(_c(text)), lambda t: F.lower(t))
+    grams = F.concat(unis, word_ngrams(_c(text), 2))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+
+
+def doc_bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document hashed-ngram feature vector in sparse (id, bucket,
+    c) form. One explode (row-local) + one (id, bucket) aggregate —
+    the only corpus-keyed shuffle DSIR ever does with document text."""
+    return (
+        docs.select(id_col, F.explode(hashed_gram_buckets(text_col, n_buckets)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_logratio(
+    target_bucket_totals: DataFrame,
+    raw_bucket_totals: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The fitted model: (bucket, lam) with
+    lam = ln((ct + α)/(T + α·B)) − ln((cr + α)/(R + α·B)).
+
+    Inputs are (bucket, c) totals per corpus. Output is ≤B rows —
+    broadcast it. The two corpus totals come back as scalars (16 bytes
+    of driver traffic); buckets unseen on one side get the smoothed
+    floor via coalesce(c, 0). Buckets unseen on BOTH sides are absent —
+    no gram maps there, so they can never contribute to a score."""
+    t_tot = target_bucket_totals.agg(F.sum("c")).first()[0] or 0
+    r_tot = raw_bucket_totals.agg(F.sum("c")).first()[0] or 0
+    t = target_bucket_totals.select("bucket", F.col("c").alias("ct"))
+    r = raw_bucket_totals.select("bucket", F.col("c").alias("cr"))
+    denom_t = float(t_tot + alpha * n_buckets)
+    denom_r = float(r_tot + alpha * n_buckets)
+    joined = t.join(r, "bucket", "full_outer")
+    lam = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(alpha)) / F.lit(denom_t)
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(alpha)) / F.lit(denom_r)
+    )
+    return joined.select("bucket", lam.alias("lam"))
+
+
+def dsir_scores(
+    raw_feats: DataFrame,
+    logratio: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance log-weight: (id, n_grams, logw) with
+    logw = Σ c·λ rounded to 6 dp (the cross-engine determinism policy —
+    sum order is partition-dependent at ~1e-13). The λ table is
+    broadcast; one aggregate keyed on the document id."""
+    return (
+        raw_feats.join(F.broadcast(logratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_expr, salt: str = "dsir") -> Column:
+    """Deterministic Gumbel(0,1) draw per id: u from the md5 of
+    (salt‖id) — first 8 hex chars → 32-bit int h, u = (h + 0.5)/2³²
+    (the +0.5 keeps u strictly inside (0,1)) — then g = −ln(−ln u),
+    rounded to 6 dp. Content-derived like every other random draw in
+    this engine (see module docstring): stable under retries,
+    repartitioning, and engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), _c(id_expr).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    return F.round(-F.log(-F.log(u)), 6)
+
+
+def dsir_resample(
+    scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel top-k sampling without replacement: keep the k rows with
+    the largest round(logw,6)/temperature + g, g the deterministic
+    Gumbel key. Adds ``g``, ``score`` and ``rank`` (1-based).
+
+    temperature→0⁺ degenerates to exact top-k by logw; temperature→∞
+    approaches a uniform k-subset. Selection is orderBy().limit(k) —
+    Spark plans TakeOrdered (per-partition heap + k-row merge), NOT a
+    global sort; the rank window then runs over k rows only (bounded
+    by construction, documented single partition)."""
+    g = gumbel_key(F.col(id_col), salt)
+    score = F.round(F.col("logw") / F.lit(float(temperature)) + F.col("g"), 6)
+    top = (
+        scores.withColumn("g", g)
+        .withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    temperature: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end DSIR: returns (selected, logratio) — the k selected
+    raw documents (id, n_grams, logw, g, score, rank) and the fitted
+    ≤B-row λ table (kept so callers can audit / reuse the model).
+
+    The raw corpus is tokenized exactly once: its per-doc feature
+    table feeds both the q̂ fit (groupBy(bucket) totals) and the
+    scoring pass, and is localCheckpointed because two actions consume
+    it (at 100 TB persist it as a parquet table instead — it is the
+    reusable pipeline intermediate). The target corpus is assumed
+    small (a curated quality sample); its totals are one aggregate."""
+    raw_feats = doc_bucket_counts(raw_docs, text_col, id_col, n_buckets).localCheckpoint(
+        eager=True
+    )
+    raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    tgt_tot = (
+        target_docs.select(F.explode(hashed_gram_buckets(text_col, n_buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lam = dsir_logratio(tgt_tot, raw_tot, n_buckets, alpha).localCheckpoint(eager=True)
+    scores = dsir_scores(raw_feats, lam, id_col)
+    return dsir_resample(scores, k, id_col, salt, temperature), lam

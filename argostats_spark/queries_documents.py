@@ -1786,3 +1786,136 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "window_id", "tok_start", "tok_end", "n_chunk_tokens",
         "chunk_md5", "lang", "pack_id",
     )
+
+
+@query(
+    "dsir_select",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               tk,
+               list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                              i -> array_to_string(list_slice(tk, i, i + 1),
+                                                   ' '))
+             )) AS gram
+      FROM tk
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket,
+             count(*) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    tgt AS (SELECT bucket, sum(c) AS ct FROM feat
+            WHERE source = 'src0' GROUP BY 1),
+    rawt AS (SELECT bucket, sum(c) AS cr FROM feat
+             WHERE source <> 'src0' GROUP BY 1),
+    tots AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS t_tot,
+                    (SELECT coalesce(sum(cr), 0) FROM rawt) AS r_tot),
+    lam AS (
+      SELECT coalesce(tgt.bucket, rawt.bucket) AS bucket,
+             ln((coalesce(ct, 0) + 1.0) / (t_tot + 4096.0))
+             - ln((coalesce(cr, 0) + 1.0) / (r_tot + 4096.0)) AS lam
+      FROM tgt FULL OUTER JOIN rawt ON tgt.bucket = rawt.bucket, tots
+    ),
+    sc AS (
+      SELECT f.doc_id,
+             CAST(sum(f.c) AS BIGINT) AS n_grams,
+             round(sum(f.c * lam.lam), 6) AS logw
+      FROM feat f JOIN lam ON f.bucket = lam.bucket
+      WHERE f.source <> 'src0'
+      GROUP BY 1
+    ),
+    gk AS (
+      SELECT doc_id, n_grams, logw,
+             round(-ln(-ln(
+               (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT + 0.5) / 4294967296.0)), 6) AS g
+      FROM sc
+    ),
+    ranked AS (
+      SELECT doc_id, n_grams, logw, g, round(logw + g, 6) AS score,
+             row_number() OVER (ORDER BY round(logw + g, 6) DESC,
+                                doc_id ASC) AS rnk
+      FROM gk
+    ),
+    lam6 AS (
+      SELECT bucket, round(lam, 6) AS lam6,
+             row_number() OVER (ORDER BY round(lam, 6) DESC,
+                                bucket ASC) AS rnk
+      FROM lam
+    )
+    SELECT 'selected' AS part, CAST(doc_id AS BIGINT) AS id,
+           CAST(rnk AS BIGINT) AS rnk, n_grams AS n,
+           logw AS v1, g AS v2, score AS v3
+    FROM ranked WHERE rnk <= 100
+    UNION ALL
+    SELECT 'bucket', CAST(bucket AS BIGINT), CAST(rnk AS BIGINT),
+           CAST(NULL AS BIGINT), lam6, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM lam6 WHERE rnk <= 10
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169; operators/dsir.py): select the k=100 raw
+    documents most target-like under a hashed-ngram (uni+bigram,
+    B=4096 md5 buckets) importance model, Gumbel top-k without
+    replacement with content-derived (md5) noise. Target corpus =
+    ``source = 'src0'``, raw corpus = every other source (both
+    predicates drop NULL sources identically in both engines).
+
+    Two parts, both fully recomputed by the oracle (the model is pure
+    count arithmetic — nothing rides in as data):
+
+    - ``selected``: the k chosen documents with rank, gram count,
+      logw = Σ c·λ (6 dp), the deterministic Gumbel draw, and the
+      ranking score. Ranking compares ROUNDED scores with a doc-id
+      tiebreak so a 1-ulp ln() divergence cannot flip an order.
+    - ``bucket``: the 10 most target-indicative feature buckets by
+      rounded λ — model visibility, so a smoothing or hashing drift
+      fails the hash even if the selection happens to survive it.
+
+    Scale shape (module docstring has the full inventory): row-local
+    feature explode, one (id, bucket) corpus shuffle, B-row λ table
+    broadcast back, TakeOrdered selection — never a global sort, never
+    a second corpus pass."""
+    from .operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.where(F.col("source") != "src0")
+    tgt = d.where(F.col("source") == "src0")
+    selected, lam = dsir_select(raw, tgt, k=100, n_buckets=4096)
+    sel_rows = selected.select(
+        F.lit("selected").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("rank").alias("rnk"),
+        F.col("n_grams").alias("n"),
+        F.col("logw").alias("v1"),
+        F.col("g").alias("v2"),
+        F.col("score").alias("v3"),
+    )
+    lam6 = lam.select("bucket", F.round("lam", 6).alias("lam6"))
+    w = W.orderBy(F.col("lam6").desc(), F.col("bucket").asc())
+    bucket_rows = (
+        lam6.orderBy(F.col("lam6").desc(), F.col("bucket").asc())
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            F.lit("bucket").alias("part"),
+            F.col("bucket").cast("long").alias("id"),
+            "rnk",
+            F.lit(None).cast("long").alias("n"),
+            F.col("lam6").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+        )
+    )
+    return sel_rows.unionByName(bucket_rows)

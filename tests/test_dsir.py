@@ -1,0 +1,139 @@
+"""DSIR importance resampling (operators/dsir.py) — behavioral tests
+beyond the driver-hashed oracle row: does the selection actually
+recover a planted target dialect, is it partition- and run-
+deterministic, and do the temperature limits behave as the Gumbel
+top-k math says they must."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.dsir import (
+    doc_bucket_counts,
+    dsir_logratio,
+    dsir_resample,
+    dsir_scores,
+    dsir_select,
+    hashed_gram_buckets,
+)
+
+B = 512  # small bucket space keeps the tiny-corpus tests honest
+
+
+def _dialect_corpus(spark, n_a=60, n_b=60):
+    """Raw corpus of two disjoint-vocabulary dialects: doc_id < 1000 is
+    dialect A ('alpha'-family words), >= 1000 is dialect B."""
+    rows = []
+    va = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    vb = ["zulu", "yankee", "xray", "whiskey", "victor", "uniform"]
+    for i in range(n_a):
+        ws = [va[(i + j) % len(va)] for j in range(12)]
+        rows.append((i, " ".join(ws)))
+    for i in range(n_b):
+        ws = [vb[(i + j) % len(vb)] for j in range(12)]
+        rows.append((1000 + i, " ".join(ws)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _target(spark, n=20):
+    va = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    rows = [
+        (10_000 + i, " ".join(va[(i + j) % len(va)] for j in range(10)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gram_features_count(spark):
+    # t tokens -> t unigrams + (t-1) bigrams = 2t - 1 grams
+    df = spark.createDataFrame([(1, "A b  c"), (2, "solo"), (3, "")],
+                               "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(hashed_gram_buckets("text", B)).alias("n")
+        ).collect()
+    }
+    assert out == {1: 5, 2: 1, 3: 0}
+    # buckets are in range and case-insensitive ('A b c' vs 'a b c')
+    b1 = df.where("doc_id = 1").select(
+        F.explode(hashed_gram_buckets("text", B)).alias("b")).collect()
+    assert all(0 <= r["b"] < B for r in b1)
+    low = spark.createDataFrame([(9, "a b  c")], "doc_id bigint, text string")
+    b2 = low.select(F.explode(hashed_gram_buckets("text", B)).alias("b")).collect()
+    assert sorted(r["b"] for r in b1) == sorted(r["b"] for r in b2)
+
+
+def test_logratio_signs(spark):
+    # a bucket seen only in the target has positive lam; only-raw negative
+    tgt = spark.createDataFrame([(1, 10)], "bucket bigint, c bigint")
+    raw = spark.createDataFrame([(2, 10)], "bucket bigint, c bigint")
+    lam = {r["bucket"]: r["lam"] for r in dsir_logratio(tgt, raw, B).collect()}
+    assert lam[1] > 0 and lam[2] < 0
+
+
+def test_planted_dialect_recovery(spark):
+    raw = _dialect_corpus(spark)
+    tgt = _target(spark)
+    # near-argmax temperature: Gumbel noise is ~O(1), logw gaps between
+    # dialects are tens of nats, so even T=1 separates; T=0.05 is argmax
+    sel, lam = dsir_select(raw, tgt, k=30, n_buckets=B, temperature=0.05)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 30
+    assert all(i < 1000 for i in ids), "selected a dialect-B document"
+    # at temperature 1 the dialect gap still dominates the noise
+    sel1, _ = dsir_select(raw, tgt, k=30, n_buckets=B, temperature=1.0)
+    ids1 = [r["doc_id"] for r in sel1.collect()]
+    assert sum(i < 1000 for i in ids1) == 30
+
+
+def test_partition_independence_and_rerun_determinism(spark):
+    raw = _dialect_corpus(spark)
+    tgt = _target(spark)
+
+    def run(df):
+        sel, _ = dsir_select(df, tgt, k=25, n_buckets=B)
+        return [(r["doc_id"], r["rank"], r["logw"], r["score"])
+                for r in sel.orderBy("rank").collect()]
+
+    a = run(raw.repartition(13))
+    b = run(raw.repartition(2))
+    c = run(raw.coalesce(1))
+    assert a == b == c
+
+
+def test_low_temperature_is_argmax_of_logw(spark):
+    raw = _dialect_corpus(spark, n_a=15, n_b=15)
+    tgt = _target(spark, n=8)
+    feats = doc_bucket_counts(raw, n_buckets=B)
+    tgt_tot = (
+        tgt.select(F.explode(hashed_gram_buckets("text", B)).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw_tot = feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    lam = dsir_logratio(tgt_tot, raw_tot, B)
+    scores = dsir_scores(feats, lam)
+    by_logw = [
+        r["doc_id"]
+        for r in scores.orderBy(F.desc("logw"), "doc_id").limit(10).collect()
+    ]
+    sel = dsir_resample(scores, 10, temperature=1e-6)
+    assert sorted(r["doc_id"] for r in sel.collect()) == sorted(by_logw)
+
+
+def test_resample_rank_is_dense_and_score_sorted(spark):
+    raw = _dialect_corpus(spark, n_a=10, n_b=10)
+    tgt = _target(spark, n=5)
+    sel, _ = dsir_select(raw, tgt, k=12, n_buckets=B)
+    rows = sel.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 13))
+    ss = [r["score"] for r in rows]
+    assert ss == sorted(ss, reverse=True)
+
+
+def test_k_larger_than_corpus_returns_everything(spark):
+    raw = _dialect_corpus(spark, n_a=4, n_b=4)
+    tgt = _target(spark, n=3)
+    sel, _ = dsir_select(raw, tgt, k=100, n_buckets=B)
+    assert sel.count() == 8

@@ -309,3 +309,16 @@ def test_tfidf_lm_broadcasts_vocab_tables(spark, sf):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_dsir_take_ordered_and_broadcast_lambda(spark, sf):
+    """dsir_select's selection must plan as TakeOrderedAndProject (a
+    per-partition top-k heap + k-row merge — never a global sort of
+    the scored corpus) and the B-row λ model must come back to the
+    per-doc feature table as a broadcast hash join, never a corpus-
+    side sort-merge."""
+    df = QUERIES["dsir_select"](spark, sf)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1600]
