@@ -1,0 +1,172 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") — the
+tokenizer-construction step of a training-data pipeline, Spark-first.
+
+The scale trick (same as every serious BPE implementation): training
+never iterates over the corpus. One corpus pass aggregates to the
+WORD-FREQUENCY table (distinct word → count — vocabulary-sized, orders
+of magnitude smaller than 100 TB of text), and every merge round runs
+against that table only:
+
+- pair counting is an explode over adjacent symbol pairs weighted by
+  word count → groupBy(pair) → one aggregate whose output is bounded
+  by the live pair vocabulary (map-side combine does the heavy
+  lifting);
+- the argmax pair comes back via orderBy(...).limit(1) — TakeOrdered,
+  ONE ROW of driver traffic per round (ties broken (count desc, a asc,
+  b asc) so training is deterministic on any partitioning);
+- the merge is applied to the symbol arrays with a left-fold
+  (F.aggregate): scan symbols left→right, replacing the last emitted
+  symbol when (last, current) == (a, b) — exactly BPE's leftmost
+  non-overlapping merge semantics (a merged symbol a‖b can never equal
+  a, so a fresh merge can't cascade within the same round);
+- the words table is localCheckpointed every round: k rounds would
+  otherwise stack k interpreted fold expressions into one plan.
+
+Encoding is a JOIN, not a re-run of the merges: the trained words
+table IS the word → subwords map, so encoding a corpus is explode →
+equi-join on the word (broadcast while the vocab fits; the join key is
+the word, so the identical plan degrades to a shuffle join at
+web-corpus vocabularies). Out-of-vocabulary words (new corpora) fall
+back to character symbols + '</w>' — the correct BPE-zero encoding —
+flagged ``in_vocab = false`` so callers can measure OOV drift.
+
+Per the Sennrich formulation, every word carries a terminal '</w>'
+symbol so subwords learned at word ends differ from word-internal
+ones.
+
+Driver traffic: k merge rows + one scalar per round. Nothing
+driver-side scales with corpus or vocabulary size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "word_freqs",
+    "apply_merge",
+    "bpe_train",
+    "bpe_encode",
+]
+
+EOW = "</w>"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The training input: (word, n) over lowercased whitespace tokens.
+    THE one corpus pass of BPE training — everything after runs on this
+    vocabulary-sized table."""
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols + the '</w>' end-of-word marker."""
+    chars = F.split(word, "")
+    return F.concat(
+        F.filter(chars, lambda c: c != F.lit("")), F.array(F.lit(EOW))
+    )
+
+
+def apply_merge(symbols: Column, a: str, b: str) -> Column:
+    """One BPE merge as a left fold: emit symbols left→right, replacing
+    the just-emitted ``a`` with ``a‖b`` whenever ``b`` follows it —
+    leftmost non-overlapping, the exact Sennrich semantics ([a,a,a]
+    with merge (a,a) → [aa, a], never [a, aa])."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges; returns (merges, words) where
+    merges = [(a, b, weighted_count), ...] in learned order and words =
+    the trained (word, n, symbols) table — the word → subwords encoding
+    map that :func:`bpe_encode` joins against.
+
+    Stops early when no pair reaches ``min_pair_count``. Deterministic:
+    the argmax tiebreak is (count desc, a asc, b asc), and pair counts
+    are integer sums — no float order sensitivity anywhere."""
+    words = (
+        word_freqs(docs, text_col)
+        .select("word", "n", _initial_symbols(F.col("word")).alias("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = words.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("symbols"), F.lit(1), F.size("symbols") - 1),
+                    F.slice(F.col("symbols"), F.lit(2), F.size("symbols") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["p"]["a"], best[0]["p"]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = words.withColumn(
+            "symbols", apply_merge(F.col("symbols"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_encode(
+    docs: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Encode a corpus against a trained words table: (id, pos, word,
+    subwords, n_subwords, in_vocab), one row per corpus token, ``pos``
+    the 0-based token position. Explode (row-local) + one equi-join on
+    the word; OOV words get the character-level BPE-zero encoding and
+    ``in_vocab = false``."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+    )
+    vocab = words.select("word", F.col("symbols").alias("subwords"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    enc = toks.join(vocab, "word", "left")
+    subwords = F.coalesce(F.col("subwords"), _initial_symbols(F.col("word")))
+    return enc.select(
+        id_col,
+        "pos",
+        "word",
+        subwords.alias("subwords"),
+        F.size(subwords).cast("long").alias("n_subwords"),
+        F.col("subwords").isNotNull().alias("in_vocab"),
+    )

@@ -158,6 +158,7 @@ def ensure_model_parquets(sf_dir: str = _DRIVER_SF_DIR) -> None:
     try:
         _train_and_write_pq(spark, sf_dir)
         _train_and_write_kmeans(spark, sf_dir)
+        _train_and_write_bpe(spark, sf_dir)
     finally:
         if own:
             spark.stop()
@@ -1919,3 +1920,172 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sel_rows.unionByName(bucket_rows)
+
+
+def _train_and_write_bpe(spark: SparkSession, sf_dir: str, num_merges: int = 24):
+    """Train the BPE tokenizer (deterministic: integer pair counts,
+    (count desc, a asc, b asc) argmax tiebreak — partition-independent
+    by test) and materialize the model for the oracle: the trained
+    word → subwords map and the merge list. The words table is
+    vocabulary-sized; collecting it to the driver is the same KB-scale
+    model materialization the k-means / PQ oracles do (at a web-corpus
+    vocabulary you'd ``words.write.parquet`` distributed instead and
+    point the twin at that table)."""
+    from .operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, num_merges)
+    rows = sorted(
+        ((r["word"], r["n"], list(r["symbols"])) for r in words.collect())
+    )
+    _write_model_parquet(
+        "bpe_words",
+        {
+            "word": [r[0] for r in rows],
+            "n": [r[1] for r in rows],
+            "symbols": [r[2] for r in rows],
+        },
+    )
+    _write_model_parquet(
+        "bpe_merges",
+        {
+            "rank": list(range(1, len(merges) + 1)),
+            "a": [m[0] for m in merges],
+            "b": [m[1] for m in merges],
+            "cnt": [m[2] for m in merges],
+        },
+    )
+    return merges, words
+
+
+def _bpe_suite_oracle_sql() -> str:
+    """Generated DuckDB twin for bpe_subwords: the trained model (the
+    word → subwords map — BPE training is an iterative argmax no SQL
+    engine expresses) rides in as data, exactly the k-means/PQ policy;
+    the oracle then re-derives the ENTIRE encode + aggregate surface
+    independently — tokenization, the vocabulary join, subword
+    frequencies, per-document subword counts and fertility, and the
+    corpus totals. Training itself is pinned engine-side by the exact
+    differential vs a reference Python BPE (tests/test_bpe.py)."""
+    words = _model_parquet_path("bpe_words")
+    merges = _model_parquet_path("bpe_merges")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT t.doc_id, t.word, m.symbols
+      FROM tok t JOIN read_parquet('{words}') m ON t.word = m.word
+    ),
+    sub AS (SELECT doc_id, unnest(symbols) AS sw FROM enc),
+    swc AS (
+      SELECT sw, CAST(count(*) AS BIGINT) AS c FROM sub GROUP BY sw
+    ),
+    topsw AS (
+      SELECT sw, c, row_number() OVER (ORDER BY c DESC, sw ASC) AS rnk
+      FROM swc
+    ),
+    doc AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(len(e.symbols)) AS BIGINT) AS n_sub
+      FROM enc e GROUP BY e.doc_id
+    )
+    SELECT 'merge' AS part, CAST(NULL AS BIGINT) AS id, a || b AS k,
+           CAST(rank AS BIGINT) AS rnk, CAST(cnt AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v
+    FROM read_parquet('{merges}')
+    UNION ALL
+    SELECT 'subword', NULL, sw, rnk, c, CAST(NULL AS DOUBLE)
+    FROM topsw WHERE rnk <= 50
+    UNION ALL
+    SELECT 'doc', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           n_sub, round(CAST(n_sub AS DOUBLE) / n_tok, 6)
+    FROM doc
+    UNION ALL
+    SELECT 'vocab', NULL, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           (SELECT count(*) FROM swc),
+           (SELECT CAST(sum(c) AS DOUBLE) FROM swc)
+    """
+
+
+@query("bpe_subwords", _bpe_suite_oracle_sql())
+def q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + corpus encoding (Sennrich
+    et al. 2016; operators/bpe.py): 24 merges learned over the
+    word-frequency table (training never re-touches the corpus — one
+    corpus pass aggregates to distinct words, every merge round runs
+    on that vocabulary-sized table with ONE ROW of driver traffic),
+    then the corpus encoded by a broadcast join against the trained
+    word → subwords map. Four driver-hashed parts:
+
+    - ``merge``: the learned merge list in rank order (rides in as
+      data — training is an iterative argmax no SQL engine expresses;
+      the exact differential vs a reference Python BPE in
+      tests/test_bpe.py pins it engine-side, the k-means/PQ policy);
+    - ``subword``: top-50 corpus subwords by encoded frequency —
+      re-derived by the oracle from documents + the model;
+    - ``doc``: per-document subword count and fertility
+      (subwords/token, 6 dp) — the encode path end-to-end;
+    - ``vocab``: distinct subword types + total subword tokens.
+
+    Integer counts everywhere; the one float (fertility) is a ratio of
+    integers rounded at 6 dp — no sum-order sensitivity anywhere."""
+    from .operators.bpe import bpe_encode
+
+    merges, words = _train_and_write_bpe(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(d, words)
+
+    merge_rows = spark.createDataFrame(
+        [(i + 1, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)],
+        "rnk bigint, k string, n bigint",
+    ).select(
+        F.lit("merge").alias("part"), F.lit(None).cast("long").alias("id"),
+        "k", "rnk", "n", F.lit(None).cast("double").alias("v"),
+    )
+
+    swc = (
+        enc.select(F.explode("subwords").alias("sw"))
+        .groupBy("sw")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), F.col("sw").asc())
+    sw_rows = (
+        swc.orderBy(F.col("c").desc(), F.col("sw").asc()).limit(50)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            F.lit("subword").alias("part"), F.lit(None).cast("long").alias("id"),
+            F.col("sw").alias("k"), "rnk", F.col("c").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    doc_rows = (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("n_subwords").alias("n_sub"),
+        )
+        .select(
+            F.lit("doc").alias("part"), F.col("doc_id").cast("long").alias("id"),
+            F.lit(None).cast("string").alias("k"),
+            F.lit(None).cast("long").alias("rnk"),
+            F.col("n_sub").cast("long").alias("n"),
+            F.round(F.col("n_sub") / F.col("n_tok"), 6).alias("v"),
+        )
+    )
+
+    vocab_rows = swc.agg(
+        F.count(F.lit(1)).alias("types"), F.sum("c").cast("double").alias("total")
+    ).select(
+        F.lit("vocab").alias("part"), F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("string").alias("k"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.col("types").cast("long").alias("n"), F.col("total").alias("v"),
+    )
+
+    return merge_rows.unionByName(sw_rows).unionByName(doc_rows).unionByName(vocab_rows)

@@ -1,0 +1,125 @@
+"""BPE training/encoding (operators/bpe.py) — differential tests
+against a plain-Python reference implementation of Sennrich et al.
+2016 (the same verification pattern the k-means / PQ operators use:
+the iterative trainer is pinned engine-side by an exact differential,
+the encode+aggregate path is driver-hashed via the materialized-model
+oracle in the bpe_subwords registry row)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.bpe import (
+    EOW,
+    apply_merge,
+    bpe_encode,
+    bpe_train,
+    word_freqs,
+)
+
+
+def _ref_bpe(word_counts: dict[str, int], k: int, min_pair_count: int = 2):
+    """Reference BPE: dict word -> symbol list, leftmost non-overlapping
+    merge, tiebreak (count desc, a asc, b asc)."""
+    vocab = {w: list(w) + [EOW] for w in word_counts}
+    merges = []
+    for _ in range(k):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab
+
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest"),
+    (4, "widest widest widest"),
+    (5, "low lower newest widest"),
+]
+
+
+def test_train_matches_reference_exactly(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    wc = Counter()
+    for _, t in CORPUS:
+        wc.update(t.split())
+    ref_merges, ref_vocab = _ref_bpe(dict(wc), 12)
+    merges, words = bpe_train(docs, 12)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["symbols"]) for r in words.collect()}
+    assert got == ref_vocab
+    # counts survived training untouched
+    n = {r["word"]: r["n"] for r in words.collect()}
+    assert n == dict(wc)
+
+
+def test_train_partition_independent(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    m1, _ = bpe_train(docs.repartition(7), 8)
+    m2, _ = bpe_train(docs.coalesce(1), 8)
+    assert m1 == m2 and len(m1) == 8
+
+
+def test_apply_merge_leftmost_nonoverlapping(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["x", "a", "a"],)],
+        "symbols array<string>",
+    )
+    out = [
+        list(r["m"])
+        for r in df.select(apply_merge(F.col("symbols"), "a", "a").alias("m")).collect()
+    ]
+    assert out == [["aa", "a"], ["aa", "aa"], ["x", "aa"]]
+
+
+def test_encode_roundtrip_and_oov(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    _, words = bpe_train(docs, 10)
+    enc = bpe_encode(docs, words)
+    rows = enc.collect()
+    # every in-vocab token's subwords concatenate back to word + EOW
+    assert all(r["in_vocab"] for r in rows)
+    for r in rows:
+        assert "".join(r["subwords"]) == r["word"] + EOW
+        assert r["n_subwords"] == len(r["subwords"])
+    # OOV word falls back to characters + EOW, flagged
+    new = spark.createDataFrame([(9, "unseen low")], "doc_id bigint, text string")
+    erows = {r["word"]: r for r in bpe_encode(new, words).collect()}
+    assert not erows["unseen"]["in_vocab"]
+    assert list(erows["unseen"]["subwords"]) == list("unseen") + [EOW]
+    assert erows["low"]["in_vocab"]
+
+
+def test_min_pair_count_stops_training(spark):
+    docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id bigint, text string")
+    merges, _ = bpe_train(docs, 50, min_pair_count=2)
+    assert merges == []  # every pair occurs once
+
+
+def test_word_freqs_is_lowercased_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "Low LOW low"), (2, "wide")], "doc_id bigint, text string"
+    )
+    got = {r["word"]: r["n"] for r in word_freqs(docs).collect()}
+    assert got == {"low": 3, "wide": 1}

@@ -225,10 +225,11 @@ def test_model_parquets_order_independent(spark):
     ensure_model_parquets(PARITY_SF)
     before = {
         n: pq.read_table(_model_parquet_path(n))
-        for n in ("pq_codebooks", "kmeans_centroids")
+        for n in ("pq_codebooks", "kmeans_centroids", "bpe_words", "bpe_merges")
     }
     # the builders retrain and overwrite on their own path
     QUERIES["ann_suite"](spark, PARITY_SF).count()
     QUERIES["clustering_suite"](spark, PARITY_SF).count()
+    QUERIES["bpe_subwords"](spark, PARITY_SF).count()
     for n, t in before.items():
         assert pq.read_table(_model_parquet_path(n)).equals(t), n
