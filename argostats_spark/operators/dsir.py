@@ -76,12 +76,21 @@ def _c(x) -> Column:
 def hashed_gram_buckets(text, n_buckets: int = 4096) -> Column:
     """Array of feature-bucket ids (bigint, [0, n_buckets)) for every
     word unigram AND bigram of ``text`` — the hashed n-gram feature map
-    of DSIR §3. One array expression, row-local, whole-stage codegen.
+    of DSIR §3, as one array expression.
 
     Bucket = first 8 hex chars of md5 → 32-bit int → mod. md5 is the
     cross-engine hash family (identical in Spark and DuckDB, see
     sampling.hash_bucket); repeated grams repeat their bucket — counts
-    are carried by multiplicity, not pre-aggregated here."""
+    are carried by multiplicity, not pre-aggregated here.
+
+    This is the convenience/array API. The hot path
+    (:func:`gram_rows`) does NOT use it: nested higher-order lambdas
+    that reference the token-array expression re-inline the whole
+    token pipeline per element (the measured-90× CollapseProject
+    pitfall, SCALE.md "repetition stats") and the md5 lambda itself
+    runs interpreted — staging the token array as a projected column
+    and hashing AFTER the explode keeps everything scalar codegen
+    (measured: warm dsir_select 7.1 s → 3.0 s on the sf0.1 corpus)."""
     unis = F.transform(tokens(_c(text)), lambda t: F.lower(t))
     grams = F.concat(unis, word_ngrams(_c(text), 2))
     return F.transform(
@@ -89,6 +98,32 @@ def hashed_gram_buckets(text, n_buckets: int = 4096) -> Column:
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets),
     )
+
+
+def _bucket_of(gram: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).alias("bucket")
+
+
+def gram_rows(docs: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id..., gram) rows — one per unigram/bigram occurrence. The
+    token array is staged as a projected column (CollapseProject
+    leaves non-cheap aliased expressions alone) so the bigram zip_with
+    references a cheap attribute, never re-tokenizes; everything after
+    the explode is scalar whole-stage codegen."""
+    tk = docs.select(*id_cols, tokens(F.lower(F.col(text_col))).alias("tk"))
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.zip_with(
+            F.slice(F.col("tk"), F.lit(1), F.size("tk") - 1),
+            F.slice(F.col("tk"), F.lit(2), F.size("tk") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tk.select(*id_cols, F.concat(F.col("tk"), bigrams).alias("grams"))
+    return grams.select(*id_cols, F.explode("grams").alias("gram"))
 
 
 def doc_bucket_counts(
@@ -101,7 +136,8 @@ def doc_bucket_counts(
     c) form. One explode (row-local) + one (id, bucket) aggregate —
     the only corpus-keyed shuffle DSIR ever does with document text."""
     return (
-        docs.select(id_col, F.explode(hashed_gram_buckets(text_col, n_buckets)).alias("bucket"))
+        gram_rows(docs, text_col, [id_col])
+        .select(id_col, _bucket_of(F.col("gram"), n_buckets))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -118,11 +154,21 @@ def dsir_logratio(
 
     Inputs are (bucket, c) totals per corpus. Output is ≤B rows —
     broadcast it. The two corpus totals come back as scalars (16 bytes
-    of driver traffic); buckets unseen on one side get the smoothed
-    floor via coalesce(c, 0). Buckets unseen on BOTH sides are absent —
-    no gram maps there, so they can never contribute to a score."""
-    t_tot = target_bucket_totals.agg(F.sum("c")).first()[0] or 0
-    r_tot = raw_bucket_totals.agg(F.sum("c")).first()[0] or 0
+    of driver traffic, ONE job — the two aggregates are unioned so the
+    driver doesn't pay two scheduler round-trips for two numbers);
+    buckets unseen on one side get the smoothed floor via
+    coalesce(c, 0). Buckets unseen on BOTH sides are absent — no gram
+    maps there, so they can never contribute to a score."""
+    totals = {
+        r["side"]: r["t"]
+        for r in target_bucket_totals.select(F.lit("t").alias("side"), "c")
+        .unionByName(raw_bucket_totals.select(F.lit("r").alias("side"), "c"))
+        .groupBy("side")
+        .agg(F.sum("c").alias("t"))
+        .collect()
+    }
+    t_tot = totals.get("t") or 0
+    r_tot = totals.get("r") or 0
     t = target_bucket_totals.select("bucket", F.col("c").alias("ct"))
     r = raw_bucket_totals.select("bucket", F.col("c").alias("cr"))
     denom_t = float(t_tot + alpha * n_buckets)
@@ -225,7 +271,8 @@ def dsir_select(
     )
     raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
     tgt_tot = (
-        target_docs.select(F.explode(hashed_gram_buckets(text_col, n_buckets)).alias("bucket"))
+        gram_rows(target_docs, text_col, [])
+        .select(_bucket_of(F.col("gram"), n_buckets))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

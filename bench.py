@@ -73,6 +73,10 @@ HEADLINE = [
     # corpus-level curation analytics (round 6): TF-IDF top terms +
     # unigram-LM quality deciles — explode/broadcast/window family
     "tfidf_lm_suite",
+    # targeted data selection (round 6): hashed-ngram importance model
+    # fit + score + Gumbel top-k — the feature-explode/broadcast-model/
+    # TakeOrdered family
+    "dsir_select",
     # multimodal family: real PGM construction + mapInPandas decode +
     # grid featurization over every document payload
     "multimodal_features",
