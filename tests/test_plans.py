@@ -322,3 +322,15 @@ def test_dsir_take_ordered_and_broadcast_lambda(spark, sf):
     assert "TakeOrderedAndProject" in plan, plan[:1200]
     assert "BroadcastHashJoin" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan, plan[:1600]
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf):
+    """bpe_subwords' encode path must join the corpus tokens against
+    the trained word->subwords map as a broadcast hash join — never a
+    corpus-side sort-merge (the vocab is the small side by
+    construction; at a web-corpus vocabulary the documented fallback
+    is broadcast_vocab=False, a plain shuffle join on the word)."""
+    df = QUERIES["bpe_subwords"](spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1600]
