@@ -47,7 +47,15 @@ Scale shape (the point of the Spark re-expression):
 Shuffle inventory: target fit 1 (B-bounded output), per-doc features
 1 (keyed (id, bucket)), raw totals 1 (B-bounded, from features not
 text), scoring 1 (keyed id). Nothing quadratic, nothing driver-side
-except the k selected rows and two scalar totals.
+except the k selected rows, two scalar totals, and (for the
+streaming path) the B-float dense model.
+
+Score-at-ingest: :func:`dsir_score_rows` applies the trained model as
+a ZERO-shuffle ZERO-state row-local expression (the model is a
+length-B array literal), so the identical call scores a batch frame
+or a readStream — the stateless-map shape a production ingest gate
+runs. Selection (top-k) stays batch; a stream can gate on
+``logw >= threshold`` instead.
 """
 
 from __future__ import annotations
@@ -60,12 +68,15 @@ from ..functions.text import tokens, word_ngrams
 
 __all__ = [
     "hashed_gram_buckets",
+    "gram_rows",
     "doc_bucket_counts",
     "dsir_logratio",
     "dsir_scores",
     "gumbel_key",
     "dsir_resample",
     "dsir_select",
+    "dense_lambda",
+    "dsir_score_rows",
 ]
 
 
@@ -148,7 +159,8 @@ def dsir_logratio(
     raw_bucket_totals: DataFrame,
     n_buckets: int = 4096,
     alpha: float = 1.0,
-) -> DataFrame:
+    return_floor: bool = False,
+):
     """The fitted model: (bucket, lam) with
     lam = ln((ct + α)/(T + α·B)) − ln((cr + α)/(R + α·B)).
 
@@ -158,7 +170,11 @@ def dsir_logratio(
     driver doesn't pay two scheduler round-trips for two numbers);
     buckets unseen on one side get the smoothed floor via
     coalesce(c, 0). Buckets unseen on BOTH sides are absent — no gram
-    maps there, so they can never contribute to a score."""
+    of the fitted corpora maps there, so they can never contribute to
+    a training-corpus score; NEW documents at inference time can hit
+    them, so ``return_floor=True`` additionally returns the both-sides
+    smoothed value ln(α/(T+αB)) − ln(α/(R+αB)) those buckets carry
+    (used by :func:`dense_lambda` for the streaming/row-local path)."""
     totals = {
         r["side"]: r["t"]
         for r in target_bucket_totals.select(F.lit("t").alias("side"), "c")
@@ -179,7 +195,13 @@ def dsir_logratio(
     ) - F.log(
         (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(alpha)) / F.lit(denom_r)
     )
-    return joined.select("bucket", lam.alias("lam"))
+    out = joined.select("bucket", lam.alias("lam"))
+    if return_floor:
+        import math
+
+        floor = math.log(alpha / denom_t) - math.log(alpha / denom_r)
+        return out, floor
+    return out
 
 
 def dsir_scores(
@@ -279,3 +301,78 @@ def dsir_select(
     lam = dsir_logratio(tgt_tot, raw_tot, n_buckets, alpha).localCheckpoint(eager=True)
     scores = dsir_scores(raw_feats, lam, id_col)
     return dsir_resample(scores, k, id_col, salt, temperature), lam
+
+
+def dense_lambda(logratio: DataFrame, n_buckets: int, floor: float = 0.0) -> list[float]:
+    """Collect the λ table into a dense length-B vector — THE MODEL,
+    B·8 bytes of driver traffic (32 KB at the default B=4096; this is
+    the k·dim-centroid-sized collect the scale rules allow). Buckets
+    absent from the table (seen in neither fitted corpus) get
+    ``floor`` — the both-sides smoothed value from
+    ``dsir_logratio(..., return_floor=True)`` — so NEW documents that
+    hit them at inference time score by the model's actual smoothing
+    rather than silently dropping grams."""
+    dense = [float(floor)] * n_buckets
+    for r in logratio.collect():
+        dense[int(r["bucket"])] = float(r["lam"])
+    return dense
+
+
+def dsir_score_rows(
+    docs: DataFrame,
+    lam_dense: list[float],
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Row-local scoring against a trained dense λ model: adds
+    ``n_grams`` and ``logw`` (6 dp) to every row. ZERO shuffles and
+    ZERO state — the model rides as a length-B array literal and the
+    per-document sum is an in-row fold — so the same call scores a
+    batch frame or a readStream (a stateless streaming map: no
+    watermark, no output-mode constraints; this is the
+    score-at-ingest shape a production pipeline runs).
+
+    Two deliberate divergences from the batch join path
+    (:func:`dsir_scores`), both in this path's favor at inference:
+
+    - grams hashing to buckets the fit never saw score the smoothing
+      floor instead of being dropped by the inner join — correct for
+      new documents (on the fitted raw corpus itself the two paths
+      agree exactly; pinned by test);
+    - the fold is interpreted per element (the price of statelessness
+      — there is no explode/agg to keep codegen scalar), so batch
+      jobs at rest should prefer :func:`dsir_scores`; this path is
+      for streams and for frames that must stay row-shaped.
+
+    B is bounded by expression size (the literal array): fine through
+    ~64k buckets, beyond that ship the model as a broadcast map join
+    (which reintroduces the aggregate and forfeits statelessness)."""
+    lam_arr = F.array(*[F.lit(float(x)) for x in lam_dense])
+    tk = docs.withColumn("_tk", tokens(F.lower(F.col(text_col))))
+    bigrams = F.when(
+        F.size("_tk") >= 2,
+        F.zip_with(
+            F.slice(F.col("_tk"), F.lit(1), F.size("_tk") - 1),
+            F.slice(F.col("_tk"), F.lit(2), F.size("_tk") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tk.withColumn("_grams", F.concat(F.col("_tk"), bigrams))
+    buckets = F.transform(
+        F.col("_grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    logw = F.round(
+        F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(lam_arr, (b + 1).cast("int")),
+        ),
+        6,
+    )
+    return (
+        grams.withColumn("n_grams", F.size("_grams").cast("long"))
+        .withColumn("logw", logw)
+        .drop("_tk", "_grams")
+    )

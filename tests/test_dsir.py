@@ -137,3 +137,95 @@ def test_k_larger_than_corpus_returns_everything(spark):
     tgt = _target(spark, n=3)
     sel, _ = dsir_select(raw, tgt, k=100, n_buckets=B)
     assert sel.count() == 8
+
+
+def _fit_dense(spark, raw, tgt, n_buckets=B):
+    from pyspark.sql import functions as F2
+    from argostats_spark.operators.dsir import (
+        dense_lambda,
+        dsir_logratio,
+        gram_rows,
+        _bucket_of,
+    )
+
+    feats = doc_bucket_counts(raw, n_buckets=n_buckets)
+    raw_tot = feats.groupBy("bucket").agg(F2.sum("c").alias("c"))
+    tgt_tot = (
+        gram_rows(tgt, "text", [])
+        .select(_bucket_of(F2.col("gram"), n_buckets))
+        .groupBy("bucket").agg(F2.count(F2.lit(1)).alias("c"))
+    )
+    lam, floor = dsir_logratio(tgt_tot, raw_tot, n_buckets, return_floor=True)
+    return feats, lam, dense_lambda(lam, n_buckets, floor), floor
+
+
+def test_row_local_scoring_equals_join_path(spark):
+    from argostats_spark.operators.dsir import dsir_score_rows
+
+    raw = _dialect_corpus(spark, n_a=25, n_b=25)
+    tgt = _target(spark, n=10)
+    feats, lam, dense, floor = _fit_dense(spark, raw, tgt)
+    join_path = {
+        (r["doc_id"]): (r["n_grams"], r["logw"])
+        for r in dsir_scores(feats, lam).collect()
+    }
+    row_path = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in dsir_score_rows(raw, dense, n_buckets=B).collect()
+    }
+    assert set(join_path) == set(row_path)
+    for k in join_path:
+        assert join_path[k][0] == row_path[k][0]
+        assert abs(join_path[k][1] - row_path[k][1]) < 2e-6, k
+
+
+def test_unseen_bucket_scores_floor_not_dropped(spark):
+    from argostats_spark.operators.dsir import dsir_score_rows
+
+    raw = _dialect_corpus(spark, n_a=10, n_b=10)
+    tgt = _target(spark, n=5)
+    _, _, dense, floor = _fit_dense(spark, raw, tgt)
+    # floor = ln((R+αB)/(T+αB)): raw 20 docs × (12+11) grams = 460,
+    # target 5 × (10+9) = 95 — positive, because the SMALLER target
+    # model is more diffuse, so a never-seen gram reads as (weakly)
+    # more target-like under both smoothed multinomials
+    import math
+
+    assert floor == pytest.approx(math.log((460 + B) / (95 + B)))
+    # a document whose vocabulary the fit never saw: every gram scores
+    # some λ (many the floor) — logw is defined, not null/dropped
+    new = spark.createDataFrame(
+        [(1, "qqqq wwww eeee rrrr")], "doc_id bigint, text string"
+    )
+    row = dsir_score_rows(new, dense, n_buckets=B).collect()[0]
+    assert row["n_grams"] == 7
+    assert row["logw"] is not None
+
+
+def test_streaming_score_equals_batch(spark, tmp_path):
+    from argostats_spark.operators.dsir import dsir_score_rows
+    from argostats_spark.streaming.events import run_to_memory
+
+    raw = _dialect_corpus(spark, n_a=20, n_b=20)
+    tgt = _target(spark, n=8)
+    _, _, dense, _ = _fit_dense(spark, raw, tgt)
+
+    src = str(tmp_path / "docs_in")
+    raw.write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = run_to_memory(
+        dsir_score_rows(stream, dense, n_buckets=B), "dsir_stream",
+        output_mode="append",
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["n_grams"], r["logw"])
+            for r in spark.table("dsir_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in dsir_score_rows(raw, dense, n_buckets=B).collect()
+    }
+    assert got == want
