@@ -304,6 +304,17 @@ def q_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n
       FROM orders GROUP BY 1
     )
+    UNION ALL
+    SELECT 'haversine' AS which,
+           CAST(lon AS VARCHAR) AS k1, CAST(lat AS VARCHAR) AS k2,
+           CAST(round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(0 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(0))
+               * pow(sin(radians(0 - lon) / 2), 2)
+           )) * 1000) AS BIGINT) AS n
+    FROM (SELECT CAST(((c_custkey * 37) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                 CAST(((c_custkey * 53) % 160) - 80 + 0.5 AS DOUBLE) AS lat
+          FROM customer)
     """,
 )
 def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +331,13 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       full string library);
     - ``nulls`` — nullif/coalesce/conditional counting: real NULL
       semantics replacing the reference's sentinel encodings
-      (SURVEY §1.2).
+      (SURVEY §1.2);
+    - ``haversine`` — F2 great-circle distance as a pure column
+      expression (reference atlas.py:48-63), whole-stage-codegen'd, no
+      UDF; hashed as integer meters at the former row's 3-dp-km
+      precision (merged from the standalone ``haversine`` entry in
+      round 6 to keep the registry inside the driver's 50-row window;
+      the NumPy differential tests live in test_functions.py).
     """
     ev = _t(spark, sf_dir, "events")
     dateparts = (
@@ -372,29 +389,17 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return dateparts.unionByName(strings).unionByName(nulls)
 
-
-@query(
-    "haversine",
-    f"""
-    WITH pts AS ({_PTS_SQL})
-    SELECT lon, lat,
-           round(2 * 6371.0 * asin(sqrt(
-             pow(sin(radians(0 - lat) / 2), 2)
-             + cos(radians(lat)) * cos(radians(0)) * pow(sin(radians(0 - lon) / 2), 2)
-           )), 3) AS dist_km
-    FROM pts
-    """,
-)
-def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 haversine as a pure column expression (reference atlas.py:48-63)
-    — whole-stage-codegen'd, no UDF."""
-    pts = _synth_points(spark, sf_dir)
-    return pts.select(
-        "lon", "lat",
-        F.round(haversine_km("lon", "lat", F.lit(0.0), F.lit(0.0)), 3).alias("dist_km"),
+    # lon/lat are exact .5 halves by construction, so double→string
+    # renders identically in both engines
+    hav = _synth_points(spark, sf_dir).select(
+        F.lit("haversine").alias("which"),
+        F.col("lon").cast("string").alias("k1"),
+        F.col("lat").cast("string").alias("k2"),
+        F.round(haversine_km("lon", "lat", F.lit(0.0), F.lit(0.0)) * 1000, 0)
+        .cast("long").alias("n"),
     )
+    return dateparts.unionByName(strings).unionByName(nulls).unionByName(hav)
 
 
 @query(
