@@ -348,18 +348,18 @@ def dsir_score_rows(
     ~64k buckets, beyond that ship the model as a broadcast map join
     (which reintroduces the aggregate and forfeits statelessness)."""
     lam_arr = F.array(*[F.lit(float(x)) for x in lam_dense])
-    tk = docs.withColumn("_tk", tokens(F.lower(F.col(text_col))))
+    tk = docs.withColumn("__dsir_tk", tokens(F.lower(F.col(text_col))))
     bigrams = F.when(
-        F.size("_tk") >= 2,
+        F.size("__dsir_tk") >= 2,
         F.zip_with(
-            F.slice(F.col("_tk"), F.lit(1), F.size("_tk") - 1),
-            F.slice(F.col("_tk"), F.lit(2), F.size("_tk") - 1),
+            F.slice(F.col("__dsir_tk"), F.lit(1), F.size("__dsir_tk") - 1),
+            F.slice(F.col("__dsir_tk"), F.lit(2), F.size("__dsir_tk") - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = tk.withColumn("_grams", F.concat(F.col("_tk"), bigrams))
+    grams = tk.withColumn("__dsir_grams", F.concat(F.col("__dsir_tk"), bigrams))
     buckets = F.transform(
-        F.col("_grams"),
+        F.col("__dsir_grams"),
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets),
     )
@@ -372,7 +372,7 @@ def dsir_score_rows(
         6,
     )
     return (
-        grams.withColumn("n_grams", F.size("_grams").cast("long"))
+        grams.withColumn("n_grams", F.size("__dsir_grams").cast("long"))
         .withColumn("logw", logw)
-        .drop("_tk", "_grams")
+        .drop("__dsir_tk", "__dsir_grams")
     )
