@@ -51,6 +51,8 @@ __all__ = [
     "apply_merge",
     "bpe_train",
     "bpe_encode",
+    "bpe_vocab",
+    "bpe_encode_ids",
 ]
 
 EOW = "</w>"
@@ -170,3 +172,64 @@ def bpe_encode(
         F.size(subwords).cast("long").alias("n_subwords"),
         F.col("subwords").isNotNull().alias("in_vocab"),
     )
+
+
+def bpe_vocab(words: DataFrame, specials: tuple[str, ...] = ()) -> DataFrame:
+    """The id table: (subword, id, freq) with dense ids from 0 assigned
+    by (corpus frequency desc, subword asc) — deterministic on any
+    partitioning. Optional ``specials`` (e.g. '<pad>', '<eos>') take
+    the lowest ids, in the order given, with freq NULL.
+
+    The subword type count is bounded by |alphabet| + 1 + num_merges
+    (every merge mints exactly one new symbol), so this table is tiny
+    by construction — the single-partition ranking window is safe at
+    any corpus size and the table always broadcasts."""
+    from pyspark.sql import Window as W
+
+    freqs = (
+        words.select(F.explode("symbols").alias("subword"), F.col("n"))
+        .groupBy("subword")
+        .agg(F.sum("n").cast("long").alias("freq"))
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.col("freq").desc(), F.col("subword").asc())
+    )
+    base = freqs.select(
+        "subword", (rank + F.lit(len(specials) - 1)).cast("long").alias("id"), "freq"
+    )
+    if not specials:
+        return base
+    spark = words.sparkSession
+    sp = spark.createDataFrame(
+        [(s, i, None) for i, s in enumerate(specials)],
+        "subword string, id long, freq long",
+    )
+    return sp.unionByName(base)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    words: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Token-level id encoding: :func:`bpe_encode` plus an ``ids``
+    column (array<long>) mapping each subword through the vocab — the
+    integer artifact a training pipeline actually writes. The vocab is
+    model-sized (see :func:`bpe_vocab`), so it rides as a map LITERAL
+    and the id lookup is row-local — no extra join, no shuffle, and
+    the same expression works on a readStream. Subwords outside the
+    vocab (OOV characters at inference time) map to ``unk_id``."""
+    vocab = bpe_vocab(words) if vocab is None else vocab
+    pairs: list = []
+    for r in vocab.collect():
+        pairs.extend([F.lit(r["subword"]), F.lit(int(r["id"]))])
+    id_map = F.create_map(*pairs) if pairs else F.create_map()
+    enc = bpe_encode(docs, words, text_col=text_col, id_col=id_col)
+    ids = F.transform(
+        F.col("subwords"),
+        lambda s: F.coalesce(F.element_at(id_map, s), F.lit(unk_id)).cast("long"),
+    )
+    return enc.withColumn("ids", ids)

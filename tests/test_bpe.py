@@ -123,3 +123,55 @@ def test_word_freqs_is_lowercased_count(spark):
     )
     got = {r["word"]: r["n"] for r in word_freqs(docs).collect()}
     assert got == {"low": 3, "wide": 1}
+
+
+def test_vocab_ids_dense_frequency_ordered(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    from argostats_spark.operators.bpe import bpe_vocab
+
+    _, words = bpe_train(docs, 10)
+    v = bpe_vocab(words).collect()
+    ids = sorted(r["id"] for r in v)
+    assert ids == list(range(len(v)))  # dense from 0
+    by_id = sorted(v, key=lambda r: r["id"])
+    freqs = [r["freq"] for r in by_id]
+    assert freqs == sorted(freqs, reverse=True)
+    # specials take the lowest ids in order
+    v2 = {r["subword"]: r for r in bpe_vocab(words, ("<pad>", "<eos>")).collect()}
+    assert v2["<pad>"]["id"] == 0 and v2["<eos>"]["id"] == 1
+    assert v2["<pad>"]["freq"] is None
+    assert min(r["id"] for s, r in v2.items() if s not in ("<pad>", "<eos>")) == 2
+
+
+def test_encode_ids_roundtrip_and_unk(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    from argostats_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    _, words = bpe_train(docs, 10)
+    vocab = bpe_vocab(words)
+    inv = {r["id"]: r["subword"] for r in vocab.collect()}
+    rows = bpe_encode_ids(docs, words, vocab).collect()
+    for r in rows:
+        assert [inv[i] for i in r["ids"]] == list(r["subwords"])
+    # OOV characters at inference map to unk_id
+    new = spark.createDataFrame([(9, "zzq")], "doc_id bigint, text string")
+    r = bpe_encode_ids(new, words, vocab, unk_id=-1).collect()[0]
+    assert not r["in_vocab"]
+    assert list(r["subwords"]) == ["z", "z", "q", "</w>"]
+    assert r["ids"].count(-1) >= 1  # 'z'/'q' never occur in the corpus
+    assert inv[r["ids"][-1]] == "</w>"
+
+
+def test_encode_ids_partition_independent(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    from argostats_spark.operators.bpe import bpe_encode_ids
+
+    _, words = bpe_train(docs, 8)
+
+    def run(d):
+        return sorted(
+            (r["doc_id"], r["pos"], tuple(r["ids"]))
+            for r in bpe_encode_ids(d, words).collect()
+        )
+
+    assert run(docs.repartition(7)) == run(docs.coalesce(1))
