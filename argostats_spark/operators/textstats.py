@@ -100,3 +100,100 @@ def nll_deciles(nll: DataFrame, id_col: str = "doc_id",
     # closed-left behavior up to sketch error
     decile = F.lit(1) + F.size(F.filter(edge_arr, lambda e: e < F.col("d_nll")))
     return nll.withColumn("decile", decile.cast("long"))
+
+
+def bigram_lm_nll(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lam: float = 0.7) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram LM scoring — the step between
+    the CCNet-style unigram LM above and a real KenLM: per-document
+    mean negative log-probability under
+
+        p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·p₁(w₂)
+
+    with p₁ the add-one unigram model and c(w₁·) the exact context
+    count (Σ_w₂ c(w₁w₂), derived from the bigram table itself so doc-
+    final tokens are handled exactly, not approximated by c(w₁)). The
+    first token of each document scores −ln p₁(w₁); documents with no
+    tokens are absent (the unigram contract). Output: (id_col, n_tok,
+    b_nll) with b_nll rounded to 6 dp.
+
+    Spark shape: the token array is staged once per document
+    (row-local; the same CollapseProject discipline as gram_rows), the
+    bigram pair stream is an in-row zip_with explode — no window, no
+    shuffle until the counts aggregate. Three vocabulary-bounded
+    aggregates (unigrams, bigrams, contexts), the model tables ride
+    back as broadcasts (a web-scale bigram table outgrows a broadcast —
+    the join keys are the words, so the plan degrades to shuffle
+    joins), one per-document aggregate. Like the unigram scorer this
+    scores the FITTED corpus: a bigram absent from the model would
+    null out at inference time — interpolation masks unseen bigrams
+    only when λ < 1 and the w₂ unigram exists."""
+    tkd = (
+        docs.select(id_col, tokens(F.lower(F.col(text_col))).alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    uni = (
+        tkd.select(F.explode("tk").alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("t"),
+                  F.count(F.lit(1)).alias("v")).first()
+    t_total, v_size = int(tot["t"]), int(tot["v"])
+    p1 = (F.col("c") + F.lit(1.0)) / F.lit(float(t_total + v_size))
+    uni_p = uni.select("tok", p1.alias("p1"))
+
+    pairs = tkd.select(
+        id_col,
+        F.size("tk").cast("long").alias("n_tok"),
+        F.element_at("tk", 1).alias("w_first"),
+        F.explode_outer(
+            F.zip_with(
+                F.slice(F.col("tk"), F.lit(1), F.size("tk") - 1),
+                F.slice(F.col("tk"), F.lit(2), F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    )
+    big = (
+        pairs.where(F.col("p").isNotNull())
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = big.groupBy("w1").agg(F.sum("cb").cast("long").alias("cw"))
+    bprob = big.join(ctx, "w1").select(
+        "w1", "w2", (F.col("cb") / F.col("cw")).alias("pb")
+    )
+
+    # per-bigram-position term; explode_outer keeps 1-token docs (their
+    # p is NULL → term 0, only the first-token term contributes)
+    term = F.when(
+        F.col("p").isNull(), F.lit(0.0)
+    ).otherwise(
+        -F.log(F.lit(lam) * F.col("pb") + F.lit(1.0 - lam) * F.col("p1"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(bprob),
+            (F.col("p.w1") == F.col("w1")) & (F.col("p.w2") == F.col("w2")),
+            "left",
+        )
+        .join(F.broadcast(uni_p), F.col("p.w2") == F.col("tok"), "left")
+        .groupBy(id_col, "n_tok", "w_first")
+        .agg(F.sum(term).alias("bi_sum"))
+    )
+    first_term = -F.log(F.col("p1"))
+    return (
+        scored.join(
+            F.broadcast(uni_p.select(F.col("tok").alias("w_first"),
+                                     F.col("p1"))),
+            "w_first",
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.round((first_term + F.col("bi_sum")) / F.col("n_tok"), 6)
+            .alias("b_nll"),
+        )
+    )

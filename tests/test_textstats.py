@@ -160,3 +160,69 @@ def test_chunk_documents_carry_cols_row_local(spark, sf_dir):
     assert set(out.columns) >= {"doc_id", "lang", "source", "chunk_id",
                                 "tok_start", "tok_end", "chunk_text",
                                 "n_chunk_tokens"}
+
+
+def _py_bigram_nll(texts: dict[int, str], lam: float = 0.7) -> dict[int, float]:
+    """Reference JM-interpolated bigram NLL, mirroring bigram_lm_nll."""
+    toks = {i: t.lower().split() for i, t in texts.items() if t.split()}
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    ctx: Counter = Counter()
+    for tk in toks.values():
+        uni.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    t_total, v = sum(uni.values()), len(uni)
+
+    def p1(w):
+        return (uni[w] + 1.0) / (t_total + v)
+
+    out = {}
+    for i, tk in toks.items():
+        s = -math.log(p1(tk[0]))
+        for a, b in zip(tk, tk[1:]):
+            s += -math.log(lam * big[(a, b)] / ctx[a] + (1 - lam) * p1(b))
+        out[i] = round(s / len(tk), 6)
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    from argostats_spark.operators.textstats import bigram_lm_nll
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox",
+        3: "dog the dog the dog",
+        4: "solo",
+        5: "over over over over",
+        6: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {r["doc_id"]: r["b_nll"] for r in bigram_lm_nll(df).collect()}
+    want = _py_bigram_nll(texts)
+    assert set(got) == set(want)  # empty doc absent from both
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+
+def test_bigram_lm_predictable_text_scores_lower(spark):
+    from argostats_spark.operators.textstats import bigram_lm_nll
+
+    rep = " ".join(["ab cd"] * 20)                      # one dominant bigram
+    mix = "ab qq cd zz ab ww cd ee ab rr cd tt"         # same words, broken pairs
+    df = spark.createDataFrame(
+        [(1, rep), (2, mix)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["b_nll"] for r in bigram_lm_nll(df).collect()}
+    assert got[1] < got[2]
+
+
+def test_bigram_lm_partition_independent(spark):
+    from argostats_spark.operators.textstats import bigram_lm_nll
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} w{(i + 2) % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted((r["doc_id"], r["b_nll"]) for r in bigram_lm_nll(df.repartition(11)).collect())
+    b = sorted((r["doc_id"], r["b_nll"]) for r in bigram_lm_nll(df.coalesce(1)).collect())
+    assert a == b
