@@ -573,7 +573,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only candidates. Shingles (not raw tokens) keep the hash space
     large enough that buckets stay small under a tiny vocabulary."""
     d = _t(spark, sf_dir, "documents")
+    return _minhash_lsh_pairs_inline(d)
 
+
+def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
+    """The registry's banded-MinHash pair plan over a documents frame
+    (md5 hash family, one 2-row band, Jaccard >= 0.6) — shared by
+    dedup_minhash_lsh (plain) and dedup_groups_lsh (behind the
+    exact-collapse pre-pass). Kept inline-SQL-twin-compatible: the
+    DuckDB _MINHASH_SQL evaluates the identical hash family."""
     # Everything codegen, no arrays, no Python: shingles via
     # posexplode + lead() window (interpreted higher-order functions
     # measured 8x slower building the same shingles), signatures as
@@ -1446,15 +1454,38 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure — different algorithms at every stage, one
     answer. Green-field (dedup family capstone).
 
-    On a real crawl, front this with the exact-collapse pre-pass
-    (operators/dedup.py::minhash_lsh_pairs_collapsed — groups-identical
-    by test, measured 1.9× at 50% dups); NOT used here because this
-    synthetic corpus is ~0% exact-duplicate, so the collapse shuffle
-    would cost more than it saves at this shape."""
+    Fronted by the exact-collapse pre-pass (the dedup.py::
+    minhash_lsh_pairs_collapsed pattern applied to the registry's
+    inline pair plan): byte-identical texts collapse to one
+    representative before shingling, members re-attach as jaccard-1.0
+    edges. Component-equivalent to the plain plan by construction —
+    exact duplicates have identical signatures, so the plain pipeline
+    pairs them at jaccard 1.0 >= 0.6 — and pinned identical by test;
+    the DuckDB twin keeps the plain recursive closure, so the driver
+    hash cross-checks the equivalence every round. Measured 1.9x at
+    50% exact dups and no slower on this ~0%-dup synthetic corpus
+    (the collapse shuffle is one narrow md5-keyed exchange)."""
     from .operators.graph import duplicate_groups
 
     d = _t(spark, sf_dir, "documents")
-    edges = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    # collapse eligibility must match the plain pipeline's reach: a doc
+    # with < 3 tokens emits no shingles and stays a singleton there, so
+    # it must stay one here too (and md5(NULL)=NULL must not glue
+    # NULL-text docs into one bogus group).
+    eligible = F.col("text").isNotNull() & (
+        F.size(tokens(F.lower(F.col("text")))) >= 3
+    )
+    keyed = d.filter(eligible).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("__tk")
+    )
+    reps = keyed.groupBy("__tk").agg(F.min("doc_id").alias("rep_id"))
+    members = keyed.join(reps, "__tk")
+    member_edges = members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    rep_docs = d.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
+    rep_pairs = _minhash_lsh_pairs_inline(rep_docs).select("id_a", "id_b")
+    edges = rep_pairs.unionByName(member_edges)
     return duplicate_groups(d, edges, id_col="doc_id")
 
 

@@ -327,3 +327,67 @@ def test_collapsed_lsh_ignores_subshingle_and_null_texts(spark):
     assert coll.loc[coll.doc_id == 7, "comp_id"].item() == 6
     for i in range(6):
         assert coll.loc[coll.doc_id == i, "comp_size"].item() == 1, i
+
+
+def test_registry_groups_lsh_collapsed_equals_plain(spark, sf_dir):
+    """The REGISTRY dedup_groups_lsh query now fronts the inline
+    md5-band pair plan with the exact-collapse pre-pass; its output
+    must be row-identical to duplicate_groups over the plain
+    dedup_minhash_lsh pairs — on the real testdata AND on a corpus
+    salted with exact copies (where the collapse actually bites)."""
+    from argostats_spark.queries_documents import (
+        q_dedup_groups_lsh, q_dedup_minhash_lsh, _minhash_lsh_pairs_inline,
+    )
+    from argostats_spark.operators.graph import duplicate_groups
+
+    plain = duplicate_groups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b"),
+        id_col="doc_id",
+    )
+    coll = q_dedup_groups_lsh(spark, sf_dir)
+    assert plain.exceptAll(coll).count() == 0
+    assert coll.exceptAll(plain).count() == 0
+
+    # salted corpus: 2 exact copies of every doc — collapse must merge
+    # them into the same components the plain pipeline builds
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 80)
+    corpus = base
+    for k in (1, 2):
+        corpus = corpus.unionByName(
+            base.select((F.col("doc_id") + 100000 * k).alias("doc_id"), "text")
+        )
+    corpus = corpus.cache()
+    plain2 = duplicate_groups(
+        corpus, _minhash_lsh_pairs_inline(corpus).select("id_a", "id_b"),
+        id_col="doc_id",
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    # re-run the registry collapse logic over the salted corpus by
+    # pointing the query at a temp view-free path: inline equivalent
+    from argostats_spark.functions.text import tokens
+
+    eligible = F.col("text").isNotNull() & (
+        F.size(tokens(F.lower(F.col("text")))) >= 3
+    )
+    keyed = corpus.filter(eligible).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("__tk")
+    )
+    reps = keyed.groupBy("__tk").agg(F.min("doc_id").alias("rep_id"))
+    members = keyed.join(reps, "__tk")
+    member_edges = members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    rep_docs = corpus.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi"
+    )
+    edges = _minhash_lsh_pairs_inline(rep_docs).select("id_a", "id_b").unionByName(
+        member_edges
+    )
+    coll2 = duplicate_groups(corpus, edges, id_col="doc_id").toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert plain2.equals(coll2)
+    assert (coll2.comp_size >= 3).all()
+    corpus.unpersist()

@@ -134,10 +134,18 @@ def test_np_interp_sql_matches_numpy_property():
         expected = np.interp(xs, xp, yp)
 
         con = duckdb.connect()
+        # CAST every float literal to DOUBLE: DuckDB types bare reprs
+        # like 0.3333333333333333 as DECIMAL(17,16) and the segment
+        # arithmetic then overflows decimal widening — and DECIMAL
+        # evaluation differs from the DOUBLE semantics np.interp defines
+        # (and the real oracle runs, over DOUBLE parquet columns).
         knots = ", ".join(
-            f"(0.0, 0.0, {k}, {x!r}, {y!r})" for k, (x, y) in enumerate(zip(xp, yp))
+            f"(0.0, 0.0, {k}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))"
+            for k, (x, y) in enumerate(zip(xp, yp))
         )
-        probes_rows = ", ".join(f"({i}, 0.0, 0.0, {v!r})" for i, v in enumerate(xs))
+        probes_rows = ", ".join(
+            f"({i}, 0.0, 0.0, CAST({v!r} AS DOUBLE))" for i, v in enumerate(xs)
+        )
         got = con.execute(f"""
             WITH cellcurve(glon, glat, lev, curve, p) AS (VALUES {knots}),
             seg AS (
