@@ -175,3 +175,52 @@ def test_encode_ids_partition_independent(spark):
         )
 
     assert run(docs.repartition(7)) == run(docs.coalesce(1))
+
+
+def test_train_local_equals_distributed(spark, sf_dir):
+    """bpe_train_local (driver-side heap loop) must produce the EXACT
+    (merges, words) contract of bpe_train — on the toy corpus AND on
+    real testdata documents, including the early-stop behavior."""
+    from argostats_spark.operators.bpe import bpe_train_local
+
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    m_d, w_d = bpe_train(docs, 12)
+    m_l, w_l = bpe_train_local(docs, 12)
+    assert m_l == m_d
+    got_d = {r["word"]: (r["n"], list(r["symbols"])) for r in w_d.collect()}
+    got_l = {r["word"]: (r["n"], list(r["symbols"])) for r in w_l.collect()}
+    assert got_l == got_d
+
+    # real corpus slice, more merge rounds than the demo uses
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    m_d, w_d = bpe_train(real, 30)
+    m_l, w_l = bpe_train_local(real, 30)
+    assert m_l == m_d
+    assert {r["word"]: list(r["symbols"]) for r in w_l.collect()} == {
+        r["word"]: list(r["symbols"]) for r in w_d.collect()
+    }
+
+
+def test_train_local_truncation_and_early_stop(spark):
+    """max_words keeps the most frequent words (word-asc ties) before
+    training; min_pair_count stops the local loop exactly like the
+    distributed one."""
+    from argostats_spark.operators.bpe import bpe_train_local
+
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    # min_pair_count high enough that training stops immediately
+    m, w = bpe_train_local(docs, 10, min_pair_count=10**6)
+    assert m == []
+    # truncation to 2 words trains on {newest, low} only (top counts)
+    m2, w2 = bpe_train_local(docs, 4, max_words=2)
+    kept = {r["word"] for r in w2.collect()}
+    assert len(kept) == 2
+    sub = docs.sparkSession.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(
+            [("newest", 7), ("low", 6)])],
+        "doc_id bigint, text string",
+    )
+    m_ref, _ = bpe_train(sub, 4)
+    assert [ab[:2] for ab in m2] == [ab[:2] for ab in m_ref]
