@@ -28,17 +28,71 @@ Spark doing the distribution. The pair store doubles as the
 checkpointable state; deleting the atlas output is always safe (next
 refresh rebuilds it).
 
-The parquet overwrite of the atlas output is NOT atomic for concurrent
-readers (Spark clears the directory first); production would point
-this at a table format with atomic commit or swap a symlink/view. The
-pair-store appends ARE replay-safe via the per-batch partition.
+Atlas publication is ATOMIC for concurrent readers: each refresh
+writes a fresh ``{atlas_store}/v=<batch_id>`` directory and then
+publishes it by an atomic rename of a pointer file
+(``{atlas_store}/CURRENT``) — readers resolve the pointer via
+:func:`current_atlas` and only ever see a fully-written version. The
+two newest versions are retained so a reader that resolved the old
+pointer mid-swap still finds its files; older versions are pruned.
+(POSIX rename-atomicity covers local/NFS/HDFS-style stores; an object
+store without atomic rename would use a conditional put or a table
+format instead.) The pair-store appends are replay-safe via the
+per-batch partition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.atlas import clim_eape, clim_ts, match_pairs
+
+__all__ = ["atlas_refresh_writer", "current_atlas", "publish_version"]
+
+
+def publish_version(atlas_store: str, version: int, keep: int = 2) -> None:
+    """Atomically point ``{atlas_store}/CURRENT`` at ``v=<version>``:
+    write the pointer to a temp file and os.rename it over CURRENT —
+    rename on one filesystem is atomic, so a concurrent reader sees
+    either the old pointer or the new one, never a torn write. Then
+    prune all but the ``keep`` newest versions (keep >= 2 so a reader
+    that resolved the OLD pointer just before the swap still finds its
+    files)."""
+    tmp = os.path.join(atlas_store, f".CURRENT.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(atlas_store, "CURRENT"))
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(atlas_store)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    for v in versions[:-keep]:
+        if v != version:
+            shutil.rmtree(os.path.join(atlas_store, f"v={v}"), ignore_errors=True)
+
+
+def current_atlas(spark: SparkSession, atlas_store: str) -> DataFrame:
+    """Read the currently-published atlas version. Resolves the CURRENT
+    pointer once, then reads that immutable versioned directory — a
+    refresh landing mid-read cannot disturb it (versions are
+    write-once; the retention window keeps the previous version on
+    disk through the swap)."""
+    ptr = os.path.join(atlas_store, "CURRENT")
+    try:
+        with open(ptr) as f:
+            version = int(f.read().strip())
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no atlas published yet under {atlas_store!r} "
+            "(CURRENT pointer missing — wait for the first refresh)"
+        ) from None
+    return spark.read.parquet(os.path.join(atlas_store, f"v={version}"))
 
 
 def atlas_refresh_writer(
@@ -103,7 +157,12 @@ def atlas_refresh_writer(
         out = ts.join(
             eape.select("glon", "glat", "RHO", "EAPE"), on=["glon", "glat"]
         )
-        out.write.mode("overwrite").parquet(atlas_store)
+        # versioned write + atomic pointer swap: replayed batches
+        # overwrite their own v= directory (idempotent), readers via
+        # current_atlas() never observe a partial directory
+        os.makedirs(atlas_store, exist_ok=True)
+        out.write.mode("overwrite").parquet(f"{atlas_store}/v={batch_id}")
+        publish_version(atlas_store, batch_id)
 
     # let callers release the cached grid once the stream is stopped
     refresh.unpersist_grid = lambda blocking=False: grid.unpersist(blocking)

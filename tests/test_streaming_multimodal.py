@@ -1084,7 +1084,9 @@ def test_streaming_atlas_refresh_equals_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    got = spark.read.parquet(atlas_dir).toPandas().sort_values(
+    from argostats_spark.streaming.atlas import current_atlas
+
+    got = current_atlas(spark, atlas_dir).toPandas().sort_values(
         ["glon", "glat"]
     ).reset_index(drop=True)
 
@@ -1335,3 +1337,70 @@ def test_gdac_watermark_monotone_and_lateness_slack(tmp_path):
     assert e2["seen"] == e1["seen"]
     shutil.move(str(saved), str(gdac))
     assert ex.partitions(e1, e2) == []
+
+
+def test_atlas_publish_is_atomic_for_concurrent_readers(spark, tmp_path):
+    """Round-6 verdict item 4: a reader polling current_atlas() in a
+    tight loop WHILE refreshes land must never observe a partial,
+    empty, or errored atlas — every read returns exactly one of the
+    completed versions' row counts. Also pins the retention window
+    (old versions pruned to 2) and the pre-publish error."""
+    import threading
+
+    from argostats_spark.operators.atlas import make_grid
+    from argostats_spark.operators.interpolation import interpolate_profiles
+    from argostats_spark.sources.synthetic import make_raw
+    from argostats_spark.streaming.atlas import atlas_refresh_writer, current_atlas
+
+    atlas_dir = str(tmp_path / "atlas")
+    pair_dir = str(tmp_path / "pairs")
+
+    # nothing published yet → loud, specific failure
+    with pytest.raises(FileNotFoundError, match="no atlas published"):
+        current_atlas(spark, atlas_dir)
+
+    raw = interpolate_profiles(make_raw(spark, n_wmos=4, profiles_per_wmo=4, seed=11))
+    grid = make_grid(spark, (-180.0, 180.0, -60.0, 64.0), reso_deg=10.0)
+    refresh = atlas_refresh_writer(grid, pair_dir, atlas_dir, 10.0, 2.0)
+
+    # three growing slices = three refreshes; record each complete count
+    slices = [raw.filter(F.col("wmo") <= w).localCheckpoint(eager=True)
+              for w in (1001, 1002, 1003)]
+    complete_counts = set()
+    refresh(slices[0], 0)
+    complete_counts.add(current_atlas(spark, atlas_dir).count())
+
+    observed: list = []
+    errors: list = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                observed.append(current_atlas(spark, atlas_dir).count())
+            except Exception as e:  # noqa: BLE001 — the test's whole point
+                errors.append(repr(e))
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        for i, sl in enumerate(slices[1:], start=1):
+            refresh(sl, i)
+            complete_counts.add(current_atlas(spark, atlas_dir).count())
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    refresh.unpersist_grid()
+
+    assert not errors, errors[:3]
+    assert len(observed) > 0
+    bad = [c for c in observed if c not in complete_counts]
+    assert bad == [], (bad[:5], complete_counts)
+
+    # retention: at most 2 versions on disk, CURRENT resolves newest
+    import os
+
+    vers = sorted(d for d in os.listdir(atlas_dir) if d.startswith("v="))
+    assert len(vers) <= 2 and "v=2" in vers
+    with open(os.path.join(atlas_dir, "CURRENT")) as f:
+        assert f.read().strip() == "2"
