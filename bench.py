@@ -49,6 +49,40 @@ def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
             best = (rnd, parsed["queries"])
     return best
 
+# Per-limb attribution for the >=3-limb suite queries (VERDICT r6 item
+# 5): when a suite's total moves, the artifact must say WHICH limb. Two
+# shapes: "tag" suites are tagged unions — filtering on the tag literal
+# constant-folds every other union child to an empty relation, so the
+# noop write executes that limb's subplan alone; "columns" suites
+# (text_suite) compute limbs as feature columns of one row-per-doc
+# select — projecting a column group lets Catalyst prune the other
+# groups' expressions. One run per limb (attribution, not a tripwire —
+# the suite's own headline row stays the min-of-3 gate).
+LIMB_SPECS: dict[str, dict] = {
+    "text_suite": {
+        "mode": "columns",
+        "key": ["doc_id"],
+        "groups": {
+            "counts": ["n_tokens", "n_unique", "n_chars_actual"],
+            "quality": ["quality"],
+            "fingerprint": ["fp60", "shard", "norm_hash", "norm_len"],
+            "langid": ["pred"],
+            "gopher": [
+                "top_tok_frac", "dup_2gram_frac", "dup_3gram_frac", "repetitive",
+            ],
+        },
+    },
+    "tfidf_lm_suite": {
+        "mode": "tag", "col": "part",
+        "values": ["tfidf", "lm_decile", "vocab"],
+    },
+    "stats_suite": {
+        "mode": "tag", "col": "which",
+        "values": ["minmax", "quantile", "stats"],
+    },
+}
+
+
 # Headline set: one per operator family — scan/agg, joins, windows,
 # spatial kernel join, dedup, similarity, text.
 HEADLINE = [
@@ -236,6 +270,37 @@ def main() -> None:
     except Exception as exc:  # partial argo numbers beat no artifact
         errors["argo_microbench"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    limbs: dict[str, dict[str, float]] = {}
+    from pyspark.sql import functions as _F
+
+    for name, spec in LIMB_SPECS.items():
+        sub: dict[str, float] = {}
+        try:
+            # Build ONCE, untimed-per-limb: suite builders may run an
+            # eager shared prefix (model fits, .first() totals, eager
+            # localCheckpoints) at call time — timing it inside every
+            # limb would charge the shared cost to each limb. It gets
+            # its own "(build)" row instead; each limb row then times
+            # only that limb's lazy subtree (tag filters constant-fold
+            # the other union children away; column-group projects let
+            # Catalyst prune the other groups' expressions).
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            sub["(build)"] = round(time.perf_counter() - t0, 3)
+            if spec["mode"] == "tag":
+                items = [(v, df.filter(_F.col(spec["col"]) == v))
+                         for v in spec["values"]]
+            else:
+                items = [(g, df.select(*spec["key"], *cols))
+                         for g, cols in spec["groups"].items()]
+            for limb, carved in items:
+                t0 = time.perf_counter()
+                carved.write.format("noop").mode("overwrite").save()
+                sub[limb] = round(time.perf_counter() - t0, 3)
+            limbs[name] = sub
+        except Exception as exc:
+            errors[f"limbs:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -248,6 +313,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "argo": argo,
+        "limbs": limbs,
     }
     # perf-regression tripwire: any headline query >1.5× slower than the
     # newest same-sf BENCH_r{N}.json shows up IN the artifact, so a plan
