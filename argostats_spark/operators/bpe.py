@@ -179,7 +179,12 @@ def bpe_vocab(words: DataFrame, specials: tuple[str, ...] = ()) -> DataFrame:
     """The id table: (subword, id, freq) with dense ids from 0 assigned
     by (corpus frequency desc, subword asc) — deterministic on any
     partitioning. Optional ``specials`` (e.g. '<pad>', '<eos>') take
-    the lowest ids, in the order given, with freq NULL.
+    the lowest ids, in the order given, with freq NULL. A LEARNED
+    subword equal to a special string (web text contains literal
+    '<pad>'/'<eos>' tokens) is excluded from the base ranking — the
+    special owns the string; without this the duplicate key would blow
+    up bpe_encode_ids' create_map at runtime (DUPLICATED_MAP_KEY under
+    Spark's default EXCEPTION policy).
 
     The subword type count is bounded by |alphabet| + 1 + num_merges
     (every merge mints exactly one new symbol), so this table is tiny
@@ -195,6 +200,8 @@ def bpe_vocab(words: DataFrame, specials: tuple[str, ...] = ()) -> DataFrame:
     rank = F.row_number().over(
         W.orderBy(F.col("freq").desc(), F.col("subword").asc())
     )
+    if specials:
+        freqs = freqs.where(~F.col("subword").isin(*specials))
     base = freqs.select(
         "subword", (rank + F.lit(len(specials) - 1)).cast("long").alias("id"), "freq"
     )

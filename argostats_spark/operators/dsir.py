@@ -332,8 +332,8 @@ def dsir_score_rows(
     watermark, no output-mode constraints; this is the
     score-at-ingest shape a production pipeline runs).
 
-    Two deliberate divergences from the batch join path
-    (:func:`dsir_scores`), both in this path's favor at inference:
+    Three deliberate divergences from the batch join path
+    (:func:`dsir_scores`), each in this path's favor at inference:
 
     - grams hashing to buckets the fit never saw score the smoothing
       floor instead of being dropped by the inner join — correct for
@@ -342,7 +342,10 @@ def dsir_score_rows(
     - the fold is interpreted per element (the price of statelessness
       — there is no explode/agg to keep codegen scalar), so batch
       jobs at rest should prefer :func:`dsir_scores`; this path is
-      for streams and for frames that must stay row-shaped.
+      for streams and for frames that must stay row-shaped;
+    - zero-token documents keep their row with ``n_grams = 0`` and
+      ``logw = NULL`` (the batch path omits them) — NULL, not 0.0,
+      so a quality gate can't mistake "nothing to score" for a score.
 
     B is bounded by expression size (the literal array): fine through
     ~64k buckets, beyond that ship the model as a broadcast map join
@@ -363,13 +366,20 @@ def dsir_score_rows(
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets),
     )
-    logw = F.round(
-        F.aggregate(
-            buckets,
-            F.lit(0.0),
-            lambda acc, b: acc + F.element_at(lam_arr, (b + 1).cast("int")),
+    # third divergence (round-6 advice): a zero-token document scores
+    # logw NULL here, not 0.0 — the batch join path omits such
+    # documents entirely (no feature rows), and 0.0 is a real score a
+    # caller would otherwise rank on
+    logw = F.when(
+        F.size("__dsir_grams") > 0,
+        F.round(
+            F.aggregate(
+                buckets,
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(lam_arr, (b + 1).cast("int")),
+            ),
+            6,
         ),
-        6,
     )
     return (
         grams.withColumn("n_grams", F.size("__dsir_grams").cast("long"))

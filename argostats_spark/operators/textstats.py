@@ -197,3 +197,115 @@ def bigram_lm_nll(docs: DataFrame, text_col: str = "text",
             .alias("b_nll"),
         )
     )
+
+
+def unigram_lm_fit(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int, int]:
+    """Fit the add-one-smoothed corpus unigram LM once and hand back
+    the reusable model: (vocab, t_total, v_size) where vocab is the
+    materialized (tok, c) table (localCheckpointed — fitting costs one
+    corpus pass, every later scorer reuses the result). This is the
+    fit half of :func:`unigram_lm_nll`, split out so the model can be
+    applied to NEW documents (:func:`lm_score_rows`) — quality-gating
+    a fresh crawl against last month's corpus model, the score-at-
+    ingest shape — instead of only scoring the corpus it was fitted
+    on."""
+    d = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    vocab = (
+        d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
+    ).first()
+    t_total = int(tot["t"]) if tot["t"] is not None else 0
+    v_size = int(tot["v"]) if tot["v"] is not None else 0
+    return vocab, t_total, v_size
+
+
+def lm_score_rows(
+    docs: DataFrame,
+    vocab: DataFrame,
+    t_total: int,
+    v_size: int,
+    text_col: str = "text",
+    max_literal_vocab: int = 10_000,
+) -> DataFrame:
+    """Inference-time unigram-LM scoring (VERDICT r6 item 6): apply a
+    FITTED model (from :func:`unigram_lm_fit`) to any frame — new
+    documents, the fitted corpus, or a readStream — adding ``n_tok``
+    and ``d_nll`` columns while keeping the frame ROW-SHAPED. The same
+    dense-model/row-local pattern as ``dsir_score_rows``: no shuffle,
+    no state, no output-mode constraints — a stateless streaming map.
+
+    Model transport picks itself by vocabulary size:
+
+    - up to ``max_literal_vocab`` types: the tok → −ln p map rides as
+      a ``create_map`` LITERAL and the per-document mean is an in-row
+      fold — pure codegen expression, zero Python;
+    - beyond that: the collected dict ships once per executor inside
+      an Arrow-batched pandas UDF (a literal map's expression tree
+      and a broadcast-join's aggregate are both wrong here: the first
+      hits expression-size limits, the second forfeits row shape and
+      streaming statelessness). Never a row-at-a-time Python UDF.
+
+    Semantics vs the fitted-corpus scorer (:func:`unigram_lm_nll`):
+
+    - on the FITTED corpus the two paths agree exactly (pinned by
+      test) except that zero-token documents, which the batch explode
+      path omits, are kept here with ``d_nll = NULL`` (not 0.0 — a
+      fake best-possible score would sail through a quality gate);
+    - tokens the fit never saw score the add-one smoothing floor
+      −ln(1/(T+V)) — the model's actual probability for an unseen
+      type, exactly what a new corpus needs (the batch path's inner
+      join would silently DROP them, deflating OOV documents' NLL).
+    """
+    import math
+
+    floor = -math.log(1.0 / (t_total + v_size))
+    model_rows = vocab.collect()  # vocabulary-sized by contract
+    nlp = {
+        r["tok"]: -math.log((r["c"] + 1.0) / (t_total + v_size))
+        for r in model_rows
+    }
+    tk = tokens(F.lower(F.col(text_col)))
+    if len(nlp) <= max_literal_vocab:
+        pairs: list = []
+        for t, v in nlp.items():
+            pairs.extend([F.lit(t), F.lit(v)])
+        m = F.create_map(*pairs) if pairs else F.create_map()
+        total = F.aggregate(
+            tk,
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(F.element_at(m, x), F.lit(floor)),
+        )
+        d_nll = F.when(
+            F.size(tk) > 0, F.round(total / F.size(tk), 6)
+        )  # otherwise NULL
+        return docs.withColumn("n_tok", F.size(tk).cast("long")).withColumn(
+            "d_nll", d_nll
+        )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # dict is closure-captured: pickled once into the UDF payload,
+    # shipped once per executor, shared across Arrow batches.
+    # annotations set explicitly because this module's
+    # `from __future__ import annotations` would stringify inline
+    # hints, which pandas_udf's signature inspection cannot resolve.
+    def _score_fn(toks):
+        def one(ts):
+            if ts is None or len(ts) == 0:
+                return None
+            return round(sum(nlp.get(t, floor) for t in ts) / len(ts), 6)
+
+        return toks.apply(one)
+
+    _score_fn.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    _score = pandas_udf(_score_fn, "double")
+
+    return docs.withColumn("n_tok", F.size(tk).cast("long")).withColumn(
+        "d_nll", _score(tk)
+    )

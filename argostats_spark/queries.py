@@ -391,7 +391,18 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # lon/lat are exact .5 halves by construction, so double→string
-    # renders identically in both engines
+    # renders identically in both engines.
+    # ACCEPTED RISK (round-6 advice, documented per the 6-dp policy):
+    # the mm-grain hash CAST(round(dist*1000)) has no tolerance — a
+    # 1-ulp sin/asin divergence between Spark and DuckDB landing
+    # EXACTLY on a .5-mm boundary would flip the integer and fail the
+    # suite hash. Accepted because (a) the inputs are exact .5-degree
+    # halves, so the distances are fixed irrational-ish values that sit
+    # measurably far from every boundary on both engines today (driver-
+    # hashed green since round 4), and (b) any coarser deterministic
+    # grain merely moves the boundary rather than removing it. If this
+    # limb ever mismatches alone, re-grain BOTH sides to whole meters
+    # before suspecting the operator.
     hav = _synth_points(spark, sf_dir).select(
         F.lit("haversine").alias("which"),
         F.col("lon").cast("string").alias("k1"),

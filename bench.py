@@ -28,23 +28,28 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
     """Per-query timings from the newest BENCH_r{N}.json at the same sf —
-    the baseline for the perf-regression tripwire (VERDICT r4 item 8)."""
+    the baseline for the perf-regression tripwire (VERDICT r4 item 8).
+    Also consults BENCH_scale_*.json checkpoints (raw bench output, not
+    driver-wrapped), so the sf1 scaling run trips the same 1.5x+0.25s
+    gate against its previous-round self (VERDICT r6 item 8) — those
+    carry round 0, so a real same-sf BENCH_r{N} always wins."""
     import glob
     import re
 
     best: tuple[int, dict[str, float]] | None = None
-    for path in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(REPO_DIR, "BENCH_*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
+        if not m and not os.path.basename(path).startswith("BENCH_scale_"):
             continue
         try:
             with open(path) as f:
-                parsed = json.load(f).get("parsed") or {}
+                raw = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        parsed = raw.get("parsed") if isinstance(raw.get("parsed"), dict) else raw
         if parsed.get("sf") != sf_val or not parsed.get("queries"):
             continue
-        rnd = int(m.group(1))
+        rnd = int(m.group(1)) if m else 0
         if best is None or rnd > best[0]:
             best = (rnd, parsed["queries"])
     return best

@@ -224,3 +224,35 @@ def test_train_local_truncation_and_early_stop(spark):
     )
     m_ref, _ = bpe_train(sub, 4)
     assert [ab[:2] for ab in m2] == [ab[:2] for ab in m_ref]
+
+
+def test_vocab_specials_overlap_guard(spark):
+    """Round-6 advice: a LEARNED subword equal to a special string must
+    not produce a duplicate vocab key (which would blow up
+    bpe_encode_ids' create_map under DUPLICATED_MAP_KEY). The special
+    owns the string; the learned subword is excluded from the ranking."""
+    from argostats_spark.operators.bpe import bpe_encode_ids, bpe_train, bpe_vocab
+
+    # corpus where the literal token '<pad>' is frequent enough that
+    # its full form '<pad></w>' is learned as a subword
+    docs = spark.createDataFrame(
+        [(0, "<pad> <pad> <pad> <pad> <pad> <pad>"), (1, "x <pad> y")],
+        "doc_id bigint, text string",
+    )
+    merges, words = bpe_train(docs, 16)
+    learned = {r["subword"] for r in bpe_vocab(words).collect()}
+    clash = "<pad></w>" if "<pad></w>" in learned else None
+    assert clash, "corpus failed to learn the clashing subword"
+
+    vocab = bpe_vocab(words, specials=(clash, "<eos>"))
+    rows = vocab.collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    subs = [r["subword"] for r in rows]
+    assert len(subs) == len(set(subs)), "duplicate vocab key survived"
+    by_sub = {r["subword"]: r for r in rows}
+    assert by_sub[clash]["id"] == 0 and by_sub[clash]["freq"] is None
+
+    # and the id-encode path runs clean end-to-end
+    out = bpe_encode_ids(docs, words, vocab=vocab)
+    assert out.count() > 0

@@ -229,3 +229,25 @@ def test_streaming_score_equals_batch(spark, tmp_path):
         for r in dsir_score_rows(raw, dense, n_buckets=B).collect()
     }
     assert got == want
+
+
+def test_score_rows_zero_token_doc_null_logw(spark):
+    """Round-6 advice: a zero-token document keeps its row with
+    n_grams=0 and logw NULL (not 0.0 — the batch path omits it, and a
+    fake 0.0 would rank as a real score)."""
+    from argostats_spark.operators.dsir import dsir_score_rows
+
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    _, _, dense, _ = _fit_dense(spark, raw, tgt)
+    new = spark.createDataFrame(
+        [(10, "alpha zeta"), (11, ""), (12, "   ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dsir_score_rows(new, dense, n_buckets=B).collect()}
+    assert rows[10]["n_grams"] > 0 and rows[10]["logw"] is not None
+    for i in (11, 12):
+        assert rows[i]["n_grams"] == 0
+        assert rows[i]["logw"] is None

@@ -226,3 +226,117 @@ def test_bigram_lm_partition_independent(spark):
     a = sorted((r["doc_id"], r["b_nll"]) for r in bigram_lm_nll(df.repartition(11)).collect())
     b = sorted((r["doc_id"], r["b_nll"]) for r in bigram_lm_nll(df.coalesce(1)).collect())
     assert a == b
+
+
+def test_lm_score_rows_fitted_corpus_agrees_with_batch(spark):
+    """On the FITTED corpus the row-local scorer must reproduce
+    unigram_lm_nll exactly (every token in-vocab), keep zero-token
+    documents with d_nll NULL (never 0.0), and the pandas-UDF transport
+    must equal the literal-map transport bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from argostats_spark.operators.textstats import (
+        lm_score_rows, unigram_lm_fit, unigram_lm_nll,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the the the the",
+        "unique words only here now",
+        "cat mat cat mat",
+        "",          # zero tokens: batch path omits, row path NULLs
+        "   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab, t_total, v_size = unigram_lm_fit(df)
+    batch = {r["doc_id"]: r["d_nll"] for r in unigram_lm_nll(df).collect()}
+    lit_rows = lm_score_rows(df, vocab, t_total, v_size).collect()
+    got = {r["doc_id"]: r["d_nll"] for r in lit_rows}
+    for i in (0, 1, 2, 3):
+        assert got[i] == batch[i], (i, got[i], batch[i])
+    assert 4 not in batch and 5 not in batch
+    assert got[4] is None and got[5] is None
+    assert {r["doc_id"]: r["n_tok"] for r in lit_rows}[4] == 0
+    # row shape preserved: original columns still present, no explode
+    assert set(c for r in [lit_rows[0]] for c in r.asDict()) == {
+        "doc_id", "text", "n_tok", "d_nll"
+    }
+
+    pd_rows = lm_score_rows(df, vocab, t_total, v_size, max_literal_vocab=0).collect()
+    assert {r["doc_id"]: (r["n_tok"], r["d_nll"]) for r in pd_rows} == {
+        r["doc_id"]: (r["n_tok"], r["d_nll"]) for r in lit_rows
+    }
+
+
+def test_lm_score_rows_new_corpus_oov_floor(spark):
+    """Fitted-vs-new behavior: an unseen token scores the add-one floor
+    -ln(1/(T+V)) — the model's real probability mass for an unseen
+    type — so an all-OOV document scores exactly the floor, and a
+    mixed document interpolates between floor and in-vocab NLL. The
+    batch scorer (inner join) would silently DROP the OOV tokens."""
+    import math
+
+    from argostats_spark.operators.textstats import lm_score_rows, unigram_lm_fit
+
+    fit_df = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "bb cc")], "doc_id long, text string"
+    )
+    vocab, t, v = unigram_lm_fit(fit_df)
+    assert (t, v) == (5, 3)
+    floor = -math.log(1.0 / (t + v))
+
+    new = spark.createDataFrame(
+        [(10, "zz qq"), (11, "aa zz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["d_nll"] for r in
+           lm_score_rows(new, vocab, t, v).collect()}
+    assert got[10] == round(floor, 6)
+    aa = -math.log((2 + 1.0) / (t + v))
+    assert got[11] == round((aa + floor) / 2.0, 6)
+    # OOV scores strictly worse than any in-vocab token's NLL
+    assert got[10] > aa
+
+
+def test_lm_score_rows_streaming_equals_batch(spark, tmp_path):
+    """The scorer is a stateless streaming map: the same fitted model
+    applied through readStream (append mode, no watermark, no agg) must
+    produce exactly the batch rows."""
+    from argostats_spark.operators.textstats import lm_score_rows, unigram_lm_fit
+
+    fit_df = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha"), (1, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    vocab, t, v = unigram_lm_fit(fit_df)
+
+    new = spark.createDataFrame(
+        [(100, "alpha zzz"), (101, "beta"), (102, "")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    new.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    batch = {
+        r["doc_id"]: (r["n_tok"], r["d_nll"])
+        for r in lm_score_rows(spark.read.parquet(src), vocab, t, v).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = lm_score_rows(stream, vocab, t, v)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("lm_score_stream").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_tok"], r["d_nll"])
+            for r in spark.sql("SELECT * FROM lm_score_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
