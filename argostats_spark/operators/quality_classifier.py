@@ -1,0 +1,236 @@
+"""fastText-style quality classifier (Joulin et al. 2016, "Bag of
+Tricks for Efficient Text Classification") — the trained quality
+filter of the CCNet / GPT-3 curation recipe: fit a linear classifier
+to separate a small high-quality corpus (positives, e.g. curated
+reference pages) from random crawl text (negatives), then keep crawl
+documents the classifier scores as target-like. DSIR
+(operators/dsir.py) is the importance-WEIGHTING member of this family;
+this is the discriminative-CLASSIFIER member — both are standard, and
+real pipelines run both.
+
+Green-field scope (no counterpart in the reference's oceanographic
+engine). The Spark shape is the point:
+
+- features are hashed unigram+bigram buckets with ℓ₁-normalized
+  counts (the fastText bag, same gram/bucket scheme as DSIR so the
+  two share mental model and tests), built in ONE corpus pass and
+  cached as a row-local array column — no explode survives into the
+  training loop;
+- training is full-batch logistic-regression gradient descent where
+  EACH EPOCH is exactly one Spark job: the current weight vector
+  rides into the plan as a B-sized array LITERAL, the per-document
+  margin z = w·x + b is an in-row fold (zero joins, zero shuffles),
+  and the gradient is one explode → groupBy(bucket) aggregate whose
+  output is at most B+1 rows. Driver traffic per epoch: the B-float
+  gradient — model-sized, never corpus-sized. Deterministic: zero
+  init, fixed lr schedule, and the per-bucket gradient is a sum of
+  f8 terms whose adding order only perturbs ~1e-16 per epoch;
+- scoring (:func:`quality_score_rows`) is the dsir_score_rows /
+  lm_score_rows pattern: row-shaped, stateless, stream-safe — the
+  fitted model as an array literal, the score an in-row fold.
+
+At 100 TB: the feature pass is one scan; each epoch re-scans the
+cached feature table (epochs × one-shuffle jobs — 20-50 epochs is
+the fastText norm, so the loop is bounded and each round's shuffle
+payload is (bucket, grad-term) pairs, combiner-friendly). B is fixed
+by construction (expression-size-bounded through ~64k buckets; ship
+the model as a broadcast map join beyond — same tradeoff as DSIR,
+documented there).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "doc_feature_rows",
+    "quality_fit",
+    "quality_score_rows",
+]
+
+
+def _gram_buckets(text_col: str, n_buckets: int):
+    """Row-local hashed gram buckets: lowercased whitespace unigrams +
+    bigrams, md5-prefix-hashed into [0, n_buckets) — the DSIR bucket
+    scheme (dsir.py::_bucket_of) verbatim, so the two operators'
+    features are directly comparable."""
+    tk = tokens(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, F.lit(1), F.size(tk) - 1),
+            F.slice(tk, F.lit(2), F.size(tk) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(tk, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+
+
+def doc_feature_rows(
+    docs: DataFrame,
+    label: float,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """One corpus pass → the cached training representation: one row
+    per document with ``y`` (the label) and ``feats`` — an array of
+    (bucket, x) structs where x is the ℓ₁-normalized count (the
+    fastText mean-of-embeddings bag, linearized). Zero-gram documents
+    are dropped (nothing to learn from, and they'd divide by zero).
+    Row-local: no shuffle; the groupBy is WITHIN the array
+    (aggregate over sorted buckets), not across rows."""
+    b = _gram_buckets(text_col, n_buckets)
+    # count duplicates within the bucket array in-row: sort, then fold
+    # into (bucket, n) runs — keeps the whole feature build shuffle-free
+    sorted_b = F.array_sort(b)
+    runs = F.aggregate(
+        sorted_b,
+        F.array().cast("array<struct<bucket:long,n:long>>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1).bucket == x),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        x.alias("bucket"),
+                        (F.element_at(acc, -1).n + 1).alias("n"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(x.alias("bucket"), F.lit(1).cast("long").alias("n"))))
+        ),
+    )
+    n_grams = F.size(b)
+    feats = F.transform(
+        runs,
+        lambda r: F.struct(
+            r.bucket.alias("bucket"),
+            (r.n.cast("double") / n_grams.cast("double")).alias("x"),
+        ),
+    )
+    return (
+        docs.select(
+            F.lit(float(label)).alias("y"), feats.alias("feats")
+        )
+        .where(n_grams > 0)
+    )
+
+
+def quality_fit(
+    pos: DataFrame,
+    neg: DataFrame,
+    n_buckets: int = 4096,
+    epochs: int = 30,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    text_col: str = "text",
+) -> tuple[list[float], float, list[float]]:
+    """Fit the logistic model; returns (weights[B], bias, loss_history).
+
+    Full-batch GD, one Spark job per epoch: margins fold in-row against
+    the weight LITERAL, the gradient is one explode+agg bounded by B
+    rows. The cached feature table is built once (one pass over each
+    corpus). Loss history (mean log-loss per epoch, pre-step) comes
+    free from the same aggregate — use it to pick epochs; fastText
+    training is typically 5-50 epochs at lr ~0.1-2 on normalized bags.
+    """
+    feats = (
+        doc_feature_rows(pos, 1.0, n_buckets, text_col)
+        .unionByName(doc_feature_rows(neg, 0.0, n_buckets, text_col))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("no trainable documents (all zero-gram?)")
+
+    w = [0.0] * n_buckets
+    b = 0.0
+    history: list[float] = []
+    for _ in range(epochs):
+        w_arr = F.array(*[F.lit(x) for x in w])
+        z = F.aggregate(
+            F.col("feats"),
+            F.lit(float(b)),
+            lambda acc, s: acc + s.x * F.element_at(w_arr, (s.bucket + 1).cast("int")),
+        )
+        # p − y is the shared residual of every gradient term AND the
+        # bias gradient; log-loss rides along for the history
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        staged = feats.select(
+            "feats",
+            (p - F.col("y")).alias("resid"),
+            (
+                -(
+                    F.col("y") * F.log(F.greatest(p, F.lit(1e-15)))
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-15)))
+                )
+            ).alias("loss"),
+        )
+        grad_rows = (
+            staged.select(
+                "resid", "loss",
+                F.size("feats").alias("nf"),
+                F.explode("feats").alias("s"),
+            )
+            .groupBy(F.col("s.bucket").alias("bucket"))
+            .agg(
+                F.sum(F.col("resid") * F.col("s.x")).alias("g"),
+                # each document's resid/loss appears once per feature;
+                # divide by the doc's feature count to sum it once
+                F.sum(F.col("resid") / F.col("nf")).alias("gb"),
+                F.sum(F.col("loss") / F.col("nf")).alias("l"),
+            )
+            .collect()
+        )
+        grad = [0.0] * n_buckets
+        grad_b = 0.0
+        loss = 0.0
+        for r in grad_rows:
+            grad[int(r["bucket"])] = float(r["g"]) / n_docs
+            grad_b += float(r["gb"]) / n_docs
+            loss += float(r["l"]) / n_docs
+        history.append(loss)
+        for j in range(n_buckets):
+            w[j] -= lr * (grad[j] + l2 * w[j])
+        b -= lr * grad_b
+    return w, b, history
+
+
+def quality_score_rows(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    n_buckets: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the fitted model row-locally: adds ``q_score`` — the
+    sigmoid probability the document is target-quality — keeping the
+    frame row-shaped (stateless streaming map, the dsir_score_rows /
+    lm_score_rows pattern). Zero-gram documents score NULL (nothing to
+    classify — not 0.5, which a threshold gate would treat as a real
+    coin-flip score)."""
+    n_buckets = len(weights) if n_buckets is None else n_buckets
+    assert n_buckets == len(weights)
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    b = _gram_buckets(text_col, n_buckets)
+    n = F.size(b)
+    z = F.aggregate(
+        b,
+        F.lit(float(bias)),
+        lambda acc, bk: acc
+        + F.element_at(w_arr, (bk + 1).cast("int")) / n.cast("double"),
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.withColumn("q_score", F.when(n > 0, score))
