@@ -135,6 +135,7 @@ def quality_fit(
     lr: float = 2.0,
     l2: float = 0.0,
     text_col: str = "text",
+    lr_bias: float | None = None,
 ) -> tuple[list[float], float, list[float]]:
     """Fit the logistic model; returns (weights[B], bias, loss_history).
 
@@ -145,6 +146,13 @@ def quality_fit(
     free from the same aggregate — use it to pick epochs; fastText
     training is typically 5-50 epochs at lr ~0.1-2 on normalized bags.
     """
+    # The bias "feature" is 1 per document while the l1-normalized
+    # weight features are ~1/doc_len — curvatures differ by orders of
+    # magnitude, so one lr either stalls the weights or diverges the
+    # bias. lr applies to the weights; lr_bias (default lr/100,
+    # capped at 1) to the intercept — the per-coordinate-scale trick
+    # any practical GD on normalized bags needs.
+    lr_bias = min(lr / 100.0, 1.0) if lr_bias is None else lr_bias
     feats = (
         doc_feature_rows(pos, 1.0, n_buckets, text_col)
         .unionByName(doc_feature_rows(neg, 0.0, n_buckets, text_col))
@@ -178,6 +186,15 @@ def quality_fit(
                 )
             ).alias("loss"),
         )
+        # DECIMAL(28,14) sums, the k-means partition-independence
+        # mechanism (clustering.py:85-93): each per-row term is rounded
+        # ONCE by the cast (deterministic per value, HALF_UP) and
+        # decimal addition is exact, so the fitted model is independent
+        # of partition layout / reduction order — the property the
+        # oracle-ordering guard needs to regenerate a byte-identical
+        # model in a different session. Terms are O(1) magnitudes
+        # (|resid| <= 1, x <= 1, loss <= 35), far inside the cast range.
+        dec = "decimal(28,14)"
         grad_rows = (
             staged.select(
                 "resid", "loss",
@@ -186,25 +203,31 @@ def quality_fit(
             )
             .groupBy(F.col("s.bucket").alias("bucket"))
             .agg(
-                F.sum(F.col("resid") * F.col("s.x")).alias("g"),
+                F.sum((F.col("resid") * F.col("s.x")).cast(dec)).alias("g"),
                 # each document's resid/loss appears once per feature;
                 # divide by the doc's feature count to sum it once
-                F.sum(F.col("resid") / F.col("nf")).alias("gb"),
-                F.sum(F.col("loss") / F.col("nf")).alias("l"),
+                F.sum((F.col("resid") / F.col("nf")).cast(dec)).alias("gb"),
+                F.sum((F.col("loss") / F.col("nf")).cast(dec)).alias("l"),
             )
             .collect()
         )
+        # gb/l arrive as one exact Decimal per bucket group but the
+        # collect() row order is nondeterministic — accumulate them as
+        # Decimals (exact, order-independent) and convert once
+        from decimal import Decimal
+
         grad = [0.0] * n_buckets
-        grad_b = 0.0
-        loss = 0.0
+        gb_d = Decimal(0)
+        loss_d = Decimal(0)
         for r in grad_rows:
             grad[int(r["bucket"])] = float(r["g"]) / n_docs
-            grad_b += float(r["gb"]) / n_docs
-            loss += float(r["l"]) / n_docs
-        history.append(loss)
+            gb_d += r["gb"]
+            loss_d += r["l"]
+        grad_b = float(gb_d) / n_docs
+        history.append(float(loss_d) / n_docs)
         for j in range(n_buckets):
             w[j] -= lr * (grad[j] + l2 * w[j])
-        b -= lr * grad_b
+        b -= lr_bias * grad_b
     return w, b, history
 
 

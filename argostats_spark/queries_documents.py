@@ -102,6 +102,34 @@ def _train_and_write_kmeans(spark: SparkSession, sf_dir: str):
     return cents
 
 
+def _train_and_write_qc(spark: SparkSession, sf_dir: str):
+    """Train the fastText-style source classifier (src0-9 vs src10-19
+    — the corpus's sources have genuinely distinct token distributions,
+    so the fit has real signal to find, unlike the `lang` tag which is
+    text-uncorrelated in this synthetic corpus; deterministic: DECIMAL
+    gradient sums + driver-side Decimal accumulation,
+    partition-independent by test) and materialize (bucket, w) for the
+    oracle, bias at bucket=-1. Shared by the quality_filter builder
+    and the oracle-ordering guard below."""
+    from .operators.quality_classifier import quality_fit
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.substring("source", 4, 10).cast("int")
+    pos = d.where(grp < 10)
+    neg = d.where((grp >= 10) | grp.isNull())
+    # lr=500 on l1-normalized bags (features ~1/doc_len, so the
+    # weight-space curvature is tiny — see quality_fit's lr_bias note);
+    # 16 epochs reach ~2/3 held-in accuracy on this deliberately
+    # overlapping synthetic corpus, with the loss still descending —
+    # enough to pin "the fit learns" without 30 driver-run Spark jobs
+    w, b, _ = quality_fit(pos, neg, n_buckets=256, epochs=16, lr=500.0)
+    _write_model_parquet(
+        "qc_weights",
+        {"bucket": list(range(-1, len(w))), "w": [b] + list(w)},
+    )
+    return w, b
+
+
 # The driver's correctness scale (the brief pins oracle comparison at
 # sf=0.01). The model parquet path is NOT keyed by sf, so the guard
 # must train at the same sf the driver queries at — honor the parity
@@ -159,6 +187,7 @@ def ensure_model_parquets(sf_dir: str = _DRIVER_SF_DIR) -> None:
         _train_and_write_pq(spark, sf_dir)
         _train_and_write_kmeans(spark, sf_dir)
         _train_and_write_bpe(spark, sf_dir)
+        _train_and_write_qc(spark, sf_dir)
     finally:
         if own:
             spark.stop()
@@ -1689,7 +1718,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              6) AS quality
       FROM documents
     ),
-    thr AS (SELECT round(quantile_cont(quality, 0.1), 6) AS thr FROM t)
+    thr AS (SELECT round(quantile_cont(quality, 0.1), 6) AS thr FROM t),
+    model AS (
+      SELECT (SELECT w FROM read_parquet('{qc}') WHERE bucket = -1) AS bias,
+             (SELECT list(w ORDER BY bucket) FROM read_parquet('{qc}')
+              WHERE bucket >= 0) AS ws
+    ),
+    ft AS (
+      SELECT doc_id, tk, list_concat(tk,
+               list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                              i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+             ) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents)
+    ),
+    sc AS (
+      -- bit-exact twin of quality_score_rows: same left fold, bias
+      -- seed, per-element w[bucket]/n division, gram order (unigrams
+      -- then bigrams), 6-dp round; zero-gram docs -> NULL
+      SELECT ft.doc_id,
+             CASE WHEN len(grams) = 0 THEN NULL
+                  ELSE round(1.0 / (1.0 + exp(-(
+                    list_reduce(
+                      list_prepend(model.bias,
+                        list_transform(grams,
+                          g -> model.ws[(('0x' || substr(md5(g), 1, 8))::BIGINT % 256) + 1]
+                               / CAST(len(grams) AS DOUBLE))),
+                      (acc, v) -> acc + v)))), 6)
+             END AS ft_en
+      FROM ft, model
+    )
     SELECT t.doc_id, t.quality,
            1 AS n_email, 1 AS n_ip, 1 AS n_phone,
            'HTTPS://Sub.Example.com:8080/Path/x?utm_source=news&ref='
@@ -1699,10 +1759,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Contact <EMAIL> via HTTPS://Sub.Example.com:8080/Path/x'
              || '?utm_source=news&ref=' || d.doc_id
              || '#frag at <IP> or call <PHONE> :: '
-             || substr(d.text, 1, 48) AS scrubbed
-    FROM t JOIN documents d ON t.doc_id = d.doc_id, thr
+             || substr(d.text, 1, 48) AS scrubbed,
+           sc.ft_en
+    FROM t JOIN documents d ON t.doc_id = d.doc_id
+           JOIN sc ON t.doc_id = sc.doc_id, thr
     WHERE t.quality >= thr.thr
-    """,
+    """.replace("{qc}", _model_parquet_path("qc_weights")),
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality gate + the PII/URL curation surface, one row per
@@ -1726,7 +1788,18 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot replay Java-regex lookarounds in RE2, so it CONSTRUCTS the
     expected outputs from the known layout instead — every redaction
     span, the canonical URL, and the untouched filler are all
-    driver-hashed."""
+    driver-hashed.
+
+    Classifier limb (round 7): ``ft_en`` — the fastText-style trained
+    quality/source classifier (operators/quality_classifier.py, Joulin
+    et al. 2016) scored over every surviving document. The model is
+    trained HERE (full-batch logistic GD, one Spark job per epoch,
+    DECIMAL-exact gradients so training is partition-independent),
+    materialized to the qc_weights model parquet, and the DuckDB twin
+    re-derives every score from that parquet with the identical
+    left-fold order (bias seed, per-gram w[bucket]/n division, unigram
+    then bigram order) — bit-exact z both engines, 6-dp rounded.
+    Zero-gram documents score NULL on both sides."""
     from .functions.text import (
         extract_urls, normalize_url, pii_counts, quality_score, scrub_pii,
         url_host,
@@ -1757,11 +1830,24 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_url(first_url).alias("norm_url"),
         scrub_pii(aug).alias("scrubbed"),
     )
+    # classifier limb (round 7): the fastText-style en-vs-rest model —
+    # trained fresh here (deterministic + partition-independent, so the
+    # oracle-ordering guard regenerates byte-identical weights) and
+    # materialized for the DuckDB twin, which re-derives every score
+    # from the parquet with the same left-fold order (bit-exact z).
+    from .operators.quality_classifier import quality_score_rows
+
+    w, bias = _train_and_write_qc(spark, sf_dir)
+    scored = quality_score_rows(
+        d.select("doc_id", "text"), w, bias
+    ).select("doc_id", F.col("q_score").alias("ft_en"))
+
     thr = q.agg(F.round(F.percentile("quality", F.lit(0.1)), 6).alias("thr"))
     return (
         q.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("thr"))
         .drop("thr")
+        .join(scored, "doc_id")
     )
 
 

@@ -34,9 +34,19 @@ def _buckets(text: str, n_buckets: int = B) -> list[int]:
     ]
 
 
-def _ref_fit(pos, neg, n_buckets=B, epochs=10, lr=1.0, l2=0.0):
+def _q14(x: float):
+    """Mirror Spark's cast(double as decimal(28,14)): exact binary
+    value quantized to 14 dp, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(x).quantize(Decimal("1e-14"), rounding=ROUND_HALF_UP)
+
+
+def _ref_fit(pos, neg, n_buckets=B, epochs=10, lr=1.0, l2=0.0,
+             lr_bias=None):
     """Reference: full-batch logistic GD over l1-normalized hashed
-    bags, zero init — the exact contract quality_fit implements."""
+    bags, zero init, gradient terms quantized to DECIMAL(28,14) and
+    summed exactly — the exact contract quality_fit implements."""
     rows = []
     for y, corpus in ((1.0, pos), (0.0, neg)):
         for t in corpus:
@@ -47,29 +57,34 @@ def _ref_fit(pos, neg, n_buckets=B, epochs=10, lr=1.0, l2=0.0):
             for b_ in bk:
                 x[b_] = x.get(b_, 0.0) + 1.0 / len(bk)
             rows.append((y, x))
+    lr_bias = min(lr / 100.0, 1.0) if lr_bias is None else lr_bias
     n = len(rows)
     w = [0.0] * n_buckets
     bias = 0.0
     hist = []
+    from decimal import Decimal
+
     for _ in range(epochs):
-        grad = [0.0] * n_buckets
-        gb = 0.0
-        loss = 0.0
+        grad = [Decimal(0)] * n_buckets
+        gb = Decimal(0)
+        loss = Decimal(0)
         for y, x in rows:
             z = bias + sum(w[j] * v for j, v in x.items())
             p = 1.0 / (1.0 + math.exp(-z))
             r = p - y
+            nf = len(x)
             for j, v in x.items():
-                grad[j] += r * v
-            gb += r
-            loss += -(
+                grad[j] += _q14(r * v)
+            gb += _q14(r / nf) * nf
+            ll = -(
                 y * math.log(max(p, 1e-15))
                 + (1 - y) * math.log(max(1 - p, 1e-15))
             )
-        hist.append(loss / n)
+            loss += _q14(ll / nf) * nf
+        hist.append(float(loss) / n)
         for j in range(n_buckets):
-            w[j] -= lr * (grad[j] / n + l2 * w[j])
-        bias -= lr * gb / n
+            w[j] -= lr * (float(grad[j]) / n + l2 * w[j])
+        bias -= lr_bias * float(gb) / n
     return w, bias, hist
 
 
@@ -179,3 +194,16 @@ def test_score_rows_streaming_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_fit_partition_independent(spark):
+    """DECIMAL gradient sums + driver-side Decimal accumulation: the
+    fitted model must be bit-identical under any partition layout —
+    the property the materialized-model oracle pattern requires."""
+    pos = spark.createDataFrame([(t,) for t in POS], "text string")
+    neg = spark.createDataFrame([(t,) for t in NEG], "text string")
+    w1, b1, h1 = quality_fit(pos.repartition(7), neg.repartition(5),
+                             n_buckets=B, epochs=6, lr=1.0)
+    w2, b2, h2 = quality_fit(pos.coalesce(1), neg.coalesce(1),
+                             n_buckets=B, epochs=6, lr=1.0)
+    assert w1 == w2 and b1 == b2 and h1 == h2
