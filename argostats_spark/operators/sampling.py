@@ -289,3 +289,115 @@ def chunk_documents(
             ).cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def chunk_documents_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+    max_tokens: int = 128,
+    divisor: int = 32,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking (the rsync / LBFS / FastCDC boundary
+    idea at token granularity): cut AFTER any token whose content hash
+    satisfies ``hash % divisor == 0``, subject to ``min_tokens`` /
+    ``max_tokens`` run bounds. Same output shape as
+    :func:`chunk_documents` (one row per chunk: id, chunk_id,
+    tok_start, tok_end, chunk_text, n_chunk_tokens).
+
+    Why it exists next to the fixed-window chunker: fixed windows are
+    EDIT-FRAGILE — insert one token near the front of a document and
+    every downstream window shifts, so every chunk hash changes and
+    chunk-level dedup sees an entirely new document. CDC boundaries
+    are decided by token CONTENT, so an edit only perturbs the chunk
+    containing it (and at most its successor via the run bounds);
+    every later boundary re-synchronizes and downstream chunk hashes
+    are IDENTICAL — the property that makes chunk-level near-dup
+    storage and delta-compression work (pinned by the resync test).
+
+    Expected chunk length ≈ min_tokens + divisor; max_tokens caps
+    pathological runs with no boundary token (degenerate/repetitive
+    text). Boundary hash = first 8 hex chars of md5 of the BARE token
+    (the corpus-wide hash family), so the boundary decision for a
+    token is global — the same token cuts everywhere, which is what
+    re-synchronizes two documents after a divergence.
+
+    Scale shape: entirely row-local — one fold over the token-hash
+    array builds the per-document start list, one posexplode emits the
+    chunks. No shuffle, no Python, composes with ``pack_chunks``
+    exactly like the fixed-window chunker.
+    """
+    if not 1 <= min_tokens <= max_tokens:
+        raise ValueError(f"need 1 <= min_tokens <= max_tokens, got {min_tokens}, {max_tokens}")
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    from ..functions.text import tokens
+
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # (hash, next_start) per position: the fold needs the position of
+    # the token AFTER a cut, so zip the boundary hash with index+1
+    hp = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+             % F.lit(divisor)).alias("h"),
+            (i + 1).alias("nxt"),
+        ),
+    )
+    acc0 = F.struct(
+        F.array(F.lit(0)).cast("array<int>").alias("starts"),
+        F.lit(0).alias("run"),
+    )
+    step = lambda acc, s: F.when(  # noqa: E731 — inline fold step
+        ((acc.run + 1 >= F.lit(min_tokens)) & (s.h == 0))
+        | (acc.run + 1 >= F.lit(max_tokens)),
+        F.struct(
+            F.concat(acc.starts, F.array(s.nxt.cast("int"))).alias("starts"),
+            F.lit(0).alias("run"),
+        ),
+    ).otherwise(F.struct(acc.starts.alias("starts"), (acc.run + 1).alias("run")))
+    # drop a trailing cut exactly at the end (it would emit an empty
+    # chunk); zero-token docs contribute no rows via the n > 0 gate
+    starts = F.aggregate(
+        hp, acc0, step,
+        lambda acc: F.filter(acc.starts, lambda st: st < n),
+    )
+    bounds = F.concat(starts, F.array(n.cast("int")))
+    carry = list(carry_cols)
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .where(n > 0)
+        .withColumn("__bounds", bounds)
+        .select(
+            id_col,
+            *carry,
+            F.col("__toks"),
+            F.col("__bounds"),
+            F.posexplode(F.slice("__bounds", 1, F.size("__bounds") - 1)).alias(
+                "chunk_id", "tok_start"
+            ),
+        )
+        .withColumn(
+            "__tok_end", F.element_at("__bounds", F.col("chunk_id") + 2)
+        )
+        .select(
+            id_col,
+            *carry,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.col("__tok_end").cast("long").alias("tok_end"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("tok_start") + 1,
+                    F.col("__tok_end") - F.col("tok_start"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            (F.col("__tok_end") - F.col("tok_start")).cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )

@@ -1111,11 +1111,28 @@ def q_ocean_mask_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_aggregates",
     """
-    SELECT l_returnflag,
+    WITH topq AS (
+      SELECT l_returnflag, q AS exact_top_qty, c AS exact_top_qty_count
+      FROM (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               count(*) AS c,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT))
+                 AS rn
+        FROM lineitem GROUP BY 1, 2
+      ) WHERE rn = 1
+    )
+    SELECT g.l_returnflag,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            TRUE AS hll_within_5pct,
-           TRUE AS median_within_p40_p60
-    FROM lineitem GROUP BY l_returnflag
+           TRUE AS median_within_p40_p60,
+           any_value(topq.exact_top_qty) AS exact_top_qty,
+           CAST(any_value(topq.exact_top_qty_count) AS BIGINT)
+             AS exact_top_qty_count,
+           TRUE AS cms_never_underestimates,
+           TRUE AS cms_within_eps
+    FROM lineitem g JOIN topq ON g.l_returnflag = topq.l_returnflag
+    GROUP BY g.l_returnflag
     """,
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1135,6 +1152,56 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.4)").alias("p40"),
         F.expr("percentile(l_quantity, 0.6)").alias("p60"),
     )
+
+    # CMS heavy-hitter limb (round 7): a count-min sketch per group
+    # (eps=0.1%, conf=99%, fixed seed), probed at the group's exact
+    # top l_quantity value. The sketch BYTES are engine-specific, so —
+    # approx-family policy — the hashed columns are the exact anchors
+    # (top value + its exact count, tie-break count desc then value
+    # asc) plus the two CMS GUARANTEES as booleans: the estimate never
+    # underestimates, and overshoots by at most eps·N (w.p. 1-delta;
+    # deterministic here under the fixed seed). Sketches are
+    # group-count-sized; the probe is a driver-side deserialize of
+    # O(groups) few-KB payloads, not data motion.
+    from pyspark.sql import Window as W
+
+    eps = 0.001
+    qlong = F.col("l_quantity").cast("long")
+    topw = W.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("q").asc()
+    )
+    tops = {
+        r["l_returnflag"]: (int(r["q"]), int(r["c"]))
+        for r in (
+            li.groupBy("l_returnflag", qlong.alias("q"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(topw))
+            .where(F.col("rn") == 1)
+            .collect()
+        )
+    }
+    sk = li.groupBy("l_returnflag").agg(
+        F.count_min_sketch(qlong, F.lit(eps), F.lit(0.99), F.lit(42)).alias("cms"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()
+    jvm = spark.sparkContext._jvm
+    cms_rows = []
+    for r in sk:
+        q, c = tops[r["l_returnflag"]]
+        sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(r["cms"]))
+        )
+        est = int(sketch.estimateCount(jvm.java.lang.Long(q)))
+        cms_rows.append((
+            r["l_returnflag"], q, c,
+            est >= c, est <= c + eps * int(r["n_rows"]),
+        ))
+    cms_df = spark.createDataFrame(
+        cms_rows,
+        "l_returnflag string, exact_top_qty long, exact_top_qty_count long, "
+        "cms_never_underestimates boolean, cms_within_eps boolean",
+    )
+
     return agg.select(
         "l_returnflag",
         F.col("exact_orders").cast("long").alias("exact_orders"),
@@ -1146,7 +1213,7 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_median_qty").between(F.col("p40"), F.col("p60")).alias(
             "median_within_p40_p60"
         ),
-    )
+    ).join(F.broadcast(cms_df), "l_returnflag")
 
 
 _SIMHASH_BITS = 60

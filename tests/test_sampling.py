@@ -118,3 +118,111 @@ def test_materialize_packs_roundtrip(spark):
     # token count < 10 + last member's tokens (<= 6)
     for r in packs:
         assert len(r["pack_text"].replace(" | ", " ").split()) < 16
+
+
+def _cdc_ref(text, min_tokens=16, max_tokens=128, divisor=32):
+    """Plain-Python mirror of chunk_documents_cdc."""
+    import hashlib
+
+    tk = [t for t in text.split() if t]
+    starts, run = [0], 0
+    for i, t in enumerate(tk):
+        run += 1
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % divisor
+        if (run >= min_tokens and h == 0) or run >= max_tokens:
+            starts.append(i + 1)
+            run = 0
+    starts = [st for st in starts if st < len(tk)]
+    bounds = starts + [len(tk)]
+    return [
+        (j, bounds[j], bounds[j + 1], " ".join(tk[bounds[j]:bounds[j + 1]]))
+        for j in range(len(bounds) - 1)
+    ]
+
+
+def test_cdc_matches_python_reference(spark, sf_dir):
+    from argostats_spark.operators.sampling import chunk_documents_cdc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    kw = dict(min_tokens=4, max_tokens=48, divisor=8)
+    got = {}
+    for r in chunk_documents_cdc(docs, **kw).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["tok_start"], r["tok_end"], r["chunk_text"])
+        )
+    for r in docs.select("doc_id", "text").collect():
+        want = _cdc_ref(r["text"], **kw)
+        assert sorted(got.get(r["doc_id"], [])) == want, r["doc_id"]
+
+
+def test_cdc_bounds_and_degenerate_text(spark):
+    from argostats_spark.operators.sampling import chunk_documents_cdc
+
+    # repetitive text with a non-boundary token: only max_tokens cuts
+    df = spark.createDataFrame(
+        [(0, " ".join(["aaa"] * 100)), (1, ""), (2, "one")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents_cdc(df, min_tokens=4, max_tokens=16, divisor=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import hashlib
+
+    h = int(hashlib.md5(b"aaa").hexdigest()[:8], 16) % 8
+    if h != 0:  # every chunk except the tail is exactly max_tokens
+        sizes = sorted(r["n_chunk_tokens"] for r in by_doc[0])
+        assert sizes[:-1] == [16] * (len(sizes) - 1) or set(sizes) == {16, 100 % 16}
+        assert all(r["n_chunk_tokens"] <= 16 for r in by_doc[0])
+    assert 1 not in by_doc          # zero tokens -> no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "one"
+    # coverage: chunks tile the document exactly
+    spans = sorted((r["tok_start"], r["tok_end"]) for r in by_doc[0])
+    assert spans[0][0] == 0 and spans[-1][1] == 100
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_cdc_resynchronizes_after_edit_fixed_windows_do_not(spark, sf_dir):
+    """The motivating property: insert one token near the front — CDC
+    chunk texts after the edited region are IDENTICAL (boundaries are
+    content-determined, so they re-align), while fixed-window chunking
+    shifts every downstream window and shares almost nothing."""
+    from argostats_spark.operators.sampling import (
+        chunk_documents, chunk_documents_cdc,
+    )
+
+    # longest document in the slice — the property needs many chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    longest = docs.orderBy(F.length("text").desc(), "doc_id").first()
+    base = docs.where(F.col("doc_id") == longest["doc_id"]).select(
+        "doc_id", "text"
+    )
+    n_tok = len(longest["text"].split())
+    if n_tok <= 120:  # stitch a long doc from the corpus if needed
+        joined = " ".join(
+            r["text"] for r in docs.orderBy("doc_id").limit(8).collect()
+        )
+        base = spark.createDataFrame([(0, joined)], "doc_id long, text string")
+        n_tok = len(joined.split())
+    assert n_tok > 120
+    edited = base.select(
+        "doc_id",
+        F.concat(F.lit("INSERTED "), F.col("text")).alias("text"),
+    )
+
+    kw = dict(min_tokens=4, max_tokens=64, divisor=8)
+    c0 = {r["chunk_text"] for r in chunk_documents_cdc(base, **kw).collect()}
+    c1 = {r["chunk_text"] for r in chunk_documents_cdc(edited, **kw).collect()}
+    cdc_shared = len(c0 & c1) / max(len(c0), 1)
+
+    f0 = {r["chunk_text"] for r in
+          chunk_documents(base, chunk_tokens=32).collect()}
+    f1 = {r["chunk_text"] for r in
+          chunk_documents(edited, chunk_tokens=32).collect()}
+    fixed_shared = len(f0 & f1) / max(len(f0), 1)
+
+    # CDC: everything but the (small) edited prefix chunk survives;
+    # fixed windows: the one-token shift invalidates ~every window
+    assert cdc_shared >= 0.7, (cdc_shared, len(c0), len(c1))
+    assert fixed_shared <= 0.2, (fixed_shared, len(f0), len(f1))
+    assert cdc_shared > fixed_shared + 0.5
