@@ -1,0 +1,123 @@
+"""End-to-end score-at-ingest composition (round 7): the engine's whole
+stateless-scorer stack — JSONL ingest with quarantine → unigram-LM NLL
+(lm_score_rows) → DSIR importance logweight (dsir_score_rows) →
+fastText-style classifier probability (quality_score_rows) → gate →
+content-addressed split assignment — chained over ONE readStream with
+no state, no watermark, no aggregation, and proven row-identical to the
+same chain over the batch reader. This is the pipeline a production
+crawl runs at the ingest edge; each stage is pinned individually
+elsewhere, this pins that they COMPOSE."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+@pytest.fixture(scope="module")
+def fitted_models(spark, sf_dir):
+    """Fit every model once on the testdata corpus."""
+    from argostats_spark.operators.dsir import (
+        dense_lambda, dsir_logratio, doc_bucket_counts, gram_rows, _bucket_of,
+    )
+    from argostats_spark.operators.quality_classifier import quality_fit
+    from argostats_spark.operators.textstats import unigram_lm_fit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab, t_total, v_size = unigram_lm_fit(d)
+
+    B = 128
+    feats = doc_bucket_counts(d, n_buckets=B)
+    raw_tot = feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    tgt = d.where(F.col("doc_id") % 7 == 0)
+    tgt_tot = (
+        gram_rows(tgt, "text", [])
+        .select(_bucket_of(F.col("gram"), B))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    logr = dsir_logratio(tgt_tot, raw_tot, n_buckets=B)
+    dense = dense_lambda(logr, n_buckets=B)
+
+    grp = F.substring("source", 4, 10).cast("int")
+    w, b, _ = quality_fit(
+        d.where(grp < 10), d.where(grp >= 10),
+        n_buckets=64, epochs=3, lr=200.0,
+    )
+    return dict(vocab=vocab, t_total=t_total, v_size=v_size,
+                dense=dense, B=B, w=w, b=b)
+
+
+def _curate(df, m):
+    """The composed ingest-edge chain — every stage row-local."""
+    from argostats_spark.operators.dsir import dsir_score_rows
+    from argostats_spark.operators.quality_classifier import quality_score_rows
+    from argostats_spark.operators.sampling import train_test_split
+    from argostats_spark.operators.textstats import lm_score_rows
+
+    good = df.where(~F.col("is_corrupt")).drop("is_corrupt", "raw_line")
+    scored = lm_score_rows(good, m["vocab"], m["t_total"], m["v_size"])
+    scored = dsir_score_rows(scored, m["dense"], n_buckets=m["B"])
+    scored = quality_score_rows(scored, m["w"], m["b"])
+    gated = scored.where(
+        F.col("d_nll").isNotNull() & (F.col("q_score").isNotNull())
+    )
+    return train_test_split(gated, "doc_id").select(
+        "doc_id", "n_tok", "d_nll", "n_grams", "logw", "q_score", "split"
+    )
+
+
+def test_streaming_curation_chain_equals_batch(spark, sf_dir, tmp_path, fitted_models):
+    from argostats_spark.sources.jsonl import read_jsonl, read_jsonl_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).collect()
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = []
+    for r in docs:
+        lines.append(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}))
+    lines.insert(3, '{"doc_id": "not-a-number", "text": 17}')  # corrupt
+    lines.insert(9, "{broken json")                            # corrupt
+    lines.append(json.dumps({"doc_id": 999_001, "text": ""}))  # zero tokens
+    half = len(lines) // 2
+    (src / "a.jsonl").write_text("\n".join(lines[:half]) + "\n")
+    (src / "b.jsonl").write_text("\n".join(lines[half:]) + "\n")
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    m = fitted_models
+
+    good_b, bad_b = read_jsonl(spark, str(src / "*.jsonl"), schema)
+    batch_out = _curate(
+        good_b.withColumn("is_corrupt", F.lit(False))
+        .withColumn("raw_line", F.lit(None).cast("string")),
+        m,
+    )
+    batch = {r["doc_id"]: r for r in batch_out.collect()}
+    assert len(batch) > 40
+    assert bad_b.count() == 2
+    assert 999_001 not in batch  # zero-token doc gated out, not scored 0
+
+    stream = read_jsonl_stream(spark, str(src / "*.jsonl"), schema)
+    out = _curate(stream, m)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("curated")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curated").collect()}
+    finally:
+        q.stop()
+
+    assert set(got) == set(batch)
+    for k in got:
+        assert got[k].asDict() == batch[k].asDict(), k
+    # every split value present and content-addressed (stable keys)
+    splits = {r["split"] for r in got.values()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
