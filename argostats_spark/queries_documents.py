@@ -118,11 +118,15 @@ def _train_and_write_qc(spark: SparkSession, sf_dir: str):
     pos = d.where(grp < 10)
     neg = d.where((grp >= 10) | grp.isNull())
     # lr=500 on l1-normalized bags (features ~1/doc_len, so the
-    # weight-space curvature is tiny — see quality_fit's lr_bias note);
-    # 16 epochs reach ~2/3 held-in accuracy on this deliberately
-    # overlapping synthetic corpus, with the loss still descending —
-    # enough to pin "the fit learns" without 30 driver-run Spark jobs
-    w, b, _ = quality_fit(pos, neg, n_buckets=256, epochs=16, lr=500.0)
+    # weight-space curvature is tiny — see quality_fit's lr_bias note).
+    # 8 epochs: the loss is descending and the weights are far from
+    # zero — enough signal for the oracle to pin the full GD + scoring
+    # math; the LEARNING demonstration (loss curve, held-out
+    # separation, 2/3 accuracy at 30 epochs) lives in
+    # test_quality_classifier.py, not in this driver row, and each
+    # epoch is a scheduler-bound ~0.9 s Spark job the driver pays twice
+    # (query + oracle-ordering guard).
+    w, b, _ = quality_fit(pos, neg, n_buckets=256, epochs=8, lr=500.0)
     _write_model_parquet(
         "qc_weights",
         {"bucket": list(range(-1, len(w))), "w": [b] + list(w)},
