@@ -334,3 +334,48 @@ def test_bpe_encode_broadcasts_vocab(spark, sf):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan, plan[:1600]
+
+
+def test_quality_score_rows_is_pure_expression(spark, sf):
+    """quality_score_rows (the classifier's stream-safe scorer) must
+    stay a single scan + projection: zero exchanges, no Python
+    operator — the property that makes it a stateless streaming map."""
+    from argostats_spark.operators.quality_classifier import quality_score_rows
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    df = quality_score_rows(d, [0.1] * 64, -0.2)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 0, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunking_is_row_local(spark, sf):
+    """chunk_documents_cdc: one scan, in-row fold + posexplode — zero
+    exchanges, no Python operator (chunking at scan speed)."""
+    from argostats_spark.operators.sampling import chunk_documents_cdc
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    df = chunk_documents_cdc(d, min_tokens=8, max_tokens=64, divisor=16)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 0, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode emitting chunks
+
+
+def test_lm_score_rows_literal_path_is_pure_expression(spark, sf):
+    """lm_score_rows' literal-map transport: zero exchanges, no Python.
+    (The >max_literal_vocab transport deliberately uses an Arrow-batched
+    pandas UDF — ArrowEvalPython is its expected operator, asserted so
+    the fallback never silently degrades to row-at-a-time Python.)"""
+    from argostats_spark.operators.textstats import lm_score_rows, unigram_lm_fit
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    vocab, t, v = unigram_lm_fit(d)
+    lit = lm_score_rows(d, vocab, t, v)
+    plan = physical_plan(lit)
+    assert count_exchanges(lit) == 0, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    pd_path = lm_score_rows(d, vocab, t, v, max_literal_vocab=0)
+    plan2 = physical_plan(pd_path)
+    assert "ArrowEvalPython" in plan2 and "BatchEvalPython" not in plan2
