@@ -401,3 +401,134 @@ def chunk_documents_cdc(
             .alias("n_chunk_tokens"),
         )
     )
+
+
+def pack_chunks_bestfit(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    strata_col: str,
+    order_col: str | list[str],
+) -> DataFrame:
+    """Non-splitting best-fit packing (histogram form — Krell et al.
+    2021, "Efficient Sequence Packing without Cross-contamination"):
+    assign each item to a ``pack_id`` such that no pack exceeds
+    ``budget`` tokens and padding waste is near-optimal, WITHOUT
+    splitting any item across packs (``pack_chunks`` is the splitting
+    form — items straddle boundaries there; here every sequence stays
+    whole, the shape attention-masked training packs need).
+
+    Scale design — the bin-packing itself never sees the corpus:
+
+    1. ONE aggregate collects the per-stratum LENGTH HISTOGRAM —
+       bounded by strata × budget rows no matter the corpus size;
+    2. the driver runs best-fit-decreasing over the histogram in BULK
+       (strategies = (length-multiset, multiplicity) pairs, split on
+       partial fills) — O(distinct-lengths²) worst case, independent
+       of item count;
+    3. assignment is distributed: items rank within
+       (stratum, length) via one window, then a broadcast slot table
+       (one row per strategy×length, histogram-bounded) maps each rank
+       range to its packs arithmetically. One window shuffle + one
+       broadcast join — same exchange count as the splitting packer.
+
+    Items LONGER than the budget each get a singleton pack (the
+    caller should have chunked first; flagged ``oversize = true``).
+    Deterministic: ranks order by ``order_col``, strategies by
+    creation order — independent of partitioning (pinned by test).
+    Output adds ``pack_id`` (long, unique within stratum) and
+    ``oversize`` (boolean).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+
+    hist = (
+        df.groupBy(strata_col, token_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_stratum: dict = {}
+    for r in hist:
+        by_stratum.setdefault(r[strata_col], {})[int(r[token_col])] = int(r["c"])
+
+    # driver-side bulk best-fit-decreasing per stratum
+    # slot table rows: (stratum, length, rank_start, rank_end_excl,
+    #                   slots_per_pack, pack_base)
+    slot_rows = []
+    for stratum, counts in by_stratum.items():
+        # strategies: [remaining, multiplicity, {length: slots}]
+        strategies: list[list] = []
+        next_rank: dict[int, int] = {}
+        for L in sorted(counts, reverse=True):
+            c = counts[L]
+            if L > budget:  # singleton oversize packs
+                strategies.append([0, c, {L: 1}])
+                continue
+            while c > 0:
+                # best fit: tightest remaining capacity that still fits
+                best = None
+                for s in strategies:
+                    if L <= s[0] and (best is None or s[0] < best[0]):
+                        best = s
+                if best is None:
+                    # fresh packs: as many whole-L slots as fit
+                    slots = budget // L
+                    mult = max(c // slots, 1)
+                    take_items = min(c, mult * slots)
+                    # partial last pack folds into the same strategy —
+                    # ranks map arithmetically regardless
+                    mult = -(-take_items // slots)
+                    strategies.append(
+                        [budget - slots * L, mult, {L: slots}]
+                    )
+                    c -= take_items
+                else:
+                    take = min(c, best[1])
+                    if take < best[1]:  # split multiplicity
+                        rest = [best[0], best[1] - take, dict(best[2])]
+                        best[1] = take
+                        strategies.append(rest)
+                    best[0] -= L
+                    best[2][L] = best[2].get(L, 0) + 1
+                    c -= take
+        pack_base = 0
+        for s in strategies:
+            _, mult, slot_map = s
+            for L, slots in slot_map.items():
+                start = next_rank.get(L, 0)
+                n_items = min(slots * mult, counts[L] - start)
+                if n_items <= 0:
+                    continue
+                slot_rows.append(
+                    (stratum, L, start, start + n_items, slots, pack_base)
+                )
+                next_rank[L] = start + n_items
+            pack_base += mult
+
+    spark = df.sparkSession
+    stype = df.schema[strata_col].dataType.simpleString()
+    slots_df = spark.createDataFrame(
+        slot_rows,
+        f"{strata_col} {stype}, __len long, __rs long, __re long, "
+        "__spp long, __base long",
+    )
+    rw = W.partitionBy(strata_col, token_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    ranked = df.withColumn("__rank", F.row_number().over(rw) - 1)
+    joined = ranked.join(
+        F.broadcast(slots_df),
+        (ranked[strata_col] == slots_df[strata_col])
+        & (F.col(token_col).cast("long") == F.col("__len"))
+        & (F.col("__rank") >= F.col("__rs"))
+        & (F.col("__rank") < F.col("__re")),
+    ).drop(slots_df[strata_col])
+    return joined.select(
+        *df.columns,
+        (
+            F.col("__base") + ((F.col("__rank") - F.col("__rs")) / F.col("__spp"))
+            .cast("long")
+        ).alias("pack_id"),
+        (F.col("__len") > budget).alias("oversize"),
+    )

@@ -226,3 +226,65 @@ def test_cdc_resynchronizes_after_edit_fixed_windows_do_not(spark, sf_dir):
     assert cdc_shared >= 0.7, (cdc_shared, len(c0), len(c1))
     assert fixed_shared <= 0.2, (fixed_shared, len(f0), len(f1))
     assert cdc_shared > fixed_shared + 0.5
+
+
+def test_bestfit_packing_invariants_and_efficiency(spark):
+    from argostats_spark.operators.sampling import pack_chunks_bestfit
+
+    # adversarial-ish mixed lengths incl. oversize and duplicates
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, "s%d" % (i % 3), rng.choice([7, 13, 31, 64, 100, 120, 200]))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    budget = 128
+    out = pack_chunks_bestfit(df, "n_tok", budget, "shard", "doc_id")
+    pdf = out.toPandas()
+
+    # every item assigned exactly once
+    assert len(pdf) == 400 and pdf.doc_id.nunique() == 400
+    # oversize flag only for > budget items, each in a singleton pack
+    over = pdf[pdf.oversize]
+    assert set(over.n_tok) == {200}
+    sizes = over.groupby(["shard", "pack_id"]).size()
+    assert (sizes == 1).all()
+    # budget invariant for every non-oversize pack
+    ok = pdf[~pdf.oversize].groupby(["shard", "pack_id"]).n_tok.sum()
+    assert (ok <= budget).all(), ok[ok > budget]
+    # FFD efficiency: pack count within the 11/9*OPT + 1 bound per shard
+    for shard, g in pdf[~pdf.oversize].groupby("shard"):
+        n_packs = g.pack_id.nunique()
+        lower = -(-int(g.n_tok.sum()) // budget)  # ceil = OPT lower bound
+        assert n_packs <= (11 * lower) // 9 + 1, (shard, n_packs, lower)
+
+
+def test_bestfit_packing_deterministic_under_partitioning(spark):
+    from argostats_spark.operators.sampling import pack_chunks_bestfit
+
+    rows = [(i, "s", (i * 37) % 90 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    a = pack_chunks_bestfit(df.repartition(11), "n_tok", 96, "shard", "doc_id")
+    b = pack_chunks_bestfit(df.coalesce(1), "n_tok", 96, "shard", "doc_id")
+    pa = {r["doc_id"]: r["pack_id"] for r in a.collect()}
+    pb = {r["doc_id"]: r["pack_id"] for r in b.collect()}
+    assert pa == pb
+
+
+def test_bestfit_beats_splitting_packer_waste_free_comparison(spark):
+    """Not a like-for-like (pack_chunks splits items, this doesn't) but
+    the key property: best-fit's non-splitting packs waste little —
+    utilization >= 85% on a mixed distribution — while naive
+    one-item-per-pack (the no-algorithm baseline) would waste ~60%."""
+    from argostats_spark.operators.sampling import pack_chunks_bestfit
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "s", rng.choice([30, 50, 70, 90])) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    budget = 128
+    pdf = pack_chunks_bestfit(df, "n_tok", budget, "shard", "doc_id").toPandas()
+    n_packs = pdf.pack_id.nunique()
+    util = pdf.n_tok.sum() / (n_packs * budget)
+    assert util >= 0.85, (util, n_packs)
