@@ -294,30 +294,53 @@ def simhash_near_pairs(
     shrinks buckets' key space quadratically growing the candidate set.
     Default (4 blocks × 16 bits) is the 100 TB-sane corner; raise blocks
     only with a matching bits increase."""
+    sigs = simhash(df, id_col, text_col, bits=bits, hasher=hasher)
+    return hamming_block_pairs(
+        sigs, "simhash", max_hamming=max_hamming, blocks=blocks, bits=bits
+    )
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pigeonhole block join over ANY 64-bit-signature frame —
+    shared by text SimHash (:func:`simhash_near_pairs`) and image
+    perceptual hashing (:func:`image_phash_near_dups`): split the
+    signature into ``blocks`` chunks; any pair within ``max_hamming``
+    (strictly < blocks) agrees on at least one chunk, so candidates
+    come from chunk equi-joins. NULL signatures (undecodable media)
+    are excluded — they can't be meaningfully compared."""
     assert max_hamming < blocks, (
         f"pigeonhole completeness needs max_hamming < blocks "
         f"(got {max_hamming} >= {blocks})"
     )
     assert bits % blocks == 0
-    sigs = simhash(df, id_col, text_col, bits=bits, hasher=hasher).persist()
+    sigs = sigs.where(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("__sig")
+    ).persist()
     width = bits // blocks
     chunk = lambda c, b: F.shiftright(F.col(c), b * width).bitwiseAND(  # noqa: E731
         F.lit((1 << width) - 1)
     )
     keyed = sigs.select(
-        "doc_id", "simhash", *[chunk("simhash", b).alias(f"c{b}") for b in range(blocks)]
+        "doc_id", "__sig", *[chunk("__sig", b).alias(f"c{b}") for b in range(blocks)]
     )
     cands = None
     for b in range(blocks):
-        k = keyed.select("doc_id", "simhash", F.col(f"c{b}").alias("ck"))
+        k = keyed.select("doc_id", "__sig", F.col(f"c{b}").alias("ck"))
         a, bb = k.alias("a"), k.alias("b")
         c = a.join(
             bb, (F.col("a.ck") == F.col("b.ck")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         ).select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.col("a.__sig").alias("sa"),
+            F.col("b.__sig").alias("sb"),
         )
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.distinct()
@@ -333,6 +356,33 @@ def simhash_near_pairs(
     out = out.localCheckpoint(eager=True)
     sigs.unpersist()
     return out
+
+
+def image_phash_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual difference-hash: decode each
+    payload (real pure-NumPy PPM/PGM/BMP decode, multimodal.py), take
+    the 64-bit dHash (adjacent-pixel brightness gradients of an 8x9
+    downsample — invariant to uniform brightness/contrast shifts and
+    to resizing, the property that catches re-encoded copies exact
+    byte-dedup misses), then the same pigeonhole block join the text
+    SimHash uses. Returns (id_a, id_b, hamming).
+
+    Scale shape: one mapInPandas decode pass (the payload never moves
+    again — 8 bytes of signature per image downstream), then
+    ``blocks`` chunk equi-joins over the signature table. Undecodable
+    payloads (codec libs absent) carry NULL signatures and are
+    excluded rather than fake-matched."""
+    from .multimodal import image_phash_table
+
+    sigs = image_phash_table(media)
+    return hamming_block_pairs(
+        sigs, "phash", max_hamming=max_hamming, blocks=blocks,
+        id_col="media_id",
+    )
 
 
 def embedding_near_dups(

@@ -376,3 +376,56 @@ def frame_sample_plan(video: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def dhash64(img: "np.ndarray") -> int:
+    """64-bit perceptual difference hash: grayscale → 8x9 nearest
+    downsample → bit b_(r,c) = 1 iff pixel brightens left-to-right.
+    Compares ADJACENT pixels, so the hash is invariant to uniform
+    brightness/contrast shifts and (via the fixed downsample) to
+    resizing — the re-encoded-copy detector exact byte hashing can't
+    be. Returned as a SIGNED 64-bit int (Spark LongType two's
+    complement), bit (r*8+c) at position (r*8+c)."""
+    gray = img.astype("f4") if img.ndim == 2 else img.astype("f4").mean(axis=2)
+    small = resize_image(gray, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(64)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_phash_table(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas perceptual-hash pass: (media_id, phash, decoded) —
+    one decode per payload, 8 signature bytes out; payloads that need
+    absent codec libraries yield phash NULL with decoded=false (never
+    a fake hash — a fake would pair unrelated images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "phash": [], "decoded": []}
+            for payload in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(payload))
+                    out["phash"].append(dhash64(img))
+                    out["decoded"].append(True)
+                except (NotImplementedError, ValueError, IndexError):
+                    out["phash"].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    balanced = media.repartition(
+        max(media.rdd.getNumPartitions(), 1),
+        F.pmod(F.xxhash64("sha256"), F.lit(1024)),
+    )
+    return balanced.mapInPandas(run, PHASH_SCHEMA)

@@ -1404,3 +1404,61 @@ def test_atlas_publish_is_atomic_for_concurrent_readers(spark, tmp_path):
     assert len(vers) <= 2 and "v=2" in vers
     with open(os.path.join(atlas_dir, "CURRENT")) as f:
         assert f.read().strip() == "2"
+
+
+def _pgm(arr) -> bytes:
+    import numpy as np
+
+    a = np.asarray(arr, dtype="u1")
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def test_image_phash_near_dups_finds_reencodes_not_strangers(spark):
+    """Perceptual dHash near-dup: a brightness-shifted copy and a
+    2x-upscaled copy hash within hamming range of the original
+    (adjacent-pixel gradients survive both transforms), a different
+    image does not, and byte-identical copies hash at distance 0 —
+    the re-encoded-duplicate detector exact byte dedup cannot be."""
+    import hashlib
+
+    import numpy as np
+
+    from argostats_spark.operators.dedup import image_phash_near_dups
+    from argostats_spark.operators.multimodal import dhash64, decode_image
+
+    rng = np.random.default_rng(5)
+    base = (rng.integers(0, 200, (32, 48)) + np.linspace(0, 55, 48)).astype("u1")
+    bright = np.clip(base.astype("i4") + 40, 0, 255).astype("u1")
+    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 2x nearest upscale
+    other = rng.integers(0, 255, (32, 48)).astype("u1")
+
+    payloads = [
+        (0, _pgm(base)), (1, _pgm(bright)), (2, _pgm(up)),
+        (3, _pgm(other)), (4, _pgm(base)),  # byte-identical copy
+        (5, b"\x89PNG not decodable here"),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p), "image", hashlib.sha256(p).hexdigest())
+         for i, p in payloads],
+        "media_id long, payload binary, kind string, sha256 string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_phash_near_dups(media, max_hamming=6, blocks=8).collect()
+    }
+    assert (0, 4) in pairs and pairs[(0, 4)] == 0          # identical
+    assert (0, 1) in pairs                                  # brightness shift
+    assert (0, 2) in pairs                                  # 2x upscale
+    assert not any(3 in p for p in pairs)                   # stranger
+    assert not any(5 in p for p in pairs)                   # undecodable: excluded
+
+    # pigeonhole completeness: block join == brute force on this set
+    sigs = {i: dhash64(decode_image(p)) for i, p in payloads[:5]}
+    m64 = (1 << 64) - 1  # mask: signed ints XOR negative, bin() breaks
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & m64).count("1")
+        for a in sigs for b in sigs if a < b
+        and bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 6
+    }
+    assert pairs == brute
