@@ -288,3 +288,45 @@ def test_bestfit_beats_splitting_packer_waste_free_comparison(spark):
     n_packs = pdf.pack_id.nunique()
     util = pdf.n_tok.sum() / (n_packs * budget)
     assert util >= 0.85, (util, n_packs)
+
+
+def test_cdc_property_random_texts(spark):
+    """Hypothesis pin for the CDC fold: random token streams (including
+    repeats, single tokens, boundary-heavy alphabets) must chunk
+    exactly like the Python mirror, tile the document, and respect the
+    min/max run bounds for every non-final chunk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.operators.sampling import chunk_documents_cdc
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        toks=st.lists(
+            st.sampled_from(["a", "b", "cc", "dd", "e1", "f2", "g", "hh"]),
+            min_size=0, max_size=120,
+        ),
+        mn=st.integers(min_value=1, max_value=6),
+        span=st.integers(min_value=0, max_value=20),
+        div=st.sampled_from([2, 4, 8]),
+    )
+    def check(toks, mn, span, div):
+        mx = mn + span
+        text = " ".join(toks)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = sorted(
+            (r["chunk_id"], r["tok_start"], r["tok_end"], r["chunk_text"])
+            for r in chunk_documents_cdc(
+                df, min_tokens=mn, max_tokens=mx, divisor=div
+            ).collect()
+        )
+        want = _cdc_ref(text, min_tokens=mn, max_tokens=mx, divisor=div)
+        assert got == want
+        if got:
+            assert got[0][1] == 0 and got[-1][2] == len(toks)
+            for (_, _, e1, _), (_, s2, _, _) in zip(got, got[1:]):
+                assert e1 == s2
+            for _, st_, en, _ in got[:-1]:
+                assert en - st_ <= mx
+
+    check()
