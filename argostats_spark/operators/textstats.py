@@ -263,6 +263,11 @@ def lm_score_rows(
     """
     import math
 
+    if t_total + v_size <= 0:
+        raise ValueError(
+            "lm_score_rows: empty fitted model (t_total + v_size == 0) — "
+            "fit on a non-empty corpus first (unigram_lm_fit)"
+        )
     floor = -math.log(1.0 / (t_total + v_size))
     model_rows = vocab.collect()  # vocabulary-sized by contract
     nlp = {
