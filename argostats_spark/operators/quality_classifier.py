@@ -22,9 +22,11 @@ engine). The Spark shape is the point:
   margin z = w·x + b is an in-row fold (zero joins, zero shuffles),
   and the gradient is one explode → groupBy(bucket) aggregate whose
   output is at most B+1 rows. Driver traffic per epoch: the B-float
-  gradient — model-sized, never corpus-sized. Deterministic: zero
-  init, fixed lr schedule, and the per-bucket gradient is a sum of
-  f8 terms whose adding order only perturbs ~1e-16 per epoch;
+  gradient — model-sized, never corpus-sized. EXACTLY deterministic:
+  zero init, fixed lr schedule, and gradient terms summed in
+  DECIMAL(28,14) (order-independent), so the fit is bit-identical
+  under any partition layout — the materialized-model-oracle
+  property (pinned by test);
 - scoring (:func:`quality_score_rows`) is the dsir_score_rows /
   lm_score_rows pattern: row-shaped, stateless, stream-safe — the
   fitted model as an array literal, the score an in-row fold.
