@@ -1589,6 +1589,12 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(d, edges, id_col="doc_id")
 
 
+# blocklist phrases for the decontaminate blocklist limb — drawn from
+# the synthetic corpus vocabulary so the limb has real positives; the
+# DuckDB twin embeds the same list
+_BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
+
+
 @query(
     "decontaminate",
     f"""
@@ -1604,6 +1610,12 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks2 AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    toksb AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
       FROM documents
     ),
     st2 AS (
@@ -1633,6 +1645,27 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS hit_ratio,
            CAST(sum(CAST(c >= 2 AS INT)) >= 1 AS INT) AS contaminated
     FROM c2 GROUP BY doc_id
+    UNION ALL
+    SELECT 'blocklist' AS part,
+           CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.tk) AS INT) AS n_grams,
+           CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+           round(CAST(coalesce(h.n, 0) AS DOUBLE)
+                 / greatest(len(t.tk), 1), 6) AS hit_ratio,
+           CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated
+    FROM toksb t LEFT JOIN (
+      SELECT doc_id, count(*) AS n FROM (
+        SELECT doc_id, unnest(tk) AS gram FROM toksb
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                      i -> array_to_string(list_slice(tk, i, i + 1), ' ')))
+        FROM toksb
+      ) g JOIN (SELECT unnest([{", ".join("'" + p + "'" for p in _BLOCKLIST)}])
+                  AS phrase) p
+        ON g.gram = p.phrase
+      GROUP BY doc_id
+    ) h ON t.doc_id = h.doc_id
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,7 +1704,27 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_frac").alias("hit_ratio"),
         F.col("has_dup").alias("contaminated"),
     )
-    return ev.unionByName(dp)
+    # blocklist limb (round 7): the C4 bad-words census over the whole
+    # corpus via the broadcast n-gram join (operators/blocklist.py) —
+    # phrases drawn from the corpus vocabulary so the limb has real
+    # positives; n_grams reuses the column as the doc's token count
+    from .operators.blocklist import blocklist_hits
+
+    ntok = d.select(
+        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("n_tok")
+    )
+    bl = ntok.join(blocklist_hits(d, list(_BLOCKLIST)), "doc_id").select(
+        F.lit("blocklist").alias("part"),
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_grams"),
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"),
+            6,
+        ).alias("hit_ratio"),
+        (F.col("n_hits") >= 1).cast("int").alias("contaminated"),
+    )
+    return ev.unionByName(dp).unionByName(bl)
 
 
 # =========================================================================
