@@ -1,0 +1,135 @@
+"""WARC ingest (sources/warc.py): synthetic spec-correct archives
+(response + request + warcinfo records, exact Content-Lengths,
+member-gzip variant), HTML→text extraction pins, quarantine on a
+broken archive, and the end-to-end Spark scan."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from argostats_spark.sources.warc import (
+    html_to_text,
+    parse_warc_bytes,
+    read_warc,
+)
+
+HTML_A = (
+    b"<html><head><script>var x = '<p>not text</p>';</script>"
+    b"<style>body { color: red }</style></head>"
+    b"<body><h1>Title &amp; More</h1><!-- hidden -->"
+    b"<p>First para.</p><p>Second &lt;para&gt;.</p></body></html>"
+)
+HTML_B = b"<html><body><div>Alpha</div><div>Beta</div></body></html>"
+
+
+def _record(warc_type: bytes, extra: bytes, body: bytes) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + warc_type + b"\r\n" + extra +
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return hdr + b"\r\n" + body + b"\r\n\r\n"
+
+
+def _http_response(html: bytes, ctype: bytes = b"text/html; charset=utf-8") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: " + ctype + b"\r\n"
+        b"Server: test\r\n"
+        b"\r\n" + html
+    )
+
+
+def _archive() -> bytes:
+    recs = [
+        _record(b"warcinfo", b"", b"software: synthetic\r\n"),
+        _record(
+            b"request",
+            b"WARC-Target-URI: http://example.com/a\r\n",
+            b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        ),
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.com/a\r\n"
+            b"WARC-Date: 2026-08-14T00:00:00Z\r\n",
+            _http_response(HTML_A),
+        ),
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.com/b\r\n",
+            _http_response(HTML_B),
+        ),
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.com/img\r\n",
+            _http_response(b"\x89PNGbytes", ctype=b"image/png"),
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_parse_records_and_http_metadata():
+    recs = list(parse_warc_bytes(_archive()))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response", "response",
+    ]
+    a = recs[2]
+    assert a["url"] == "http://example.com/a"
+    assert a["http_status"] == 200
+    assert a["content_type"].startswith("text/html")
+    assert a["warc_date"] == "2026-08-14T00:00:00Z"
+    assert a["payload"] == HTML_A
+    img = recs[4]
+    assert img["content_type"] == "image/png" and img["payload"] == b"\x89PNGbytes"
+
+
+def test_member_gzip_variant_parses_identically():
+    # Common Crawl layout: each record its own gzip member, concatenated
+    plain = list(parse_warc_bytes(_archive()))
+    recs_bytes = _archive()
+    # two members: split after the second record
+    cut = recs_bytes.index(b"WARC/1.0", 10)
+    cut = recs_bytes.index(b"WARC/1.0", cut + 10)
+    gz = gzip.compress(recs_bytes[:cut]) + gzip.compress(recs_bytes[cut:])
+    gzed = list(parse_warc_bytes(gz))
+    assert [(r["warc_type"], r["url"]) for r in gzed] == [
+        (r["warc_type"], r["url"]) for r in plain
+    ]
+
+
+def test_html_to_text_pins():
+    t = html_to_text(HTML_A.decode())
+    assert "Title & More" in t
+    assert "First para." in t and "Second <para>." in t
+    assert "not text" not in t          # script dropped
+    assert "color" not in t             # style dropped
+    assert "hidden" not in t            # comment dropped
+    # block tags became line breaks: title and paras on separate lines
+    lines = t.split("\n")
+    assert any("Title" in ln for ln in lines)
+    assert html_to_text(HTML_B.decode()) == "Alpha\nBeta"
+
+
+def test_spark_scan_and_quarantine(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "good.warc").write_bytes(_archive())
+    (d / "good2.warc.gz").write_bytes(gzip.compress(_archive()))
+    (d / "broken.warc").write_bytes(b"WARC/1.0\r\nno-length: x\r\n\r\nbody")
+
+    out = read_warc(spark, str(d / "*")).toPandas()
+    errs = out[out.error.notna()]
+    assert len(errs) == 1 and "broken.warc" in errs.iloc[0]["warc_file"]
+    good = out[out.error.isna()]
+    # 3 responses per good archive x 2 archives
+    assert len(good) == 6
+    assert set(good.http_status) == {200}
+    by_url = good[good.url == "http://example.com/b"]
+    assert set(by_url.text) == {"Alpha\nBeta"}
+    img = good[good.url == "http://example.com/img"]
+    assert img.text.isna().all() and set(img.n_payload_bytes) == {9}
+    # responses_only=False surfaces all record types
+    allrecs = read_warc(spark, str(d / "good.warc"), responses_only=False)
+    assert allrecs.count() == 5
