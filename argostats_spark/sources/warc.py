@@ -183,3 +183,43 @@ def read_warc(
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(run, WARC_SCHEMA)
+
+
+def warc_to_documents(
+    warc_rows: DataFrame,
+    min_text_chars: int = 1,
+) -> DataFrame:
+    """Bridge a :func:`read_warc` frame into the engine's ``documents``
+    shape (doc_id, text, source, lang, n_chars, n_tokens) so every
+    downstream curation operator — dedup, LM/DSIR/classifier scoring,
+    blocklist, chunk/pack, split — composes directly with a crawl:
+
+    - ``doc_id``: content-addressed 63-bit id from xxhash64(url, text)
+      (stable across re-crawls of identical content; re-runs and
+      retries can't mint new ids — the split/dedup operators depend on
+      content-addressing);
+    - ``source``: the URL host (functions.text.url_host), the stratum
+      column the samplers/packers use;
+    - ``lang``: the engine's n-gram langid heuristic (NULL when
+      undetermined — honest, not 'en'-by-default).
+
+    Keeps only successfully-extracted HTML text rows (status 200,
+    non-NULL text of at least ``min_text_chars``). Row-local — no
+    shuffle beyond what read_warc already did (none)."""
+    from ..functions.text import tokens, url_host
+
+    good = warc_rows.where(
+        F.col("error").isNull()
+        & (F.col("http_status") == 200)
+        & F.col("text").isNotNull()
+        & (F.length("text") >= min_text_chars)
+    )
+    tk = tokens(F.lower(F.col("text")))
+    return good.select(
+        F.pmod(F.xxhash64("url", "text"), F.lit(1 << 62)).alias("doc_id"),
+        "url",
+        url_host(F.col("url")).alias("source"),
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tk).cast("long").alias("n_tokens"),
+    )

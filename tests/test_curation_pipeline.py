@@ -121,3 +121,51 @@ def test_streaming_curation_chain_equals_batch(spark, sf_dir, tmp_path, fitted_m
     # every split value present and content-addressed (stable keys)
     splits = {r["split"] for r in got.values()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_crawl_to_curated_end_to_end(spark, sf_dir, tmp_path, fitted_models):
+    """Capstone: raw crawl bytes to curated split — synthetic WARC
+    archives → read_warc (HTML→text in-scan) → warc_to_documents
+    (content-addressed ids, host strata) → the full stateless scoring
+    chain fitted on the reference corpus (OOV tokens score the LM
+    floor, classifier/DSIR score row-locally) → gate → split. Pins the
+    bridge schema, id stability across re-reads, and that every
+    curated row carries all scores."""
+    import gzip
+
+    from argostats_spark.sources.warc import read_warc, warc_to_documents
+    from tests.test_warc import _archive
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(_archive())
+    (d / "seg1.warc.gz").write_bytes(gzip.compress(_archive()))
+
+    docs = warc_to_documents(read_warc(spark, str(d / "*")))
+    rows = docs.collect()
+    assert set(docs.columns) == {
+        "doc_id", "url", "source", "text", "n_chars", "n_tokens"
+    }
+    # 2 HTML responses per archive; identical content across archives
+    # collapses to the same content-addressed doc_id
+    assert len(rows) == 4
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == 2  # content-addressed: re-crawl == same id
+    assert all(r["source"] == "example.com" for r in rows)
+
+    # ids stable across a second read
+    ids2 = {r["doc_id"] for r in
+            warc_to_documents(read_warc(spark, str(d / "*"))).collect()}
+    assert ids2 == ids
+
+    m = fitted_models
+    crawl = docs.dropDuplicates(["doc_id"]).withColumn(
+        "is_corrupt", F.lit(False)
+    ).withColumn("raw_line", F.lit(None).cast("string"))
+    curated = _curate(crawl, m).collect()
+    assert len(curated) == 2
+    for r in curated:
+        assert r["d_nll"] is not None      # LM scored (OOV floor applies)
+        assert r["logw"] is not None       # DSIR scored
+        assert r["q_score"] is not None    # classifier scored
+        assert r["split"] in {"train", "val", "test"}
