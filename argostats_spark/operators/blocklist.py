@@ -37,10 +37,14 @@ from ..functions.text import tokens
 __all__ = ["blocklist_hits", "blocklist_flags_rows"]
 
 
+_ASCII_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _norm_phrases(phrases: list[str]) -> list[tuple[str, ...]]:
+    # ASCII-whitespace split, matching the engine tokenizer (Java \s+)
     out = []
     for p in phrases:
-        tk = tuple(t for t in p.lower().split() if t)
+        tk = tuple(t for t in _ASCII_WS.split(p.lower()) if t)
         if tk:
             out.append(tk)
     if not out:
@@ -165,8 +169,16 @@ def blocklist_flags_rows(
     plist = _norm_phrases(phrases)
     goto, fail, out = _build_aho(plist)
 
+    import re as _re
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    # EXACTLY the join path's tokenizer: functions.text.tokens splits on
+    # Java \s+ = ASCII [ \t\n\x0B\f\r] only. Python str.split()
+    # breaks on ALL Unicode whitespace (NBSP etc.) and would make the
+    # two paths disagree on web text (review finding r7).
+    _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _scan_fn(texts):
         def one(t):
@@ -174,7 +186,7 @@ def blocklist_flags_rows(
                 return 0
             s = 0
             hits = 0
-            for tok in t.lower().split():
+            for tok in _ws.split(t.lower().strip(" \t\n\x0b\f\r")):
                 if not tok:
                     continue
                 while s and tok not in goto[s]:

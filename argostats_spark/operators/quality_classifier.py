@@ -57,25 +57,14 @@ __all__ = [
 
 
 def _gram_buckets(text_col: str, n_buckets: int):
-    """Row-local hashed gram buckets: lowercased whitespace unigrams +
-    bigrams, md5-prefix-hashed into [0, n_buckets) — the DSIR bucket
-    scheme (dsir.py::_bucket_of) verbatim, so the two operators'
-    features are directly comparable."""
-    tk = tokens(F.lower(F.col(text_col)))
-    bigrams = F.when(
-        F.size(tk) >= 2,
-        F.zip_with(
-            F.slice(tk, F.lit(1), F.size(tk) - 1),
-            F.slice(tk, F.lit(2), F.size(tk) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(tk, bigrams)
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        % F.lit(n_buckets),
-    )
+    """Row-local hashed gram buckets — THE DSIR feature map
+    (dsir.hashed_gram_buckets: lowercased unigrams + bigrams,
+    md5-prefix hash mod n_buckets), imported rather than copied so the
+    two operators can never silently desynchronize (review finding
+    r7)."""
+    from .dsir import hashed_gram_buckets
+
+    return hashed_gram_buckets(F.col(text_col), n_buckets)
 
 
 def doc_feature_rows(
@@ -92,41 +81,44 @@ def doc_feature_rows(
     Row-local: no shuffle; the groupBy is WITHIN the array
     (aggregate over sorted buckets), not across rows."""
     b = _gram_buckets(text_col, n_buckets)
-    # count duplicates within the bucket array in-row: sort, then fold
-    # into (bucket, n) runs — keeps the whole feature build shuffle-free
-    sorted_b = F.array_sort(b)
-    runs = F.aggregate(
-        sorted_b,
-        F.array().cast("array<struct<bucket:long,n:long>>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1).bucket == x),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        x.alias("bucket"),
-                        (F.element_at(acc, -1).n + 1).alias("n"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(x.alias("bucket"), F.lit(1).cast("long").alias("n"))))
+    # count duplicates within the bucket array in-row, O(grams): sort,
+    # find run BOUNDARIES (positions where the value changes), zip each
+    # run start with the next start — no per-element array rebuild (a
+    # concat/slice fold is O(grams²) per row: ~50M struct copies for a
+    # 5k-token web page; review finding r7). Each intermediate is
+    # STAGED as a projected column before any lambda references it —
+    # a lambda referencing the raw expression re-inlines the whole
+    # tokenize+md5 pipeline per element (the measured-90×
+    # CollapseProject trap, SCALE.md "repetition stats"; re-measured
+    # live here: the unstaged form timed out a 10-minute parity run
+    # that the staged form finishes in seconds). Shuffle-free.
+    staged = docs.select(
+        F.lit(float(label)).alias("y"), F.array_sort(b).alias("__sb")
+    )
+    sb = F.col("__sb")
+    n_grams = F.size(sb)
+    idx = F.when(
+        n_grams > 0, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        idx,
+        lambda i: (i == 1)
+        | (F.element_at(sb, i) != F.element_at(sb, i - 1)),
+    )
+    staged2 = staged.where(n_grams > 0).select("y", "__sb", starts.alias("__st"))
+    st = F.col("__st")
+    ends = F.concat(
+        F.slice(st, 2, F.size(st)), F.array((n_grams + 1).cast("int"))
+    )
+    feats = F.zip_with(
+        st,
+        ends,
+        lambda s_, e_: F.struct(
+            F.element_at(sb, s_.cast("int")).alias("bucket"),
+            ((e_ - s_).cast("double") / n_grams.cast("double")).alias("x"),
         ),
     )
-    n_grams = F.size(b)
-    feats = F.transform(
-        runs,
-        lambda r: F.struct(
-            r.bucket.alias("bucket"),
-            (r.n.cast("double") / n_grams.cast("double")).alias("x"),
-        ),
-    )
-    return (
-        docs.select(
-            F.lit(float(label)).alias("y"), feats.alias("feats")
-        )
-        .where(n_grams > 0)
-    )
+    return staged2.select("y", feats.alias("feats"))
 
 
 def quality_fit(

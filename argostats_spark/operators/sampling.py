@@ -517,9 +517,12 @@ def pack_chunks_bestfit(
         *[F.col(c) for c in order_cols]
     )
     ranked = df.withColumn("__rank", F.row_number().over(rw) - 1)
+    # eqNullSafe on the stratum: a NULL stratum (undetermined lang,
+    # URL-less crawl rows) is a real packing group — a null-rejecting
+    # equality would silently DROP every such item (review finding r7)
     joined = ranked.join(
         F.broadcast(slots_df),
-        (ranked[strata_col] == slots_df[strata_col])
+        ranked[strata_col].eqNullSafe(slots_df[strata_col])
         & (F.col(token_col).cast("long") == F.col("__len"))
         & (F.col("__rank") >= F.col("__rs"))
         & (F.col("__rank") < F.col("__re")),

@@ -200,13 +200,14 @@ def warc_to_documents(
       content-addressing);
     - ``source``: the URL host (functions.text.url_host), the stratum
       column the samplers/packers use;
-    - ``lang``: the engine's n-gram langid heuristic (NULL when
-      undetermined — honest, not 'en'-by-default).
+    - ``lang``: the engine's stopword-vote langid heuristic
+      (functions.text.lang_guess; 'und' when no marker hits — honest,
+      not 'en'-by-default).
 
     Keeps only successfully-extracted HTML text rows (status 200,
     non-NULL text of at least ``min_text_chars``). Row-local — no
     shuffle beyond what read_warc already did (none)."""
-    from ..functions.text import tokens, url_host
+    from ..functions.text import lang_guess, tokens, url_host
 
     good = warc_rows.where(
         F.col("error").isNull()
@@ -219,6 +220,7 @@ def warc_to_documents(
         F.pmod(F.xxhash64("url", "text"), F.lit(1 << 62)).alias("doc_id"),
         "url",
         url_host(F.col("url")).alias("source"),
+        lang_guess(F.col("text")).alias("lang"),
         "text",
         F.length("text").cast("long").alias("n_chars"),
         F.size(tk).cast("long").alias("n_tokens"),

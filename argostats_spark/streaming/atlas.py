@@ -35,10 +35,13 @@ publishes it by an atomic rename of a pointer file
 :func:`current_atlas` and only ever see a fully-written version. The
 two newest versions are retained so a reader that resolved the old
 pointer mid-swap still finds its files; older versions are pruned.
-(POSIX rename-atomicity covers local/NFS/HDFS-style stores; an object
-store without atomic rename would use a conditional put or a table
-format instead.) The pair-store appends are replay-safe via the
-per-batch partition.
+The pointer plumbing is DRIVER-LOCAL filesystem I/O (os.rename is
+atomic on one local/NFS mount) — atlas_store must be a plain path
+visible to driver and readers; URI-scheme stores (hdfs://, s3a://)
+are rejected loudly rather than mis-publishing a local pointer
+(production there would swap the pointer through the Hadoop
+FileSystem API, a conditional put, or a table format). The
+pair-store appends are replay-safe via the per-batch partition.
 """
 
 from __future__ import annotations
@@ -61,6 +64,12 @@ def publish_version(atlas_store: str, version: int, keep: int = 2) -> None:
     prune all but the ``keep`` newest versions (keep >= 2 so a reader
     that resolved the OLD pointer just before the swap still finds its
     files)."""
+    if "://" in atlas_store:
+        raise NotImplementedError(
+            "publish_version uses driver-local rename for atomicity; "
+            f"URI store {atlas_store!r} needs the Hadoop FileSystem API "
+            "or a table format (see module docstring)"
+        )
     tmp = os.path.join(atlas_store, f".CURRENT.tmp.{version}")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -83,6 +92,11 @@ def current_atlas(spark: SparkSession, atlas_store: str) -> DataFrame:
     refresh landing mid-read cannot disturb it (versions are
     write-once; the retention window keeps the previous version on
     disk through the swap)."""
+    if "://" in atlas_store:
+        raise NotImplementedError(
+            "current_atlas resolves a driver-local pointer file; "
+            f"URI store {atlas_store!r} is not supported (module docstring)"
+        )
     ptr = os.path.join(atlas_store, "CURRENT")
     try:
         with open(ptr) as f:

@@ -36,7 +36,10 @@ def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
     import glob
     import re
 
-    best: tuple[int, dict[str, float]] | None = None
+    # sort key: (round, mtime) — scale checkpoints all carry round 0,
+    # so two at the same sf tie-break to the NEWEST file, not whichever
+    # the glob returned first (filesystem-order nondeterminism)
+    best: tuple[tuple[int, float], dict[str, float]] | None = None
     for path in glob.glob(os.path.join(REPO_DIR, "BENCH_*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m and not os.path.basename(path).startswith("BENCH_scale_"):
@@ -49,10 +52,10 @@ def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
         parsed = raw.get("parsed") if isinstance(raw.get("parsed"), dict) else raw
         if parsed.get("sf") != sf_val or not parsed.get("queries"):
             continue
-        rnd = int(m.group(1)) if m else 0
-        if best is None or rnd > best[0]:
-            best = (rnd, parsed["queries"])
-    return best
+        key = (int(m.group(1)) if m else 0, os.path.getmtime(path))
+        if best is None or key > best[0]:
+            best = (key, parsed["queries"])
+    return (best[0][0], best[1]) if best else None
 
 # Per-limb attribution for the >=3-limb suite queries (VERDICT r6 item
 # 5): when a suite's total moves, the artifact must say WHICH limb. Two

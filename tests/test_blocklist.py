@@ -109,3 +109,19 @@ def test_empty_phrase_list_rejected(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="no non-empty phrases"):
         blocklist_hits(df, ["", "   "])
+
+
+def test_nbsp_tokenization_paths_agree(spark):
+    """Review finding (round 7): NBSP (U+00A0) is NOT a token break for
+    the engine tokenizer (Java \\s+ is ASCII-only) — Python str.split()
+    would break on it and make the row path over-match. Both paths must
+    treat 'foo\\u00a0bad' as ONE token: zero hits."""
+    df = spark.createDataFrame(
+        [(0, "foo bad"), (1, "foo bad"), (2, "bad word here")],
+        "doc_id long, text string",
+    )
+    phrases = ["bad", "bad word"]
+    jo = {r["doc_id"]: r["n_hits"] for r in blocklist_hits(df, phrases).collect()}
+    ro = {r["doc_id"]: r["n_hits"] for r in
+          blocklist_flags_rows(df, phrases).collect()}
+    assert jo == ro == {0: 0, 1: 1, 2: 0}

@@ -144,8 +144,9 @@ def test_crawl_to_curated_end_to_end(spark, sf_dir, tmp_path, fitted_models):
     docs = warc_to_documents(read_warc(spark, str(d / "*")))
     rows = docs.collect()
     assert set(docs.columns) == {
-        "doc_id", "url", "source", "text", "n_chars", "n_tokens"
+        "doc_id", "url", "source", "lang", "text", "n_chars", "n_tokens"
     }
+    assert set(r["lang"] for r in rows) <= {"en", "de", "fr", "es", "und"}
     # 2 HTML responses per archive; identical content across archives
     # collapses to the same content-addressed doc_id
     assert len(rows) == 4

@@ -330,3 +330,18 @@ def test_cdc_property_random_texts(spark):
                 assert en - st_ <= mx
 
     check()
+
+
+def test_bestfit_packing_keeps_null_strata(spark):
+    """Review finding (round 7): a NULL stratum (undetermined lang,
+    URL-less crawl rows) is a real packing group — the slot-table join
+    must be null-safe, not silently drop those items."""
+    from argostats_spark.operators.sampling import pack_chunks_bestfit
+
+    rows = [(0, "s", 10), (1, None, 20), (2, None, 30), (3, "s", 40)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    out = pack_chunks_bestfit(df, "n_tok", 64, "shard", "doc_id").toPandas()
+    assert len(out) == 4 and set(out.doc_id) == {0, 1, 2, 3}
+    nulls = out[out.shard.isna()]
+    assert len(nulls) == 2
+    assert (nulls.groupby("pack_id").n_tok.sum() <= 64).all()
