@@ -1,0 +1,136 @@
+"""Character-n-gram language identification (Cavnar & Trenkle 1994,
+"N-Gram-Based Text Categorization") — the serious langid the stopword
+vote (functions.text.lang_guess) approximates: per-language frequency-
+rank PROFILES of the top-K character n-grams, documents classified by
+the out-of-place rank-distance to each profile. This is the fastText-
+predecessor technique real pipelines used for years (textcat / CLD1
+family) and is fully deterministic.
+
+Spark shape, the fit/score duality every scorer here follows:
+
+- :func:`langid_fit` — one explode over the labeled corpus' char
+  n-grams, one (lang, gram) count aggregate, one per-lang rank window
+  over at most |langs|·|distinct grams| rows; the returned model is
+  |langs|·K (gram, rank) pairs — KBs.
+- :func:`langid_score_rows` — row-local: the model rides into an
+  Arrow-batched pandas UDF (per-doc profile building needs a sort —
+  Python, not a per-row window); adds ``lang_pred`` and keeps the
+  frame row-shaped: stateless, zero shuffle, stream-safe. Zero-gram
+  documents predict NULL (not a coin-flip default).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["langid_fit", "langid_score_rows", "char_grams_py", "rank_profile"]
+
+
+def char_grams_py(text: str, n: int = 3) -> list[str]:
+    """Python twin of functions.text.char_ngrams: lowercased sliding
+    character n-grams; texts shorter than n yield the single padded-by-
+    truncation gram the SQL form produces (substr clamps)."""
+    t = (text or "").lower()
+    if not t:
+        return []
+    if len(t) < n:
+        return [t]
+    return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+
+def rank_profile(grams, top_k: int = 300) -> dict[str, int]:
+    """Frequency-rank profile: gram → rank (0 = most frequent), ties
+    broken by gram asc (deterministic), truncated to top_k."""
+    c = Counter(grams)
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return {g: i for i, (g, _) in enumerate(ordered)}
+
+
+def langid_fit(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 300,
+) -> dict[str, dict[str, int]]:
+    """Fit per-language rank profiles from a labeled corpus. One
+    explode + one (lang, gram) aggregate + one per-lang rank window
+    (bounded by the distinct-gram vocabulary, NOT the corpus); the
+    model is |langs| x top_k entries. Deterministic: ties rank by gram
+    asc, same as :func:`rank_profile`."""
+    from ..functions.text import char_ngrams
+
+    # empty texts excluded: the SQL char_ngrams of '' yields the ['']
+    # singleton (substr clamp) which would pollute profiles with a
+    # phantom empty gram the Python twin never produces
+    g = docs.where(
+        F.col(lang_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("gram").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < top_k)
+        .collect()
+    )
+    profiles: dict[str, dict[str, int]] = {}
+    for r in top:
+        profiles.setdefault(r["lang"], {})[r["gram"]] = int(r["rank"])
+    return profiles
+
+
+def langid_score_rows(
+    docs: DataFrame,
+    profiles: dict[str, dict[str, int]],
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 300,
+) -> DataFrame:
+    """Classify each row by minimum out-of-place distance to the
+    fitted profiles: adds ``lang_pred`` (string; NULL for zero-gram
+    documents) and ``lang_dist`` (long; the winning distance). A gram
+    absent from a language's profile costs the maximum displacement
+    ``top_k``. Ties break by language name asc (deterministic).
+    Row-shaped, stateless, stream-safe."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    langs = sorted(profiles)
+
+    def _pred_fn(texts):
+        def one(t):
+            grams = char_grams_py(t, n)
+            if not grams:
+                return None
+            doc = rank_profile(grams, top_k)
+            best = None
+            for lang in langs:
+                prof = profiles[lang]
+                d = 0
+                for g_, r_ in doc.items():
+                    pr = prof.get(g_)
+                    d += abs(r_ - pr) if pr is not None else top_k
+                if best is None or d < best[0]:
+                    best = (d, lang)
+            return f"{best[1]}\x00{best[0]}"
+
+        return texts.apply(one)
+
+    _pred_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    pred = pandas_udf(_pred_fn, "string")
+    raw = pred(F.col(text_col))
+    return (
+        docs.withColumn("__lid", raw)
+        .withColumn("lang_pred", F.split("__lid", "\x00").getItem(0))
+        .withColumn(
+            "lang_dist", F.split("__lid", "\x00").getItem(1).cast("long")
+        )
+        .drop("__lid")
+    )
