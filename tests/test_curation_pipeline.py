@@ -159,12 +159,36 @@ def test_crawl_to_curated_end_to_end(spark, sf_dir, tmp_path, fitted_models):
             warc_to_documents(read_warc(spark, str(d / "*"))).collect()}
     assert ids2 == ids
 
+    # crawl-hygiene stages: robots compliance + blocklist + langid —
+    # all row-local / broadcast, composing before the scoring chain
+    from argostats_spark.operators.blocklist import blocklist_flags_rows
+    from argostats_spark.operators.langid import langid_fit, langid_score_rows
+    from argostats_spark.operators.robots import apply_robots
+
+    robots = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /a\n")],
+        "host string, robots_txt string",
+    )
+    gated = apply_robots(docs.dropDuplicates(["doc_id"]), robots)
+    allowed = gated.where(F.col("robots_allowed"))
+    # /a disallowed, /b allowed -> exactly one survivor
+    assert allowed.count() == 1
+    assert allowed.first()["url"] == "http://example.com/b"
+
+    flagged = blocklist_flags_rows(allowed, ["forbidden phrase"])
+    assert flagged.where(~F.col("blocked")).count() == 1
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    profiles = langid_fit(ref.limit(200))
+    lid = langid_score_rows(flagged.where(~F.col("blocked")), profiles)
+    assert lid.first()["lang_pred"] is not None
+
     m = fitted_models
-    crawl = docs.dropDuplicates(["doc_id"]).withColumn(
+    crawl = lid.select("doc_id", "text").withColumn(
         "is_corrupt", F.lit(False)
     ).withColumn("raw_line", F.lit(None).cast("string"))
     curated = _curate(crawl, m).collect()
-    assert len(curated) == 2
+    assert len(curated) == 1
     for r in curated:
         assert r["d_nll"] is not None      # LM scored (OOV floor applies)
         assert r["logw"] is not None       # DSIR scored
