@@ -57,12 +57,16 @@ def blocklist_hits(
     phrases: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_count: bool = False,
 ) -> DataFrame:
     """Per-document blocklist census via the broadcast n-gram join:
-    (id_col, n_hits, n_distinct_phrases, blocked). Documents with zero
-    hits are present with zeros (left join against the corpus), so the
-    output is a total function of the corpus — a gate can anti-join or
-    filter on ``blocked`` directly."""
+    (id_col, n_hits, n_distinct_phrases, blocked[, n_tokens with
+    ``token_count``]). Documents with zero hits are present with zeros
+    (left join against the corpus), so the output is a total function
+    of the corpus — a gate can anti-join or filter on ``blocked``
+    directly. ``token_count`` rides the token total out of the SAME
+    tokenize pass the grams use — callers needing a hit ratio don't
+    re-tokenize the corpus (review finding r7b)."""
     plist = _norm_phrases(phrases)
     lengths = sorted({len(p) for p in plist})
     spark = docs.sparkSession
@@ -108,18 +112,19 @@ def blocklist_hits(
             F.count_distinct("phrase").alias("n_distinct_phrases"),
         )
     )
-    return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.coalesce("n_distinct_phrases", F.lit(0)).cast("long").alias(
-                "n_distinct_phrases"
-            ),
-            (F.coalesce("n_hits", F.lit(0)) > 0).alias("blocked"),
-        )
+    base = tk.select(
+        id_col, F.size("__tk").cast("long").alias("n_tokens")
     )
+    out = base.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("n_distinct_phrases", F.lit(0)).cast("long").alias(
+            "n_distinct_phrases"
+        ),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("blocked"),
+        "n_tokens",
+    )
+    return out if token_count else out.drop("n_tokens")
 
 
 def _build_aho(plist: list[tuple[str, ...]]):

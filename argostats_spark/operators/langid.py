@@ -102,6 +102,11 @@ def langid_score_rows(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not profiles:
+        raise ValueError(
+            "langid_score_rows: empty profiles — fit on a corpus with "
+            "non-NULL labels and non-empty texts (langid_fit)"
+        )
     langs = sorted(profiles)
 
     def _pred_fn(texts):

@@ -21,6 +21,7 @@ RFC-shaped fixtures (stdlib is the public reference implementation).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urlsplit
 
 from pyspark.sql import DataFrame
@@ -74,7 +75,12 @@ def parse_robots(body: str, user_agent: str = "*") -> list[tuple[bool, str]]:
     return groups.get("*", [])
 
 
+@lru_cache(maxsize=65536)
 def _pattern_to_re(pattern: str) -> re.Pattern:
+    # memoized: robots_allowed evaluates every rule per URL — without
+    # the cache that is a fresh sre compile (10-100x the match cost)
+    # per rule per URL once distinct patterns exceed re's tiny global
+    # cache (review finding r7b)
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
@@ -109,6 +115,7 @@ def apply_robots(
     url_col: str = "url",
     host_col: str = "host",
     body_col: str = "robots_txt",
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """Gate a URL-bearing corpus on robots.txt compliance: adds
     ``robots_allowed`` (boolean). ``robots`` holds one row per host
@@ -117,18 +124,19 @@ def apply_robots(
 
     One left join on the parsed host + an Arrow-batched pandas UDF
     evaluating the (pre-parsed, per-host) rule list against each URL
-    path. Rules parse ONCE per host (driver/executor-side inside the
-    UDF via an LRU per-host cache keyed on the body hash — bodies
-    repeat per host, so parsing amortizes to once per host per
-    executor)."""
+    path. Rules parse ONCE per distinct body per Python worker (the
+    cache lives in the UDF closure, surviving across Arrow batches),
+    and rule patterns compile once process-wide (memoized
+    _pattern_to_re). ``broadcast_robots=False`` switches to a plain
+    shuffle join for crawl-scale robots tables (millions of hosts x
+    multi-KB bodies outgrow a broadcast)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ua = user_agent
+    cache: dict = {}  # closure-persistent: survives across batches
 
     def _eval_fn(urls, bodies):
-        cache: dict = {}
-
         def one(url, body):
             if url is None:
                 return False
@@ -157,7 +165,9 @@ def apply_robots(
     rb = robots.select(
         F.col(host_col).alias("__host"), F.col(body_col).alias("__robots")
     )
-    joined = keyed.join(F.broadcast(rb), "__host", "left")
+    if broadcast_robots:
+        rb = F.broadcast(rb)
+    joined = keyed.join(rb, "__host", "left")
     return joined.withColumn(
         "robots_allowed", ev(F.col(url_col), F.col("__robots"))
     ).drop("__host", "__robots")

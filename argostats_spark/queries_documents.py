@@ -1710,16 +1710,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positives; n_grams reuses the column as the doc's token count
     from .operators.blocklist import blocklist_hits
 
-    ntok = d.select(
-        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("n_tok")
-    )
-    bl = ntok.join(blocklist_hits(d, list(_BLOCKLIST)), "doc_id").select(
+    bl = blocklist_hits(d, list(_BLOCKLIST), token_count=True).select(
         F.lit("blocklist").alias("part"),
         "doc_id",
-        F.col("n_tok").cast("int").alias("n_grams"),
+        F.col("n_tokens").cast("int").alias("n_grams"),
         F.col("n_hits").cast("int").alias("n_hits"),
         F.round(
-            F.col("n_hits") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"),
+            F.col("n_hits")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
             6,
         ).alias("hit_ratio"),
         (F.col("n_hits") >= 1).cast("int").alias("contaminated"),

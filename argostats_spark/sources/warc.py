@@ -80,6 +80,11 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         length = int(headers.get("content-length", "-1"))
         if length < 0:
             raise ValueError("record missing Content-Length")
+        if hdr_end + 4 + length > n:
+            raise ValueError(
+                f"truncated record at offset {pos}: Content-Length "
+                f"{length} exceeds remaining {n - hdr_end - 4} bytes"
+            )
         body = data[hdr_end + 4:hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         rec = {
@@ -94,7 +99,8 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             http_end = body.find(b"\r\n\r\n")
             if http_end >= 0:
                 status_line = body[:body.find(b"\r\n")].decode("latin-1", "replace")
-                m = re.match(r"HTTP/\d\.\d\s+(\d{3})", status_line)
+                # HTTP/2 and HTTP/3 status lines have no dotted minor
+                m = re.match(r"HTTP/\d(?:\.\d)?\s+(\d{3})", status_line)
                 http_headers = _split_headers(body[:http_end])
                 rec["http_status"] = int(m.group(1)) if m else None
                 rec["content_type"] = http_headers.get(
@@ -163,8 +169,21 @@ def read_warc(
                         ctype = (rec["content_type"] or "").lower()
                         text = None
                         if extract_text and "html" in ctype:
+                            # honor the declared charset (a large share
+                            # of real crawl pages are Shift_JIS / GBK /
+                            # latin-1); unknown/absent -> utf-8
+                            cs = "utf-8"
+                            mcs = re.search(r"charset=([\w\-]+)", ctype)
+                            if mcs:
+                                try:
+                                    import codecs
+
+                                    codecs.lookup(mcs.group(1))
+                                    cs = mcs.group(1)
+                                except LookupError:
+                                    pass
                             text = html_to_text(
-                                rec["payload"].decode("utf-8", "replace")
+                                rec["payload"].decode(cs, "replace")
                             )
                         rows.append((
                             fname, i, rec["warc_type"], rec["url"],
@@ -190,11 +209,12 @@ def warc_to_documents(
     min_text_chars: int = 1,
 ) -> DataFrame:
     """Bridge a :func:`read_warc` frame into the engine's ``documents``
-    shape (doc_id, text, source, lang, n_chars, n_tokens) so every
+    shape (doc_id, url, source, lang, text, n_chars, n_tokens) so every
     downstream curation operator — dedup, LM/DSIR/classifier scoring,
     blocklist, chunk/pack, split — composes directly with a crawl:
 
-    - ``doc_id``: content-addressed 63-bit id from xxhash64(url, text)
+    - ``doc_id``: content-addressed 62-bit id from
+      pmod(xxhash64(url, text), 2^62)
       (stable across re-crawls of identical content; re-runs and
       retries can't mint new ids — the split/dedup operators depend on
       content-addressing);

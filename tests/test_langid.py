@@ -99,3 +99,11 @@ def test_streaming_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_empty_profiles_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty profiles"):
+        langid_score_rows(df, {})

@@ -133,3 +133,69 @@ def test_spark_scan_and_quarantine(spark, tmp_path):
     # responses_only=False surfaces all record types
     allrecs = read_warc(spark, str(d / "good.warc"), responses_only=False)
     assert allrecs.count() == 5
+
+
+def test_http2_status_charset_and_truncation():
+    """Round-7 second review pass: HTTP/2 status lines (no dotted
+    minor) must parse; declared legacy charsets must decode (no
+    mojibake); a record truncated mid-body must raise (quarantine),
+    not silently yield short text."""
+    from argostats_spark.sources.warc import html_to_text
+
+    sjis_html = "<html><body><p>日本語のページ</p></body></html>".encode("shift_jis")
+    recs_bytes = b"".join([
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.com/h2\r\n",
+            b"HTTP/2 200\r\nContent-Type: text/html\r\n\r\n" + HTML_B,
+        ),
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.jp/sjis\r\n",
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=Shift_JIS\r\n\r\n" + sjis_html,
+        ),
+    ])
+    recs = list(parse_warc_bytes(recs_bytes))
+    assert recs[0]["http_status"] == 200  # HTTP/2 line parsed
+
+    # truncated record: Content-Length beyond EOF -> ValueError
+    truncated = recs_bytes[:-20]
+    with pytest.raises(ValueError, match="truncated record"):
+        list(parse_warc_bytes(truncated))
+
+    # charset honored end-to-end through the decode+extract pass
+    import pandas as pd  # noqa: F401 — mirrors the scan's decode logic
+    import re as _re
+
+    ctype = recs[1]["content_type"].lower()
+    m = _re.search(r"charset=([\w\-]+)", ctype)
+    assert m and m.group(1).lower() == "shift_jis"
+    text = html_to_text(recs[1]["payload"].decode(m.group(1), "replace"))
+    assert "日本語のページ" in text
+
+
+def test_spark_scan_http2_and_charset(spark, tmp_path):
+    sjis_html = "<html><body><p>日本語</p></body></html>".encode("shift_jis")
+    arc = b"".join([
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.com/h2\r\n",
+            b"HTTP/2 200\r\nContent-Type: text/html\r\n\r\n" + HTML_B,
+        ),
+        _record(
+            b"response",
+            b"WARC-Target-URI: http://example.jp/sjis\r\n",
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=Shift_JIS\r\n\r\n" + sjis_html,
+        ),
+    ])
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "a.warc").write_bytes(arc)
+    from argostats_spark.sources.warc import read_warc
+
+    out = {r["url"]: r for r in read_warc(spark, str(d / "a.warc")).collect()}
+    assert out["http://example.com/h2"]["http_status"] == 200
+    assert out["http://example.com/h2"]["text"] == "Alpha\nBeta"
+    assert "日本語" in out["http://example.jp/sjis"]["text"]
