@@ -27,7 +27,12 @@ from urllib.parse import urlsplit
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "robots_allowed", "apply_robots"]
+__all__ = [
+    "parse_robots",
+    "robots_allowed",
+    "parse_robots_table",
+    "apply_robots",
+]
 
 
 def parse_robots(body: str, user_agent: str = "*") -> list[tuple[bool, str]]:
@@ -100,12 +105,57 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
         if not pattern:
             continue
         if _pattern_to_re(pattern).match(path):
-            # effective specificity = pattern length (RFC: octet count)
-            plen = len(pattern)
+            # effective specificity = octet count of the PATH pattern
+            # (RFC 9309 §2.2.2); the '$' end-anchor is matching syntax,
+            # not path octets, so strip it before measuring — otherwise
+            # '/a$' (3 chars) would outrank '/ab' (3 chars of real path)
+            # purely on anchor padding (review finding r8)
+            plen = len(pattern[:-1] if pattern.endswith("$") else pattern)
             if plen > best_len or (plen == best_len and allow and not allowed):
                 best_len = plen
                 allowed = allow
     return allowed
+
+
+def parse_robots_table(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Pre-parse a per-host robots.txt table ONCE: (host, rules) where
+    ``rules`` is ``array<struct<allow:boolean, pattern:string>>`` — the
+    rule group applying to ``user_agent``. Parsing each multi-KB body
+    exactly once per host (instead of caching bodies per URL batch)
+    keeps the downstream host join payload rule-array-sized and removes
+    any need for a per-worker body cache (review finding r8: the old
+    body-keyed dict was unbounded at millions of distinct bodies)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ua = user_agent
+
+    def _parse_fn(bodies):
+        return pd.Series(
+            [
+                None
+                if b is None
+                else [
+                    {"allow": allow, "pattern": pat}
+                    for allow, pat in parse_robots(b, ua)
+                ]
+                for b in bodies
+            ]
+        )
+
+    _parse_fn.__annotations__ = {"bodies": pd.Series, "return": pd.Series}
+    parse_udf = pandas_udf(
+        _parse_fn, "array<struct<allow:boolean,pattern:string>>"
+    )
+    return robots.select(
+        F.col(host_col).alias("host"),
+        parse_udf(F.col(body_col)).alias("rules"),
+    )
 
 
 def apply_robots(
@@ -122,52 +172,50 @@ def apply_robots(
     with the fetched robots.txt body; hosts WITHOUT a robots row are
     allowed (the crawler convention: no robots.txt = no restrictions).
 
-    One left join on the parsed host + an Arrow-batched pandas UDF
-    evaluating the (pre-parsed, per-host) rule list against each URL
-    path. Rules parse ONCE per distinct body per Python worker (the
-    cache lives in the UDF closure, surviving across Arrow batches),
-    and rule patterns compile once process-wide (memoized
-    _pattern_to_re). ``broadcast_robots=False`` switches to a plain
-    shuffle join for crawl-scale robots tables (millions of hosts x
-    multi-KB bodies outgrow a broadcast)."""
+    Bodies are pre-parsed to compact rule arrays ONCE per host
+    (``parse_robots_table``) BEFORE the join, so the per-URL join
+    ships parsed rules — not multi-KB raw bodies — and the evaluating
+    UDF is stateless (no per-worker body cache to grow). Then one left
+    join on the parsed host + an Arrow-batched pandas UDF evaluating
+    the rule list against each URL path; rule patterns compile once
+    process-wide (memoized _pattern_to_re). ``broadcast_robots=False``
+    switches to a plain shuffle join for crawl-scale robots tables
+    (millions of hosts outgrow a broadcast)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ua = user_agent
-    cache: dict = {}  # closure-persistent: survives across batches
-
-    def _eval_fn(urls, bodies):
-        def one(url, body):
+    def _eval_fn(urls, rule_arrays):
+        def one(url, rules):
             if url is None:
                 return False
-            if body is None:
-                return True
-            rules = cache.get(body)
             if rules is None:
-                rules = parse_robots(body, ua)
-                cache[body] = rules
+                return True
             sp = urlsplit(url)
             path = sp.path or "/"
             if sp.query:
                 path += "?" + sp.query
-            return robots_allowed(rules, path)
+            return robots_allowed(
+                [(r["allow"], r["pattern"]) for r in rules], path
+            )
 
-        return pd.Series([one(u, b) for u, b in zip(urls, bodies)])
+        return pd.Series([one(u, r) for u, r in zip(urls, rule_arrays)])
 
     _eval_fn.__annotations__ = {
-        "urls": pd.Series, "bodies": pd.Series, "return": pd.Series,
+        "urls": pd.Series, "rule_arrays": pd.Series, "return": pd.Series,
     }
     ev = pandas_udf(_eval_fn, "boolean")
 
     from ..functions.text import url_host
 
     keyed = docs.withColumn("__host", url_host(F.col(url_col)))
-    rb = robots.select(
-        F.col(host_col).alias("__host"), F.col(body_col).alias("__robots")
+    rb = parse_robots_table(
+        robots, user_agent, host_col=host_col, body_col=body_col
+    ).withColumnRenamed("host", "__host").withColumnRenamed(
+        "rules", "__rules"
     )
     if broadcast_robots:
         rb = F.broadcast(rb)
     joined = keyed.join(rb, "__host", "left")
     return joined.withColumn(
-        "robots_allowed", ev(F.col(url_col), F.col("__robots"))
-    ).drop("__host", "__robots")
+        "robots_allowed", ev(F.col(url_col), F.col("__rules"))
+    ).drop("__host", "__rules")

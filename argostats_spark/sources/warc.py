@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["parse_warc_bytes", "html_to_text", "read_warc", "WARC_SCHEMA"]
+__all__ = [
+    "parse_warc_stream",
+    "parse_warc_bytes",
+    "html_to_text",
+    "read_warc",
+    "WARC_SCHEMA",
+]
 
 WARC_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType(), False),
@@ -57,36 +63,51 @@ def _split_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
-    """Iterate WARC records from raw archive bytes (decompressing
-    whole-stream/member gzip first when the magic matches). Yields one
-    dict per record: warc headers + http status/content-type + payload
-    bytes for response records. Raises ValueError on a structurally
-    broken archive (caller quarantines)."""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+def parse_warc_stream(stream) -> Iterator[dict]:
+    """Iterate WARC records INCREMENTALLY from a binary stream
+    (anything with ``readline()`` and ``read(n)`` — a GzipFile
+    decompresses member-by-member as this consumes it). Peak memory is
+    ONE record's header+payload, never the inflated archive: a 1 GiB
+    Common Crawl .warc.gz inflating to several GiB of text costs one
+    record at a time here (review finding r8 — the old whole-buffer
+    inflate was the first OOM at real crawl scale). Yields one dict per
+    record: warc headers + http status/content-type + payload bytes for
+    response records. Raises ValueError on a structurally broken
+    archive (caller quarantines)."""
     pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and data[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
+    while True:
+        line = stream.readline()
+        pos += len(line)
+        if not line:
             return
-        if not data[pos:pos + 5] == b"WARC/":
-            raise ValueError(f"expected WARC/ header at offset {pos}")
-        hdr_end = data.index(b"\r\n\r\n", pos)
-        headers = _split_headers(data[pos:hdr_end])
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record blank lines
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"expected WARC/ header at offset {pos - len(line)}"
+            )
+        hdr_lines = [line]
+        while True:
+            ln = stream.readline()
+            pos += len(ln)
+            if not ln:
+                raise ValueError(
+                    "truncated record header: EOF before blank line"
+                )
+            if ln in (b"\r\n", b"\n"):
+                break
+            hdr_lines.append(ln)
+        headers = _split_headers(b"".join(hdr_lines))
         length = int(headers.get("content-length", "-1"))
         if length < 0:
             raise ValueError("record missing Content-Length")
-        if hdr_end + 4 + length > n:
+        body = stream.read(length)
+        pos += len(body)
+        if len(body) < length:
             raise ValueError(
-                f"truncated record at offset {pos}: Content-Length "
-                f"{length} exceeds remaining {n - hdr_end - 4} bytes"
+                f"truncated record: Content-Length {length} exceeds "
+                f"remaining {len(body)} bytes"
             )
-        body = data[hdr_end + 4:hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
         rec = {
             "warc_type": headers.get("warc-type"),
             "url": headers.get("warc-target-uri"),
@@ -108,6 +129,19 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
                 )
                 rec["payload"] = body[http_end + 4:]
         yield rec
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Iterate WARC records from raw archive bytes. Gzip archives
+    (whole-stream or member-concatenated — stdlib GzipFile reads
+    concatenated members transparently) decompress INCREMENTALLY
+    through :func:`parse_warc_stream`, so peak memory is the compressed
+    buffer plus one record, not the inflated archive."""
+    if data[:2] == b"\x1f\x8b":
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    yield from parse_warc_stream(stream)
 
 
 _SCRIPT_RE = re.compile(
@@ -154,14 +188,18 @@ def read_warc(
     *response* record with ``responses_only``), text extracted in the
     same pass for ``text/html`` payloads; non-HTML responses carry NULL
     text but keep their metadata row. A structurally broken archive
-    yields ONE error row carrying the exception — the scan never dies
-    on one bad file (quarantine contract)."""
+    yields ONE error row carrying the exception AND drops any rows
+    already parsed from that file (true quarantine: a file is either
+    fully ingested or a single error row — partial files can't leak in
+    silently; review finding r8) — the scan never dies on one bad
+    file."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for fname, content in zip(pdf["path"], pdf["content"]):
+                frows: list[tuple] = []
                 try:
                     for i, rec in enumerate(parse_warc_bytes(bytes(content))):
                         if responses_only and rec["warc_type"] != "response":
@@ -171,9 +209,11 @@ def read_warc(
                         if extract_text and "html" in ctype:
                             # honor the declared charset (a large share
                             # of real crawl pages are Shift_JIS / GBK /
-                            # latin-1); unknown/absent -> utf-8
+                            # latin-1); quoted values are legal per RFC
+                            # 9110 (charset="shift_jis"); unknown or
+                            # absent -> utf-8
                             cs = "utf-8"
-                            mcs = re.search(r"charset=([\w\-]+)", ctype)
+                            mcs = re.search(r'charset="?([\w\-]+)', ctype)
                             if mcs:
                                 try:
                                     import codecs
@@ -185,17 +225,18 @@ def read_warc(
                             text = html_to_text(
                                 rec["payload"].decode(cs, "replace")
                             )
-                        rows.append((
+                        frows.append((
                             fname, i, rec["warc_type"], rec["url"],
                             rec["warc_date"], rec["http_status"],
                             rec["content_type"],
                             len(rec["payload"]), text, None,
                         ))
                 except Exception as exc:  # quarantine, never kill the scan
-                    rows.append((
+                    frows = [(
                         fname, -1, None, None, None, None, None, None, None,
                         f"{type(exc).__name__}: {exc}"[:500],
-                    ))
+                    )]
+                rows.extend(frows)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields]
             )

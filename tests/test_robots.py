@@ -95,6 +95,39 @@ def test_ua_group_selection():
     ) is True
 
 
+def test_anchor_not_counted_in_specificity():
+    """RFC 9309 precedence counts octets of the PATH pattern; the '$'
+    end-anchor is syntax, not path octets. '/ab$' (3 path octets) must
+    NOT outrank '/abc' (4 path octets), and an Allow/Disallow pair of
+    equal real length differing only by a trailing '$' must tie (Allow
+    wins ties)."""
+    # Disallow /abc (4) vs Allow /ab$ (3 after anchor strip): /abc hits
+    # both ('/ab$' does not match '/abc' — anchored), so check the tie
+    # case directly: '/ab' matches both '/ab$' (anchored, exact) and
+    # '/ab' — equal real length 3 -> Allow wins the tie.
+    rules = [(False, "/ab"), (True, "/ab$")]
+    assert robots_allowed(rules, "/ab") is True
+    # and the anchored rule must not win by anchor padding against a
+    # LONGER real pattern: Disallow /abc (4) beats Allow /ab$ only if
+    # '/ab$' matched — it doesn't match '/abc'; use wildcard form:
+    rules = [(False, "/abc"), (True, "/a*$")]   # real lengths 4 vs 3
+    assert robots_allowed(rules, "/abc") is False
+
+
+def test_parse_robots_table(spark):
+    from argostats_spark.operators.robots import parse_robots_table
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS), ("b.com", None)],
+        "host string, robots_txt string",
+    )
+    rows = {r["host"]: r["rules"]
+            for r in parse_robots_table(robots, "goodbot").collect()}
+    assert rows["b.com"] is None
+    got = [(r["allow"], r["pattern"]) for r in rows["a.com"]]
+    assert got == parse_robots(ROBOTS, "goodbot")
+
+
 def test_apply_robots_gate(spark):
     docs = spark.createDataFrame(
         [

@@ -175,6 +175,92 @@ def test_http2_status_charset_and_truncation():
     assert "日本語のページ" in text
 
 
+class _BoundedReader:
+    """File-like wrapper that FORBIDS whole-buffer reads: any read()
+    without a size, or larger than the cap, fails the test. Proves the
+    parser's peak memory is one record, not the inflated archive."""
+
+    def __init__(self, raw, cap: int):
+        self.raw, self.cap = raw, cap
+
+    def read(self, n=-1):
+        assert n is not None and 0 <= n <= self.cap, (
+            f"whole-buffer read forbidden (asked for {n}, cap {self.cap})"
+        )
+        return self.raw.read(n)
+
+    def readline(self):
+        return self.raw.readline()
+
+
+def test_streaming_parse_bounded_memory():
+    """Multi-member gzip archive parsed through a reader that forbids
+    whole-buffer access: the parser may only ever ask for one record's
+    bytes at a time, and must produce the same rows as the plain
+    parse."""
+    import io
+
+    from argostats_spark.sources.warc import parse_warc_stream
+
+    recs_bytes = _archive()
+    cut = recs_bytes.index(b"WARC/1.0", 10)
+    cut = recs_bytes.index(b"WARC/1.0", cut + 10)
+    gz = gzip.compress(recs_bytes[:cut]) + gzip.compress(recs_bytes[cut:])
+    # cap = largest single record body + slack, far below the archive
+    cap = max(len(HTML_A), len(HTML_B)) + 256
+    assert cap < len(recs_bytes)
+    stream = _BoundedReader(gzip.GzipFile(fileobj=io.BytesIO(gz)), cap)
+    got = list(parse_warc_stream(stream))
+    want = list(parse_warc_bytes(recs_bytes))
+    assert [(r["warc_type"], r["url"], r["payload"]) for r in got] == [
+        (r["warc_type"], r["url"], r["payload"]) for r in want
+    ]
+
+
+def test_quarantine_drops_partial_file(spark, tmp_path):
+    """A file that breaks MID-archive (after parseable records) must
+    contribute exactly ONE error row and NONE of its already-parsed
+    rows — a file is all-or-nothing (true quarantine)."""
+    good_rec = _record(
+        b"response",
+        b"WARC-Target-URI: http://example.com/ok\r\n",
+        _http_response(HTML_B),
+    )
+    # two good records then a record whose body is cut short
+    partial = good_rec + good_rec + _record(
+        b"response",
+        b"WARC-Target-URI: http://example.com/cut\r\n",
+        _http_response(HTML_A),
+    )[:-30]
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "partial.warc").write_bytes(partial)
+    (d / "whole.warc").write_bytes(good_rec)
+    out = read_warc(spark, str(d / "*")).toPandas()
+    bad = out[out.warc_file.str.endswith("partial.warc")]
+    assert len(bad) == 1 and bad.iloc[0]["record_no"] == -1
+    assert "truncated" in bad.iloc[0]["error"]
+    ok = out[out.warc_file.str.endswith("whole.warc")]
+    assert len(ok) == 1 and ok.iloc[0]["error"] is None
+
+
+def test_quoted_charset(spark, tmp_path):
+    """RFC 9110 allows charset="shift_jis" (quoted); the scan must
+    honor it instead of mojibake-decoding as utf-8."""
+    sjis_html = "<html><body><p>日本語</p></body></html>".encode("shift_jis")
+    arc = _record(
+        b"response",
+        b"WARC-Target-URI: http://example.jp/q\r\n",
+        b"HTTP/1.1 200 OK\r\n"
+        b'Content-Type: text/html; charset="Shift_JIS"\r\n\r\n' + sjis_html,
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "a.warc").write_bytes(arc)
+    [row] = read_warc(spark, str(d / "a.warc")).collect()
+    assert "日本語" in row["text"]
+
+
 def test_spark_scan_http2_and_charset(spark, tmp_path):
     sjis_html = "<html><body><p>日本語</p></body></html>".encode("shift_jis")
     arc = b"".join([
