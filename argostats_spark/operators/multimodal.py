@@ -244,7 +244,11 @@ def extract_features(
                         h_, w_ = img.shape[:2]
                         grid = int(feat_dim ** 0.5)
                         feat = image_features(img, grid)[:feat_dim]
-                except (NotImplementedError, ValueError, IndexError):
+                except Exception:
+                    # same quarantine posture as image_phash_table: any
+                    # decode failure (absent codec lib OR corrupt bytes
+                    # raising struct.error/OverflowError/...) falls to
+                    # the deterministic fake, never kills the scan
                     w_, h_, feat = fake_decode_meta(raw, feat_dim)
                     decoded = False
                 out["width"].append(w_)
@@ -419,7 +423,12 @@ def image_phash_table(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     img = decode_image(bytes(payload))
                     out["phash"].append(dhash64(img))
                     out["decoded"].append(True)
-                except (NotImplementedError, ValueError, IndexError):
+                except Exception:
+                    # corrupt payloads raise whatever the decoder hit
+                    # (struct.error, OverflowError, zero-size array
+                    # ops, ...) — any decode failure quarantines to
+                    # phash NULL / decoded=false, never kills the scan
+                    # (review finding r8)
                     out["phash"].append(None)
                     out["decoded"].append(False)
             yield pd.DataFrame(out)

@@ -1462,3 +1462,30 @@ def test_image_phash_near_dups_finds_reencodes_not_strangers(spark):
         and bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 6
     }
     assert pairs == brute
+
+
+def test_phash_quarantines_corrupt_payloads(spark):
+    """A corrupt payload raising an exception type OUTSIDE the happy
+    decode surface (a 5-byte 'BM' header raises struct.error, a
+    zero-dimension PPM breaks downstream array ops) must yield phash
+    NULL / decoded=false, never kill the scan (review finding r8)."""
+    import hashlib
+
+    from argostats_spark.operators.multimodal import image_phash_table
+
+    payloads = [
+        (0, _pgm(__import__("numpy").zeros((8, 8), "u1"))),  # decodes fine
+        (1, b"BM\x00\x00\x00"),          # struct.error in header unpack
+        (2, b"P6 0 0 255\n"),            # zero-size image -> array-op error
+        (3, b"BM" + b"\xff" * 60),        # ValueError path (still covered)
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p), "image", hashlib.sha256(p).hexdigest())
+         for i, p in payloads],
+        "media_id long, payload binary, kind string, sha256 string",
+    )
+    got = {r["media_id"]: (r["phash"], r["decoded"])
+           for r in image_phash_table(media).collect()}
+    assert got[0][1] is True and got[0][0] is not None
+    for i in (1, 2, 3):
+        assert got[i] == (None, False), i
