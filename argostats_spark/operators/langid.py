@@ -102,12 +102,29 @@ def langid_score_rows(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    import numpy as np
+
     if not profiles:
         raise ValueError(
             "langid_score_rows: empty profiles — fit on a corpus with "
             "non-NULL labels and non-empty texts (langid_fit)"
         )
     langs = sorted(profiles)
+    n_langs = len(langs)
+    # inverted index: gram -> per-language rank vector (-1 = absent);
+    # per-row cost becomes one dict lookup + one vectorized add per DOC
+    # gram, independent of how many languages are fitted (the old
+    # lang-outer loop multiplied per-row cost by |langs| — review
+    # finding r8). Size: <= |langs|*top_k entries x |langs| ints — KBs
+    # to low MBs at 100+ languages, broadcast once per worker.
+    union: dict[str, np.ndarray] = {}
+    for li, lang in enumerate(langs):
+        for g_, r_ in profiles[lang].items():
+            arr = union.get(g_)
+            if arr is None:
+                arr = np.full(n_langs, -1, dtype=np.int64)
+                union[g_] = arr
+            arr[li] = r_
 
     def _pred_fn(texts):
         def one(t):
@@ -115,16 +132,17 @@ def langid_score_rows(
             if not grams:
                 return None
             doc = rank_profile(grams, top_k)
-            best = None
-            for lang in langs:
-                prof = profiles[lang]
-                d = 0
-                for g_, r_ in doc.items():
-                    pr = prof.get(g_)
-                    d += abs(r_ - pr) if pr is not None else top_k
-                if best is None or d < best[0]:
-                    best = (d, lang)
-            return f"{best[1]}\x00{best[0]}"
+            dist = np.zeros(n_langs, dtype=np.int64)
+            for g_, r_ in doc.items():
+                arr = union.get(g_)
+                if arr is None:
+                    dist += top_k  # absent from every profile
+                else:
+                    dist += np.where(arr >= 0, np.abs(r_ - arr), top_k)
+            # argmin returns the FIRST minimum; langs is sorted, so the
+            # tie-break is language name asc (same as the naive loop)
+            best_i = int(dist.argmin())
+            return f"{langs[best_i]}\x00{int(dist[best_i])}"
 
         return texts.apply(one)
 

@@ -107,3 +107,52 @@ def test_empty_profiles_rejected(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty profiles"):
         langid_score_rows(df, {})
+
+
+def test_inverted_scoring_equals_naive_loop(spark):
+    """The vectorized union-profile scorer (per-row cost independent of
+    language count) must agree with the textbook lang-outer loop on
+    every document: same winning language AND same distance, ties
+    included (review finding r8)."""
+    rng = random.Random(77)
+    fit_rows = (
+        [("en", t) for t in _mk(EN_WORDS, 20, 12, 1)]
+        + [("de", t) for t in _mk(DE_WORDS, 20, 12, 2)]
+        + [("xx", t) for t in _mk([w[::-1] for w in EN_WORDS], 20, 12, 3)]
+    )
+    fit = spark.createDataFrame(fit_rows, "lang string, text string")
+    profiles = langid_fit(fit, top_k=50)
+    assert len(profiles) == 3
+
+    def naive(t, top_k=50, n=3):
+        grams = char_grams_py(t, n)
+        if not grams:
+            return None
+        doc = rank_profile(grams, top_k)
+        best = None
+        for lang in sorted(profiles):
+            d = 0
+            for g_, r_ in doc.items():
+                pr = profiles[lang].get(g_)
+                d += abs(r_ - pr) if pr is not None else top_k
+            if best is None or d < best[0]:
+                best = (d, lang)
+        return best[1], best[0]
+
+    # score a mix: in-distribution, mixed, out-of-vocabulary, empty
+    texts = (
+        _mk(EN_WORDS, 5, 8, 4) + _mk(DE_WORDS, 5, 8, 5)
+        + [" ".join(rng.choices(EN_WORDS + DE_WORDS, k=10)) for _ in range(5)]
+        + ["zzzz qqqq 0101", ""]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["lang_pred"], r["lang_dist"])
+           for r in langid_score_rows(docs, profiles, top_k=50).collect()}
+    for i, t in enumerate(texts):
+        want = naive(t)
+        if want is None:
+            assert got[i] == (None, None), i
+        else:
+            assert got[i] == want, (i, t[:30], got[i], want)
