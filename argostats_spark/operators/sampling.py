@@ -409,6 +409,7 @@ def pack_chunks_bestfit(
     budget: int,
     strata_col: str,
     order_col: str | list[str],
+    max_hist_rows: int = 1_000_000,
 ) -> DataFrame:
     """Non-splitting best-fit packing (histogram form — Krell et al.
     2021, "Efficient Sequence Packing without Cross-contamination"):
@@ -421,7 +422,16 @@ def pack_chunks_bestfit(
     Scale design — the bin-packing itself never sees the corpus:
 
     1. ONE aggregate collects the per-stratum LENGTH HISTOGRAM —
-       bounded by strata × budget rows no matter the corpus size;
+       per stratum at most ``budget`` distinct lengths, so the collect
+       is strata × budget rows no matter the corpus size. That is only
+       driver-safe for COARSE strata (language, domain bucket, split —
+       dozens to thousands of groups): ``strata_col`` must NOT be a
+       natural high-cardinality key like the raw URL host (millions of
+       hosts × up-to-budget lengths = a multi-GB collect). The collect
+       is hard-capped at ``max_hist_rows`` (the limit bounds the
+       driver transfer itself) and raises with the remedy named when
+       exceeded — pre-bucket the strata, e.g.
+       ``F.pmod(F.xxhash64(host), F.lit(1024))``, or raise the cap;
     2. the driver runs best-fit-decreasing over the histogram in BULK
        (strategies = (length-multiset, multiplicity) pairs, split on
        partial fills) — O(distinct-lengths²) worst case, independent
@@ -446,8 +456,18 @@ def pack_chunks_bestfit(
     hist = (
         df.groupBy(strata_col, token_col)
         .agg(F.count(F.lit(1)).alias("c"))
+        .limit(max_hist_rows + 1)
         .collect()
     )
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"pack_chunks_bestfit: (stratum, length) histogram exceeds "
+            f"max_hist_rows={max_hist_rows} — '{strata_col}' is too "
+            f"fine-grained for a driver-side packing plan. Coarsen the "
+            f"strata first (e.g. bucket hosts: F.pmod(F.xxhash64("
+            f"'{strata_col}'), F.lit(1024))) or raise max_hist_rows if "
+            f"the driver has the memory."
+        )
     by_stratum: dict = {}
     for r in hist:
         by_stratum.setdefault(r[strata_col], {})[int(r[token_col])] = int(r["c"])

@@ -345,3 +345,30 @@ def test_bestfit_packing_keeps_null_strata(spark):
     nulls = out[out.shard.isna()]
     assert len(nulls) == 2
     assert (nulls.groupby("pack_id").n_tok.sum() <= 64).all()
+
+
+def test_bestfit_histogram_guard_fires(spark):
+    """A strata column too fine for a driver-side packing plan must
+    fail LOUDLY with the remedy named, and the guard itself must bound
+    the collect (limit, not full transfer) — review finding r8."""
+    import pytest
+
+    from argostats_spark.operators.sampling import pack_chunks_bestfit
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("n_tok"),
+        F.concat(F.lit("host-"), F.col("id")).alias("shard"),  # 500 strata
+    )
+    with pytest.raises(ValueError, match="max_hist_rows.*Coarsen"):
+        pack_chunks_bestfit(
+            df, "n_tok", 128, "shard", "doc_id", max_hist_rows=100
+        )
+    # same frame with a coarse bucket passes under the same cap
+    coarse = df.withColumn(
+        "shard", F.pmod(F.xxhash64("shard"), F.lit(4)).cast("string")
+    )
+    out = pack_chunks_bestfit(
+        coarse, "n_tok", 128, "shard", "doc_id", max_hist_rows=1000
+    )
+    assert out.count() == 500
