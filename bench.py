@@ -32,13 +32,16 @@ def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
     Also consults BENCH_scale_*.json checkpoints (raw bench output, not
     driver-wrapped), so the sf1 scaling run trips the same 1.5x+0.25s
     gate against its previous-round self (VERDICT r6 item 8) — those
-    carry round 0, so a real same-sf BENCH_r{N} always wins."""
+    carry the bench_round recorded inside the artifact (VERDICT r7
+    item 6; pre-r8 checkpoints without one fall back to 0), so
+    regression_baseline_round always names the actual compared
+    round."""
     import glob
     import re
 
-    # sort key: (round, mtime) — scale checkpoints all carry round 0,
-    # so two at the same sf tie-break to the NEWEST file, not whichever
-    # the glob returned first (filesystem-order nondeterminism)
+    # sort key: (round, mtime) — two checkpoints at the same round+sf
+    # tie-break to the NEWEST file, not whichever the glob returned
+    # first (filesystem-order nondeterminism)
     best: tuple[tuple[int, float], dict[str, float]] | None = None
     for path in glob.glob(os.path.join(REPO_DIR, "BENCH_*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -52,10 +55,27 @@ def _prev_bench(sf_val) -> tuple[int, dict[str, float]] | None:
         parsed = raw.get("parsed") if isinstance(raw.get("parsed"), dict) else raw
         if parsed.get("sf") != sf_val or not parsed.get("queries"):
             continue
-        key = (int(m.group(1)) if m else 0, os.path.getmtime(path))
+        rnd = int(m.group(1)) if m else int(parsed.get("bench_round", 0))
+        key = (rnd, os.path.getmtime(path))
         if best is None or key > best[0]:
             best = (key, parsed["queries"])
     return (best[0][0], best[1]) if best else None
+
+
+def _current_round() -> int:
+    """The round this bench run belongs to: the driver writes
+    BENCH_r{N}.json as round N ENDS, so the newest one + 1 is the round
+    in flight. Recorded in the output as ``bench_round`` so ad-hoc
+    checkpoints (BENCH_scale_*.json) can be round-attributed."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
 
 # Per-limb attribution for the >=3-limb suite queries (VERDICT r6 item
 # 5): when a suite's total moves, the artifact must say WHICH limb. Two
@@ -322,6 +342,7 @@ def main() -> None:
         "sf": sf_val,
         "argo": argo,
         "limbs": limbs,
+        "bench_round": _current_round(),
     }
     # perf-regression tripwire: any headline query >1.5× slower than the
     # newest same-sf BENCH_r{N}.json shows up IN the artifact, so a plan
