@@ -63,6 +63,110 @@ def _write_model_parquet(name: str, columns: dict) -> str:
     return dest
 
 
+# --- WARC+robots fixture (multimodal_features 'warc' limb) ---------------
+# A spec-correct member-gzip WARC archive built from these constants and
+# written (atomically) to a temp dir; the limb runs the REAL pipeline
+# read_warc -> warc_to_documents -> apply_robots over it, and the DuckDB
+# twin derives every expected value (md5/char/token counts) from the SAME
+# expected-text literals in SQL — nothing is a frozen opaque hash.
+_WARC_ROBOTS_BODY = (
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok/\n"
+    "Disallow: /*.pdf$\n"
+)
+# (url, status_line, content_type, html, encoding)
+_WARC_PAGES = [
+    ("http://a.example.com/public/x.html", b"HTTP/1.1 200 OK",
+     b"text/html; charset=utf-8",
+     "<html><body><h1>Public</h1><p>Hello public world</p></body></html>",
+     "utf-8"),
+    ("http://a.example.com/private/secret.html", b"HTTP/1.1 200 OK",
+     b"text/html",
+     "<html><body><p>Secret stuff here</p></body></html>", "utf-8"),
+    ("http://a.example.com/private/ok/fine.html", b"HTTP/1.1 200 OK",
+     b"text/html",
+     "<html><body><p>Allowed deep path</p></body></html>", "utf-8"),
+    ("http://b.example.com/page", b"HTTP/2 200",  # no dotted minor
+     b"text/html",
+     "<html><body><div>Beta</div><div>Gamma page</div></body></html>",
+     "utf-8"),
+    ("http://b.example.com/sjis", b"HTTP/1.1 200 OK",
+     b'text/html; charset="Shift_JIS"',  # quoted charset, RFC 9110
+     "<html><body><p>日本語のページ</p></body></html>",
+     "shift_jis"),
+    # dropped by warc_to_documents: non-HTML payload / non-200 status
+    ("http://a.example.com/img.png", b"HTTP/1.1 200 OK", b"image/png",
+     None, None),
+    ("http://a.example.com/missing", b"HTTP/1.1 404 Not Found",
+     b"text/html",
+     "<html><body><p>gone</p></body></html>", "utf-8"),
+]
+
+
+def _warc_record(warc_type: bytes, extra: bytes, body: bytes) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\nWARC-Type: " + warc_type + b"\r\n" + extra
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return hdr + b"\r\n" + body + b"\r\n\r\n"
+
+
+def _warc_fixture_bytes() -> bytes:
+    """The archive: warcinfo + request (both skipped by responses_only)
+    + the 7 response records above, as TWO concatenated gzip members
+    (the Common Crawl layout; mtime=0 for byte determinism)."""
+    import gzip
+
+    recs = [
+        _warc_record(b"warcinfo", b"", b"software: argostats-fixture\r\n"),
+        _warc_record(
+            b"request",
+            b"WARC-Target-URI: http://a.example.com/public/x.html\r\n",
+            b"GET /public/x.html HTTP/1.1\r\nHost: a.example.com\r\n\r\n",
+        ),
+    ]
+    for url, status, ctype, html, enc in _WARC_PAGES:
+        payload = (b"\x89PNGfixturebytes" if html is None
+                   else html.encode(enc))
+        body = (status + b"\r\nContent-Type: " + ctype + b"\r\n\r\n"
+                + payload)
+        recs.append(_warc_record(
+            b"response",
+            b"WARC-Target-URI: " + url.encode() + b"\r\n", body,
+        ))
+    mid = len(recs) // 2
+    return (
+        gzip.compress(b"".join(recs[:mid]), mtime=0)
+        + gzip.compress(b"".join(recs[mid:]), mtime=0)
+    )
+
+
+def _ensure_warc_fixture() -> str:
+    """Write the fixture archive under the model-parquet temp dir
+    (atomic rename, concurrent-safe) and return the directory holding
+    it, for a binaryFile scan."""
+    import os
+    import tempfile
+
+    dest = _model_parquet_path("warc_fixture")  # reuse the user temp dir
+    fix_dir = os.path.join(os.path.dirname(dest), "warc_fixture")
+    os.makedirs(fix_dir, exist_ok=True)
+    final = os.path.join(fix_dir, "fixture.warc.gz")
+    data = _warc_fixture_bytes()
+    try:
+        with open(final, "rb") as f:
+            if f.read() == data:
+                return fix_dir
+    except OSError:
+        pass
+    fd, stage = tempfile.mkstemp(dir=fix_dir)
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    os.replace(stage, final)
+    return fix_dir
+
+
 def _train_and_write_pq(spark: SparkSession, sf_dir: str):
     """Train the PQ codebooks (deterministic: content-ordered sample →
     driver NumPy, partition-independent by test) and materialize them
@@ -1397,26 +1501,99 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.unionByName(pq)
 
 
+def _warc_limb_oracle_sql() -> str:
+    """The 'warc' limb twin: a VALUES table of (url, allowed,
+    expected-extracted-text) — md5 / char / token counts all DERIVED
+    from the text literal in SQL, so the pin is readable, not an opaque
+    hash. The literals are the hand-checked html_to_text outputs of the
+    fixture pages (chr(10) = the block-tag newline)."""
+    rows = ", ".join(
+        "('{}', {}, {})".format(url, allowed, txt_sql)
+        for url, allowed, txt_sql in [
+            ("http://a.example.com/public/x.html", "TRUE",
+             "'Public' || chr(10) || 'Hello public world'"),
+            ("http://a.example.com/private/secret.html", "FALSE",
+             "'Secret stuff here'"),
+            ("http://a.example.com/private/ok/fine.html", "TRUE",
+             "'Allowed deep path'"),
+            ("http://b.example.com/page", "TRUE",
+             "'Beta' || chr(10) || 'Gamma page'"),
+            ("http://b.example.com/sjis", "TRUE", "'日本語のページ'"),
+        ]
+    )
+    return f"""
+    SELECT 'warc' AS part, CAST(NULL AS BIGINT) AS media_id,
+           w.url AS kind, CAST(NULL AS INT) AS width,
+           CAST(len(list_filter(string_split_regex(trim(lower(w.txt)),
+                '\\s+'), x -> x <> '')) AS INT) AS height,
+           w.allowed AS decoded,
+           CAST(length(w.txt) AS BIGINT) AS n_bytes,
+           md5(w.txt) AS digest,
+           CAST(NULL AS BIGINT) AS phash
+    FROM (VALUES {rows}) w(url, allowed, txt)
+    """
+
+
 @query(
     "multimodal_features",
-    """
+    f"""
+    WITH src AS (
+      SELECT doc_id AS media_id,
+             CAST(8 + doc_id % 32 AS INT) AS w,
+             CAST(8 + n_chars % 32 AS INT) AS h,
+             repeat(md5(text), 48) AS body
+      FROM documents
+    ),
+    grid AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(9) c),
+    px AS (
+      SELECT media_id, r, c,
+             ord(substr(body,
+                  CAST(floor(r * (CAST(h AS DOUBLE) / 8)) AS INT) * w
+                + CAST(floor(c * (CAST(w AS DOUBLE) / 9)) AS INT) + 1, 1)) AS p
+      FROM src, grid
+    ),
+    bits AS (
+      SELECT a.media_id, a.r, a.c AS cb, (b.p > a.p) AS bit
+      FROM px a JOIN px b
+        ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    ph AS (
+      SELECT media_id,
+             sum(CASE WHEN bit THEN (CAST(1 AS HUGEINT) << (r * 8 + cb))
+                      ELSE CAST(0 AS HUGEINT) END) AS v
+      FROM bits GROUP BY 1
+    )
     SELECT 'decode' AS part, doc_id AS media_id, 'image' AS kind,
            CAST(8 + doc_id % 32 AS INT) AS width,
            CAST(8 + n_chars % 32 AS INT) AS height,
            TRUE AS decoded,
-           CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS digest
+           CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS digest,
+           CAST(NULL AS BIGINT) AS phash
     FROM documents
     UNION ALL
     SELECT 'meta', doc_id, CAST(NULL AS VARCHAR),
            CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT), sha256(text)
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT), sha256(text),
+           CAST(NULL AS BIGINT)
     FROM documents
+    UNION ALL
+    SELECT 'phash', media_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS INT), CAST(NULL AS INT), TRUE,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE v END AS BIGINT)
+    FROM ph
+    UNION ALL
+    {_warc_limb_oracle_sql()}
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal family as one tagged union (the former standalone
-    ``binary_meta`` entry merged in as the ``meta`` part in round 6 to
-    keep the registry inside the driver's 50-row window):
+    """The multimodal + binary-ingest family as one tagged union
+    (``binary_meta`` merged in round 6; ``phash`` and ``warc`` limbs in
+    round 8 so every round-7 operator is driver-hashed with the
+    registry still at 50):
 
     - ``decode``: multimodal decode end-to-end with a derived
       deterministic oracle: each document becomes a REAL binary PGM
@@ -1429,8 +1606,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       `decoded` and change the dims).
     - ``meta``: opaque binary payload + typed metadata (byte length,
       sha256 content digest) — the ingest-side plumbing every
-      multimodal column carries."""
-    from .operators.multimodal import extract_features, to_media_table
+      multimodal column carries.
+    - ``phash``: the perceptual dHash64 (operators/multimodal.py:
+      dhash64 via image_phash_table) of the same synthetic PGMs; the
+      DuckDB twin recomputes the full hash relationally — nearest-
+      neighbor 8x9 downsample as the IDENTICAL float expression
+      (r * (h/8.0): the divide-then-multiply order matters at trunc
+      boundaries), adjacent-pixel bits, HUGEINT bit-pack, two's-
+      complement fold to BIGINT. Every decode and every bit of all 64
+      is hash-pinned per document.
+    - ``warc``: the crawl-ingest composition read_warc →
+      warc_to_documents → apply_robots over a spec-correct member-gzip
+      fixture archive built from module constants (HTTP/2 status line,
+      quoted Shift_JIS charset, image + 404 records that must drop,
+      robots wildcard/anchor/longest-match rules). The twin derives
+      md5/char/token counts from the expected-text literals — any
+      drift in record parsing, charset handling, text extraction, or
+      RFC 9309 evaluation flips the hash."""
+    from .operators.multimodal import (
+        extract_features,
+        image_phash_table,
+        to_media_table,
+    )
+    from .operators.robots import apply_robots
+    from .sources.warc import read_warc, warc_to_documents
 
     d = _t(spark, sf_dir, "documents")
     w = (F.lit(8) + F.col("doc_id") % 32).cast("int")
@@ -1446,11 +1645,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(
         d.withColumn("payload", payload), "doc_id", "payload", "image"
     )
+    nulls = dict(
+        n_bytes=F.lit(None).cast("long").alias("n_bytes"),
+        digest=F.lit(None).cast("string").alias("digest"),
+        phash=F.lit(None).cast("long").alias("phash"),
+    )
     decode = extract_features(media, feat_dim=16).select(
         F.lit("decode").alias("part"),
         "media_id", "kind", "width", "height", "decoded",
-        F.lit(None).cast("long").alias("n_bytes"),
-        F.lit(None).cast("string").alias("digest"),
+        nulls["n_bytes"], nulls["digest"], nulls["phash"],
     )
     b = F.col("text").cast("binary")
     meta = d.select(
@@ -1462,8 +1665,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("decoded"),
         F.octet_length(b).cast("long").alias("n_bytes"),
         F.sha2(b, 256).alias("digest"),
+        nulls["phash"],
     )
-    return decode.unionByName(meta)
+    ph = image_phash_table(media).select(
+        F.lit("phash").alias("part"),
+        "media_id",
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        "decoded",
+        nulls["n_bytes"], nulls["digest"],
+        F.col("phash"),
+    )
+    fix_dir = _ensure_warc_fixture()
+    docs = warc_to_documents(read_warc(spark, fix_dir + "/*.warc.gz"))
+    robots = spark.createDataFrame(
+        [("a.example.com", _WARC_ROBOTS_BODY)],
+        "host string, robots_txt string",
+    )
+    warc = apply_robots(docs, robots).select(
+        F.lit("warc").alias("part"),
+        F.lit(None).cast("long").alias("media_id"),
+        F.col("url").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.col("n_tokens").cast("int").alias("height"),
+        F.col("robots_allowed").alias("decoded"),
+        F.col("n_chars").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+        nulls["phash"],
+    )
+    return decode.unionByName(meta).unionByName(ph).unionByName(warc)
 
 
 
