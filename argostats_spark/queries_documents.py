@@ -2226,28 +2226,123 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_slice(tk, tok_start + 1, least(tok_start + 32, len(tk))),
                ' ')) AS chunk_md5
       FROM st
+    ),
+    cn AS (
+      SELECT doc_id, lang, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+    ),
+    cstarts AS (
+      SELECT doc_id, lang, tk, n,
+             list_sort(list_filter(range(1, n + 1),
+               p -> ('0x' || substr(md5(tk[p]), 1, 8))::BIGINT % 4 = 0)) AS cc
+      FROM cn
+    ),
+    cbounds AS (
+      SELECT *, list_sort(list_distinct([0] || cc || [n])) AS b0
+      FROM cstarts
+    ),
+    cstart2 AS (
+      SELECT doc_id, lang, tk, n,
+             list_sort(list_distinct(
+               [0]
+               || list_filter(cc, p -> p < n)
+               || flatten(list_transform(range(1, len(b0)),
+                    i -> range(b0[i] + 16, b0[i + 1], 16)))
+             )) AS starts
+      FROM cbounds
+    ),
+    cdc AS (
+      SELECT doc_id, lang, tk, starts, starts || [n] AS bounds,
+             unnest(range(0, len(starts))) AS i
+      FROM cstart2
+    ),
+    bf AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN 120
+                  WHEN doc_id % 7 IN (1, 2, 3) THEN 60
+                  ELSE 40 END AS n_tok
+      FROM documents
+    ),
+    bfr AS (
+      SELECT doc_id, lang, n_tok,
+             row_number() OVER (PARTITION BY lang, n_tok
+                                ORDER BY doc_id) - 1 AS r
+      FROM bf
+    ),
+    bfc AS (
+      SELECT lang,
+             count(*) FILTER (WHERE n_tok = 120) AS c120,
+             count(*) FILTER (WHERE n_tok = 60) AS c60,
+             count(*) FILTER (WHERE n_tok = 40) AS c40
+      FROM bf GROUP BY lang
     )
-    SELECT doc_id, window_id, tok_start, tok_end, n_chunk_tokens, chunk_md5,
-           lang,
+    SELECT 'fixed' AS part, doc_id, window_id, tok_start, tok_end,
+           n_chunk_tokens, chunk_md5, lang,
            CAST(floor(
              coalesce(sum(n_chunk_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id, window_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              / 256.0) AS BIGINT) AS pack_id
     FROM ch
+    UNION ALL
+    SELECT 'cdc', doc_id, CAST(i AS BIGINT),
+           CAST(starts[i + 1] AS BIGINT),
+           CAST(bounds[i + 2] AS BIGINT),
+           CAST(bounds[i + 2] - starts[i + 1] AS BIGINT),
+           md5(array_to_string(
+             list_slice(tk, starts[i + 1] + 1, bounds[i + 2]), ' ')),
+           lang, CAST(NULL AS BIGINT)
+    FROM cdc
+    UNION ALL
+    SELECT 'bestfit', bfr.doc_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(bfr.n_tok AS BIGINT),
+           CAST(bfr.n_tok > 100 AS VARCHAR), bfr.lang,
+           CAST(CASE
+             WHEN bfr.n_tok = 120 THEN bfr.r
+             WHEN bfr.n_tok = 60 THEN bfc.c120 + bfr.r
+             WHEN bfr.r < least(bfc.c40, bfc.c60)
+               THEN bfc.c120 + bfr.r
+             ELSE bfc.c120 + bfc.c60
+                  + (bfr.r - least(bfc.c40, bfc.c60)) // 2
+           END AS BIGINT)
+    FROM bfr JOIN bfc ON bfr.lang IS NOT DISTINCT FROM bfc.lang
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The long-document preprocessing composition a training pipeline
-    actually runs: ``chunk_documents`` (32-token windows, stride 24 —
-    overlapping) splits every document into token windows, then
-    ``pack_chunks`` assigns each window to a per-language training pack
-    by exclusive running token total / 256 (operators/sampling.py).
-    Both halves are driver-hashed in one row: the window boundaries,
-    the md5 of every chunk's text, and the pack assignment. Chunking is
-    row-local (zero shuffle); packing is the one per-stratum window
-    exchange — never a global running sum."""
-    from .operators.sampling import chunk_documents, pack_chunks
+    """The chunk/pack preprocessing family as one tagged union (round 8
+    added the ``cdc`` and ``bestfit`` parts so every chunker/packer is
+    driver-hashed with the registry still at 50):
+
+    - ``fixed``: the composition a training pipeline actually runs —
+      ``chunk_documents`` (32-token windows, stride 24, overlapping)
+      then ``pack_chunks`` assigning each window to a per-language pack
+      by exclusive running token total / 256 (operators/sampling.py).
+      Window boundaries, per-chunk text md5, and pack assignment all
+      hashed. Chunking is row-local (zero shuffle); packing is the one
+      per-stratum window exchange — never a global running sum.
+    - ``cdc``: content-defined chunking (chunk_documents_cdc) at
+      min_tokens=1, max_tokens=16, divisor=4 — the parameterization
+      whose cut process is CLOSED-FORM relational (content cuts at
+      every boundary-hash token, forced cuts every max_tokens between
+      them), so the DuckDB twin re-derives every boundary and chunk
+      md5 from the same md5-prefix hash family with no fold. The
+      min_tokens>1 run-bound semantics stay pinned by the pytest
+      hypothesis/resync suite.
+    - ``bestfit``: non-splitting best-fit packing
+      (pack_chunks_bestfit) over synthetic item lengths {40, 60, 120}
+      at budget 100, strata = lang — a length mix that exercises
+      oversize singletons, best-fit filling of partial packs,
+      multiplicity splitting, AND fresh multi-slot packs, while the
+      resulting BFD assignment has a closed arithmetic form the twin
+      states directly (oversize rank-identity; 60s offset by the
+      oversize count; 40s pair into 60-pack remainders then fill
+      2-slot packs). ``chunk_md5`` carries the oversize flag."""
+    from .operators.sampling import (
+        chunk_documents,
+        chunk_documents_cdc,
+        pack_chunks,
+        pack_chunks_bestfit,
+    )
 
     d = _t(spark, sf_dir, "documents")
     chunks = (
@@ -2260,10 +2355,41 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_chunks(
         chunks, "n_chunk_tokens", 256, "lang", ["doc_id", "window_id"]
     ).withColumnRenamed("chunk_id", "pack_id")
-    return packed.select(
+    fixed = packed.select(
+        F.lit("fixed").alias("part"),
         "doc_id", "window_id", "tok_start", "tok_end", "n_chunk_tokens",
         "chunk_md5", "lang", "pack_id",
     )
+    cdc = chunk_documents_cdc(
+        d, text_col="text", id_col="doc_id",
+        min_tokens=1, max_tokens=16, divisor=4, carry_cols=("lang",),
+    ).select(
+        F.lit("cdc").alias("part"),
+        "doc_id",
+        F.col("chunk_id").alias("window_id"),
+        "tok_start", "tok_end", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "lang",
+        F.lit(None).cast("long").alias("pack_id"),
+    )
+    items = d.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 7 == 0, 120)
+        .when((F.col("doc_id") % 7).isin(1, 2, 3), 60)
+        .otherwise(40).cast("long").alias("n_tok"),
+    )
+    bf = pack_chunks_bestfit(items, "n_tok", 100, "lang", "doc_id").select(
+        F.lit("bestfit").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("window_id"),
+        F.lit(None).cast("long").alias("tok_start"),
+        F.lit(None).cast("long").alias("tok_end"),
+        F.col("n_tok").alias("n_chunk_tokens"),
+        F.col("oversize").cast("string").alias("chunk_md5"),
+        "lang",
+        "pack_id",
+    )
+    return fixed.unionByName(cdc).unionByName(bf)
 
 
 @query(
