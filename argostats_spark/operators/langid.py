@@ -62,16 +62,31 @@ def langid_fit(
     (bounded by the distinct-gram vocabulary, NOT the corpus); the
     model is |langs| x top_k entries. Deterministic: ties rank by gram
     asc, same as :func:`rank_profile`."""
-    from ..functions.text import char_ngrams
-
     # empty texts excluded: the SQL char_ngrams of '' yields the ['']
     # singleton (substr clamp) which would pollute profiles with a
-    # phantom empty gram the Python twin never produces
-    g = docs.where(
+    # phantom empty gram the Python twin never produces.
+    # Perf shape (round 8): lower(text) is STAGED as a projected column
+    # so the transform lambda slices a bound attribute instead of
+    # re-lowering the document per gram (the with_repetition_stats
+    # staging pattern), and the doc rows spread across the session's
+    # shuffle partitions BEFORE the explode — a small corpus in one
+    # parquet file would otherwise generate its entire gram set in one
+    # task (measured 1.7 s single-task vs 0.2 s spread at 5k docs).
+    base = docs.where(
         F.col(lang_col).isNotNull() & (F.length(text_col) > 0)
     ).select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("__lt")
+    )
+    npart = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    t = F.col("__lt")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+    )
+    g = base.repartition(npart).select(
+        "lang",
+        F.explode(
+            F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+        ).alias("gram"),
     )
     counts = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
     w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("gram").asc())
@@ -111,20 +126,25 @@ def langid_score_rows(
         )
     langs = sorted(profiles)
     n_langs = len(langs)
-    # inverted index: gram -> per-language rank vector (-1 = absent);
-    # per-row cost becomes one dict lookup + one vectorized add per DOC
-    # gram, independent of how many languages are fitted (the old
-    # lang-outer loop multiplied per-row cost by |langs| — review
-    # finding r8). Size: <= |langs|*top_k entries x |langs| ints — KBs
-    # to low MBs at 100+ languages, broadcast once per worker.
-    union: dict[str, np.ndarray] = {}
+    # inverted index: gram -> row of a (union-grams x langs) rank
+    # matrix (-1 = absent from that language's profile); per-row cost
+    # becomes |doc-profile| dict lookups + ONE vectorized matrix op,
+    # independent of how many languages are fitted (the old lang-outer
+    # loop multiplied per-row cost by |langs|, and a per-GRAM numpy op
+    # drowned in tiny-array overhead — review finding r8). Size:
+    # <= |langs|*top_k rows x |langs| ints — KBs to low MBs at 100+
+    # languages, broadcast once per worker.
+    union_idx: dict[str, int] = {}
+    rows: list = []
     for li, lang in enumerate(langs):
         for g_, r_ in profiles[lang].items():
-            arr = union.get(g_)
-            if arr is None:
-                arr = np.full(n_langs, -1, dtype=np.int64)
-                union[g_] = arr
-            arr[li] = r_
+            i = union_idx.get(g_)
+            if i is None:
+                union_idx[g_] = len(rows)
+                rows.append(np.full(n_langs, -1, dtype=np.int64))
+                i = len(rows) - 1
+            rows[i][li] = r_
+    M = np.vstack(rows)
 
     def _pred_fn(texts):
         def one(t):
@@ -132,13 +152,21 @@ def langid_score_rows(
             if not grams:
                 return None
             doc = rank_profile(grams, top_k)
-            dist = np.zeros(n_langs, dtype=np.int64)
+            known_i, known_r, n_missing = [], [], 0
             for g_, r_ in doc.items():
-                arr = union.get(g_)
-                if arr is None:
-                    dist += top_k  # absent from every profile
+                i = union_idx.get(g_)
+                if i is None:
+                    n_missing += 1  # absent from every profile
                 else:
-                    dist += np.where(arr >= 0, np.abs(r_ - arr), top_k)
+                    known_i.append(i)
+                    known_r.append(r_)
+            dist = np.full(n_langs, n_missing * top_k, dtype=np.int64)
+            if known_i:
+                sub = M[known_i]  # (k, n_langs)
+                dr = np.asarray(known_r, dtype=np.int64)[:, None]
+                dist += np.where(
+                    sub >= 0, np.abs(dr - sub), top_k
+                ).sum(axis=0)
             # argmin returns the FIRST minimum; langs is sorted, so the
             # tie-break is language name asc (same as the naive loop)
             best_i = int(dist.argmin())

@@ -1347,32 +1347,108 @@ _SIMHASH_SQL = f"""
                          for i in range(_SIMHASH_BITS))} AS s
       FROM votes
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT 'pairs' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.s, b.s)) <= {_SIMHASH_MAXH}
+    UNION ALL
+    SELECT 'phash', media_id,
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE v END AS BIGINT),
+           CAST(NULL AS INT)
+    FROM (
+      SELECT media_id,
+             sum(CASE WHEN bit THEN (CAST(1 AS HUGEINT) << (r * 8 + cb))
+                      ELSE CAST(0 AS HUGEINT) END) AS v
+      FROM (
+        SELECT a.media_id, a.r, a.c AS cb, (b.p > a.p) AS bit
+        FROM (
+          SELECT media_id, r, c,
+                 ord(substr(body,
+                      CAST(floor(r * (CAST(h AS DOUBLE) / 8)) AS INT) * w
+                    + CAST(floor(c * (CAST(w AS DOUBLE) / 9)) AS INT) + 1,
+                      1)) AS p
+          FROM (
+            SELECT doc_id AS media_id,
+                   CAST(8 + doc_id % 32 AS INT) AS w,
+                   CAST(8 + n_chars % 32 AS INT) AS h,
+                   repeat(md5(text), 48) AS body
+            FROM documents
+          ) src, (SELECT r.range AS r, c.range AS c
+                  FROM range(8) r, range(9) c) grid
+        ) a JOIN (
+          SELECT media_id, r, c,
+                 ord(substr(body,
+                      CAST(floor(r * (CAST(h AS DOUBLE) / 8)) AS INT) * w
+                    + CAST(floor(c * (CAST(w AS DOUBLE) / 9)) AS INT) + 1,
+                      1)) AS p
+          FROM (
+            SELECT doc_id AS media_id,
+                   CAST(8 + doc_id % 32 AS INT) AS w,
+                   CAST(8 + n_chars % 32 AS INT) AS h,
+                   repeat(md5(text), 48) AS body
+            FROM documents
+          ) src2, (SELECT r.range AS r, c.range AS c
+                   FROM range(8) r, range(9) c) grid2
+        ) b ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8
+      ) bits GROUP BY media_id
+    ) ph
 """
 
 
 @query("dedup_simhash", _SIMHASH_SQL)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (dedup operator #3): 60-bit bitwise-majority
-    signature over md5-prefix token hashes + pigeonhole-block candidate
-    join (operators/dedup.py). The md5 hash family is shared with DuckDB,
-    so the oracle brute-forces all pairs while Spark goes through the
-    6-block pigeonhole buckets — equality IS the completeness proof for
-    the bucketing (max_hamming=4 < blocks=6). The engine's 64-bit
-    xxhash64 variant stays the default path where no oracle is needed."""
+    """The hamming-signature near-dup family as one tagged union:
+
+    - ``pairs``: SimHash near-dup pairs (dedup operator #3): 60-bit
+      bitwise-majority signature over md5-prefix token hashes +
+      pigeonhole-block candidate join (operators/dedup.py). The md5
+      hash family is shared with DuckDB, so the oracle brute-forces all
+      pairs while Spark goes through the 6-block pigeonhole buckets —
+      equality IS the completeness proof for the bucketing
+      (max_hamming=4 < blocks=6). The engine's 64-bit xxhash64 variant
+      stays the default path where no oracle is needed.
+    - ``phash`` (round 8): the perceptual dHash64 of a REAL binary PGM
+      payload per document (the multimodal_features synthetic-image
+      recipe), computed through image_phash_table's mapInPandas decode
+      (operators/multimodal.py:dhash64). The DuckDB twin recomputes the
+      full hash relationally — nearest-neighbor 8x9 downsample with the
+      IDENTICAL divide-then-multiply float order (r * (h/8.0): the
+      order matters at trunc boundaries), adjacent-pixel bits, HUGEINT
+      bit-pack, two's-complement fold to BIGINT — so every decode and
+      all 64 bits are hash-pinned per document. phash near-dup PAIR
+      generation shares hamming_block_pairs with the simhash path
+      (dedup.py:303) and is pinned by the reencode/upscale pytest."""
     from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import image_phash_table, to_media_table
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(
+    pairs = simhash_near_pairs(
         d.select("doc_id", "text"),
         max_hamming=_SIMHASH_MAXH,
         blocks=6,
         bits=_SIMHASH_BITS,
         hasher="md5",
+    ).select(F.lit("pairs").alias("part"), "id_a", "id_b", "hamming")
+    w = (F.lit(8) + F.col("doc_id") % 32).cast("int")
+    h = (F.lit(8) + F.col("n_chars") % 32).cast("int")
+    payload = F.concat(
+        F.concat_ws("", F.lit("P5\n"), w.cast("string"), F.lit(" "),
+                    h.cast("string"), F.lit(" 255\n")),
+        F.substring(F.repeat(F.md5(F.col("text").cast("binary")), 48), 1, w * h),
+    ).cast("binary")
+    media = to_media_table(
+        d.withColumn("payload", payload), "doc_id", "payload", "image"
     )
+    ph = image_phash_table(media).select(
+        F.lit("phash").alias("part"),
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("id_b"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    return pairs.unionByName(ph)
 
 
 def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
@@ -1501,99 +1577,26 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.unionByName(pq)
 
 
-def _warc_limb_oracle_sql() -> str:
-    """The 'warc' limb twin: a VALUES table of (url, allowed,
-    expected-extracted-text) — md5 / char / token counts all DERIVED
-    from the text literal in SQL, so the pin is readable, not an opaque
-    hash. The literals are the hand-checked html_to_text outputs of the
-    fixture pages (chr(10) = the block-tag newline)."""
-    rows = ", ".join(
-        "('{}', {}, {})".format(url, allowed, txt_sql)
-        for url, allowed, txt_sql in [
-            ("http://a.example.com/public/x.html", "TRUE",
-             "'Public' || chr(10) || 'Hello public world'"),
-            ("http://a.example.com/private/secret.html", "FALSE",
-             "'Secret stuff here'"),
-            ("http://a.example.com/private/ok/fine.html", "TRUE",
-             "'Allowed deep path'"),
-            ("http://b.example.com/page", "TRUE",
-             "'Beta' || chr(10) || 'Gamma page'"),
-            ("http://b.example.com/sjis", "TRUE", "'日本語のページ'"),
-        ]
-    )
-    return f"""
-    SELECT 'warc' AS part, CAST(NULL AS BIGINT) AS media_id,
-           w.url AS kind, CAST(NULL AS INT) AS width,
-           CAST(len(list_filter(string_split_regex(trim(lower(w.txt)),
-                '\\s+'), x -> x <> '')) AS INT) AS height,
-           w.allowed AS decoded,
-           CAST(length(w.txt) AS BIGINT) AS n_bytes,
-           md5(w.txt) AS digest,
-           CAST(NULL AS BIGINT) AS phash
-    FROM (VALUES {rows}) w(url, allowed, txt)
-    """
-
-
 @query(
     "multimodal_features",
-    f"""
-    WITH src AS (
-      SELECT doc_id AS media_id,
-             CAST(8 + doc_id % 32 AS INT) AS w,
-             CAST(8 + n_chars % 32 AS INT) AS h,
-             repeat(md5(text), 48) AS body
-      FROM documents
-    ),
-    grid AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(9) c),
-    px AS (
-      SELECT media_id, r, c,
-             ord(substr(body,
-                  CAST(floor(r * (CAST(h AS DOUBLE) / 8)) AS INT) * w
-                + CAST(floor(c * (CAST(w AS DOUBLE) / 9)) AS INT) + 1, 1)) AS p
-      FROM src, grid
-    ),
-    bits AS (
-      SELECT a.media_id, a.r, a.c AS cb, (b.p > a.p) AS bit
-      FROM px a JOIN px b
-        ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
-      WHERE a.c < 8
-    ),
-    ph AS (
-      SELECT media_id,
-             sum(CASE WHEN bit THEN (CAST(1 AS HUGEINT) << (r * 8 + cb))
-                      ELSE CAST(0 AS HUGEINT) END) AS v
-      FROM bits GROUP BY 1
-    )
+    """
     SELECT 'decode' AS part, doc_id AS media_id, 'image' AS kind,
            CAST(8 + doc_id % 32 AS INT) AS width,
            CAST(8 + n_chars % 32 AS INT) AS height,
            TRUE AS decoded,
-           CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS digest,
-           CAST(NULL AS BIGINT) AS phash
+           CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS digest
     FROM documents
     UNION ALL
     SELECT 'meta', doc_id, CAST(NULL AS VARCHAR),
            CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT), sha256(text),
-           CAST(NULL AS BIGINT)
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT), sha256(text)
     FROM documents
-    UNION ALL
-    SELECT 'phash', media_id, CAST(NULL AS VARCHAR),
-           CAST(NULL AS INT), CAST(NULL AS INT), TRUE,
-           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
-                     THEN v - CAST('18446744073709551616' AS HUGEINT)
-                     ELSE v END AS BIGINT)
-    FROM ph
-    UNION ALL
-    {_warc_limb_oracle_sql()}
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal + binary-ingest family as one tagged union
-    (``binary_meta`` merged in round 6; ``phash`` and ``warc`` limbs in
-    round 8 so every round-7 operator is driver-hashed with the
-    registry still at 50):
+    """The multimodal family as one tagged union (the former standalone
+    ``binary_meta`` entry merged in as the ``meta`` part in round 6 to
+    keep the registry inside the driver's 50-row window):
 
     - ``decode``: multimodal decode end-to-end with a derived
       deterministic oracle: each document becomes a REAL binary PGM
@@ -1606,30 +1609,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       `decoded` and change the dims).
     - ``meta``: opaque binary payload + typed metadata (byte length,
       sha256 content digest) — the ingest-side plumbing every
-      multimodal column carries.
-    - ``phash``: the perceptual dHash64 (operators/multimodal.py:
-      dhash64 via image_phash_table) of the same synthetic PGMs; the
-      DuckDB twin recomputes the full hash relationally — nearest-
-      neighbor 8x9 downsample as the IDENTICAL float expression
-      (r * (h/8.0): the divide-then-multiply order matters at trunc
-      boundaries), adjacent-pixel bits, HUGEINT bit-pack, two's-
-      complement fold to BIGINT. Every decode and every bit of all 64
-      is hash-pinned per document.
-    - ``warc``: the crawl-ingest composition read_warc →
-      warc_to_documents → apply_robots over a spec-correct member-gzip
-      fixture archive built from module constants (HTTP/2 status line,
-      quoted Shift_JIS charset, image + 404 records that must drop,
-      robots wildcard/anchor/longest-match rules). The twin derives
-      md5/char/token counts from the expected-text literals — any
-      drift in record parsing, charset handling, text extraction, or
-      RFC 9309 evaluation flips the hash."""
-    from .operators.multimodal import (
-        extract_features,
-        image_phash_table,
-        to_media_table,
-    )
-    from .operators.robots import apply_robots
-    from .sources.warc import read_warc, warc_to_documents
+      multimodal column carries."""
+    from .operators.multimodal import extract_features, to_media_table
 
     d = _t(spark, sf_dir, "documents")
     w = (F.lit(8) + F.col("doc_id") % 32).cast("int")
@@ -1645,15 +1626,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(
         d.withColumn("payload", payload), "doc_id", "payload", "image"
     )
-    nulls = dict(
-        n_bytes=F.lit(None).cast("long").alias("n_bytes"),
-        digest=F.lit(None).cast("string").alias("digest"),
-        phash=F.lit(None).cast("long").alias("phash"),
-    )
     decode = extract_features(media, feat_dim=16).select(
         F.lit("decode").alias("part"),
         "media_id", "kind", "width", "height", "decoded",
-        nulls["n_bytes"], nulls["digest"], nulls["phash"],
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
     )
     b = F.col("text").cast("binary")
     meta = d.select(
@@ -1665,36 +1642,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("decoded"),
         F.octet_length(b).cast("long").alias("n_bytes"),
         F.sha2(b, 256).alias("digest"),
-        nulls["phash"],
     )
-    ph = image_phash_table(media).select(
-        F.lit("phash").alias("part"),
-        "media_id",
-        F.lit(None).cast("string").alias("kind"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        "decoded",
-        nulls["n_bytes"], nulls["digest"],
-        F.col("phash"),
-    )
-    fix_dir = _ensure_warc_fixture()
-    docs = warc_to_documents(read_warc(spark, fix_dir + "/*.warc.gz"))
-    robots = spark.createDataFrame(
-        [("a.example.com", _WARC_ROBOTS_BODY)],
-        "host string, robots_txt string",
-    )
-    warc = apply_robots(docs, robots).select(
-        F.lit("warc").alias("part"),
-        F.lit(None).cast("long").alias("media_id"),
-        F.col("url").alias("kind"),
-        F.lit(None).cast("int").alias("width"),
-        F.col("n_tokens").cast("int").alias("height"),
-        F.col("robots_allowed").alias("decoded"),
-        F.col("n_chars").alias("n_bytes"),
-        F.md5("text").alias("digest"),
-        nulls["phash"],
-    )
-    return decode.unionByName(meta).unionByName(ph).unionByName(warc)
+    return decode.unionByName(meta)
 
 
 
@@ -1897,6 +1846,25 @@ _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
         ON g.gram = p.phrase
       GROUP BY doc_id
     ) h ON t.doc_id = h.doc_id
+    UNION ALL
+    SELECT 'warc_robots' AS part,
+           ('0x' || substr(md5(wr.url), 1, 15))::BIGINT,
+           CAST(len(list_filter(string_split_regex(trim(lower(wr.txt)),
+                '\\s+'), x -> x <> '')) AS INT),
+           CAST(length(wr.txt) AS INT),
+           CAST(('0x' || substr(md5(wr.txt), 1, 12))::BIGINT AS DOUBLE),
+           CAST(NOT wr.allowed AS INT)
+    FROM (VALUES
+      ('http://a.example.com/public/x.html', TRUE,
+       'Public' || chr(10) || 'Hello public world'),
+      ('http://a.example.com/private/secret.html', FALSE,
+       'Secret stuff here'),
+      ('http://a.example.com/private/ok/fine.html', TRUE,
+       'Allowed deep path'),
+      ('http://b.example.com/page', TRUE,
+       'Beta' || chr(10) || 'Gamma page'),
+      ('http://b.example.com/sjis', TRUE, '日本語のページ')
+    ) wr(url, allowed, txt)
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1915,7 +1883,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       window marks spans occurring >= 2 times anywhere in the corpus
       (within-document repeats count), and per-doc stats reuse the
       contamination column shape (n_windows / n_dup_windows / dup_frac
-      / has_dup). One uniform span-hash exchange + one per-doc agg."""
+      / has_dup). One uniform span-hash exchange + one per-doc agg.
+    - ``warc_robots`` (round 8): the crawl-ingest hygiene composition
+      read_warc → warc_to_documents → apply_robots over a spec-correct
+      member-gzip fixture archive built from module constants (HTTP/2
+      status line, quoted Shift_JIS charset per RFC 9110, image + 404
+      records that must drop, RFC 9309 wildcard/anchor/longest-match
+      robots rules). Column mapping into this row's shape: doc_id = the
+      60-bit md5 prefix of the URL (content-addressed in BOTH engines —
+      the xxhash64 doc_id is not DuckDB-computable), n_grams = token
+      count, n_hits = char count, hit_ratio = the 48-bit md5 prefix of
+      the EXTRACTED TEXT as an exact double (< 2^53, so the equality is
+      exact — it pins charset decode + html_to_text byte-for-byte), and
+      contaminated = robots-DISALLOWED. The twin derives every value
+      from expected-text literals; any drift in record parsing, text
+      extraction, or robots evaluation flips the hash."""
     from .operators.decontam import flag_duplicate_passages, ngram_contamination
 
     d = _t(spark, sf_dir, "documents")
@@ -1953,7 +1935,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hit_ratio"),
         (F.col("n_hits") >= 1).cast("int").alias("contaminated"),
     )
-    return ev.unionByName(dp).unionByName(bl)
+    from .operators.robots import apply_robots
+    from .sources.warc import read_warc, warc_to_documents
+
+    fix_dir = _ensure_warc_fixture()
+    wdocs = warc_to_documents(read_warc(spark, fix_dir + "/*.warc.gz"))
+    robots = spark.createDataFrame(
+        [("a.example.com", _WARC_ROBOTS_BODY)],
+        "host string, robots_txt string",
+    )
+    wr = apply_robots(wdocs, robots).select(
+        F.lit("warc_robots").alias("part"),
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10)
+        .cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("int").alias("n_grams"),
+        F.col("n_chars").cast("int").alias("n_hits"),
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("double").alias("hit_ratio"),
+        (~F.col("robots_allowed")).cast("int").alias("contaminated"),
+    )
+    return ev.unionByName(dp).unionByName(bl).unionByName(wr)
 
 
 # =========================================================================
@@ -2102,6 +2103,48 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (acc, v) -> acc + v)))), 6)
              END AS ft_en
       FROM ft, model
+    ),
+    dg AS (
+      SELECT doc_id, lang, unnest(
+        CASE WHEN length(t2) = 0 THEN []
+             WHEN length(t2) < 3 THEN [t2]
+             ELSE list_transform(range(1, length(t2) - 1),
+                                 i -> substr(t2, i, 3))
+        END) AS gram
+      FROM (SELECT doc_id, lang, lower(text) AS t2 FROM documents)
+    ),
+    fitc AS (SELECT lang, gram, count(*) AS c FROM dg
+             WHERE lang IS NOT NULL GROUP BY 1, 2),
+    prof AS (
+      SELECT lang, gram, pr FROM (
+        SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, gram ASC) - 1 AS pr
+        FROM fitc) WHERE pr < 64
+    ),
+    docc AS (SELECT doc_id, gram, count(*) AS c FROM dg GROUP BY 1, 2),
+    docp AS (
+      SELECT doc_id, gram, dr FROM (
+        SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram ASC) - 1 AS dr
+        FROM docc) WHERE dr < 64
+    ),
+    ctlangs AS (SELECT DISTINCT lang FROM fitc),
+    ctdist AS (
+      SELECT dp.doc_id, l.lang,
+             sum(CASE WHEN p.pr IS NULL THEN 64
+                      ELSE abs(dp.dr - p.pr) END) AS d
+      FROM docp dp CROSS JOIN ctlangs l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.gram = dp.gram
+      GROUP BY 1, 2
+    ),
+    ctbest AS (
+      SELECT doc_id, lang AS ct_pred, CAST(d AS BIGINT) AS ct_dist FROM (
+        SELECT doc_id, lang, d,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY d ASC, lang ASC) AS rn
+        FROM ctdist) WHERE rn = 1
     )
     SELECT t.doc_id, t.quality,
            1 AS n_email, 1 AS n_ip, 1 AS n_phone,
@@ -2113,9 +2156,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              || '?utm_source=news&ref=' || d.doc_id
              || '#frag at <IP> or call <PHONE> :: '
              || substr(d.text, 1, 48) AS scrubbed,
-           sc.ft_en
+           sc.ft_en, ctbest.ct_pred, ctbest.ct_dist
     FROM t JOIN documents d ON t.doc_id = d.doc_id
-           JOIN sc ON t.doc_id = sc.doc_id, thr
+           JOIN sc ON t.doc_id = sc.doc_id
+           LEFT JOIN ctbest ON t.doc_id = ctbest.doc_id, thr
     WHERE t.quality >= thr.thr
     """.replace("{qc}", _model_parquet_path("qc_weights")),
 )
@@ -2195,12 +2239,32 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "text"), w, bias
     ).select("doc_id", F.col("q_score").alias("ft_en"))
 
+    # Cavnar-Trenkle langid limb (round 8): fit per-language rank
+    # profiles on the labeled corpus (one staged explode + agg +
+    # bounded rank window; the model is |langs|*64 entries — KBs on
+    # the driver), then score every row with the inverted
+    # union-profile scorer (operators/langid.py). The oracle
+    # recomputes fit AND scoring relationally (count + row_number
+    # windows, one out-of-place join), so the driver hash pins the
+    # whole fit->score duality, not just the scorer.
+    from .operators.langid import langid_fit, langid_score_rows
+
+    profiles = langid_fit(d, top_k=64)
+    ct = langid_score_rows(
+        d.select("doc_id", "text"), profiles, top_k=64
+    ).select(
+        "doc_id",
+        F.col("lang_pred").alias("ct_pred"),
+        F.col("lang_dist").alias("ct_dist"),
+    )
+
     thr = q.agg(F.round(F.percentile("quality", F.lit(0.1)), 6).alias("thr"))
     return (
         q.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("thr"))
         .drop("thr")
         .join(scored, "doc_id")
+        .join(ct, "doc_id")
     )
 
 

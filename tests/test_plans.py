@@ -176,9 +176,16 @@ def test_quality_filter_broadcast_threshold(spark, sf):
 
 
 def test_pack_sequences_single_window_exchange(spark, sf):
-    """One stratum-partitioned window shuffle, nothing global."""
+    """Exactly one stratum-partitioned window shuffle per PACKER limb
+    (fixed running-total pack + bestfit rank window), nothing global:
+    the round-8 cdc limb is pure row-local fold+explode (zero
+    exchanges) and the bestfit slot table joins as a broadcast, never a
+    shuffle of the items."""
     df = QUERIES["pack_sequences"](spark, sf)
-    assert count_exchanges(df) == 1
+    assert count_exchanges(df) == 2, physical_plan(df)[:1200]
+    plan = physical_plan(df)
+    assert plan.count("Window") == 2, plan[:1200]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
 def test_salted_join_equivalence_and_shape(spark):
