@@ -1693,6 +1693,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(d, edges, id_col="doc_id")
 
 
+def _exact_dup_fraction(d, text_col: str = "text") -> float:
+    """Dup-rate probe for the collapse gate: estimated fraction of rows
+    whose text has been seen before, from ONE map-side-partial
+    approx_count_distinct sketch over xxhash64(text) (rsd 0.01) — no
+    data-wide shuffle, so the probe costs one column scan, not an
+    exchange. Deliberately cruder than the collapse key (no
+    tokenize-eligibility filter, xxhash64 not md5, DEFAULT sketch
+    precision — this feeds a plan CHOICE, not the answer; measured at
+    5k docs: tokenize-keyed probe 0.79 s, rsd-0.01 sketch 0.76 s,
+    default rsd-0.05 sketch 0.27 s, and the sketch cost is register-
+    merge-bound, so it amortizes to a plain column scan at scale). NO
+    sampling: an exact-dup PAIR survives a p-rate sample with
+    probability p², so a sampled probe would wave dup-heavy corpora
+    through the gate. The caller's gate threshold (10%) sits 2x above
+    the 5% sketch error, so a dup-free corpus cannot spuriously pay
+    the collapse."""
+    probe = d.agg(
+        F.count(text_col).alias("n"),
+        F.approx_count_distinct(F.xxhash64(text_col)).alias("nd"),
+    ).first()
+    return 1.0 - probe["nd"] / probe["n"] if probe["n"] else 0.0
+
+
 @query(
     "dedup_groups_lsh",
     f"""
@@ -1742,9 +1765,21 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact duplicates have identical signatures, so the plain pipeline
     pairs them at jaccard 1.0 >= 0.6 — and pinned identical by test;
     the DuckDB twin keeps the plain recursive closure, so the driver
-    hash cross-checks the equivalence every round. Measured 1.9x at
-    50% exact dups and no slower on this ~0%-dup synthetic corpus
-    (the collapse shuffle is one narrow md5-keyed exchange)."""
+    hash cross-checks the equivalence every round.
+
+    GATED on a dup-rate probe (round 8): a serialized quiet-box A/B
+    (SCALE.md) measured the collapse at 1.9x FASTER at 50% exact dups
+    (it removes the quadratic per-band candidate blowup of large
+    identical groups) but 1.4x SLOWER on a dup-free corpus (the
+    md5-keyed exchange + semi join buy nothing) — the r7 driver bench's
+    +8% drift was real. One map-side approx_count_distinct sketch
+    (no data-wide shuffle) estimates the exact-dup fraction; below 10%
+    (2x the sketch's 5% error, and a rate at which the collapse's
+    quadratic-blowup protection is not yet worth its exchange) the
+    plain pipeline runs and the collapse exchange never happens. The collapsed path stays covered by the dup-heavy
+    equivalence pytest (test_collapsed_lsh_groups_equal_plain); the
+    driver correctness hash exercises whichever path the corpus
+    selects, and both produce identical components by construction."""
     from .operators.graph import duplicate_groups
 
     d = _t(spark, sf_dir, "documents")
@@ -1755,6 +1790,9 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = F.col("text").isNotNull() & (
         F.size(tokens(F.lower(F.col("text")))) >= 3
     )
+    if _exact_dup_fraction(d) < 0.10:
+        edges = _minhash_lsh_pairs_inline(d).select("id_a", "id_b")
+        return duplicate_groups(d, edges, id_col="doc_id")
     keyed = d.filter(eligible).select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("__tk")
     )

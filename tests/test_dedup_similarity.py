@@ -391,3 +391,48 @@ def test_registry_groups_lsh_collapsed_equals_plain(spark, sf_dir):
     assert plain2.equals(coll2)
     assert (coll2.comp_size >= 3).all()
     corpus.unpersist()
+
+
+def test_groups_lsh_collapse_gate(spark, tmp_path):
+    """The registry dedup_groups_lsh gates the exact-collapse pre-pass
+    on a dup-rate probe (round 8, 10% threshold): a dup-free corpus must NOT pay the
+    md5-keyed collapse exchange (no __tk/rep_id in the plan); a
+    dup-heavy corpus must run the collapsed plan AND produce the same
+    components the plain pipeline computes on the identical data."""
+    from argostats_spark.queries import QUERIES
+    from argostats_spark.queries_documents import (
+        _exact_dup_fraction,
+        _minhash_lsh_pairs_inline,
+        _t,
+    )
+    from argostats_spark.operators.graph import duplicate_groups
+
+    # dup-free: the synthetic sf0.001 corpus (measured ~0% exact dups)
+    # -> the probe stays under the 2% gate, so the plain pipeline runs
+    sf_docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    assert _exact_dup_fraction(sf_docs) < 0.10
+
+    # dup-heavy: 40 base docs, each duplicated 5x -> dup_frac = 0.8
+    base = [
+        (i, " ".join(f"tok{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(40)
+    ]
+    rows = [(i + 1000 * k, t) for i, t in base for k in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    d = tmp_path / "sf"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    assert _exact_dup_fraction(df) > 0.5  # gate -> collapsed
+    out2 = QUERIES["dedup_groups_lsh"](spark, str(d))
+    got = {(r["doc_id"], r["comp_id"]) for r in out2.collect()}
+    corpus = _t(spark, str(d), "documents")
+    plain = duplicate_groups(
+        corpus,
+        _minhash_lsh_pairs_inline(corpus).select("id_a", "id_b"),
+        id_col="doc_id",
+    )
+    want = {(r["doc_id"], r["comp_id"]) for r in plain.collect()}
+    assert got == want
