@@ -170,6 +170,17 @@ def main() -> None:
         # plan determines.
         best = float("inf")
         try:
+            # one UNTIMED warm run first: queries with Python stages
+            # (mapInPandas decode, pandas-UDF scorers) take several
+            # invocations for worker pools / Arrow buffers to plateau —
+            # a cold first run measured 2-7x the steady state, so
+            # min-of-3-including-cold is really min-of-2 and flagged a
+            # phantom 1.58x on an UNCHANGED multimodal row at sf1 (r8;
+            # the same row re-measured 1.28x in isolation). The warm
+            # minimum is the number the plan determines.
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             for _ in range(3):
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, SF_DIR)
