@@ -421,9 +421,16 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .functions.text import normalize_text, with_repetition_stats
 
-    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    # the stopword-vote token array is STAGED as a projected column:
+    # the vote references it once per language filter plus the argmax
+    # chain, and the inline form re-tokenized the document at every
+    # reference (the same CollapseProject hazard with_repetition_stats
+    # documents; measured 1.31 s -> 0.69 s on this limb at sf0.1, r8)
+    d = with_repetition_stats(_t(spark, sf_dir, "documents")).withColumn(
+        "__tl", F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    )
     toks_lower = tokens(F.lower(F.col("text")))
-    toks_li = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    toks_li = F.col("__tl")
 
     def vote(words: list[str]):
         def is_marker(t):
