@@ -77,7 +77,12 @@ def langid_fit(
     ).select(
         F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("__lt")
     )
-    npart = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        npart = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except ValueError:  # e.g. "auto" under some AQE configurations
+        npart = docs.sparkSession.sparkContext.defaultParallelism
     t = F.col("__lt")
     idx = F.sequence(
         F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
