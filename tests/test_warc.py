@@ -285,3 +285,55 @@ def test_spark_scan_http2_and_charset(spark, tmp_path):
     assert out["http://example.com/h2"]["http_status"] == 200
     assert out["http://example.com/h2"]["text"] == "Alpha\nBeta"
     assert "日本語" in out["http://example.jp/sjis"]["text"]
+
+
+def test_warc_roundtrip_property():
+    """Property (hypothesis): ANY list of records — bodies containing
+    \\r\\n\\r\\n, fake 'WARC/1.0' headers, null bytes, empty bodies —
+    serialized to an archive and split into arbitrary gzip members
+    parses back to exactly the same records, because framing is
+    Content-Length-driven, never delimiter-driven."""
+    from hypothesis import given, settings, strategies as st
+
+    body_st = st.binary(min_size=0, max_size=200).map(
+        # splice adversarial substrings into some bodies
+        lambda b: b[: len(b) // 2] + b"\r\n\r\nWARC/1.0\r\n" + b[len(b) // 2:]
+    ) | st.binary(min_size=0, max_size=300)
+    rec_st = st.tuples(
+        st.sampled_from([b"response", b"request", b"metadata", b"warcinfo"]),
+        st.integers(min_value=0, max_value=10_000),  # fake uri suffix
+        body_st,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(rec_st, min_size=1, max_size=8), st.data())
+    def run(recs, data):
+        blob = b"".join(
+            _record(t, b"WARC-Target-URI: http://h/" + str(u).encode() + b"\r\n", b)
+            for t, u, b in recs
+        )
+        # random member split points for the gzip variant
+        n_cuts = data.draw(st.integers(min_value=0, max_value=2))
+        offsets = sorted(
+            data.draw(st.integers(min_value=0, max_value=len(blob)))
+            for _ in range(n_cuts)
+        )
+        parts, prev = [], 0
+        for off in offsets + [len(blob)]:
+            parts.append(blob[prev:off])
+            prev = off
+        gz = b"".join(gzip.compress(p, mtime=0) for p in parts if p) or gzip.compress(b"")
+
+        for variant in (blob, gz):
+            got = list(parse_warc_bytes(variant))
+            assert len(got) == len(recs)
+            for (t, u, b), r in zip(recs, got):
+                assert r["warc_type"] == t.decode()
+                assert r["url"] == f"http://h/{u}"
+                # response records with HTTP-looking bodies get their
+                # payload re-framed past the HTTP headers; everything
+                # else round-trips the body verbatim
+                if not (t == b"response" and b[:5] == b"HTTP/"):
+                    assert r["payload"] == b
+
+    run()
