@@ -147,3 +147,38 @@ def test_apply_robots_gate(spark):
     assert got == {0: True, 1: False, 2: True, 3: False, 4: False}
     out = apply_robots(docs, robots)
     assert out.columns == ["doc_id", "url", "robots_allowed"]
+
+
+def test_robots_differential_property():
+    """Property (hypothesis): on wildcard-free DISALLOW-only rule sets
+    — the exact subset where stdlib's first-match and RFC 9309's
+    longest-match semantics provably coincide (every matching rule
+    denies, so match order can't matter) — the evaluator agrees with
+    urllib.robotparser on every (ruleset, path) pair, at any rule
+    order and prefix overlap. Allow/Disallow mixes are deliberately
+    EXCLUDED: hypothesis itself found that stdlib resolves
+    [Disallow /a, Allow /a] by file order (first match, → deny) while
+    RFC 9309 resolves it by longest-match with Allow winning ties
+    (→ allow) — a real semantic fork, not a bug; the RFC behavior is
+    pinned by the hand-written precedence tests above."""
+    from hypothesis import given, settings, strategies as st
+
+    seg = st.sampled_from(["a", "b", "ab", "abc", "x", "dir", "file.html"])
+    path_st = st.lists(seg, min_size=0, max_size=3).map(
+        lambda parts: "/" + "/".join(parts)
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(path_st.filter(lambda p: p != "/"), min_size=0, max_size=6),
+        path_st,
+    )
+    def run(patterns, path):
+        body = "User-agent: *\n" + "\n".join(
+            "Disallow: " + pat for pat in patterns
+        )
+        mine = robots_allowed(parse_robots(body, "anybot"), path)
+        std = _std_allowed(body, "anybot", "http://h" + path)
+        assert mine == std, (patterns, path, mine, std)
+
+    run()
