@@ -182,3 +182,52 @@ def test_robots_differential_property():
         assert mine == std, (patterns, path, mine, std)
 
     run()
+
+
+def test_apply_robots_streaming_equals_batch(spark, tmp_path):
+    """apply_robots is a stream-static broadcast join + stateless UDF,
+    so it must run unchanged on a readStream and emit row-identical
+    gating decisions to the batch path — robots compliance is an
+    ingest-edge stage of the streaming curation chain."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [
+        (0, "http://a.com/public/x"),
+        (1, "http://a.com/private/x"),
+        (2, "http://b.com/anything"),
+        (3, "https://a.com/doc.pdf"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "url": u}) for i, u in rows) + "\n"
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("url", StringType()),
+    ])
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS)], "host string, robots_txt string"
+    )
+    batch = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in apply_robots(
+            spark.read.schema(schema).json(str(src)), robots,
+            user_agent="goodbot",
+        ).collect()
+    }
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = apply_robots(stream, robots, user_agent="goodbot")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("robots_gated")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r["robots_allowed"]
+               for r in spark.sql("SELECT * FROM robots_gated").collect()}
+    finally:
+        q.stop()
+    assert got == batch == {0: True, 1: False, 2: True, 3: False}
