@@ -385,6 +385,28 @@ def image_phash_near_dups(
     )
 
 
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate AUDIO by energy-envelope fingerprint: decode each
+    WAV payload (pure-NumPy RIFF walk, multimodal.py), take the 64-bit
+    envelope dHash (adjacent time-slice RMS gradients — invariant to
+    uniform gain and to resampling, the properties that catch
+    re-encoded / re-leveled copies exact byte-dedup misses), then the
+    SAME pigeonhole block join text SimHash and image phash use.
+    Returns (id_a, id_b, hamming). Undecodable payloads carry NULL
+    signatures and are excluded rather than fake-matched."""
+    from .multimodal import audio_fingerprint_table
+
+    sigs = audio_fingerprint_table(media)
+    return hamming_block_pairs(
+        sigs, "phash", max_hamming=max_hamming, blocks=blocks,
+        id_col="media_id",
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

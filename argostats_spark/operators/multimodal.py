@@ -438,3 +438,61 @@ def image_phash_table(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         F.pmod(F.xxhash64("sha256"), F.lit(1024)),
     )
     return balanced.mapInPandas(run, PHASH_SCHEMA)
+
+
+def audio_hash64(rate: int, x: "np.ndarray") -> int:
+    """64-bit audio fingerprint — the audio analog of :func:`dhash64`:
+    dHash over the ENERGY ENVELOPE. The mono mix is split into 65
+    equal time slices; bit i is set iff RMS energy RISES from slice i
+    to slice i+1. Invariant to uniform gain (every slice scales
+    together, so the comparisons are unchanged), to sample rate /
+    resampling (slices are FRACTIONS of the duration, not fixed sample
+    counts), and to container re-encodes exact byte hashing misses.
+    Returned as a SIGNED 64-bit int, bit i at position i — the same
+    convention as dhash64, so the pigeonhole pair machinery
+    (dedup.hamming_block_pairs) is shared verbatim."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x.astype("f4")
+    n = len(mono)
+    if n == 0:
+        return 0  # silence/empty: the all-flat envelope
+    edges = (np.arange(66) * n // 65).astype("i8")
+    env = np.asarray([
+        float(np.sqrt((s * s).mean()))
+        for s in (
+            mono[edges[i]:max(edges[i + 1], edges[i] + 1)] for i in range(65)
+        )
+    ])
+    bits = env[1:] > env[:-1]
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def audio_fingerprint_table(media: DataFrame) -> DataFrame:
+    """mapInPandas audio-fingerprint pass, mirroring
+    :func:`image_phash_table`: (media_id, phash, decoded) — one WAV
+    decode per payload, 8 signature bytes out; undecodable payloads
+    (non-PCM codecs, corrupt bytes) yield NULL with decoded=false,
+    never a fake signature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "phash": [], "decoded": []}
+            for payload in pdf["payload"]:
+                try:
+                    rate, x = decode_wav(bytes(payload))
+                    out["phash"].append(audio_hash64(rate, x))
+                    out["decoded"].append(True)
+                except Exception:
+                    # same quarantine posture as image_phash_table
+                    out["phash"].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    balanced = media.repartition(
+        max(media.rdd.getNumPartitions(), 1),
+        F.pmod(F.xxhash64("sha256"), F.lit(1024)),
+    )
+    return balanced.mapInPandas(run, PHASH_SCHEMA)

@@ -1489,3 +1489,61 @@ def test_phash_quarantines_corrupt_payloads(spark):
     assert got[0][1] is True and got[0][0] is not None
     for i in (1, 2, 3):
         assert got[i] == (None, False), i
+
+
+def _wav(x: "np.ndarray", rate: int = 8000) -> bytes:
+    """PCM-16 mono WAV bytes from a float array in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_audio_near_dups_finds_releveled_and_resampled_copies(spark):
+    """Energy-envelope audio fingerprint: a gain-scaled copy hashes
+    IDENTICALLY (every slice scales together), a 2x-resampled copy
+    hashes within hamming range (slices are duration fractions), a
+    different signal does not, and undecodable payloads are excluded —
+    the audio analog of the image phash test."""
+    import hashlib
+
+    import numpy as np
+
+    from argostats_spark.operators.dedup import audio_near_dups
+    from argostats_spark.operators.multimodal import audio_hash64, decode_wav
+
+    rng = np.random.default_rng(11)
+    # piecewise-varying amplitude so the envelope has real structure
+    amps = rng.uniform(0.05, 0.9, 65)
+    t = np.arange(8000) / 8000.0
+    base = np.concatenate([
+        a * np.sin(2 * np.pi * 440 * t[:123]) for a in amps
+    ])
+    quiet = 0.25 * base                      # uniform gain: same bits
+    resampled = np.repeat(base, 2)           # 2x sample-rate stretch
+    other = rng.uniform(-0.5, 0.5, len(base))
+
+    payloads = [
+        (0, _wav(base)), (1, _wav(quiet)), (2, _wav(resampled, rate=16000)),
+        (3, _wav(other)), (4, b"RIFFnotawave"),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p), "audio", hashlib.sha256(p).hexdigest())
+         for i, p in payloads],
+        "media_id long, payload binary, kind string, sha256 string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_near_dups(media, max_hamming=6, blocks=8).collect()}
+    assert pairs.get((0, 1)) == 0            # gain-invariant: exact
+    assert (0, 2) in pairs                   # resample survives
+    assert not any(3 in p for p in pairs)    # stranger
+    assert not any(4 in p for p in pairs)    # undecodable excluded
+
+    # python-level: the fingerprint really is gain-exact
+    r0, x0 = decode_wav(_wav(base))
+    r1, x1 = decode_wav(_wav(quiet))
+    assert audio_hash64(r0, x0) == audio_hash64(r1, x1)
