@@ -202,3 +202,92 @@ def flag_duplicate_passages(
         F.round(n_dup.cast("double") / n_win, 6).alias("dup_frac"),
         (n_dup >= 1).cast("int").alias("has_dup"),
     )
+
+
+def remove_duplicate_passages(
+    corpus: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Exact substring dedup, REMOVAL form (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    step after :func:`flag_duplicate_passages`'s metrics): every
+    ``window``-token span occurring >= 2 times corpus-wide keeps only
+    its CANONICAL first occurrence (min by (id, tok_start)); all other
+    occurrences' token ranges are cut from their documents. Adds
+    ``text_dedup`` (the rebuilt text, tokens joined by single spaces —
+    whitespace normalizes) and ``n_tokens_removed``; all input columns
+    carried. Documents shorter than ``window`` pass through unchanged.
+
+    A repeated L-token passage (L >= window) at stride 1 yields
+    L-window+1 duplicated spans in the non-canonical copy; their
+    overlapping [s, s+window) ranges MERGE into one interval
+    row-locally before the keep-filter, so the per-token test is
+    O(merged intervals), not O(spans) — dense self-overlap (the
+    stride-1 worst case) collapses instead of multiplying.
+
+    Plan shape: span stream -> row_number + count over the span-hash
+    window (one uniform exchange) -> per-doc collect of non-canonical
+    starts (one id exchange) -> ONE join back to the corpus on id;
+    interval merge + rebuild are in-row expressions. Nothing is ever
+    quadratic in corpus size and no full text travels through the
+    span pipeline (hashes only)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens
+
+    p = _passage_windows(corpus, window, stride, id_col, text_col, hasher)
+    w_h = W.partitionBy("h")
+    occ = p.select(
+        id_col, "tok_start",
+        F.row_number().over(
+            w_h.orderBy(F.col(id_col).asc(), F.col("tok_start").asc())
+        ).alias("rnk"),
+        F.count(F.lit(1)).over(w_h).alias("c"),
+    )
+    cuts = (
+        occ.where((F.col("c") >= 2) & (F.col("rnk") >= 2))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("tok_start")).alias("__cuts"))
+    )
+    out = corpus.join(cuts, id_col, "left").withColumn(
+        "__toks", tokens(F.col(text_col))
+    )
+    iv = lambda lo, hi: F.struct(  # noqa: E731
+        lo.cast("int").alias("lo"), hi.cast("int").alias("hi")
+    )
+    merged = F.aggregate(
+        F.col("__cuts"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(iv(
+                    F.element_at(acc, -1)["lo"],
+                    F.greatest(F.element_at(acc, -1)["hi"], s + window),
+                )),
+            ),
+        ).otherwise(F.concat(acc, F.array(iv(s, s + window)))),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__iv"), lambda r: (i >= r["lo"]) & (i < r["hi"])
+        ),
+    )
+    return (
+        out.withColumn("__iv", F.coalesce(
+            merged, F.array().cast("array<struct<lo:int,hi:int>>")
+        ))
+        .withColumn("__kept", kept)
+        .withColumn("text_dedup", F.array_join("__kept", " "))
+        .withColumn(
+            "n_tokens_removed",
+            (F.size("__toks") - F.size("__kept")).cast("long"),
+        )
+        .drop("__cuts", "__toks", "__iv", "__kept")
+    )

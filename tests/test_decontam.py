@@ -204,3 +204,51 @@ def test_duplicate_passages_randomized_differential(spark):
             for r in duplicate_passages(df, window=window, stride=stride).collect()
         )
         assert got == expect, (trial, window, stride)
+
+
+def test_remove_duplicate_passages(spark):
+    """Removal form of exact substring dedup: a passage repeated across
+    documents survives ONLY in its canonical first occurrence; the
+    non-canonical copy loses exactly the passage tokens (overlapping
+    stride-1 spans merge into one cut interval); unique text and
+    sub-window docs pass through; a within-document repeat keeps its
+    first occurrence."""
+    from argostats_spark.operators.decontam import remove_duplicate_passages
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    passage2 = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        # doc 1: canonical first occurrence (lowest doc_id)
+        (1, f"alpha beta {passage} gamma delta"),
+        # doc 2: same passage mid-document -> cut
+        (2, f"one two three {passage} four five six"),
+        # doc 3: unique text, longer than window -> untouched
+        (3, " ".join(f"u{i}" for i in range(15))),
+        # doc 4: shorter than window -> untouched
+        (4, "tiny doc"),
+        # doc 5: a DIFFERENT passage twice IN ONE doc -> second cut
+        # (its first copy is the corpus-wide canonical)
+        (5, f"{passage2} mid {passage2} tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_passages(df, window=10, stride=1).collect()
+    }
+    assert got[1]["text_dedup"] == rows[0][1]          # canonical kept
+    assert got[1]["n_tokens_removed"] == 0
+    assert got[2]["text_dedup"] == "one two three four five six"
+    assert got[2]["n_tokens_removed"] == 10
+    assert got[3]["text_dedup"] == rows[2][1]
+    assert got[3]["n_tokens_removed"] == 0
+    assert got[4]["text_dedup"] == "tiny doc"
+    assert got[4]["n_tokens_removed"] == 0
+    # within-doc repeat: first kept, second cut. The spans between the
+    # two copies ("mid" windows) are unique, so only the second copy's
+    # tokens go.
+    assert got[5]["text_dedup"] == f"{passage2} mid tail"
+    assert got[5]["n_tokens_removed"] == 10
+    # schema: inputs carried + the two new columns
+    assert set(got[1].asDict()) == {
+        "doc_id", "text", "text_dedup", "n_tokens_removed"
+    }
