@@ -1852,6 +1852,11 @@ _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
              md5(array_to_string(list_slice(tk, s + 1, s + 10), ' ')) AS h
       FROM st2
     ),
+    p2u AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(tk, s + 1, s + 10), ' ')) AS h
+      FROM st2
+    ),
     c2 AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM p2)
     SELECT 'eval_ngram' AS part,
            CAST(c.doc_id AS BIGINT) AS doc_id,
@@ -1910,6 +1915,30 @@ _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
        'Beta' || chr(10) || 'Gamma page'),
       ('http://b.example.com/sjis', TRUE, '日本語のページ')
     ) wr(url, allowed, txt)
+    UNION ALL
+    SELECT 'dup_removal' AS part,
+           CAST(k.doc_id AS BIGINT),
+           CAST(len(k.tk) AS INT),
+           CAST(len(k.tk) - len(k.kept) AS INT),
+           CAST(('0x' || substr(md5(coalesce(array_to_string(
+             list_transform(k.kept, i -> k.tk[i + 1]), ' '), '')), 1, 12))
+             ::BIGINT AS DOUBLE),
+           CAST(len(k.tk) - len(k.kept) > 0 AS INT)
+    FROM (
+      SELECT t.doc_id, t.tk,
+             list_filter(range(0, len(t.tk)),
+               i -> len(list_filter(coalesce(rc.cuts, []),
+                        s -> s <= i AND i < s + 10)) = 0) AS kept
+      FROM toks2 t LEFT JOIN (
+        SELECT doc_id, list(s ORDER BY s) AS cuts FROM (
+          SELECT doc_id, s,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, s) AS rnk,
+                 count(*) OVER (PARTITION BY h) AS c
+          FROM p2u
+        ) WHERE c >= 2 AND rnk >= 2 GROUP BY doc_id
+      ) rc ON t.doc_id = rc.doc_id
+    ) k
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1999,7 +2028,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("hit_ratio"),
         (~F.col("robots_allowed")).cast("int").alias("contaminated"),
     )
-    return ev.unionByName(dp).unionByName(bl).unionByName(wr)
+    # dup_removal limb (round 8): the REMOVAL form of exact substring
+    # dedup (remove_duplicate_passages, Lee et al. 2021) over the same
+    # 10-token md5 windows the dup_passage limb counts. The twin
+    # re-derives the cut set relationally (rank + count windows over
+    # the span hashes) and rebuilds the text with an EXISTS-over-cuts
+    # keep-filter — no fold; hit_ratio carries the 48-bit md5 prefix of
+    # the REBUILT text as an exact double, so every kept/cut token of
+    # every document is hash-pinned.
+    from .operators.decontam import remove_duplicate_passages
+
+    rem = remove_duplicate_passages(
+        d, window=10, stride=1, hasher="md5"
+    ).select(
+        F.lit("dup_removal").alias("part"),
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("int").alias("n_grams"),
+        F.col("n_tokens_removed").cast("int").alias("n_hits"),
+        F.conv(F.substring(F.md5("text_dedup"), 1, 12), 16, 10)
+        .cast("double").alias("hit_ratio"),
+        (F.col("n_tokens_removed") > 0).cast("int").alias("contaminated"),
+    )
+    return (
+        ev.unionByName(dp).unionByName(bl).unionByName(wr)
+        .unionByName(rem)
+    )
 
 
 # =========================================================================
