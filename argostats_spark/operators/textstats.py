@@ -314,3 +314,42 @@ def lm_score_rows(
     return docs.withColumn("n_tok", F.size(tk).cast("long")).withColumn(
         "d_nll", _score(tk)
     )
+
+
+def compression_ratio_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Gopher-style compression-ratio quality signal: adds
+    ``zlib_ratio`` = compressed bytes / raw utf-8 bytes (DEFLATE at
+    ``level``; NULL for NULL text, 1.0 for empty text). Machine-
+    generated boilerplate and template spam compress far below human
+    prose (~0.3-0.5 for English text; <0.2 flags repetition the
+    token-level Gopher stats can miss because it spans lines, not
+    n-grams).
+
+    Row-local and stateless (an Arrow-batched pandas UDF over stdlib
+    zlib — there is no JVM-side DEFLATE expression, and the ~1 µs/KB
+    cost is compression itself, not Python overhead), so it scores a
+    batch frame or a readStream unchanged — the same
+    score-at-ingest shape as lm_score_rows."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(texts):
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.apply(one)
+
+    _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    ratio = pandas_udf(_ratio_fn, "double")
+    return docs.withColumn("zlib_ratio", ratio(F.col(text_col)))

@@ -340,3 +340,25 @@ def test_lm_score_rows_streaming_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_compression_ratio_rows(spark):
+    """zlib-ratio quality signal: repetitive template text compresses
+    far below varied prose; NULL/empty handled; streaming==batch (the
+    scorer is stateless)."""
+    import json as _json
+
+    from argostats_spark.operators.textstats import compression_ratio_rows
+
+    varied = ("the striped lighthouse keeper counted seventeen gulls "
+              "while mixing cobalt paint for the harbor mural today")
+    spam = "click here buy now " * 40
+    df = spark.createDataFrame(
+        [(0, varied * 3), (1, spam), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["zlib_ratio"]
+           for r in compression_ratio_rows(df).collect()}
+    assert got[3] is None and got[2] == 1.0
+    assert got[1] < 0.2 < got[0] < 1.0
+    assert got[1] < got[0]  # spam compresses harder
