@@ -229,6 +229,16 @@ def remove_duplicate_passages(
     O(merged intervals), not O(spans) — dense self-overlap (the
     stride-1 worst case) collapses instead of multiplying.
 
+    Downstream caveat (r8, reproduced): ``text_dedup`` is a
+    higher-order COLUMN EXPRESSION (filter/exists over the token
+    array). Feeding it to a scalar pandas UDF and then FILTERING on
+    that UDF's output trips a Spark 4.1 optimizer bug (predicate
+    pushdown substitutes the UDF-with-lambda-args into the Filter →
+    INTERNAL_ERROR "Cannot evaluate expression"). Scorers built on
+    ``mapInPandas`` (compression_ratio_rows) are immune — the opaque
+    boundary forces the expression to evaluate below them; for scalar
+    pandas-UDF scorers, materialize first (write/localCheckpoint).
+
     Plan shape: span stream -> row_number + count over the span-hash
     window (one uniform exchange) -> per-doc collect of non-canonical
     starts (one id exchange) -> ONE join back to the corpus on id;

@@ -329,17 +329,28 @@ def compression_ratio_rows(
     token-level Gopher stats can miss because it spans lines, not
     n-grams).
 
-    Row-local and stateless (an Arrow-batched pandas UDF over stdlib
-    zlib — there is no JVM-side DEFLATE expression, and the ~1 µs/KB
-    cost is compression itself, not Python overhead), so it scores a
-    batch frame or a readStream unchanged — the same
-    score-at-ingest shape as lm_score_rows."""
-    import pandas as pd
+    Row-local and stateless (Arrow-batched over stdlib zlib — there is
+    no JVM-side DEFLATE expression, and the ~1 µs/KB cost is
+    compression itself, not Python overhead), so it scores a batch
+    frame or a readStream unchanged — the same score-at-ingest shape
+    as lm_score_rows.
+
+    Implemented as ``mapInPandas`` rather than a scalar pandas UDF ON
+    PURPOSE: mapInPandas is an optimizer-opaque boundary, so the text
+    expression is fully evaluated BELOW it and downstream filters on
+    ``zlib_ratio`` stay attribute references above it. A scalar
+    pandas_udf here is a landmine when ``text_col`` is itself a
+    higher-order expression (e.g. the rebuilt ``text_dedup`` from
+    remove_duplicate_passages): predicate pushdown substitutes the
+    UDF-with-lambda-args into the Filter and Spark 4.1 dies with
+    INTERNAL_ERROR "Cannot evaluate expression" (reproduced in the
+    crawl-to-packs capstone, r8; marking the UDF nondeterministic just
+    moves the failure to the count() pruning path)."""
     import zlib
 
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
 
-    def _ratio_fn(texts):
+    def run(batches):
         def one(t):
             if t is None:
                 return None
@@ -348,8 +359,13 @@ def compression_ratio_rows(
                 return 1.0
             return len(zlib.compress(raw, level)) / len(raw)
 
-        return texts.apply(one)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["zlib_ratio"] = pdf[text_col].map(one)
+            yield pdf
 
-    _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    ratio = pandas_udf(_ratio_fn, "double")
-    return docs.withColumn("zlib_ratio", ratio(F.col(text_col)))
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("zlib_ratio", T.DoubleType())]
+    )
+    return docs.mapInPandas(run, schema)
+

@@ -194,3 +194,76 @@ def test_crawl_to_curated_end_to_end(spark, sf_dir, tmp_path, fitted_models):
         assert r["logw"] is not None       # DSIR scored
         assert r["q_score"] is not None    # classifier scored
         assert r["split"] in {"train", "val", "test"}
+
+
+def test_crawl_to_training_packs(spark, tmp_path):
+    """The capstone's last mile (round 8): curated crawl text →
+    passage removal (exact substring dedup) → compression-ratio gate →
+    content-defined chunking → non-splitting best-fit packing. Every
+    pack obeys the token budget, no chunk is split, and the duplicated
+    passage survives only once corpus-wide before chunking."""
+    import gzip
+
+    from argostats_spark.operators.decontam import remove_duplicate_passages
+    from argostats_spark.operators.sampling import (
+        chunk_documents_cdc,
+        pack_chunks_bestfit,
+    )
+    from argostats_spark.operators.textstats import compression_ratio_rows
+    from argostats_spark.sources.warc import read_warc, warc_to_documents
+    from tests.test_warc import _record, _http_response
+
+    # two pages sharing a 12-token boilerplate footer (the dup to cut)
+    footer = " ".join(f"footer{i}" for i in range(12))
+    pages = [
+        (f"http://h.example.com/p{k}",
+         "<html><body><p>"
+         + " ".join(f"doc{k} tok{k}x{j}" for j in range(30))
+         + f" {footer}</p></body></html>")
+        for k in range(2)
+    ]
+    arc = b"".join(
+        _record(
+            b"response",
+            b"WARC-Target-URI: " + url.encode() + b"\r\n",
+            _http_response(html.encode()),
+        )
+        for url, html in pages
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(gzip.compress(arc))
+
+    docs = warc_to_documents(read_warc(spark, str(d / "*")))
+    deduped = remove_duplicate_passages(docs, window=12, stride=1)
+    rows = {r["url"]: r for r in deduped.collect()}
+    removed = sum(r["n_tokens_removed"] for r in rows.values())
+    assert removed == 12  # footer cut exactly once, canonical kept
+
+    scored = compression_ratio_rows(
+        deduped.select("doc_id", "source", "text_dedup"),
+        text_col="text_dedup",
+    )
+    kept = scored.where(F.col("zlib_ratio") > 0.2).select(
+        "doc_id", F.col("text_dedup").alias("text"), "source"
+    )
+    assert kept.count() == 2
+
+    chunks = chunk_documents_cdc(
+        kept, min_tokens=4, max_tokens=16, divisor=4,
+        carry_cols=("source",),
+    )
+    packed = pack_chunks_bestfit(
+        chunks, "n_chunk_tokens", 32, "source", ["doc_id", "chunk_id"]
+    )
+    pdf = packed.toPandas()
+    assert len(pdf) == chunks.count()  # every chunk assigned, none split
+    per_pack = pdf[~pdf.oversize].groupby(["source", "pack_id"])[
+        "n_chunk_tokens"
+    ].sum()
+    assert (per_pack <= 32).all()      # budget respected in every pack
+    # token conservation: chunked tokens == post-removal doc tokens
+    total_doc_toks = sum(
+        len(r["text_dedup"].split()) for r in rows.values()
+    )
+    assert int(pdf.n_chunk_tokens.sum()) == total_doc_toks
