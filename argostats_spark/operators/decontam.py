@@ -204,6 +204,145 @@ def flag_duplicate_passages(
     )
 
 
+def _line_table(
+    corpus: DataFrame, id_col: str, text_col: str, hasher: str
+) -> DataFrame:
+    """(id, line_no, h) for every line whose TRIMMED text is non-empty
+    — entirely row-local (split + posexplode). ``line_no`` indexes the
+    raw split array (blank lines keep their slots so the removal form
+    can rebuild by index). Normalization is a full whitespace trim
+    (regexp, not F.trim — which strips spaces only), so trailing '\\r'
+    from CRLF corpora and tab indentation fold away and the hash is
+    line-ending-agnostic."""
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f'hasher must be "xxhash64" or "md5", got {hasher!r}')
+    hfn = F.xxhash64 if hasher == "xxhash64" else F.md5
+    return (
+        corpus.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "ln"),
+        )
+        .withColumn("__lt", F.regexp_replace("ln", r"^\s+|\s+$", ""))
+        .filter(F.col("__lt") != "")
+        .select(id_col, "line_no", hfn("__lt").alias("h"))
+    )
+
+
+def duplicate_lines(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide duplicated-LINE census — the paragraph/line-hash
+    dedup family of CCNet (Wenzek et al. 2020, paragraph SHA-1 dedup)
+    and RefinedWeb (Penedo et al. 2023, exact line dedup): any line
+    (trimmed, blank lines ignored) occurring >= ``min_occurrences``
+    times anywhere in the corpus is boilerplate (nav bars, cookie
+    banners, footers) or cross-site template text.
+
+    Returns one row per duplicated line hash: ``(h, n_docs,
+    n_occurrences, first_doc_id)``. Lines are the natural unit between
+    the token-window passage form (:func:`duplicate_passages` — exact
+    substring semantics, window-size dial) and whole-document exact
+    dedup: they need no window parameter and align with how web
+    boilerplate actually repeats.
+
+    Scale shape (100 TB posture): line generation is row-local (split +
+    posexplode, zero shuffle); the single exchange keys on the line
+    hash — uniform by construction. Identical plan family to
+    :func:`duplicate_passages`."""
+    p = _line_table(corpus, id_col, text_col, hasher)
+    return (
+        p.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def remove_duplicate_lines(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Line-level dedup, REMOVAL form — the CCNet/RefinedWeb curation
+    step: every line occurring >= ``min_occurrences`` times corpus-wide
+    is cut from its documents. ``keep_first=True`` (CCNet semantics)
+    retains the canonical first occurrence (min by (id, line_no));
+    ``keep_first=False`` (boilerplate-strip semantics, the usual choice
+    with min_occurrences > 2) removes EVERY occurrence. Blank lines are
+    never duplicates and never removed; line hashing trims whitespace
+    so CRLF and indentation variants collide, but the REBUILT text
+    preserves each kept line's original bytes.
+
+    Adds ``text_dedup`` (kept lines re-joined with '\\n'), ``n_lines``
+    (non-blank lines in the input), and ``n_lines_removed``; all input
+    columns carried. Documents with no duplicated lines pass through
+    with ``text_dedup == text`` whenever the input used plain '\\n'
+    endings.
+
+    Plan shape (same family as :func:`remove_duplicate_passages`, minus
+    the interval merge — lines cannot overlap): line stream →
+    row_number + count over the line-hash window (one uniform exchange)
+    → per-doc cut-index collect (one id exchange) → ONE join back to
+    the corpus; the rebuild is an in-row filter over the split array.
+    No full text ever travels through the line pipeline (hashes only),
+    and nothing is quadratic in corpus size."""
+    from pyspark.sql import Window as W
+
+    p = _line_table(corpus, id_col, text_col, hasher)
+    w_h = W.partitionBy("h")
+    occ = p.select(
+        id_col,
+        "line_no",
+        F.row_number()
+        .over(w_h.orderBy(F.col(id_col).asc(), F.col("line_no").asc()))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(w_h).alias("c"),
+    )
+    cond = F.col("c") >= min_occurrences
+    if keep_first:
+        cond = cond & (F.col("rnk") >= 2)
+    cuts = (
+        occ.where(cond)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("line_no")).alias("__cuts"))
+    )
+    n_nonblank = lambda arr: F.size(  # noqa: E731
+        F.filter(arr, lambda l: F.regexp_replace(l, r"^\s+|\s+$", "") != "")
+    )
+    out = (
+        corpus.join(cuts, id_col, "left")
+        .withColumn("__lines", F.split(F.col(text_col), "\n"))
+        .withColumn(
+            "__cuts", F.coalesce(F.col("__cuts"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__lines"), lambda l, i: ~F.array_contains(F.col("__cuts"), i)
+            ),
+        )
+    )
+    return (
+        out.withColumn("text_dedup", F.array_join("__kept", "\n"))
+        .withColumn("n_lines", n_nonblank(F.col("__lines")).cast("long"))
+        .withColumn(
+            "n_lines_removed",
+            (F.size("__lines") - F.size("__kept")).cast("long"),
+        )
+        .drop("__cuts", "__lines", "__kept")
+    )
+
+
 def remove_duplicate_passages(
     corpus: DataFrame,
     window: int = 50,

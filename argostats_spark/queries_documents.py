@@ -1939,6 +1939,45 @@ _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
         ) WHERE c >= 2 AND rnk >= 2 GROUP BY doc_id
       ) rc ON t.doc_id = rc.doc_id
     ) k
+    UNION ALL
+    SELECT 'dup_line' AS part,
+           CAST(lk.doc_id AS BIGINT),
+           CAST(len(list_filter(lk.lines,
+                x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g') <> '')) AS INT),
+           CAST(len(lk.lines) - len(lk.keptidx) AS INT),
+           CAST(('0x' || substr(md5(coalesce(array_to_string(
+             list_transform(lk.keptidx, i -> lk.lines[i + 1]), chr(10)), '')),
+             1, 12))::BIGINT AS DOUBLE),
+           CAST(len(lk.lines) - len(lk.keptidx) > 0 AS INT)
+    FROM (
+      WITH ml AS (
+        SELECT doc_id,
+               string_split(coalesce(array_to_string(
+                 list_transform(range(0, len(tk), 8),
+                   s -> array_to_string(list_slice(tk, s + 1, s + 8), ' ')),
+                 chr(10)), ''), chr(10)) AS lines
+        FROM toks2
+      ),
+      le AS (SELECT doc_id, lines, unnest(range(0, len(lines))) AS i FROM ml),
+      lnb AS (
+        SELECT doc_id, i,
+               md5(regexp_replace(lines[i + 1], '^\\s+|\\s+$', '', 'g')) AS h
+        FROM le
+        WHERE regexp_replace(lines[i + 1], '^\\s+|\\s+$', '', 'g') <> ''
+      ),
+      lcuts AS (
+        SELECT doc_id, list(i ORDER BY i) AS cuts FROM (
+          SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rnk,
+                 count(*) OVER (PARTITION BY h) AS c
+          FROM lnb
+        ) WHERE c >= 2 AND rnk >= 2 GROUP BY doc_id
+      )
+      SELECT m.doc_id, m.lines,
+             list_filter(range(0, len(m.lines)),
+               i -> NOT list_contains(coalesce(lc.cuts, []), i)) AS keptidx
+      FROM ml m LEFT JOIN lcuts lc ON m.doc_id = lc.doc_id
+    ) lk
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,7 +2010,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact — it pins charset decode + html_to_text byte-for-byte), and
       contaminated = robots-DISALLOWED. The twin derives every value
       from expected-text literals; any drift in record parsing, text
-      extraction, or robots evaluation flips the hash."""
+      extraction, or robots evaluation flips the hash.
+    - ``dup_line`` (round 8): line-level dedup, removal form — the
+      CCNet paragraph-hash / RefinedWeb exact-line-dedup family over a
+      deterministically re-flowed multi-line corpus (8-token lines);
+      the twin re-derives the duplicated-line cut set with the same
+      rank+count windows and hash-pins the rebuilt text."""
     from .operators.decontam import flag_duplicate_passages, ngram_contamination
 
     d = _t(spark, sf_dir, "documents")
@@ -2049,9 +2093,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("hit_ratio"),
         (F.col("n_tokens_removed") > 0).cast("int").alias("contaminated"),
     )
+    # dup_line limb (round 8): line-level dedup, removal form — the
+    # CCNet paragraph-hash / RefinedWeb exact-line-dedup family
+    # (remove_duplicate_lines). The synthetic corpus is single-line, so
+    # the limb derives a multi-line corpus BOTH engines build
+    # identically: tokens re-flowed into 8-token lines joined by '\n'
+    # (166 genuinely duplicated cross-document lines at sf0.001 — real
+    # positives, not a fabricated fixture). hit_ratio carries the
+    # 48-bit md5 prefix of the REBUILT text as an exact double, so
+    # every kept/cut line of every document is hash-pinned; n_grams =
+    # non-blank line count, n_hits = lines removed.
+    from .operators.decontam import remove_duplicate_lines
+
+    tk = tokens(F.col("text"))
+    n_tok = F.size(tk)
+    starts = F.when(
+        n_tok > 0, F.sequence(F.lit(0), n_tok - 1, F.lit(8))
+    ).otherwise(F.array().cast("array<int>"))
+    reflow = F.array_join(
+        F.transform(starts, lambda s: F.array_join(F.slice(tk, s + 1, 8), " ")),
+        "\n",
+    )
+    ml = d.select("doc_id", reflow.alias("text"))
+    dl = remove_duplicate_lines(ml, hasher="md5").select(
+        F.lit("dup_line").alias("part"),
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_grams"),
+        F.col("n_lines_removed").cast("int").alias("n_hits"),
+        F.conv(F.substring(F.md5("text_dedup"), 1, 12), 16, 10)
+        .cast("double").alias("hit_ratio"),
+        (F.col("n_lines_removed") > 0).cast("int").alias("contaminated"),
+    )
     return (
         ev.unionByName(dp).unionByName(bl).unionByName(wr)
-        .unionByName(rem)
+        .unionByName(rem).unionByName(dl)
     )
 
 

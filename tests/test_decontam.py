@@ -252,3 +252,145 @@ def test_remove_duplicate_passages(spark):
     assert set(got[1].asDict()) == {
         "doc_id", "text", "text_dedup", "n_tokens_removed"
     }
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet paragraph-hash / RefinedWeb line dedup family)
+# ---------------------------------------------------------------------------
+
+_BOILER = "cookie consent required"
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    rows = [
+        # doc 1: canonical first occurrence of the boilerplate line
+        (1, f"{_BOILER}\nunique alpha content\nmore alpha"),
+        # doc 2: same line again (trailing spaces + CRLF -> same hash)
+        (2, f"beta opening\n  {_BOILER}  \r\nbeta closing"),
+        # doc 3: same line a third time, plus a blank line that stays
+        (3, f"{_BOILER}\n\ngamma body"),
+        # doc 4: no duplicated lines at all
+        (4, "delta only\nsecond delta line"),
+        # doc 5: a WITHIN-document repeated line
+        (5, "echo echo\nmiddle\necho echo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_lines_census(spark, line_corpus):
+    from argostats_spark.operators.decontam import duplicate_lines
+
+    dup = duplicate_lines(line_corpus).collect()
+    by_first = {r["first_doc_id"]: r for r in dup}
+    assert set(by_first) == {1, 5}
+    assert by_first[1]["n_occurrences"] == 3 and by_first[1]["n_docs"] == 3
+    assert by_first[5]["n_occurrences"] == 2 and by_first[5]["n_docs"] == 1
+    # census is threshold-gated
+    from argostats_spark.operators.decontam import duplicate_lines as dl
+
+    assert dl(line_corpus, min_occurrences=3).count() == 1
+
+
+def test_remove_duplicate_lines_keep_first(spark, line_corpus):
+    from argostats_spark.operators.decontam import remove_duplicate_lines
+
+    got = {r["doc_id"]: r for r in remove_duplicate_lines(line_corpus).collect()}
+    # canonical first occurrence kept byte-for-byte
+    assert got[1]["text_dedup"] == f"{_BOILER}\nunique alpha content\nmore alpha"
+    assert got[1]["n_lines_removed"] == 0
+    # later occurrences cut; surrounding lines keep their ORIGINAL bytes
+    assert got[2]["text_dedup"] == "beta opening\nbeta closing"
+    assert got[2]["n_lines_removed"] == 1
+    # blank line survives (never a duplicate, slot preserved)
+    assert got[3]["text_dedup"] == "\ngamma body"
+    assert got[3]["n_lines_removed"] == 1
+    assert got[4]["text_dedup"] == got[4]["text"]
+    # within-doc repeat: first kept, second cut
+    assert got[5]["text_dedup"] == "echo echo\nmiddle"
+    assert got[5]["n_lines_removed"] == 1
+    # n_lines counts NON-BLANK input lines
+    assert got[3]["n_lines"] == 2
+    assert set(got[1].asDict()) == {
+        "doc_id", "text", "text_dedup", "n_lines", "n_lines_removed"
+    }
+
+
+def test_remove_duplicate_lines_strip_all(spark, line_corpus):
+    """keep_first=False (boilerplate-strip): every occurrence goes,
+    including the canonical first."""
+    from argostats_spark.operators.decontam import remove_duplicate_lines
+
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_lines(line_corpus, keep_first=False).collect()
+    }
+    assert got[1]["text_dedup"] == "unique alpha content\nmore alpha"
+    assert got[3]["text_dedup"] == "\ngamma body"
+    assert got[5]["text_dedup"] == "middle"
+    assert got[5]["n_lines_removed"] == 2
+
+
+def test_remove_duplicate_lines_differential_vs_python(spark):
+    """Randomized differential: Spark removal == a naive Python mirror
+    (global first-occurrence scan ordered by (doc_id, line_no))."""
+    import random
+
+    from argostats_spark.operators.decontam import remove_duplicate_lines
+
+    rng = random.Random(8)
+    vocab = ["nav", "home", "about", "contact", "body", "text", "foo", "bar"]
+    rows = []
+    for i in range(40):
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        if rng.random() < 0.3:
+            lines.insert(rng.randrange(len(lines) + 1), "")
+        rows.append((i, "\n".join(lines)))
+
+    from collections import Counter
+
+    counts = Counter(
+        ln.strip()
+        for _, text in rows
+        for ln in text.split("\n")
+        if ln.strip() != ""
+    )
+    seen: set[str] = set()
+    expect: dict[int, str] = {}
+    for i, text in rows:
+        kept = []
+        for ln in text.split("\n"):
+            t = ln.strip()
+            if t == "":
+                kept.append(ln)
+            elif counts[t] < 2 or t not in seen:
+                kept.append(ln)
+                seen.add(t)
+        expect[i] = "\n".join(kept)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in remove_duplicate_lines(df).collect()
+    }
+    assert got == expect
+
+
+def test_line_hasher_validation(spark, line_corpus):
+    from argostats_spark.operators.decontam import duplicate_lines
+
+    with pytest.raises(ValueError, match="hasher"):
+        duplicate_lines(line_corpus, hasher="sha1").collect()
+    # md5 path (the oracle family) agrees with xxhash64 on the census
+    a = sorted(
+        (r["first_doc_id"], r["n_occurrences"])
+        for r in duplicate_lines(line_corpus, hasher="md5").collect()
+    )
+    b = sorted(
+        (r["first_doc_id"], r["n_occurrences"])
+        for r in duplicate_lines(line_corpus).collect()
+    )
+    assert a == b
