@@ -143,6 +143,64 @@ def temperature_mixture(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "wsamp",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): every row draws
+    u ∈ (0, 1] and ranks by u^(1/w); the top-``k`` ranked rows are a
+    weight-proportional sample without replacement — the standard way
+    to draw a quality- or length-weighted corpus subset in one pass.
+
+    Randomness is *content-derived* (repo rule): u comes from the md5
+    of ``salt``+key — deterministic on any cluster, any partitioning,
+    any engine, and re-dealt by changing the salt. u = (h48 + 1)/2^48
+    where h48 is the first 48 md5 bits: exact in a double (division by
+    a power of two), u > 0 so ln is finite. Ranking uses ln(u)/w
+    (monotone in u^(1/w)), ROUNDED to 12 decimals with a key tie-break
+    — the repo's round-before-compare convention absorbing any
+    cross-engine libm last-ulp drift in ln.
+
+    Rows with NULL or non-positive weight carry zero probability mass
+    and are excluded (E-S requires w > 0).
+
+    Scale shape: the key is a row-local expression; global top-k plans
+    as TakeOrderedAndProject (per-partition heaps, never a global
+    sort); with ``strata_col`` the per-stratum top-k costs the same
+    single window exchange as the exact stratified sampler."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**48))
+    es_key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    pool = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", es_key)
+    if strata_col is None:
+        return pool.orderBy(
+            F.col("__es").desc(), F.col(key_col).asc()
+        ).limit(k).drop("__es")
+    w = W.partitionBy(strata_col).orderBy(
+        F.col("__es").desc(), F.col(key_col).asc()
+    )
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "__es")
+    )
+
+
 def stratified_sample_approx(
     df: DataFrame, strata_col: str, fraction: float, seed: int = 42
 ) -> DataFrame:

@@ -2190,6 +2190,16 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'temp_mix' AS part, CAST(m.doc_id AS BIGINT) AS doc_id, m.lang
     FROM m JOIN ks ON m.lang = ks.lang WHERE m.rn <= ks.k
+    UNION ALL
+    SELECT 'wtd50' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             round(ln((('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)),
+                        1, 12))::BIGINT + 1) / 281474976710656.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS kk
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      ORDER BY kk DESC, doc_id LIMIT 50
+    ) t
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2207,8 +2217,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       map (no join), same single window exchange
       (operators/sampling.py::temperature_mixture); the oracle
       recomputes the quota arithmetic in SQL with the shared
-      round-before-ceil convention."""
-    from .operators.sampling import stratified_sample_exact, temperature_mixture
+      round-before-ceil convention.
+    - ``wtd50`` (round 8): weighted sampling WITHOUT replacement
+      (Efraimidis & Spirakis 2006) — top-50 by u^(1/w) with w =
+      n_chars and u content-derived from md5 (exact (h48+1)/2^48
+      double); ranked as ln(u)/w rounded to 12 decimals (the
+      round-before-compare convention absorbing cross-engine libm ulp
+      drift), doc_id tie-break. Plans as TakeOrderedAndProject — never
+      a global sort (operators/sampling.py::weighted_sample)."""
+    from .operators.sampling import (
+        stratified_sample_exact,
+        temperature_mixture,
+        weighted_sample,
+    )
 
     d = _t(spark, sf_dir, "documents")
     frac = stratified_sample_exact(d, "lang", 0.2, "doc_id").select(
@@ -2219,7 +2240,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("temp_mix").alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
     )
-    return frac.unionByName(mix)
+    wtd = weighted_sample(d, "n_chars", 50, "doc_id").select(
+        F.lit("wtd50").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+    )
+    return frac.unionByName(mix).unionByName(wtd)
 
 
 @query(

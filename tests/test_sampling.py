@@ -372,3 +372,97 @@ def test_bestfit_histogram_guard_fires(spark):
         coarse, "n_tok", 128, "shard", "doc_id", max_hist_rows=1000
     )
     assert out.count() == 500
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis 2006)
+# ---------------------------------------------------------------------------
+
+def _es_mirror(rows, salt, k):
+    """Plain-Python mirror of the content-derived E-S ranking."""
+    import hashlib
+    import math as m
+
+    keyed = []
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = int(
+            hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:12], 16
+        )
+        u = (h + 1) / 2.0**48
+        keyed.append((round(m.log(u) / w, 12), doc_id))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [d for _, d in keyed[:k]]
+
+
+def test_weighted_sample_differential_vs_python(spark):
+    from argostats_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 23)) for i in range(200)]
+    rows[5] = (5, 0.0)      # zero weight: excluded
+    rows[6] = (6, None)     # NULL weight: excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double").repartition(9)
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 25, "doc_id").collect()
+    )
+    assert got == sorted(_es_mirror(rows, "wsamp", 25))
+    assert 5 not in got and 6 not in got
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Across many salt re-deals, a weight-100 row must be drawn far
+    more often than weight-1 rows (the E-S guarantee). One Spark job:
+    union the per-salt keys as an in-row array, count inclusions."""
+    from argostats_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i == 0 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = {i: 0 for i in range(50)}
+    for s in range(60):
+        for r in weighted_sample(df, "w", 5, "doc_id", salt=f"s{s}").collect():
+            hits[r["doc_id"]] += 1
+    # heavy row: inclusion prob ~= 1 (weight 100 vs 49 others of 1);
+    # light rows: ~4/49 each
+    assert hits[0] >= 54
+    light = [hits[i] for i in range(1, 50)]
+    assert max(light) < hits[0]
+    assert sum(light) / len(light) < 15
+
+
+def test_weighted_sample_partition_independent(spark):
+    from argostats_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df1 = spark.createDataFrame(rows, "doc_id long, w double").coalesce(1)
+    df2 = spark.createDataFrame(rows, "doc_id long, w double").repartition(13)
+    a = sorted(r["doc_id"] for r in weighted_sample(df1, "w", 40, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df2, "w", 40, "doc_id").collect())
+    assert a == b
+
+
+def test_weighted_sample_stratified_and_validation(spark):
+    from argostats_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "en" if i % 3 else "de", float(1 + i % 5)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = weighted_sample(df, "w", 7, "doc_id", strata_col="lang")
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {"en": 7, "de": 7}
+    # k larger than a stratum: whole stratum kept
+    tiny = weighted_sample(df.filter("doc_id < 4"), "w", 99, "doc_id",
+                           strata_col="lang")
+    assert tiny.count() == 4
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "w", 0, "doc_id")
+
+
+def test_weighted_sample_plans_takeordered(spark):
+    """Global form must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort."""
+    from argostats_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    plan = weighted_sample(df, "w", 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
