@@ -234,6 +234,190 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, n_sh, mh0..mh{k-1}) — the persistable MinHash signature
+    INDEX of a corpus snapshot: what an incremental crawl pipeline
+    stores so the next increment never re-scans the full history's
+    text. ~8 + 8·num_hashes bytes per document (72 B/doc at the
+    default k=8 — ~7 TB for 10¹¹ docs, a parquet table, not a
+    broadcast). Same hash family, shingle construction, and column
+    shape as :func:`minhash_lsh_pairs`'s internal signature table, so
+    an index written by one release verifies against signatures
+    computed by another.
+
+    ``hasher="md5"`` swaps in the DuckDB-shared hash family (min over
+    salted md5 hex strings, salts "s1|".."sk|" — the registry twin's
+    exact construction, queries_documents._MINHASH_SQL); signatures
+    become strings, 4× wider than the xxhash64 longs — the engine
+    default stays xxhash64."""
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f'hasher must be "xxhash64" or "md5", got {hasher!r}')
+    sh = shingle_table(df, id_col, text_col, shingle_n, unique=False)
+    if hasher == "md5":
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"s{i + 1}|"), F.col("g")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    return sh.groupBy("doc_id").agg(
+        F.count_distinct("g").alias("n_sh"), *mins
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup pairs: every pair TOUCHING the new increment
+    (new×new and new×old), against a persisted :func:`minhash_index` —
+    the snapshot-refresh shape of crawl dedup (Common Crawl / RefinedWeb
+    practice: each monthly dump dedupes against everything already
+    kept, without re-hashing the history).
+
+    ``index`` holds the old corpus signatures; only the NEW increment's
+    text is shingled (the expensive full scan is per-increment, never
+    per-history). Candidates come from the same banded keys as the
+    batch operator. Verification:
+
+    - ``corpus`` given — a (id, text) frame for the OLD corpus (the
+      lake table the index was built from): exact shingle-Jaccard,
+      IDENTICAL to the batch operator's, but old text is read only for
+      candidate ids (broadcast semi-join → parquet point reads).
+      Returns ``(id_a, id_b, jaccard)``.
+    - ``corpus=None`` — signature-only estimate: ``est_jaccard`` =
+      fraction of agreeing signature components (an unbiased estimator
+      of J with sd ≈ sqrt(J(1-J)/k)). Returns ``(id_a, id_b,
+      est_jaccard)``; at k=8 the estimate is coarse — threshold
+      accordingly or keep the text reachable.
+
+    Contract: new ids must be disjoint from index ids (the caller
+    assigns content-addressed or monotone ids); a violated contract
+    surfaces as self-pairs upstream would have filtered.
+
+    Equivalence (pinned by test): with ``corpus`` given, the result is
+    byte-identical to ``minhash_lsh_pairs(old ∪ new)`` restricted to
+    pairs with at least one new id.
+
+    Scale shape: the index is never shuffled whole — only its band-key
+    melt (4 rows/doc) joins the new side's melt; with a small increment
+    AQE broadcasts the new side. Verification touches candidates only."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig_cols = ["doc_id", "n_sh"] + [f"mh{i}" for i in range(num_hashes)]
+    new_sig = minhash_index(new_df, id_col, text_col, num_hashes, shingle_n, hasher)
+    sig_all = index.select(*sig_cols).unionByName(new_sig.select(*sig_cols))
+
+    if hasher == "md5":
+        # string signatures: the band key is the joined component tuple
+        # (itself a fine join key; hashing it again buys nothing DuckDB
+        # could mirror)
+        band_cols = [
+            F.concat_ws("#", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+
+    def melt(s: DataFrame) -> DataFrame:
+        return s.select(
+            "doc_id", "n_sh",
+            F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+        )
+
+    a, b = melt(new_sig).alias("a"), melt(sig_all).alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+            F.when(lt, F.col("a.n_sh")).otherwise(F.col("b.n_sh")).alias("n_a"),
+            F.when(lt, F.col("b.n_sh")).otherwise(F.col("a.n_sh")).alias("n_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    if corpus is None:
+        sig_arr = sig_all.select(
+            "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
+        )
+        sa, sb = sig_arr.alias("sa"), sig_arr.alias("sb")
+        agree = F.size(
+            F.filter(
+                F.zip_with("sa.sig", "sb.sig", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        est = agree.cast("double") / F.lit(float(num_hashes))
+        return (
+            cands.join(sa, cands["id_a"] == F.col("sa.doc_id"))
+            .join(sb, cands["id_b"] == F.col("sb.doc_id"))
+            .select("id_a", "id_b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    texts = new_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    sh_cand = (
+        shingle_table(
+            texts.join(F.broadcast(ids), "doc_id"),
+            "doc_id", "text", shingle_n, unique=False,
+        )
+        .select("doc_id", "g").distinct()
+        .localCheckpoint(eager=True)
+    )
+    inter = (
+        cands.join(sh_cand.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        .join(sh_cand.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -697,27 +697,68 @@ _MINHASH_SQL = f"""
     "dedup_minhash_lsh",
     f"""
     WITH d AS ({_MINHASH_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT 'all' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
              AS jaccard
     FROM d a JOIN d b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    UNION ALL
+    SELECT 'inc' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM d a JOIN d b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+      AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (dedup operator #2): word-3-gram shingle
-    minhash signatures (min of salted md5 — identical hash family in
-    both engines), one band of two rows as the LSH bucket key,
-    candidates verified by exact shingle Jaccard >= 0.6.
+    """MinHash+LSH near-dup (dedup operator #2) as a tagged union:
+
+    - ``all``: word-3-gram shingle minhash signatures (min of salted
+      md5 — identical hash family in both engines), one band of two
+      rows as the LSH bucket key, candidates verified by exact shingle
+      Jaccard >= 0.6.
+    - ``inc`` (round 8): the INCREMENTAL snapshot-refresh form — docs
+      with doc_id % 10 >= 8 play the new crawl increment, the rest the
+      already-indexed history. Only the increment is shingled for
+      signatures (minhash_index over the old corpus is the persisted
+      artifact); candidates come from the same band keys, old text is
+      read only for candidate ids, and the result must equal the batch
+      pairs restricted to pairs touching a new id — which is exactly
+      what the twin states (the batch join + the touch-new predicate).
 
     Scale shape: the bucket equi-join replaces the O(n²) pair space —
     at 100 TB the band key is the shuffle key and verification touches
     only candidates. Shingles (not raw tokens) keep the hash space
-    large enough that buckets stay small under a tiny vocabulary."""
+    large enough that buckets stay small under a tiny vocabulary. The
+    incremental form never re-hashes the history: per-increment cost
+    is one scan of the increment + the band-key join against the
+    signature index."""
+    from .operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+
     d = _t(spark, sf_dir, "documents")
-    return _minhash_lsh_pairs_inline(d)
+    plain = _minhash_lsh_pairs_inline(d).select(
+        F.lit("all").alias("part"), "id_a", "id_b", "jaccard"
+    )
+    old = d.filter(F.col("doc_id") % 10 < 8)
+    new = d.filter(F.col("doc_id") % 10 >= 8)
+    inc = minhash_lsh_pairs_incremental(
+        new,
+        minhash_index(old, num_hashes=2, hasher="md5"),
+        corpus=old,
+        num_hashes=2,
+        bands=1,
+        threshold=0.6,
+        hasher="md5",
+    ).select(
+        F.lit("inc").alias("part"), "id_a", "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return plain.unionByName(inc)
 
 
 def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:

@@ -436,3 +436,99 @@ def test_groups_lsh_collapse_gate(spark, tmp_path):
     )
     want = {(r["doc_id"], r["comp_id"]) for r in plain.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature index (round 8)
+# ---------------------------------------------------------------------------
+
+def test_incremental_equals_batch_restricted(spark, docs):
+    """minhash_lsh_pairs_incremental(new, index(old), corpus=old) must
+    equal the BATCH pairs over old ∪ new restricted to pairs touching a
+    new id — the snapshot-refresh contract."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = docs.select("doc_id", "text")
+    # increment: copies of three old docs (near-dups across the split)
+    # plus a new-vs-new duplicate pair
+    src = base.filter(F.col("doc_id") < 3)
+    new = (
+        src.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            src.filter(F.col("doc_id") == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    batch = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(
+            base.unionByName(new), threshold=0.5
+        ).collect()
+        if r["id_a"] >= 100000 or r["id_b"] >= 100000
+    }
+    assert batch, "fixture must produce cross-increment pairs"
+    inc = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            new, minhash_index(base), corpus=base, threshold=0.5
+        ).collect()
+    }
+    assert inc == batch
+    # new-vs-new pair found exactly once, correctly oriented
+    assert any(a == 100000 and b == 200000 for a, b, _ in inc)
+
+
+def test_incremental_signature_only_estimate(spark, docs):
+    """corpus=None: est_jaccard from signature agreement — exact copies
+    estimate 1.0; estimates live in (0, 1]; candidate set matches the
+    text-verified run's candidates at threshold 0."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = docs.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx = minhash_index(base)
+    est = minhash_lsh_pairs_incremental(new, idx, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in est}
+    # exact copies: every signature component agrees
+    assert got[(0, 100000)] == 1.0
+    assert got[(1, 100001)] == 1.0
+    assert all(0.0 < v <= 1.0 for v in got.values())
+
+
+def test_index_roundtrips_through_parquet(spark, docs, tmp_path_factory):
+    """The index is a plain parquet artifact: write → read → incremental
+    run gives the same pairs as an in-memory index."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = docs.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    p = str(tmp_path_factory.mktemp("mhidx") / "index.parquet")
+    minhash_index(base).write.mode("overwrite").parquet(p)
+    mem = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(
+            new, minhash_index(base), corpus=base, threshold=0.5
+        ).collect()
+    )
+    disk = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(
+            new, spark.read.parquet(p), corpus=base, threshold=0.5
+        ).collect()
+    )
+    assert mem == disk and (0, 100000) in mem
