@@ -275,6 +275,62 @@ def minhash_index(
     )
 
 
+def minhash_signature_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Row-local / stream-safe form of :func:`minhash_index`: the same
+    ``(doc_id, n_sh, mh0..mh{k-1})`` signature rows computed entirely
+    as in-row expressions — zero shuffles, zero state, works unchanged
+    on a ``readStream``. This is the signature-at-INGEST path: a
+    streaming crawl stamps each arriving document's signature in the
+    ingest micro-batch and appends it to the :func:`minhash_index`
+    artifact, so the next :func:`minhash_lsh_pairs_incremental` run
+    starts from stored signatures without any batch re-scan.
+
+    Exact-equivalence contract (pinned by test): output ==
+    :func:`minhash_index` row-for-row, both hash families. Documents
+    with fewer than ``shingle_n`` tokens have an empty shingle set and
+    are DROPPED — the mirror of the agg form, where an empty shingle
+    stream contributes no group.
+
+    The shingle array is staged as a projected column so the per-hash
+    transform lambdas don't re-inline tokenization (the repetition-
+    stats pitfall, SCALE.md); per-row cost is O(shingles × k) string
+    hashes — the same work the agg form does, minus its exchange."""
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f'hasher must be "xxhash64" or "md5", got {hasher!r}')
+    from ..functions.text import word_ngrams
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    if hasher == "md5":
+        mins = [
+            F.array_min(
+                F.transform("__sh", lambda t: F.md5(F.concat(F.lit(f"s{i + 1}|"), t)))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.array_min(
+                F.transform(
+                    "__sh", lambda t: F.xxhash64(F.concat(F.lit(f"s{i}|"), t))
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    return staged.filter(F.size("__sh") > 0).select(
+        "doc_id", F.size("__sh").cast("long").alias("n_sh"), *mins
+    )
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
     index: DataFrame,

@@ -532,3 +532,43 @@ def test_index_roundtrips_through_parquet(spark, docs, tmp_path_factory):
         ).collect()
     )
     assert mem == disk and (0, 100000) in mem
+
+
+def test_signature_rows_equal_index(spark, docs):
+    """Row-local signature form == the agg form, both hash families,
+    including the short-doc drop semantics."""
+    from argostats_spark.operators.dedup import minhash_index, minhash_signature_rows
+
+    base = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(900001, "two tokens"), (900002, None)], "doc_id long, text string"
+        )
+    )
+    for hasher, k in (("xxhash64", 8), ("md5", 2)):
+        agg = {r["doc_id"]: r.asDict() for r in
+               minhash_index(base, num_hashes=k, hasher=hasher).collect()}
+        rowl = {r["doc_id"]: r.asDict() for r in
+                minhash_signature_rows(base, num_hashes=k, hasher=hasher).collect()}
+        assert rowl == agg, hasher
+        assert 900001 not in rowl and 900002 not in rowl
+
+
+def test_signature_rows_streaming_equals_batch(spark, docs, tmp_path_factory):
+    from argostats_spark.operators.dedup import minhash_signature_rows
+
+    src = str(tmp_path_factory.mktemp("sigstream") / "in")
+    docs.select("doc_id", "text").limit(50).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    batch = {r["doc_id"]: r.asDict() for r in
+             minhash_signature_rows(spark.read.parquet(src)).collect()}
+    stream = minhash_signature_rows(spark.readStream.schema(schema).parquet(src))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("sig_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r.asDict() for r in
+               spark.sql("SELECT * FROM sig_stream").collect()}
+    finally:
+        q.stop()
+    assert got == batch
