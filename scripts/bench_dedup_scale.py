@@ -237,6 +237,68 @@ def probe_passages(spark, n_docs: int, wpd: int, window: int = 20):
     }), flush=True)
 
 
+def probe_incremental(spark, n: int, wpd: int, inc_pct: int = 10):
+    """The snapshot-refresh economics behind minhash_lsh_pairs_incremental:
+    re-dedup an ``inc_pct``% increment against a persisted signature
+    index vs re-running the full batch. The batch re-scan cost grows
+    with the HISTORY; the incremental cost grows with the INCREMENT —
+    the probe reports both, the one-time index build, and result parity
+    (incremental pairs == batch pairs touching the increment)."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = synth_docs(spark, n, wpd).repartition(64).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    cut = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100))
+    old = docs.filter(cut >= inc_pct).localCheckpoint(eager=True)
+    new = docs.filter(cut < inc_pct).localCheckpoint(eager=True)
+    n_new = new.count()
+
+    # one-time artifact: the history's signature index
+    t0 = time.perf_counter()
+    index = minhash_index(old).localCheckpoint(eager=True)
+    index.count()
+    index_sec = time.perf_counter() - t0
+
+    # warm codegen
+    minhash_lsh_pairs(docs.sample(0.02, seed=1), threshold=0.5).count()
+
+    t0 = time.perf_counter()
+    batch_pairs = minhash_lsh_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+    n_batch = batch_pairs.count()
+    batch_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    inc_pairs = minhash_lsh_pairs_incremental(
+        new, index, corpus=old, threshold=0.5
+    ).localCheckpoint(eager=True)
+    n_inc = inc_pairs.count()
+    inc_sec = time.perf_counter() - t0
+
+    # parity: incremental == batch restricted to pairs touching new ids
+    new_ids = new.select(F.col("doc_id").alias("id"))
+    touching = (
+        batch_pairs.join(new_ids, batch_pairs["id_a"] == new_ids["id"], "left_semi")
+        .unionByName(
+            batch_pairs.join(new_ids, batch_pairs["id_b"] == new_ids["id"], "left_semi")
+        )
+        .distinct()
+        .count()
+    )
+    print(json.dumps({
+        "probe": "incremental_lsh", "n_docs": n_docs, "n_new": n_new,
+        "words_per_doc": wpd, "inc_pct": inc_pct,
+        "index_build_sec": round(index_sec, 2),
+        "batch_sec": round(batch_sec, 2), "batch_pairs": n_batch,
+        "inc_sec": round(inc_sec, 2), "inc_pairs": n_inc,
+        "parity_ok": touching == n_inc,
+        "speedup_vs_batch": round(batch_sec / inc_sec, 2),
+    }), flush=True)
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() else "lsh"
     args = [int(a) for a in sys.argv[1:] if a.isdigit()]
@@ -254,6 +316,10 @@ def main():
         probe_salt(spark, args[0] if args else 5000, args[1] if len(args) > 1 else 20_000)
     elif mode == "passages":
         probe_passages(spark, args[0] if args else 50_000, args[1] if len(args) > 1 else 60)
+    elif mode == "incremental":
+        probe_incremental(
+            spark, args[0] if args else 50_000, args[1] if len(args) > 1 else 60
+        )
     elif mode == "cc":
         probe_cc(
             spark,
