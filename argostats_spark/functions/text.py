@@ -253,6 +253,39 @@ def is_repetitive(text) -> Column:
     )
 
 
+def char_entropy(text) -> Column:
+    """Shannon entropy of the character distribution, in bits/char —
+    the classic gibberish/encoded-blob signal (base64 blobs and
+    hex dumps sit near log2(alphabet) ≈ 4-6 bits with no word
+    structure; natural English prose sits ≈ 4.0-4.5 with word
+    structure; repeated-character spam collapses toward 0). Used
+    alongside the zlib compression ratio (operators/textstats.py):
+    entropy is per-character order-free, compression also sees
+    repetition structure — the two disagree exactly on the
+    interesting cases.
+
+    Pure codegen: H = -Σ p·log2(p) over the per-char counts,
+    computed as a fold over the SORTED distinct-char array (sorted so
+    the float summation order is deterministic and engine-identical),
+    rounded to 6 decimals (absorbs cross-engine log2 last-ulp drift).
+    Empty/NULL-ish text → 0.0. Cost is O(distinct·len) per row — fine
+    for curation columns; in a hot loop stage the split array as a
+    projected column first."""
+    t = _c(text)
+    cs = F.split(t, "")
+    n = F.size(cs).cast("double")
+    uniq = F.array_sort(F.array_distinct(cs))
+    counts = F.transform(
+        uniq, lambda d: F.size(F.filter(cs, lambda x: x == d)).cast("double")
+    )
+    h = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log2(c / n),
+    )
+    return F.when(F.length(t) > 0, F.round(h, 6)).otherwise(F.lit(0.0))
+
+
 def fingerprint64(text) -> Column:
     """64-bit document fingerprint via xxhash64 — the rolling-hash
     fingerprinting operator; stable across executors."""

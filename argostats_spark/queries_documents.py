@@ -2386,6 +2386,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ctdist) WHERE rn = 1
     )
     SELECT t.doc_id, t.quality,
+           CASE WHEN length(d.text) > 0 THEN round(
+             -list_sum(list_transform(
+                list_sort(list_distinct(string_split(d.text, ''))),
+                ch -> (CAST(len(list_filter(string_split(d.text, ''),
+                                            x -> x = ch)) AS DOUBLE)
+                       / len(string_split(d.text, '')))
+                      * log2(CAST(len(list_filter(string_split(d.text, ''),
+                                                  x -> x = ch)) AS DOUBLE)
+                             / len(string_split(d.text, '')))
+             )), 6) ELSE 0.0 END AS h_char,
            1 AS n_email, 1 AS n_ip, 1 AS n_phone,
            'HTTPS://Sub.Example.com:8080/Path/x?utm_source=news&ref='
              || d.doc_id || '#frag' AS first_url,
@@ -2437,8 +2447,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     then bigram order) — bit-exact z both engines, 6-dp rounded.
     Zero-gram documents score NULL on both sides."""
     from .functions.text import (
-        extract_urls, normalize_url, pii_counts, quality_score, scrub_pii,
-        url_host,
+        char_entropy, extract_urls, normalize_url, pii_counts, quality_score,
+        scrub_pii, url_host,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -2458,6 +2468,10 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.select(
         "doc_id",
         F.round(quality_score("text"), 6).alias("quality"),
+        # round-8 column: Shannon char entropy (bits/char) — the
+        # gibberish/encoded-blob signal; sorted-distinct fold order is
+        # engine-identical and the 6-dp rounding absorbs log2 ulp drift
+        char_entropy("text").alias("h_char"),
         counts.getField("emails").alias("n_email"),
         counts.getField("ipv4s").alias("n_ip"),
         counts.getField("phones").alias("n_phone"),

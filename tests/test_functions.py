@@ -474,3 +474,38 @@ def test_url_extract_and_normalize(spark):
     # uppercase schemes extract too — the sibling url_host/normalize_url
     # accept them, so extraction must not silently drop them
     assert urls == ["http://a.io/x", "https://b.io/y?z=1", "HTTPS://C.io/z"]
+
+
+def test_char_entropy(spark):
+    """Shannon char entropy: closed-form values, gibberish-vs-prose
+    ordering, and a Counter-mirror differential on real-shaped text."""
+    import collections
+    import math
+
+    from argostats_spark.functions.text import char_entropy
+
+    rows = [
+        (0, "aaaa"),            # one symbol -> 0 bits
+        (1, "ab"),              # uniform binary -> 1 bit
+        (2, "abcd"),            # uniform 4-ary -> 2 bits
+        (3, ""),                # empty -> 0 by contract
+        # ordinary prose (NOT a pangram — a pangram's near-uniform
+        # alphabet usage would beat the blob), letter-frequency skew
+        (4, "this sentence states that the test tests the tests"),
+        (5, "QmFzZTY0IGJsb2JzIGxvb2sgbGlrZSB0aGlzIQ=="),  # base64 blob
+        (6, "aaaaaaaaaaaaaaaaaaaaaab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", char_entropy("text").alias("h")).collect()}
+    assert got[0] == 0.0 and got[3] == 0.0
+    assert got[1] == 1.0 and got[2] == 2.0
+    # base64 blob carries more per-char entropy than prose; spam less
+    assert got[5] > got[4] > got[6]
+    for i, text in rows:
+        if not text:
+            continue
+        c = collections.Counter(text)
+        n = len(text)
+        expect = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
+        assert abs(got[i] - expect) <= 1e-6, (i, got[i], expect)
