@@ -331,6 +331,78 @@ def minhash_signature_rows(
     )
 
 
+def near_dup_collisions_rows(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """INGEST-time near-dup gate — row-shaped, stateless, stream-safe:
+    every arriving document whose LSH band collides with a document in
+    the persisted :func:`minhash_index` emits a collision row
+    ``(doc_id, index_doc_id, band_no, est_jaccard)`` with
+    ``est_jaccard`` (signature-agreement fraction) >= ``threshold``.
+    Runs unchanged on a ``readStream`` (row-local signatures → band
+    posexplode → two stream-static inner joins — no state, no
+    watermark, no aggregation), so a streaming crawl can route likely
+    duplicates to quarantine the moment they arrive.
+
+    Semantics vs :func:`minhash_lsh_pairs_incremental` (deliberate, so
+    the op stays stateless): a pair colliding in k bands emits k rows
+    (``band_no`` disambiguates — pair-level dedup is an aggregation
+    and belongs to the sink or the nightly batch); new-vs-new pairs
+    are NOT reported (an unaggregated stream cannot self-join); and
+    there is no text verification — est_jaccard is the k-component
+    estimate (sd ≈ sqrt(J(1-J)/k)). The nightly
+    ``minhash_lsh_pairs_incremental`` run over the accumulated
+    increment gives the exact-Jaccard, pair-deduped answer.
+
+    Scale shape: per arriving row O(shingles·k) hash work + ``bands``
+    probe rows; the index side ships only (band_no, band key, doc_id,
+    signature) — AQE/caching keeps it a static build side."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig_new = minhash_signature_rows(
+        df, id_col, text_col, num_hashes, shingle_n, hasher
+    )
+    if hasher == "md5":
+        band_cols = [
+            F.concat_ws("#", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    mh_arr = F.array(*[f"mh{i}" for i in range(num_hashes)])
+    stream_side = sig_new.select(
+        F.col("doc_id"), mh_arr.alias("__sig"),
+        F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+    )
+    index_side = index.select(
+        F.col("doc_id").alias("index_doc_id"), mh_arr.alias("__isig"),
+        F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+    )
+    agree = F.size(
+        F.filter(F.zip_with("__sig", "__isig", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        stream_side.join(index_side, ["band_no", "bk"])
+        .filter(F.col("doc_id") != F.col("index_doc_id"))
+        .select(
+            "doc_id", "index_doc_id", "band_no", est.alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
     index: DataFrame,

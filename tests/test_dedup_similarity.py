@@ -572,3 +572,51 @@ def test_signature_rows_streaming_equals_batch(spark, docs, tmp_path_factory):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_near_dup_collisions_rows_batch_and_stream(spark, docs, tmp_path_factory):
+    """The ingest-time gate: exact copies of indexed docs collide with
+    est_jaccard 1.0 in every band; strangers don't collide; streaming
+    rows == batch rows through a memory sink (stateless stream-static
+    join)."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        near_dup_collisions_rows,
+    )
+
+    base = docs.select("doc_id", "text")
+    idx = minhash_index(base).localCheckpoint(eager=True)
+    new = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(100002, "totally unrelated stranger words nothing shared here at all")],
+            "doc_id long, text string",
+        )
+    )
+    out = near_dup_collisions_rows(new, idx, threshold=0.9).collect()
+    got = {(r["doc_id"], r["index_doc_id"], r["band_no"]): r["est_jaccard"]
+           for r in out}
+    # exact copy: all 4 bands collide at est 1.0
+    assert {(100000, 0, b) for b in range(4)} <= set(got)
+    assert {(100001, 1, b) for b in range(4)} <= set(got)
+    assert all(v == 1.0 for v in got.values())
+    assert not any(d == 100002 for d, _, _ in got)
+
+    # streaming == batch
+    src = str(tmp_path_factory.mktemp("ndgate") / "in")
+    new.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = near_dup_collisions_rows(
+        spark.readStream.schema(schema).parquet(src), idx, threshold=0.9
+    )
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("ndgate_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got_s = {(r["doc_id"], r["index_doc_id"], r["band_no"]): r["est_jaccard"]
+                 for r in spark.sql("SELECT * FROM ndgate_stream").collect()}
+    finally:
+        q.stop()
+    assert got_s == got
