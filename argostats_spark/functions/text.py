@@ -253,7 +253,7 @@ def is_repetitive(text) -> Column:
     )
 
 
-def char_entropy(text) -> Column:
+def char_entropy(text, chars: Column | None = None) -> Column:
     """Shannon entropy of the character distribution, in bits/char —
     the classic gibberish/encoded-blob signal (base64 blobs and
     hex dumps sit near log2(alphabet) ≈ 4-6 bits with no word
@@ -269,10 +269,12 @@ def char_entropy(text) -> Column:
     the float summation order is deterministic and engine-identical),
     rounded to 6 decimals (absorbs cross-engine log2 last-ulp drift).
     Empty/NULL-ish text → 0.0. Cost is O(distinct·len) per row — fine
-    for curation columns; in a hot loop stage the split array as a
-    projected column first."""
+    for curation columns; in a hot loop pass ``chars`` = a PROJECTED
+    split-array column (``F.split(text, "")`` staged via withColumn/
+    select) so the split isn't re-inlined once per distinct character
+    — the repetition-stats pitfall, SCALE.md."""
     t = _c(text)
-    cs = F.split(t, "")
+    cs = chars if chars is not None else F.split(t, "")
     n = F.size(cs).cast("double")
     uniq = F.array_sort(F.array_distinct(cs))
     counts = F.transform(

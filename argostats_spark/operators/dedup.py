@@ -113,6 +113,61 @@ def shingle_table(
     return out.distinct() if unique else out
 
 
+def _component_hash(i: int, hasher: str):
+    """The per-component salted hash of the MinHash family — THE single
+    definition every signature producer shares (agg and row-local
+    forms, index and probe sides): xxhash64 with salts "s0|".."s{k-1}|"
+    (engine path) or md5 hex with salts "s1|".."sk|" (the DuckDB-shared
+    family, matching queries_documents._MINHASH_SQL). Editing a salt
+    here is a BREAKING change to every persisted minhash_index."""
+    if hasher == "md5":
+        return lambda g: F.md5(F.concat(F.lit(f"s{i + 1}|"), g))
+    return lambda g: F.xxhash64(F.concat(F.lit(f"s{i}|"), g))
+
+
+def _band_key_cols(num_hashes: int, bands: int, hasher: str) -> list:
+    """LSH band keys over mh0..mh{k-1} — shared by every band-join
+    producer. xxhash64 signatures band via xxhash64 of the component
+    tuple; md5 (string) signatures via '#'-joined concat (md5 hex never
+    contains '#', and the join key stays DuckDB-mirrorable)."""
+    rows = num_hashes // bands
+    if hasher == "md5":
+        return [
+            F.concat_ws("#", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    return [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+
+
+def _validate_index(index: DataFrame, num_hashes: int, hasher: str, fn: str) -> None:
+    """Fail loudly when a persisted minhash_index does not match the
+    call's (num_hashes, hasher) — a silent mismatch would band-join
+    garbage. shingle_n and text drift are NOT recoverable from the
+    schema; those stay caller contract (see minhash_index docstring)."""
+    cols = set(index.columns)
+    need = {"doc_id", "n_sh"} | {f"mh{i}" for i in range(num_hashes)}
+    missing = need - cols
+    if missing or f"mh{num_hashes}" in cols:
+        raise ValueError(
+            f"{fn}: index schema does not match num_hashes={num_hashes} "
+            f"(missing columns {sorted(missing)}; "
+            f"mh{num_hashes} present: {f'mh{num_hashes}' in cols}). "
+            "Rebuild the index with minhash_index(..., num_hashes=...) or "
+            "call with the index's own parameters."
+        )
+    mh0_type = dict(index.dtypes)["mh0"]
+    want = "string" if hasher == "md5" else "bigint"
+    if mh0_type != want:
+        raise ValueError(
+            f"{fn}: hasher mismatch — index mh0 is {mh0_type} but "
+            f"hasher={hasher!r} expects {want}. The index was built with "
+            f"the other hash family."
+        )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -124,7 +179,7 @@ def minhash_signatures(
     shingle set, as partial aggregates over the exploded shingle table."""
     sh = shingle_table(df, id_col, text_col, shingle_n, unique=False)
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
+        F.min(_component_hash(i, "xxhash64")(F.col("g"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -165,7 +220,7 @@ def minhash_lsh_pairs(
     # (min over a multiset == min over its set).
     sh_raw = shingle_table(df, id_col, text_col, shingle_n, unique=False)
     aggs = [F.count_distinct("g").alias("n_sh")] + [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
+        F.min(_component_hash(i, "xxhash64")(F.col("g"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     stats = sh_raw.groupBy("doc_id").agg(*aggs)
@@ -173,10 +228,7 @@ def minhash_lsh_pairs(
     # melt the band keys: one (band_no, band_key) self-join replaces
     # ``bands`` separate joins (band_no in the key prevents cross-band
     # hash collisions from pairing)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        for b in range(bands)
-    ]
+    band_cols = _band_key_cols(num_hashes, bands, "xxhash64")
     kb = stats.select(
         "doc_id", "n_sh", F.posexplode(F.array(*band_cols)).alias("band_no", "bk")
     )
@@ -250,7 +302,12 @@ def minhash_index(
     broadcast). Same hash family, shingle construction, and column
     shape as :func:`minhash_lsh_pairs`'s internal signature table, so
     an index written by one release verifies against signatures
-    computed by another.
+    computed by another — the consumers validate (num_hashes, hasher)
+    against the stored schema and fail loudly on mismatch. shingle_n
+    is NOT recoverable from the schema: keep it with the artifact
+    (path/partition naming) and pass the same value at probe time —
+    a mismatch makes n_sh (k-gram counts) inconsistent with the
+    verification's shingle stream and corrupts Jaccard silently.
 
     ``hasher="md5"`` swaps in the DuckDB-shared hash family (min over
     salted md5 hex strings, salts "s1|".."sk|" — the registry twin's
@@ -260,16 +317,10 @@ def minhash_index(
     if hasher not in ("xxhash64", "md5"):
         raise ValueError(f'hasher must be "xxhash64" or "md5", got {hasher!r}')
     sh = shingle_table(df, id_col, text_col, shingle_n, unique=False)
-    if hasher == "md5":
-        mins = [
-            F.min(F.md5(F.concat(F.lit(f"s{i + 1}|"), F.col("g")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    else:
-        mins = [
-            F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("g")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    mins = [
+        F.min(_component_hash(i, hasher)(F.col("g"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
     return sh.groupBy("doc_id").agg(
         F.count_distinct("g").alias("n_sh"), *mins
     )
@@ -310,22 +361,10 @@ def minhash_signature_rows(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), shingle_n)).alias("__sh"),
     )
-    if hasher == "md5":
-        mins = [
-            F.array_min(
-                F.transform("__sh", lambda t: F.md5(F.concat(F.lit(f"s{i + 1}|"), t)))
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    else:
-        mins = [
-            F.array_min(
-                F.transform(
-                    "__sh", lambda t: F.xxhash64(F.concat(F.lit(f"s{i}|"), t))
-                )
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    mins = [
+        F.array_min(F.transform("__sh", _component_hash(i, hasher))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
     return staged.filter(F.size("__sh") > 0).select(
         "doc_id", F.size("__sh").cast("long").alias("n_sh"), *mins
     )
@@ -366,20 +405,11 @@ def near_dup_collisions_rows(
     probe rows; the index side ships only (band_no, band key, doc_id,
     signature) — AQE/caching keeps it a static build side."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
+    _validate_index(index, num_hashes, hasher, "near_dup_collisions_rows")
     sig_new = minhash_signature_rows(
         df, id_col, text_col, num_hashes, shingle_n, hasher
     )
-    if hasher == "md5":
-        band_cols = [
-            F.concat_ws("#", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
+    band_cols = _band_key_cols(num_hashes, bands, hasher)
     mh_arr = F.array(*[f"mh{i}" for i in range(num_hashes)])
     stream_side = sig_new.select(
         F.col("doc_id"), mh_arr.alias("__sig"),
@@ -449,7 +479,7 @@ def minhash_lsh_pairs_incremental(
     melt (4 rows/doc) joins the new side's melt; with a small increment
     AQE broadcasts the new side. Verification touches candidates only."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
+    _validate_index(index, num_hashes, hasher, "minhash_lsh_pairs_incremental")
     sig_cols = ["doc_id", "n_sh"] + [f"mh{i}" for i in range(num_hashes)]
     # materialize the increment's signatures ONCE: they feed both melt
     # sides (a directly, b through sig_all), and without the checkpoint
@@ -461,20 +491,7 @@ def minhash_lsh_pairs_incremental(
         new_df, id_col, text_col, num_hashes, shingle_n, hasher
     ).localCheckpoint(eager=True)
     sig_all = index.select(*sig_cols).unionByName(new_sig.select(*sig_cols))
-
-    if hasher == "md5":
-        # string signatures: the band key is the joined component tuple
-        # (itself a fine join key; hashing it again buys nothing DuckDB
-        # could mirror)
-        band_cols = [
-            F.concat_ws("#", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
+    band_cols = _band_key_cols(num_hashes, bands, hasher)
 
     def melt(s: DataFrame) -> DataFrame:
         return s.select(
@@ -538,6 +555,22 @@ def minhash_lsh_pairs_incremental(
         .select("doc_id", "g").distinct()
         .localCheckpoint(eager=True)
     )
+    # Every candidate doc MUST have shingles, or its pairs would vanish
+    # from the inner verification joins with no error — the silent-loss
+    # mode when the lake has deleted (or truncated below shingle
+    # length) text the index still references. Both counts run on
+    # candidate-sized checkpointed frames — trivial jobs.
+    n_ids = ids.count()
+    n_covered = sh_cand.select("doc_id").distinct().count()
+    if n_covered < n_ids:
+        raise ValueError(
+            f"minhash_lsh_pairs_incremental: {n_ids - n_covered} candidate "
+            "document(s) have no shingles in the supplied frames — the "
+            "corpus frame is missing (or has drifted below shingle length) "
+            "text the index still references. Repair the corpus, rebuild "
+            "the index without the deleted docs, or pass corpus=None for "
+            "the signature-only estimate."
+        )
     inter = (
         cands.join(sh_cand.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
         .join(sh_cand.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])

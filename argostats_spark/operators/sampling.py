@@ -166,8 +166,11 @@ def weighted_sample(
     — the repo's round-before-compare convention absorbing any
     cross-engine libm last-ulp drift in ln.
 
-    Rows with NULL or non-positive weight carry zero probability mass
-    and are excluded (E-S requires w > 0).
+    Rows with NULL, NaN, or non-positive weight carry zero probability
+    mass and are excluded (E-S requires w > 0; NaN needs its own guard
+    — in Spark ``NaN > 0`` is TRUE and ``ln(u)/NaN = NaN`` sorts FIRST
+    under descending order, so an unfiltered NaN weight from a 0/0
+    upstream score would silently seize the top sample slots).
 
     Scale shape: the key is a row-local expression; global top-k plans
     as TakeOrderedAndProject (per-partition heaps, never a global
@@ -183,9 +186,10 @@ def weighted_sample(
         10,
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(2**48))
-    es_key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    wd = F.col(weight_col).cast("double")
+    es_key = F.round(F.log(u) / wd, 12)
     pool = df.filter(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        F.col(weight_col).isNotNull() & ~F.isnan(wd) & (wd > 0)
     ).withColumn("__es", es_key)
     if strata_col is None:
         return pool.orderBy(

@@ -696,23 +696,21 @@ _MINHASH_SQL = f"""
 @query(
     "dedup_minhash_lsh",
     f"""
-    WITH d AS ({_MINHASH_SQL})
-    SELECT 'all' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-             AS jaccard
-    FROM d a JOIN d b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    WITH d AS ({_MINHASH_SQL}),
+    mhp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   6) AS jaccard
+      FROM d a JOIN d b
+        ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    )
+    SELECT 'all' AS part, id_a, id_b, jaccard FROM mhp
     UNION ALL
-    SELECT 'inc' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-             AS jaccard
-    FROM d a JOIN d b ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
-      AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+    SELECT 'inc' AS part, id_a, id_b, jaccard FROM mhp
+    WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,7 +2449,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_pii, url_host,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").withColumn(
+        # staged split array for char_entropy — without this the split
+        # re-inlines once per distinct character (SCALE.md pitfall)
+        "__cs", F.split(F.col("text"), "")
+    )
     did = F.col("doc_id").cast("string")
     aug = F.concat(
         F.lit("Contact user"), did,
@@ -2471,7 +2473,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-8 column: Shannon char entropy (bits/char) — the
         # gibberish/encoded-blob signal; sorted-distinct fold order is
         # engine-identical and the 6-dp rounding absorbs log2 ulp drift
-        char_entropy("text").alias("h_char"),
+        char_entropy("text", chars=F.col("__cs")).alias("h_char"),
         counts.getField("emails").alias("n_email"),
         counts.getField("ipv4s").alias("n_ip"),
         counts.getField("phones").alias("n_phone"),

@@ -279,6 +279,8 @@ def probe_incremental(spark, n: int, wpd: int, inc_pct: int = 10):
     inc_sec = time.perf_counter() - t0
 
     # parity: incremental == batch restricted to pairs touching new ids
+    # — SET equality on (id_a, id_b, rounded jaccard), both directions,
+    # not just a count match
     new_ids = new.select(F.col("doc_id").alias("id"))
     touching = (
         batch_pairs.join(new_ids, batch_pairs["id_a"] == new_ids["id"], "left_semi")
@@ -286,7 +288,12 @@ def probe_incremental(spark, n: int, wpd: int, inc_pct: int = 10):
             batch_pairs.join(new_ids, batch_pairs["id_b"] == new_ids["id"], "left_semi")
         )
         .distinct()
-        .count()
+        .select("id_a", "id_b", F.round("jaccard", 9).alias("j"))
+    )
+    inc_r = inc_pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("j"))
+    parity_ok = (
+        inc_r.exceptAll(touching).count() == 0
+        and touching.exceptAll(inc_r).count() == 0
     )
     print(json.dumps({
         "probe": "incremental_lsh", "n_docs": n_docs, "n_new": n_new,
@@ -294,7 +301,7 @@ def probe_incremental(spark, n: int, wpd: int, inc_pct: int = 10):
         "index_build_sec": round(index_sec, 2),
         "batch_sec": round(batch_sec, 2), "batch_pairs": n_batch,
         "inc_sec": round(inc_sec, 2), "inc_pairs": n_inc,
-        "parity_ok": touching == n_inc,
+        "parity_ok": parity_ok,
         "speedup_vs_batch": round(batch_sec / inc_sec, 2),
     }), flush=True)
 

@@ -620,3 +620,33 @@ def test_near_dup_collisions_rows_batch_and_stream(spark, docs, tmp_path_factory
     finally:
         q.stop()
     assert got_s == got
+
+
+def test_index_contract_validation(spark, docs):
+    """A persisted index that doesn't match the call's (num_hashes,
+    hasher) must fail loudly, never band-join garbage; and a corpus
+    frame missing text the index references must raise, never silently
+    drop the affected pairs."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+        near_dup_collisions_rows,
+    )
+
+    base = docs.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx8 = minhash_index(base).localCheckpoint(eager=True)
+    # num_hashes mismatch
+    with pytest.raises(ValueError, match="num_hashes=4"):
+        minhash_lsh_pairs_incremental(new, idx8, num_hashes=4, bands=2)
+    # hasher mismatch (md5 expects string signatures)
+    with pytest.raises(ValueError, match="hasher mismatch"):
+        near_dup_collisions_rows(new, idx8, hasher="md5", num_hashes=8)
+    # partial corpus: doc 0 is referenced by the index but its text is
+    # gone from the lake -> candidate pairs would silently vanish
+    with pytest.raises(ValueError, match="candidate document"):
+        minhash_lsh_pairs_incremental(
+            new, idx8, corpus=base.filter(F.col("doc_id") != 0), threshold=0.5
+        ).collect()

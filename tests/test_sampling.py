@@ -385,7 +385,7 @@ def _es_mirror(rows, salt, k):
 
     keyed = []
     for doc_id, w in rows:
-        if w is None or w <= 0:
+        if w is None or w != w or w <= 0:  # None / NaN / non-positive
             continue
         h = int(
             hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:12], 16
@@ -400,20 +400,24 @@ def test_weighted_sample_differential_vs_python(spark):
     from argostats_spark.operators.sampling import weighted_sample
 
     rows = [(i, float(1 + (i * 7) % 23)) for i in range(200)]
-    rows[5] = (5, 0.0)      # zero weight: excluded
-    rows[6] = (6, None)     # NULL weight: excluded
+    rows[5] = (5, 0.0)           # zero weight: excluded
+    rows[6] = (6, None)          # NULL weight: excluded
+    rows[7] = (7, float("nan"))  # NaN weight: excluded (NaN > 0 is
+    #                              TRUE in Spark; unguarded it would
+    #                              sort FIRST and seize a sample slot)
     df = spark.createDataFrame(rows, "doc_id long, w double").repartition(9)
     got = sorted(
         r["doc_id"] for r in weighted_sample(df, "w", 25, "doc_id").collect()
     )
     assert got == sorted(_es_mirror(rows, "wsamp", 25))
-    assert 5 not in got and 6 not in got
+    assert 5 not in got and 6 not in got and 7 not in got
 
 
 def test_weighted_sample_is_weight_proportional(spark):
     """Across many salt re-deals, a weight-100 row must be drawn far
-    more often than weight-1 rows (the E-S guarantee). One Spark job:
-    union the per-salt keys as an in-row array, count inclusions."""
+    more often than weight-1 rows (the E-S guarantee). 60 tiny
+    sequential sample jobs over a 50-row frame — scheduler overhead
+    only; the point is the inclusion-frequency statistics."""
     from argostats_spark.operators.sampling import weighted_sample
 
     rows = [(i, 100.0 if i == 0 else 1.0) for i in range(50)]
