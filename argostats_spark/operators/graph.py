@@ -144,3 +144,103 @@ def duplicate_groups(
         size.alias("comp_size"),
         (F.col(id_col) == F.col("comp_id")).cast("int").alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 10,
+    damping: float = 0.85,
+    directed: bool = True,
+    agg_scale: int = 14,
+) -> DataFrame:
+    """PageRank over an edge list — the link-centrality quality prior
+    crawl curation uses (Common Crawl publishes harmonic/PageRank host
+    rankings; CCNet/RefinedWeb-class pipelines consume them as source
+    priors). Over a NEAR-DUP graph the same iteration scores
+    template-hubness: boilerplate that near-matches many documents
+    accumulates rank, which makes high-rank nodes the "template hubs"
+    worth inspecting before a keep-one-per-component dedup.
+
+    Returns (node, rank) for every node in ``edges``; ranks sum to 1
+    up to dangling/teleport arithmetic. ``directed=False`` symmetrizes
+    first. Parallel duplicate edges collapse (``distinct``) — rank
+    flows along the relation, not its multiplicity.
+
+    Fixed-``iterations`` power iteration (the distributed-practice
+    form; convergence monitoring would add a per-round driver scalar
+    like connected_components' — callers wanting it run twice and
+    diff). Per round:
+
+      r'(v) = (1-d)/N + d·( Σ_{u→v} r(u)/deg(u) + dangling/N )
+
+    DETERMINISM (the k-means/classifier mechanism): each edge's
+    contribution r(u)/deg(u) is computed element-wise in DOUBLE
+    (deterministic per edge), then CAST to DECIMAL(38,``agg_scale``)
+    and summed — decimal addition is exact and order-free, so the
+    result is bit-identical under any partitioning, and a SQL twin
+    replaying the same per-edge doubles gets the same sums. All
+    remaining per-node arithmetic is scalar double ops in a fixed
+    order.
+
+    Scale shape: one groupBy(dst) exchange + one broadcast-able rank
+    join per round over the (checkpointed) edge list; the dangling
+    term is a 1-row aggregate cross-joined back (never a driver
+    round-trip); ranks localCheckpoint each round (iterative-plan
+    truncation, as connected_components)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    dec = f"decimal(38,{agg_scale})"
+    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    base = (
+        nodes.join(outd, nodes["node"] == outd["u"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    rank = base.select("node", "deg", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    for _ in range(iterations):
+        dang = rank.filter(F.col("deg") == 0).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast(dec)), F.lit(0).cast(dec)
+            ).alias("__dang")
+        )
+        contrib = (
+            rank.filter(F.col("deg") > 0)
+            .join(e, rank["node"] == e["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg").cast("double")).cast(dec).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("__s"))
+        rank = (
+            base.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__s"), F.lit(0).cast(dec)).cast("double")
+                        + F.col("__dang").cast("double") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("node", "rank")

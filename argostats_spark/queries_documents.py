@@ -1694,6 +1694,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_PR_ITER_SQL = """
+    pr{k} AS (
+      SELECT n.node,
+             (1.0 - 0.85) / nn.n
+             + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0) AS rank
+      FROM prnodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT ud.v AS node,
+               sum(CAST(p.rank / CAST(dg.deg AS DOUBLE)
+                        AS DECIMAL(38,14))) AS s
+        FROM pr{j} p JOIN ud ON p.node = ud.u
+                     JOIN dg ON dg.node = p.node
+        GROUP BY ud.v
+      ) s ON s.node = n.node
+    )"""
+
+
 @query(
     "dedup_components",
     f"""
@@ -1716,27 +1733,72 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_lab AS (
       SELECT doc_id, coalesce(lab.comp, doc_id) AS comp_id
       FROM documents LEFT JOIN lab ON documents.doc_id = lab.node
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    ),
+    prnodes AS (SELECT DISTINCT u AS node FROM ud),
+    dg AS (SELECT u AS node, count(*) AS deg FROM ud GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM prnodes),
+    pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM prnodes CROSS JOIN nn),
+    {_PR_ITER_SQL.format(k=1, j=0)},
+    {_PR_ITER_SQL.format(k=2, j=1)},
+    {_PR_ITER_SQL.format(k=3, j=2)}
+    SELECT 'comp' AS part,
+           CAST(doc_id AS BIGINT) AS doc_id,
            CAST(comp_id AS BIGINT) AS comp_id,
            CAST(count(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size,
            CAST(doc_id = comp_id AS INT) AS keep
     FROM full_lab
+    UNION ALL
+    SELECT 'pagerank' AS part,
+           CAST(pr3.node AS BIGINT),
+           CAST(round(pr3.rank * 1e12) AS BIGINT),
+           CAST(nn.n AS BIGINT),
+           0
+    FROM pr3 CROSS JOIN nn
     """,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group clustering (the step after pair generation):
-    n-gram-Jaccard near-dup pairs -> undirected connected components via
-    distributed min-label propagation with pointer jumping
-    (operators/graph.py) -> full-corpus labeling with canonical keep
-    flags. The DuckDB twin computes the same components by recursive
-    transitive closure - two entirely different algorithms, one answer.
-    Green-field (no reference counterpart; dedup family #6)."""
-    from .operators.graph import duplicate_groups
+    """Duplicate-group clustering + template-hub ranking, tagged union:
+
+    - ``comp``: n-gram-Jaccard near-dup pairs -> undirected connected
+      components via distributed min-label propagation with pointer
+      jumping (operators/graph.py) -> full-corpus labeling with
+      canonical keep flags. The DuckDB twin computes the same
+      components by recursive transitive closure - two entirely
+      different algorithms, one answer. Green-field (no reference
+      counterpart; dedup family #6).
+    - ``pagerank`` (round 8): 3 power-iteration rounds of PageRank
+      over the SAME near-dup graph (operators/graph.py::pagerank,
+      directed=False) — the link-centrality prior crawl pipelines use,
+      here scoring template-hubness: boilerplate near-matching many
+      documents accumulates rank. comp_id carries
+      round(rank·1e12) as an exact BIGINT (pins every rank to 1e-12),
+      comp_size carries the graph's node count. The twin unrolls the
+      identical iteration (per-edge double contribution, cast to
+      DECIMAL(38,14), exact order-free sum — the partition-
+      independence mechanism shared with k-means/the classifier)."""
+    from .operators.graph import duplicate_groups, pagerank
 
     d = _t(spark, sf_dir, "documents")
-    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    return duplicate_groups(d, edges, id_col="doc_id")
+    # one pair generation feeds both limbs (the checkpoint stops the
+    # quadratic jaccard query re-running per limb / per pagerank round)
+    edges = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = duplicate_groups(d, edges, id_col="doc_id").select(
+        F.lit("comp").alias("part"), "doc_id", "comp_id", "comp_size", "keep"
+    )
+    pr = pagerank(edges, directed=False, iterations=3)
+    n_nodes = pr.count()
+    prr = pr.select(
+        F.lit("pagerank").alias("part"),
+        F.col("node").cast("long").alias("doc_id"),
+        F.round(F.col("rank") * F.lit(1e12)).cast("long").alias("comp_id"),
+        F.lit(n_nodes).cast("long").alias("comp_size"),
+        F.lit(0).alias("keep"),
+    )
+    return comp.unionByName(prr)
 
 
 def _exact_dup_fraction(d, text_col: str = "text") -> float:

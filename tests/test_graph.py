@@ -92,3 +92,120 @@ def test_components_match_union_find_property(spark):
         touched = {u for e in edges for u in e}
         want = {x: want_all[x] for x in touched}
         assert got == want, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# PageRank (round 8)
+# ---------------------------------------------------------------------------
+
+def _pr_mirror(edge_list, n_iter=10, d=0.85, directed=True, scale=14):
+    """Plain-Python mirror of the operator's exact arithmetic: per-edge
+    double contributions quantized to `scale` decimals, summed exactly,
+    scalar double update."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    edges = set()
+    for u, v in edge_list:
+        edges.add((u, v))
+        if not directed:
+            edges.add((v, u))
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {x: 0 for x in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    q = Decimal(1).scaleb(-scale)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(n_iter):
+        dang = sum(
+            (Decimal(repr(rank[x])).quantize(q, ROUND_HALF_UP)
+             for x in nodes if deg[x] == 0),
+            Decimal(0),
+        )
+        sums = {x: Decimal(0) for x in nodes}
+        for u, v in edges:
+            c = Decimal(repr(rank[u] / deg[u])).quantize(q, ROUND_HALF_UP)
+            sums[v] += c
+        rank = {
+            x: (1.0 - d) / n + d * (float(sums[x]) + float(dang) / n)
+            for x in nodes
+        }
+    return rank
+
+
+def test_pagerank_directed_cycle_uniform(spark):
+    """A directed cycle is perfectly balanced: rank stays exactly
+    uniform at every iteration count."""
+    from argostats_spark.operators.graph import pagerank
+
+    n = 7
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert len(out) == n
+    assert all(abs(v - 1.0 / n) < 1e-12 for v in out.values())
+
+
+def test_pagerank_star_hub_and_mirror(spark):
+    """Undirected star: the hub out-ranks every leaf, leaves are
+    bit-identical to each other, and everything matches the Python
+    mirror of the exact arithmetic."""
+    from argostats_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 9))
+    el = [(0, v) for v in leaves]
+    edges = spark.createDataFrame(el, "id_a long, id_b long")
+    out = {r["node"]: r["rank"] for r in
+           pagerank(edges, directed=False, iterations=10).collect()}
+    assert all(out[0] > out[v] for v in leaves)
+    assert len({out[v] for v in leaves}) == 1
+    mirror = _pr_mirror(el, n_iter=10, directed=False)
+    for k, v in mirror.items():
+        assert abs(out[k] - v) < 1e-12, (k, out[k], v)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """Dangling nodes redistribute uniformly; total rank stays 1."""
+    from argostats_spark.operators.graph import pagerank
+
+    el = [(0, 1), (0, 2), (1, 2)]  # node 2 dangles
+    edges = spark.createDataFrame(el, "id_a long, id_b long")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=12).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    mirror = _pr_mirror(el, n_iter=12)
+    for k, v in mirror.items():
+        assert abs(out[k] - v) < 1e-12
+    assert out[2] > out[1] > out[0]
+
+
+def test_pagerank_partition_independent(spark):
+    """The decimal-sum mechanism: byte-identical ranks under any
+    partition layout, on a messy random graph."""
+    import random
+
+    from argostats_spark.operators.graph import pagerank
+
+    rng = random.Random(8)
+    el = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    el = [(u, v) for u, v in el if u != v]
+    a = spark.createDataFrame(el, "id_a long, id_b long").coalesce(1)
+    b = spark.createDataFrame(el, "id_a long, id_b long").repartition(13)
+    ra = {r["node"]: r["rank"] for r in pagerank(a, iterations=6).collect()}
+    rb = {r["node"]: r["rank"] for r in pagerank(b, iterations=6).collect()}
+    assert ra == rb  # exact double equality, not allclose
+    mirror = _pr_mirror(el, n_iter=6)
+    for k, v in mirror.items():
+        assert abs(ra[k] - v) < 1e-12
+
+
+def test_pagerank_validation(spark):
+    from argostats_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with _pt.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
