@@ -326,6 +326,40 @@ def minhash_index(
     )
 
 
+def minhash_index_update(
+    index: DataFrame,
+    add: DataFrame | None = None,
+    drop_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Index lifecycle between snapshots: merge freshly-signed documents
+    in (``add`` — a :func:`minhash_index` / :func:`minhash_signature_rows`
+    frame for the accepted increment) and retire deleted ids
+    (``drop_ids`` — one ``doc_id`` column; retention/GDPR deletes MUST
+    come out, or the next incremental run raises its missing-text
+    contract error). Pure unionByName + left_anti — no shuffle beyond
+    the anti-join, write the result back as the next snapshot's index.
+
+    Equivalence contract (pinned by test): update(index(old), add=sig(new))
+    feeds the next :func:`minhash_lsh_pairs_incremental` identically to
+    an index rebuilt from scratch over old ∪ new."""
+    out = index
+    if add is not None:
+        if set(add.columns) != set(index.columns):
+            raise ValueError(
+                f"minhash_index_update: add columns {sorted(add.columns)} "
+                f"!= index columns {sorted(index.columns)} — sign the "
+                "increment with the index's own (num_hashes, hasher)."
+            )
+        out = out.unionByName(add.select(*index.columns))
+    if drop_ids is not None:
+        out = out.join(
+            drop_ids.select(F.col(drop_ids.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    return out
+
+
 def minhash_signature_rows(
     df: DataFrame,
     id_col: str = "doc_id",

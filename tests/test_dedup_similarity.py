@@ -650,3 +650,49 @@ def test_index_contract_validation(spark, docs):
         minhash_lsh_pairs_incremental(
             new, idx8, corpus=base.filter(F.col("doc_id") != 0), threshold=0.5
         ).collect()
+
+
+def test_index_update_equals_rebuild(spark, docs):
+    """minhash_index_update(index(old), add=sig(new)) must feed the next
+    incremental run identically to an index rebuilt from scratch; drops
+    retire ids; column mismatch fails loudly."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_index_update,
+        minhash_lsh_pairs_incremental,
+        minhash_signature_rows,
+    )
+
+    base = docs.select("doc_id", "text")
+    gen1 = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    gen2 = base.filter(F.col("doc_id").between(2, 3)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    all1 = base.unionByName(gen1)
+    updated = minhash_index_update(
+        minhash_index(base), add=minhash_signature_rows(gen1)
+    ).localCheckpoint(eager=True)
+    rebuilt = minhash_index(all1).localCheckpoint(eager=True)
+    pairs_u = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            gen2, updated, corpus=all1, threshold=0.5
+        ).collect()
+    )
+    pairs_r = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            gen2, rebuilt, corpus=all1, threshold=0.5
+        ).collect()
+    )
+    assert pairs_u == pairs_r and pairs_u
+    # retire: dropping doc 0 removes it from the index (and the next
+    # incremental run must then also drop it from corpus)
+    drops = spark.createDataFrame([(0,)], "doc_id long")
+    trimmed = minhash_index_update(updated, drop_ids=drops)
+    assert trimmed.filter(F.col("doc_id") == 0).count() == 0
+    assert trimmed.count() == updated.count() - 1
+    with pytest.raises(ValueError, match="add columns"):
+        minhash_index_update(updated, add=gen1)
