@@ -211,6 +211,41 @@ def probe_cc(spark, n_edges: int, chain_len: int):
     }), flush=True)
 
 
+def probe_pagerank(spark, n_edges: int, hub_in: int = 100_000, iters: int = 5):
+    """PageRank at scale with an adversarial hot destination: one hub
+    receiving ``hub_in`` in-links (the shuffle-skew worst case for the
+    groupBy(dst) aggregation — AQE skew-split is the mitigation) over a
+    background of 5-node chains. Records per-round wall time, that the
+    hub out-ranks everything, and that total mass stays 1 (the decimal
+    aggregation makes the sum exact up to the scalar double update)."""
+    from argostats_spark.operators.graph import pagerank
+
+    base = 10_000_000
+    hub_edges = spark.range(1, hub_in + 1).select(
+        F.col("id").alias("id_a"), F.lit(0).alias("id_b")
+    )
+    n_bg = max(n_edges - hub_in, 0)
+    bg = spark.range(base, base + n_bg * 5 // 4).filter(
+        F.pmod(F.col("id"), F.lit(5)) != 4
+    ).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    edges = hub_edges.unionByName(bg).repartition(64).localCheckpoint(eager=True)
+    n_e = edges.count()
+
+    t0 = time.perf_counter()
+    pr = pagerank(edges, iterations=iters).localCheckpoint(eager=True)
+    n_nodes = pr.count()
+    sec = time.perf_counter() - t0
+    top = pr.orderBy(F.desc("rank")).limit(1).collect()[0]
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    print(json.dumps({
+        "probe": "pagerank", "n_edges": n_e, "n_nodes": n_nodes,
+        "hub_in_degree": hub_in, "iterations": iters,
+        "total_sec": round(sec, 1), "sec_per_round": round(sec / iters, 2),
+        "hub_is_top": top["node"] == 0, "hub_rank": round(top["rank"], 6),
+        "mass": round(total, 9),
+    }), flush=True)
+
+
 def probe_passages(spark, n_docs: int, wpd: int, window: int = 20):
     """Duplicate-passage detection at scale (decontam.py): the 5%
     planted near-dup copies share their full base text, so every
@@ -326,6 +361,12 @@ def main():
     elif mode == "incremental":
         probe_incremental(
             spark, args[0] if args else 50_000, args[1] if len(args) > 1 else 60
+        )
+    elif mode == "pagerank":
+        probe_pagerank(
+            spark,
+            args[0] if args else 1_200_000,
+            args[1] if len(args) > 1 else 100_000,
         )
     elif mode == "cc":
         probe_cc(
