@@ -326,6 +326,72 @@ def minhash_index(
     )
 
 
+def band_table(
+    index: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, n_sh, bk) — the index's LSH band melt with the band
+    ordinal FOLDED INTO the key (xxhash64(band_no, components) /
+    'band#components' for md5), so the band join needs exactly ONE
+    equi-key. A single-column key is what makes the melt bucketable:
+    a table bucketed on ``bk`` joins the probe side with zero shuffle
+    on the index side (see :func:`write_band_index`). Fold-in keeps
+    cross-band collisions impossible, exactly like the two-key
+    (band_no, bk) form the in-memory path uses — the candidate sets
+    are identical (pinned by test)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    if hasher == "md5":
+        keys = [
+            F.concat_ws(
+                "#", F.lit(str(b)),
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    else:
+        keys = [
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    return index.select("doc_id", "n_sh", F.explode(F.array(*keys)).alias("bk"))
+
+
+def write_band_index(
+    index: DataFrame,
+    table: str,
+    path: str | None = None,
+    buckets: int = 64,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hasher: str = "xxhash64",
+) -> None:
+    """Materialize the index's band melt as a table BUCKETED on ``bk``
+    — the 100 TB deployment shape for incremental dedup: the band join
+    is the only place the (history-sized) index meets the increment,
+    and a bucketed build side means every probe run shuffles ONLY the
+    increment (its melt hashes into the same ``buckets``) while the
+    index is read bucket-aligned with no Exchange. Re-written only
+    when the index itself is re-snapshotted.
+
+    Plain parquet with bucket metadata (``bucketBy + saveAsTable``;
+    ``path`` makes it an external table). Pass ``spark.table(table)``
+    to :func:`minhash_lsh_pairs_incremental`'s ``index_bands``."""
+    w = (
+        band_table(index, num_hashes, bands, hasher)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "bk")
+        .sortBy("bk")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def minhash_index_update(
     index: DataFrame,
     add: DataFrame | None = None,
@@ -478,6 +544,7 @@ def minhash_lsh_pairs_incremental(
     shingle_n: int = 3,
     threshold: float = 0.7,
     hasher: str = "xxhash64",
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup pairs: every pair TOUCHING the new increment
     (new×new and new×old), against a persisted :func:`minhash_index` —
@@ -525,32 +592,65 @@ def minhash_lsh_pairs_incremental(
         new_df, id_col, text_col, num_hashes, shingle_n, hasher
     ).localCheckpoint(eager=True)
     sig_all = index.select(*sig_cols).unionByName(new_sig.select(*sig_cols))
-    band_cols = _band_key_cols(num_hashes, bands, hasher)
-
-    def melt(s: DataFrame) -> DataFrame:
-        return s.select(
-            "doc_id", "n_sh",
-            F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
-        )
-
-    a, b = melt(new_sig).alias("a"), melt(sig_all).alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
+
+    def pair_select(joined: DataFrame) -> DataFrame:
+        return joined.select(
             F.least("a.doc_id", "b.doc_id").alias("id_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
             F.when(lt, F.col("a.n_sh")).otherwise(F.col("b.n_sh")).alias("n_a"),
             F.when(lt, F.col("b.n_sh")).otherwise(F.col("a.n_sh")).alias("n_b"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    if index_bands is not None:
+        # 100 TB deployment path: the HISTORY side of the band join is
+        # a pre-materialized (ideally bucketed — write_band_index)
+        # melt; only the increment's melt hashes into its buckets, the
+        # index is never shuffled. new×new pairs come from a separate
+        # increment-sized self-join; fold-in band keys make candidate
+        # sets identical to the two-key in-memory path (pinned).
+        missing = {"doc_id", "n_sh", "bk"} - set(index_bands.columns)
+        if missing:
+            raise ValueError(
+                f"minhash_lsh_pairs_incremental: index_bands lacks "
+                f"{sorted(missing)} — write it with write_band_index."
+            )
+        am = band_table(new_sig, num_hashes, bands, hasher)
+        cond = (F.col("a.bk") == F.col("b.bk")) & (
+            F.col("a.doc_id") != F.col("b.doc_id")
+        )
+        j_old = am.alias("a").join(
+            index_bands.select("doc_id", "n_sh", "bk").alias("b"), cond
+        )
+        j_new = am.alias("a").join(am.alias("b"), cond)
+        cands = (
+            pair_select(j_old)
+            .unionByName(pair_select(j_new))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        band_cols = _band_key_cols(num_hashes, bands, hasher)
+
+        def melt(s: DataFrame) -> DataFrame:
+            return s.select(
+                "doc_id", "n_sh",
+                F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+            )
+
+        a, b = melt(new_sig).alias("a"), melt(sig_all).alias("b")
+        cands = (
+            pair_select(
+                a.join(
+                    b,
+                    (F.col("a.band_no") == F.col("b.band_no"))
+                    & (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     if corpus is None:
         sig_arr = sig_all.select(

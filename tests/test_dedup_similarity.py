@@ -696,3 +696,72 @@ def test_index_update_equals_rebuild(spark, docs):
     assert trimmed.count() == updated.count() - 1
     with pytest.raises(ValueError, match="add columns"):
         minhash_index_update(updated, add=gen1)
+
+
+def test_banded_index_path_equals_default(spark, docs, tmp_path_factory):
+    """The bucketed-deployment path: fold-in band keys produce the
+    identical pair set, the persisted bucketed band table joins with
+    ZERO Exchange on the index side, and incremental results through
+    spark.table(...) equal the in-memory path."""
+    from argostats_spark.operators.dedup import (
+        band_table,
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+        minhash_signature_rows,
+        write_band_index,
+    )
+
+    base = docs.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx = minhash_index(base).localCheckpoint(eager=True)
+    default_pairs = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            new, idx, corpus=base, threshold=0.5
+        ).collect()
+    )
+    # in-memory band melt (fold-in keys)
+    mem_pairs = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            new, idx, corpus=base, threshold=0.5, index_bands=band_table(idx)
+        ).collect()
+    )
+    assert mem_pairs == default_pairs and default_pairs
+
+    # persisted bucketed table
+    tbl = "band_idx_test_r8"
+    path = str(tmp_path_factory.mktemp("bandidx") / "tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_band_index(idx, tbl, path=path, buckets=8)
+    try:
+        tbl_pairs = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs_incremental(
+                new, idx, corpus=base, threshold=0.5,
+                index_bands=spark.table(tbl),
+            ).collect()
+        )
+        assert tbl_pairs == default_pairs
+
+        # plan pin: with broadcast off, the bucketed side reads
+        # bucket-aligned (no Exchange on the index side — exactly one
+        # Exchange total, for the probe melt)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = band_table(minhash_signature_rows(new)).alias("a").join(
+                spark.table(tbl).alias("b"), "bk"
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, plan
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # contract: a frame without the melt columns is rejected
+    with pytest.raises(ValueError, match="index_bands"):
+        minhash_lsh_pairs_incremental(new, idx, index_bands=idx.select("doc_id", "n_sh"))
