@@ -545,6 +545,7 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.7,
     hasher: str = "xxhash64",
     index_bands: DataFrame | None = None,
+    salt_verify: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup pairs: every pair TOUCHING the new increment
     (new×new and new×old), against a persisted :func:`minhash_index` —
@@ -578,7 +579,12 @@ def minhash_lsh_pairs_incremental(
 
     Scale shape: the index is never shuffled whole — only its band-key
     melt (4 rows/doc) joins the new side's melt; with a small increment
-    AQE broadcasts the new side. Verification touches candidates only."""
+    AQE broadcasts the new side, and ``index_bands`` (a persisted
+    :func:`write_band_index` table) removes even the index-melt
+    shuffle. Verification touches candidates only; ``salt_verify``
+    routes it through skew.py::salted_join when one hot template
+    dominates the increment's candidates (same dial as
+    :func:`minhash_lsh_pairs`, row-identical by test)."""
     assert num_hashes % bands == 0
     _validate_index(index, num_hashes, hasher, "minhash_lsh_pairs_incremental")
     sig_cols = ["doc_id", "n_sh"] + [f"mh{i}" for i in range(num_hashes)]
@@ -705,8 +711,15 @@ def minhash_lsh_pairs_incremental(
             "the index without the deleted docs, or pass corpus=None for "
             "the signature-only estimate."
         )
+    sh_a = sh_cand.select(F.col("doc_id").alias("id_a"), "g")
+    if salt_verify:
+        from .skew import salted_join
+
+        first = salted_join(cands, sh_a, on=["id_a"], n_salts=salt_verify)
+    else:
+        first = cands.join(sh_a, "id_a")
     inter = (
-        cands.join(sh_cand.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        first
         .join(sh_cand.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

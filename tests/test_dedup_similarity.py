@@ -765,3 +765,29 @@ def test_banded_index_path_equals_default(spark, docs, tmp_path_factory):
     # contract: a frame without the melt columns is rejected
     with pytest.raises(ValueError, match="index_bands"):
         minhash_lsh_pairs_incremental(new, idx, index_bands=idx.select("doc_id", "n_sh"))
+
+
+def test_incremental_salted_verify_equals_unsalted(spark, docs):
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = docs.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx = minhash_index(base).localCheckpoint(eager=True)
+    plain = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            new, idx, corpus=base, threshold=0.5
+        ).collect()
+    )
+    salted = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            new, idx, corpus=base, threshold=0.5, salt_verify=8
+        ).collect()
+    )
+    assert salted == plain and plain
