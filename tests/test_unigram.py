@@ -1,0 +1,156 @@
+"""Unigram-LM tokenizer (operators/unigram.py, Kudo 2018): seeding,
+Viterbi determinism, EM monotonicity, pruning closure, encode paths,
+and streaming==batch."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.unigram import (
+    substring_seed,
+    unigram_encode,
+    unigram_encode_rows,
+    unigram_train,
+    viterbi_segment,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .cache()
+    )
+
+
+def test_viterbi_prefers_high_prob_long_pieces():
+    logp = {"a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.5),
+            "c": math.log(0.1)}
+    assert viterbi_segment("abc", logp, 8) == (["ab", "c"], True)
+    # unseen char covers itself, flagged OOV
+    pieces, known = viterbi_segment("axb", logp, 8)
+    assert pieces == ["a", "x", "b"] and not known
+    # exact tie -> longer piece wins (deterministic)
+    tie = {"a": math.log(0.25), "aa": math.log(0.0625)}
+    assert viterbi_segment("aa", tie, 8) == (["aa"], True)
+
+
+def test_substring_seed_counts(spark):
+    words = spark.createDataFrame(
+        [("aba", 2), ("ab", 3)], "word string, n long"
+    )
+    seed = dict(substring_seed(words, max_piece_len=3, seed_size=100))
+    # 'ab' occurs once in 'aba' (x2) and once in 'ab' (x3) = 5
+    assert seed["ab"] == 5
+    # 'a' occurs twice in 'aba' (x2) + once in 'ab' (x3) = 7
+    assert seed["a"] == 7 and seed["b"] == 5
+    assert seed["aba"] == 2 and "abab" not in seed
+    # seed_size caps multi-char pieces but single chars always survive
+    tiny = dict(substring_seed(words, max_piece_len=3, seed_size=1))
+    assert "a" in tiny and "b" in tiny
+
+
+def test_train_learns_frequent_piece_and_bounds_vocab(spark):
+    rows = [(i, "sparkling sparks spark") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_train(docs, vocab_size=12, em_rounds=2, seed_size=60)
+    probs = dict(model)
+    assert "spark" in probs
+    alphabet = {p for p in probs if len(p) == 1}
+    assert len(model) <= 12 + len(alphabet)
+    # single-char closure: every character of the corpus is a piece
+    assert {"s", "p", "a", "r", "k", "l", "i", "n", "g"} <= set(probs)
+    # probabilities normalized
+    assert abs(sum(math.exp(lp) for _, lp in model) - 1.0) < 1e-9
+    # encoding uses the learned long piece
+    enc = unigram_encode(docs.limit(1), model)
+    got = {r["word"]: r["pieces"] for r in enc.collect()}
+    assert got["spark"] == ["spark"]
+    # the 9-char word compresses into few learned pieces (never chars)
+    assert "".join(got["sparkling"]) == "sparkling"
+    assert len(got["sparkling"]) <= 3
+
+
+def test_train_partition_independent(spark, corpus):
+    a = unigram_train(corpus.coalesce(1), vocab_size=300, em_rounds=2)
+    b = unigram_train(corpus.repartition(13), vocab_size=300, em_rounds=2)
+    assert a == b  # exact equality: model order, pieces AND logps
+
+
+def test_viterbi_objective_monotone_over_rounds(spark, corpus):
+    """Hard-EM sanity: the total Viterbi log-likelihood of the word
+    table is non-decreasing as rounds add (each E-step is optimal for
+    the previous M-step; each M-step maximizes the hard-count
+    likelihood)."""
+    from argostats_spark.operators.bpe import word_freqs
+
+    wf = [(r["word"], r["n"]) for r in word_freqs(corpus).collect()]
+
+    def total_ll(model):
+        logp = dict(model)
+        tot = 0.0
+        for w, n in wf:
+            pieces, _ = viterbi_segment(w, logp, 8)
+            tot += n * sum(logp.get(p, -100.0) for p in pieces)
+        return tot
+
+    lls = [
+        total_ll(unigram_train(corpus, vocab_size=5000, em_rounds=r,
+                               seed_size=5000))
+        for r in (1, 2, 3)
+    ]
+    assert lls[0] <= lls[1] + 1e-6 and lls[1] <= lls[2] + 1e-6, lls
+
+
+def test_encode_roundtrip_and_rows_equal_join(spark, corpus):
+    model = unigram_train(corpus, vocab_size=400, em_rounds=2)
+    enc = unigram_encode(corpus, model)
+    # pieces concatenate back to the word, every token encodable
+    bad = enc.filter(
+        F.concat_ws("", F.col("pieces")) != F.col("word")
+    ).count()
+    assert bad == 0
+    assert enc.filter(~F.col("in_vocab")).count() == 0  # trained corpus
+    # join path == row-local path (flattened in pos order)
+    per_doc: dict[int, list] = {}
+    for r in sorted(enc.collect(), key=lambda r: (r["doc_id"], r["pos"])):
+        per_doc.setdefault(r["doc_id"], []).extend(r["pieces"])
+    rows_out = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode_rows(corpus, model).collect()
+    }
+    assert rows_out == per_doc
+
+
+def test_encode_rows_streaming_equals_batch(spark, corpus, tmp_path_factory):
+    model = unigram_train(corpus, vocab_size=200, em_rounds=1)
+    src = str(tmp_path_factory.mktemp("unistream") / "in")
+    corpus.limit(40).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    batch = {r["doc_id"]: list(r["pieces"]) for r in
+             unigram_encode_rows(spark.read.parquet(src), model).collect()}
+    stream = unigram_encode_rows(
+        spark.readStream.schema(schema).parquet(src), model
+    )
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("uni_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: list(r["pieces"]) for r in
+               spark.sql("SELECT * FROM uni_stream").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_train(corpus, vocab_size=0)
+    with pytest.raises(ValueError, match="em_rounds"):
+        unigram_train(corpus, vocab_size=10, em_rounds=0)
