@@ -56,6 +56,8 @@ __all__ = [
     "unigram_train",
     "unigram_encode",
     "unigram_encode_rows",
+    "unigram_vocab",
+    "unigram_encode_ids",
 ]
 
 # logp assigned to an out-of-alphabet character at inference time: far
@@ -295,3 +297,54 @@ def unigram_encode_rows(
     return df.withColumn("pieces", enc(F.col(text_col))).withColumn(
         "n_pieces", F.size("pieces").cast("long")
     )
+
+
+def unigram_vocab(
+    model: list[tuple[str, float]], specials: tuple[str, ...] = ()
+) -> list[tuple[str, int, float | None]]:
+    """The id table: [(piece, id, logp)] with dense ids from 0 assigned
+    by model order (logp desc, piece asc — already how
+    :func:`unigram_train` returns it), ``specials`` (e.g. '<pad>',
+    '<eos>') taking the lowest ids with logp None. A learned piece
+    equal to a special string is excluded from the base ranking — the
+    special owns the string (the bpe_vocab duplicate-key rule). The
+    table is vocab-sized by construction: plain driver data, no Spark
+    job."""
+    sp = set(specials)
+    out: list[tuple[str, int, float | None]] = [
+        (s, i, None) for i, s in enumerate(specials)
+    ]
+    nid = len(specials)
+    for piece, lp in model:
+        if piece in sp:
+            continue
+        out.append((piece, nid, lp))
+        nid += 1
+    return out
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    model: list[tuple[str, float]],
+    vocab: list[tuple[str, int, float | None]] | None = None,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    unk_id: int = -1,
+) -> DataFrame:
+    """:func:`unigram_encode_rows` plus an ``ids`` column (array<long>)
+    mapping each piece through the vocab — the integer artifact a
+    training pipeline writes. The vocab rides as a map LITERAL
+    (model-sized), so the lookup is row-local, joins nothing, and the
+    same call encodes readStreams. Pieces outside the vocab
+    (out-of-alphabet characters at inference time) map to ``unk_id``."""
+    vocab = unigram_vocab(model) if vocab is None else vocab
+    pairs: list = []
+    for piece, pid, _ in vocab:
+        pairs.extend([F.lit(piece), F.lit(int(pid))])
+    id_map = F.create_map(*pairs) if pairs else F.create_map()
+    enc = unigram_encode_rows(df, model, text_col, max_piece_len)
+    ids = F.transform(
+        F.col("pieces"),
+        lambda p: F.coalesce(F.element_at(id_map, p), F.lit(unk_id)).cast("long"),
+    )
+    return enc.withColumn("ids", ids)

@@ -154,3 +154,22 @@ def test_validation(spark, corpus):
         unigram_train(corpus, vocab_size=0)
     with pytest.raises(ValueError, match="em_rounds"):
         unigram_train(corpus, vocab_size=10, em_rounds=0)
+
+
+def test_vocab_ids_and_encode_ids(spark, corpus):
+    from argostats_spark.operators.unigram import unigram_encode_ids, unigram_vocab
+
+    model = unigram_train(corpus, vocab_size=200, em_rounds=1)
+    vocab = unigram_vocab(model, specials=("<pad>", "<eos>"))
+    assert vocab[0] == ("<pad>", 0, None) and vocab[1] == ("<eos>", 1, None)
+    ids = [v[1] for v in vocab]
+    assert ids == list(range(len(vocab)))  # dense, gap-free
+    by_piece = {p: i for p, i, _ in vocab}
+    out = unigram_encode_ids(corpus.limit(10), model, vocab).collect()
+    for r in out:
+        assert list(r["ids"]) == [by_piece.get(p, -1) for p in r["pieces"]]
+        assert all(i >= 0 for i in r["ids"])  # trained corpus: no unk
+    # out-of-alphabet char at inference time -> unk_id
+    alien = spark.createDataFrame([(0, "zzzézzz")], "doc_id long, text string")
+    got = unigram_encode_ids(alien, model, vocab, unk_id=-7).collect()[0]
+    assert -7 in list(got["ids"])
