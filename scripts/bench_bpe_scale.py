@@ -75,8 +75,42 @@ def probe(spark, n_docs: int, vocab: int, merges: int = 12) -> dict:
     }
 
 
+def probe_unigram(spark, n_docs: int, vocab: int, em_rounds: int = 2) -> dict:
+    """Unigram-trainer sibling of :func:`probe`: the same marquee claim
+    (training cost tracks the DISTINCT-WORD table, not the corpus) for
+    the Viterbi-EM loop — the E-step pandas UDF runs once per distinct
+    word per round."""
+    from argostats_spark.operators.bpe import word_freqs
+    from argostats_spark.operators.unigram import unigram_train
+
+    docs = synth_docs(spark, n_docs, vocab).localCheckpoint(eager=True)
+    nwords = word_freqs(docs).count()
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        model = unigram_train(
+            docs, vocab_size=4000, em_rounds=em_rounds, seed_size=8000
+        )
+        best = min(best, time.time() - t0)
+    docs.unpersist()
+    return {
+        "n_docs": n_docs,
+        "distinct_words": nwords,
+        "model_pieces": len(model),
+        "em_rounds": em_rounds,
+        "total_s": round(best, 2),
+        "words_per_round_per_s": int(nwords * em_rounds / best),
+    }
+
+
 def main():
     spark = get_spark(app_name="bpe_scale_probe")
+    if len(sys.argv) > 1 and sys.argv[1] == "unigram":
+        print("== unigram corpus sweep (vocab fixed at 10k words) ==")
+        for n in (50_000, 500_000):
+            print(probe_unigram(spark, n, 10_000))
+        spark.stop()
+        return
     print("== vocab sweep (corpus fixed at 50k docs / 2M tokens) ==")
     for vocab in (1_000, 10_000, 100_000):
         print(probe(spark, 50_000, vocab))
