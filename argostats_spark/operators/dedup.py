@@ -125,19 +125,33 @@ def _component_hash(i: int, hasher: str):
     return lambda g: F.xxhash64(F.concat(F.lit(f"s{i}|"), g))
 
 
-def _band_key_cols(num_hashes: int, bands: int, hasher: str) -> list:
-    """LSH band keys over mh0..mh{k-1} — shared by every band-join
-    producer. xxhash64 signatures band via xxhash64 of the component
-    tuple; md5 (string) signatures via '#'-joined concat (md5 hex never
-    contains '#', and the join key stays DuckDB-mirrorable)."""
+def _band_key_cols(
+    num_hashes: int, bands: int, hasher: str, fold_band: bool = False
+) -> list:
+    """LSH band keys over mh0..mh{k-1} — THE one band-layout definition
+    every band-join producer shares (rows-per-band slicing, component
+    order, md5 '#'-join convention). xxhash64 signatures band via
+    xxhash64 of the component tuple; md5 (string) signatures via
+    '#'-joined concat (md5 hex never contains '#', and the join key
+    stays DuckDB-mirrorable). ``fold_band=True`` folds the band
+    ordinal into the key itself (single-column, bucketable — the
+    band_table/write_band_index form); the default two-key form keeps
+    (band_no, bk) separate."""
     rows = num_hashes // bands
     if hasher == "md5":
         return [
-            F.concat_ws("#", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            F.concat_ws(
+                "#",
+                *([F.lit(str(b))] if fold_band else []),
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            )
             for b in range(bands)
         ]
     return [
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        F.xxhash64(
+            *([F.lit(b)] if fold_band else []),
+            *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+        )
         for b in range(bands)
     ]
 
@@ -342,22 +356,7 @@ def band_table(
     (band_no, bk) form the in-memory path uses — the candidate sets
     are identical (pinned by test)."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    if hasher == "md5":
-        keys = [
-            F.concat_ws(
-                "#", F.lit(str(b)),
-                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
-    else:
-        keys = [
-            F.xxhash64(
-                F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
+    keys = _band_key_cols(num_hashes, bands, hasher, fold_band=True)
     return index.select("doc_id", "n_sh", F.explode(F.array(*keys)).alias("bk"))
 
 
@@ -415,6 +414,20 @@ def minhash_index_update(
                 f"minhash_index_update: add columns {sorted(add.columns)} "
                 f"!= index columns {sorted(index.columns)} — sign the "
                 "increment with the index's own (num_hashes, hasher)."
+            )
+        # dtypes too: a hasher mismatch has the SAME column names but
+        # string-vs-long signatures, and unionByName would silently
+        # coerce the longs to decimal-digit strings — poisoning every
+        # future band join for the added docs
+        it, at = dict(index.dtypes), dict(add.dtypes)
+        bad = {c for c in it if it[c] != at[c]}
+        if bad:
+            raise ValueError(
+                "minhash_index_update: add column types differ from the "
+                f"index for {sorted(bad)} "
+                f"({ {c: (it[c], at[c]) for c in sorted(bad)} }) — almost "
+                "always a hasher mismatch; sign the increment with the "
+                "index's own hash family."
             )
         out = out.unionByName(add.select(*index.columns))
     if drop_ids is not None:
@@ -620,6 +633,30 @@ def minhash_lsh_pairs_incremental(
             raise ValueError(
                 f"minhash_lsh_pairs_incremental: index_bands lacks "
                 f"{sorted(missing)} — write it with write_band_index."
+            )
+        bk_type = dict(index_bands.dtypes)["bk"]
+        want_bk = "string" if hasher == "md5" else "bigint"
+        if bk_type != want_bk:
+            raise ValueError(
+                f"minhash_lsh_pairs_incremental: index_bands.bk is "
+                f"{bk_type} but hasher={hasher!r} folds {want_bk} keys — "
+                "the band table was written with the other hash family."
+            )
+        # stale/mis-parameterized band table = silently missed
+        # duplicates (the fold-in keys just never match): the melt must
+        # hold exactly bands rows per index doc. Two metadata-cheap
+        # count jobs; a wrong `bands` at write time, a band table not
+        # rewritten after minhash_index_update, and most truncations
+        # all trip this.
+        n_idx = index.count()
+        n_bands_rows = index_bands.count()
+        if n_bands_rows != bands * n_idx:
+            raise ValueError(
+                f"minhash_lsh_pairs_incremental: index_bands has "
+                f"{n_bands_rows} rows but the index has {n_idx} docs × "
+                f"{bands} bands = {bands * n_idx} expected — the band "
+                "table is stale or was written with different "
+                "parameters; rerun write_band_index on the current index."
             )
         am = band_table(new_sig, num_hashes, bands, hasher)
         cond = (F.col("a.bk") == F.col("b.bk")) & (

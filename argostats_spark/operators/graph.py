@@ -210,6 +210,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = base.count()
+    if n == 0:
+        # empty graph (e.g. a clean corpus with zero near-dup pairs):
+        # an empty labeled frame, never a ZeroDivisionError
+        return base.select("node", F.lit(0.0).alias("rank"))
     rank = base.select("node", "deg", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     for _ in range(iterations):
         dang = rank.filter(F.col("deg") == 0).agg(

@@ -90,6 +90,9 @@ def substring_seed(
         words.select("n", F.explode(subs).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("n").alias("cnt"))
+        # two actions read this frame (top-N + singles); without the
+        # checkpoint the whole substring census re-runs for the second
+        .localCheckpoint(eager=True)
     )
     top = counted.orderBy(
         F.col("cnt").desc(), F.col("piece").asc()
@@ -275,7 +278,11 @@ def unigram_encode_rows(
 
     logp = dict(model)
     # ASCII \s+, mirroring functions.text.tokens()' Java regex exactly
-    # (Python re's \s is unicode-wide by default — re.ASCII pins it)
+    # (Python re's \s is unicode-wide by default — re.ASCII pins it).
+    # NO Python .strip(): str.strip() removes UNICODE whitespace (NBSP,
+    # ideographic space) that Spark's trim (space-only) + ASCII split
+    # keep attached to tokens — splitting unstripped text and dropping
+    # empty fragments is the exact mirror.
     ws = re.compile(r"\s+", re.ASCII)
 
     def _enc(texts):
@@ -283,7 +290,7 @@ def unigram_encode_rows(
             if t is None:
                 return None
             out: list[str] = []
-            for w in ws.split(t.lower().strip()):
+            for w in ws.split(t.lower()):
                 if not w:
                     continue
                 out.extend(viterbi_segment(w, logp, max_piece_len)[0])

@@ -1697,7 +1697,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITER_SQL = """
     pr{k} AS (
       SELECT n.node,
-             (1.0 - 0.85) / nn.n
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
              + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0) AS rank
       FROM prnodes n CROSS JOIN nn
       LEFT JOIN (
@@ -1737,7 +1737,8 @@ _PR_ITER_SQL = """
     prnodes AS (SELECT DISTINCT u AS node FROM ud),
     dg AS (SELECT u AS node, count(*) AS deg FROM ud GROUP BY u),
     nn AS (SELECT count(*) AS n FROM prnodes),
-    pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM prnodes CROSS JOIN nn),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+            FROM prnodes CROSS JOIN nn),
     {_PR_ITER_SQL.format(k=1, j=0)},
     {_PR_ITER_SQL.format(k=2, j=1)},
     {_PR_ITER_SQL.format(k=3, j=2)}

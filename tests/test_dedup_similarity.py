@@ -791,3 +791,55 @@ def test_incremental_salted_verify_equals_unsalted(spark, docs):
         ).collect()
     )
     assert salted == plain and plain
+
+
+def test_index_update_rejects_hasher_mismatch(spark, docs):
+    """Same column NAMES but string-vs-long signatures (an md5 index
+    updated with xxhash64 rows) must fail loudly — unionByName would
+    otherwise coerce the longs to digit strings and silently poison
+    every future band join (review r8)."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        minhash_index_update,
+        minhash_signature_rows,
+    )
+
+    base = docs.select("doc_id", "text").limit(20)
+    idx_md5 = minhash_index(base, num_hashes=2, hasher="md5")
+    add_xx = minhash_signature_rows(
+        base.select((F.col("doc_id") + 500).alias("doc_id"), "text"),
+        num_hashes=2,
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        minhash_index_update(idx_md5, add=add_xx)
+
+
+def test_band_table_contract_validation(spark, docs):
+    """A band table written with different parameters (or stale after
+    an index update) must fail loudly, never silently miss duplicates
+    (review r8)."""
+    from argostats_spark.operators.dedup import (
+        band_table,
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = docs.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx = minhash_index(base).localCheckpoint(eager=True)
+    # bands mismatch: 2-band table against a 4-band call -> row count
+    # contract trips
+    two_band = band_table(idx, num_hashes=8, bands=2)
+    with pytest.raises(ValueError, match="stale or was written"):
+        minhash_lsh_pairs_incremental(
+            new, idx, corpus=base, index_bands=two_band
+        )
+    # hasher mismatch: string bk against an xxhash64 call
+    md5_idx = minhash_index(base, num_hashes=8, hasher="md5")
+    md5_bands = band_table(md5_idx, num_hashes=8, bands=4, hasher="md5")
+    with pytest.raises(ValueError, match="other hash family"):
+        minhash_lsh_pairs_incremental(
+            new, idx, corpus=base, index_bands=md5_bands
+        )

@@ -209,3 +209,14 @@ def test_pagerank_validation(spark):
         pagerank(edges, iterations=0)
     with _pt.raises(ValueError, match="damping"):
         pagerank(edges, damping=1.0)
+
+
+def test_pagerank_empty_edges(spark):
+    """A clean corpus (zero near-dup pairs) must yield an empty rank
+    frame, not a ZeroDivisionError (review r8)."""
+    from argostats_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

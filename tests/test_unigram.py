@@ -173,3 +173,24 @@ def test_vocab_ids_and_encode_ids(spark, corpus):
     alien = spark.createDataFrame([(0, "zzzézzz")], "doc_id long, text string")
     got = unigram_encode_ids(alien, model, vocab, unk_id=-7).collect()[0]
     assert -7 in list(got["ids"])
+
+
+def test_encode_rows_unicode_whitespace_matches_join_path(spark):
+    """NBSP/ideographic space are NOT token separators in either path
+    (Spark trim is space-only, Java \\s is ASCII); the row-local mirror
+    must agree byte-for-byte (review r8)."""
+    docs = spark.createDataFrame(
+        [(0, " foo bar　baz "), (1, "plain text")],
+        "doc_id long, text string",
+    )
+    model = [("f", -1.0), ("o", -1.0), ("a", -1.0), ("b", -1.0),
+             ("r", -1.0), ("z", -1.0), ("t", -1.0)]
+    enc = unigram_encode(docs, model)
+    per_doc: dict[int, list] = {}
+    for r in sorted(enc.collect(), key=lambda r: (r["doc_id"], r["pos"])):
+        per_doc.setdefault(r["doc_id"], []).extend(r["pieces"])
+    rows_out = {r["doc_id"]: list(r["pieces"])
+                for r in unigram_encode_rows(docs, model).collect()}
+    assert rows_out == per_doc
+    # the NBSP stayed glued to its token in both paths
+    assert any(p == " " for p in rows_out[0])
