@@ -606,8 +606,9 @@ def minhash_lsh_pairs_incremental(
     # the increment's full shingle scan + agg re-runs per reference —
     # measured 1.8× the whole operator at 200k docs. Increment-sized,
     # so the materialization is bounded by the crawl delta, never the
-    # history.
-    new_sig = minhash_index(
+    # history. The ROW-LOCAL signature form (exact-equal to the agg
+    # form by pinned test) saves the increment's shingle exchange.
+    new_sig = minhash_signature_rows(
         new_df, id_col, text_col, num_hashes, shingle_n, hasher
     ).localCheckpoint(eager=True)
     sig_all = index.select(*sig_cols).unionByName(new_sig.select(*sig_cols))

@@ -185,6 +185,11 @@ def unigram_train(
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     words = word_freqs(docs, text_col).localCheckpoint(eager=True)
     seed = substring_seed(words, max_piece_len, seed_size)
+    if not seed:
+        raise ValueError(
+            "unigram_train: empty corpus (no tokens) — nothing to seed "
+            "the piece vocabulary from."
+        )
     alphabet = {p for p, _ in seed if len(p) == 1}
     total = sum(c for _, c in seed)
     logp = {p: math.log(c / total) for p, c in seed}

@@ -194,3 +194,11 @@ def test_encode_rows_unicode_whitespace_matches_join_path(spark):
     assert rows_out == per_doc
     # the NBSP stayed glued to its token in both paths
     assert any(p == " " for p in rows_out[0])
+
+
+def test_empty_corpus_rejected(spark):
+    from argostats_spark.operators.unigram import unigram_train
+
+    empty = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        unigram_train(empty, vocab_size=10)
