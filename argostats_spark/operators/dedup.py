@@ -345,6 +345,7 @@ def band_table(
     num_hashes: int = 8,
     bands: int = 4,
     hasher: str = "xxhash64",
+    include_signature: bool = False,
 ) -> DataFrame:
     """(doc_id, n_sh, bk) — the index's LSH band melt with the band
     ordinal FOLDED INTO the key (xxhash64(band_no, components) /
@@ -354,10 +355,21 @@ def band_table(
     on the index side (see :func:`write_band_index`). Fold-in keeps
     cross-band collisions impossible, exactly like the two-key
     (band_no, bk) form the in-memory path uses — the candidate sets
-    are identical (pinned by test)."""
+    are identical (pinned by test).
+
+    ``include_signature=True`` embeds the full signature as a ``sig``
+    array column (k×8 B per row) — what the streaming collision gate
+    needs to compute est_jaccard without a second join back to the
+    index (:func:`near_dup_collisions_rows`'s ``index_bands``)."""
     assert num_hashes % bands == 0
     keys = _band_key_cols(num_hashes, bands, hasher, fold_band=True)
-    return index.select("doc_id", "n_sh", F.explode(F.array(*keys)).alias("bk"))
+    cols = ["doc_id", "n_sh"]
+    extra = []
+    if include_signature:
+        extra = [F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")]
+    return index.select(
+        *cols, *extra, F.explode(F.array(*keys)).alias("bk")
+    )
 
 
 def write_band_index(
@@ -368,6 +380,7 @@ def write_band_index(
     num_hashes: int = 8,
     bands: int = 4,
     hasher: str = "xxhash64",
+    include_signature: bool = False,
 ) -> None:
     """Materialize the index's band melt as a table BUCKETED on ``bk``
     — the 100 TB deployment shape for incremental dedup: the band join
@@ -381,7 +394,7 @@ def write_band_index(
     ``path`` makes it an external table). Pass ``spark.table(table)``
     to :func:`minhash_lsh_pairs_incremental`'s ``index_bands``."""
     w = (
-        band_table(index, num_hashes, bands, hasher)
+        band_table(index, num_hashes, bands, hasher, include_signature)
         .write.mode("overwrite")
         .bucketBy(buckets, "bk")
         .sortBy("bk")
@@ -493,6 +506,7 @@ def near_dup_collisions_rows(
     shingle_n: int = 3,
     threshold: float = 0.7,
     hasher: str = "xxhash64",
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """INGEST-time near-dup gate — row-shaped, stateless, stream-safe:
     every arriving document whose LSH band collides with a document in
@@ -518,26 +532,59 @@ def near_dup_collisions_rows(
     probe rows; the index side ships only (band_no, band key, doc_id,
     signature) — AQE/caching keeps it a static build side."""
     assert num_hashes % bands == 0
-    _validate_index(index, num_hashes, hasher, "near_dup_collisions_rows")
     sig_new = minhash_signature_rows(
         df, id_col, text_col, num_hashes, shingle_n, hasher
     )
-    band_cols = _band_key_cols(num_hashes, bands, hasher)
     mh_arr = F.array(*[f"mh{i}" for i in range(num_hashes)])
-    stream_side = sig_new.select(
-        F.col("doc_id"), mh_arr.alias("__sig"),
-        F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
-    )
-    index_side = index.select(
-        F.col("doc_id").alias("index_doc_id"), mh_arr.alias("__isig"),
-        F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
-    )
+    if index_bands is not None:
+        # production streaming shape: the persisted signature-carrying
+        # band artifact (write_band_index(include_signature=True)) —
+        # each micro-batch probes the bucketed table on bk alone, no
+        # per-batch re-melt of the index
+        missing = {"doc_id", "bk", "sig"} - set(index_bands.columns)
+        if missing:
+            raise ValueError(
+                f"near_dup_collisions_rows: index_bands lacks "
+                f"{sorted(missing)} — write it with "
+                "write_band_index(include_signature=True)."
+            )
+        bk_type = dict(index_bands.dtypes)["bk"]
+        want_bk = "string" if hasher == "md5" else "bigint"
+        if bk_type != want_bk:
+            raise ValueError(
+                f"near_dup_collisions_rows: index_bands.bk is {bk_type} "
+                f"but hasher={hasher!r} folds {want_bk} keys — the band "
+                "table was written with the other hash family."
+            )
+        band_cols = _band_key_cols(num_hashes, bands, hasher, fold_band=True)
+        stream_side = sig_new.select(
+            F.col("doc_id"), mh_arr.alias("__sig"),
+            F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+        )
+        index_side = index_bands.select(
+            F.col("doc_id").alias("index_doc_id"),
+            F.col("sig").alias("__isig"),
+            "bk",
+        )
+        join_on = ["bk"]
+    else:
+        _validate_index(index, num_hashes, hasher, "near_dup_collisions_rows")
+        band_cols = _band_key_cols(num_hashes, bands, hasher)
+        stream_side = sig_new.select(
+            F.col("doc_id"), mh_arr.alias("__sig"),
+            F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+        )
+        index_side = index.select(
+            F.col("doc_id").alias("index_doc_id"), mh_arr.alias("__isig"),
+            F.posexplode(F.array(*band_cols)).alias("band_no", "bk"),
+        )
+        join_on = ["band_no", "bk"]
     agree = F.size(
         F.filter(F.zip_with("__sig", "__isig", lambda x, y: x == y), lambda v: v)
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        stream_side.join(index_side, ["band_no", "bk"])
+        stream_side.join(index_side, join_on)
         .filter(F.col("doc_id") != F.col("index_doc_id"))
         .select(
             "doc_id", "index_doc_id", "band_no", est.alias("est_jaccard")

@@ -843,3 +843,65 @@ def test_band_table_contract_validation(spark, docs):
         minhash_lsh_pairs_incremental(
             new, idx, corpus=base, index_bands=md5_bands
         )
+
+
+def test_collision_gate_with_persisted_band_artifact(spark, docs, tmp_path_factory):
+    """The streaming-production shape: the gate probes a persisted
+    signature-carrying band table (write_band_index include_signature)
+    and returns the same rows as the in-memory melt — batch AND
+    through a readStream micro-batch."""
+    from argostats_spark.operators.dedup import (
+        minhash_index,
+        near_dup_collisions_rows,
+        write_band_index,
+    )
+
+    base = docs.select("doc_id", "text")
+    idx = minhash_index(base).localCheckpoint(eager=True)
+    new = base.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    default_rows = sorted(
+        (r["doc_id"], r["index_doc_id"], r["band_no"], r["est_jaccard"])
+        for r in near_dup_collisions_rows(new, idx, threshold=0.9).collect()
+    )
+    tbl = "band_sig_test_r8"
+    path = str(tmp_path_factory.mktemp("bandsig") / "tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_band_index(idx, tbl, path=path, buckets=8, include_signature=True)
+    try:
+        via_tbl = sorted(
+            (r["doc_id"], r["index_doc_id"], r["band_no"], r["est_jaccard"])
+            for r in near_dup_collisions_rows(
+                new, idx, threshold=0.9, index_bands=spark.table(tbl)
+            ).collect()
+        )
+        assert via_tbl == default_rows and default_rows
+
+        # streaming through the persisted artifact
+        src = str(tmp_path_factory.mktemp("bandsig") / "in")
+        new.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = near_dup_collisions_rows(
+            spark.readStream.schema(schema).parquet(src), idx,
+            threshold=0.9, index_bands=spark.table(tbl),
+        )
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory").queryName("bandsig_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                (r["doc_id"], r["index_doc_id"], r["band_no"], r["est_jaccard"])
+                for r in spark.sql("SELECT * FROM bandsig_stream").collect()
+            )
+        finally:
+            q.stop()
+        assert got == default_rows
+        # a signature-less band table is rejected with the remedy named
+        with pytest.raises(ValueError, match="include_signature"):
+            near_dup_collisions_rows(
+                new, idx, index_bands=spark.table(tbl).drop("sig")
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
