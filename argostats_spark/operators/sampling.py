@@ -205,6 +205,74 @@ def weighted_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str = "cap",
+    skip_under_cap: bool = True,
+) -> DataFrame:
+    """Head-group downsampling: keep at most ``cap`` rows per group,
+    chosen by a deterministic content-derived priority — the
+    crawl-curation step that stops a handful of mega-hosts from
+    dominating the corpus (RefinedWeb caps URLs per domain, Dolma caps
+    documents per source; same shape as C4's per-domain limits). The
+    kept subset is md5-ranked, so it is a uniform random ``cap``-subset
+    of each over-cap group, identical on every run/engine/partitioning,
+    and re-dealt by changing ``salt``.
+
+    Scale shape — the naive plan windows EVERY row by ``group_col``,
+    but the host distribution at crawl scale is Zipfian: the long tail
+    (most groups, most rows in aggregate) is under the cap and needs no
+    ranking at all. With ``skip_under_cap`` (default):
+
+    1. one counts aggregate (map-side partial combine) finds the
+       over-cap groups — at a Zipf tail that set is SMALL (the head);
+    2. rows in under-cap groups pass through UNTOUCHED via a null-safe
+       anti join against the over-cap group list (broadcast-sized for
+       real host distributions — Spark's planner broadcasts it under
+       the threshold and falls back to a shuffle join above it, both
+       correct);
+    3. only the over-cap head is windowed — the expensive exchange
+       ranks the few hot groups instead of the whole corpus. The hot
+       groups are exactly the skewed window partitions, so pair this
+       with more shuffle partitions rather than salting (row_number
+       cannot salt without changing its answer).
+
+    Equivalent by construction to the plain single-window form
+    (``skip_under_cap=False``): a window restricted to over-cap groups
+    ranks those groups identically, and under-cap groups keep every row
+    either way (pinned by test). NULL groups are one group in both
+    engines and both code paths (the joins are null-safe).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    pri = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(pri.asc(), F.col(key_col).asc())
+    if not skip_under_cap:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    over = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(F.col(group_col).alias("__g"))
+    )
+    cond = F.col(group_col).eqNullSafe(F.col("__g"))
+    passed = df.join(over, cond, "left_anti")
+    capped = (
+        df.join(over, cond, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return passed.unionByName(capped)
+
+
 def stratified_sample_approx(
     df: DataFrame, strata_col: str, fraction: float, seed: int = 42
 ) -> DataFrame:

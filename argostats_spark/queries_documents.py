@@ -2302,6 +2302,16 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
       ORDER BY kk DESC, doc_id LIMIT 50
     ) t
+    UNION ALL
+    SELECT 'cap8' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    WHERE rn <= 8 OR n <= 8
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2326,8 +2336,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       double); ranked as ln(u)/w rounded to 12 decimals (the
       round-before-compare convention absorbing cross-engine libm ulp
       drift), doc_id tie-break. Plans as TakeOrderedAndProject — never
-      a global sort (operators/sampling.py::weighted_sample)."""
+      a global sort (operators/sampling.py::weighted_sample).
+    - ``cap8`` (round 8): per-source quota capping — keep at most 8
+      docs per source, md5-priority ranked (RefinedWeb/Dolma-style
+      head-domain downsampling). Runs the two-phase tail-skipping plan
+      (operators/sampling.py::cap_per_group): under-cap groups bypass
+      the window via a null-safe anti join against the over-cap group
+      list; only the hot head is ranked. The oracle is the equivalent
+      single-window form (equality pinned by test_sampling.py)."""
     from .operators.sampling import (
+        cap_per_group,
         stratified_sample_exact,
         temperature_mixture,
         weighted_sample,
@@ -2346,7 +2364,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("wtd50").alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
     )
-    return frac.unionByName(mix).unionByName(wtd)
+    cap = cap_per_group(d, "source", 8, "doc_id").select(
+        F.lit("cap8").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+    )
+    return frac.unionByName(mix).unionByName(wtd).unionByName(cap)
 
 
 @query(

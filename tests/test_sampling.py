@@ -470,3 +470,66 @@ def test_weighted_sample_plans_takeordered(spark):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     plan = weighted_sample(df, "w", 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- cap_per_group (head-domain downsampling) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_hosts(spark):
+    # Zipf-ish: one mega-host (60 rows), one mid (12), a 20-host tail
+    # of 3 rows each, plus a NULL-host group of 9.
+    rows = (
+        [(i, "mega.example") for i in range(60)]
+        + [(100 + i, "mid.example") for i in range(12)]
+        + [(200 + 10 * h + i, f"tail{h}.example")
+           for h in range(20) for i in range(3)]
+        + [(900 + i, None) for i in range(9)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, host string").cache()
+
+
+def test_cap_per_group_caps_head_keeps_tail(spark, zipf_hosts):
+    from argostats_spark.operators.sampling import cap_per_group
+
+    out = cap_per_group(zipf_hosts, "host", 5, "doc_id")
+    got = {r["host"]: r["count"] for r in out.groupBy("host").count().collect()}
+    assert got["mega.example"] == 5
+    assert got["mid.example"] == 5
+    assert got[None] == 5  # NULL hosts are one group, capped too
+    for h in range(20):
+        assert got[f"tail{h}.example"] == 3  # under cap: untouched
+    # the kept mega subset is a real subset of the original ids
+    mega_ids = {r["doc_id"] for r in
+                out.filter("host = 'mega.example'").collect()}
+    assert mega_ids < set(range(60)) and len(mega_ids) == 5
+
+
+def test_cap_per_group_two_phase_equals_plain_window(spark, zipf_hosts):
+    from argostats_spark.operators.sampling import cap_per_group
+
+    fast = cap_per_group(zipf_hosts, "host", 5, "doc_id")
+    plain = cap_per_group(zipf_hosts, "host", 5, "doc_id",
+                          skip_under_cap=False)
+    assert fast.exceptAll(plain).count() == 0
+    assert plain.exceptAll(fast).count() == 0
+
+
+def test_cap_per_group_partition_independent_and_salted(spark, zipf_hosts):
+    from argostats_spark.operators.sampling import cap_per_group
+
+    base = sorted(cap_per_group(zipf_hosts, "host", 4, "doc_id").collect())
+    shuffled = sorted(
+        cap_per_group(zipf_hosts.repartition(7), "host", 4, "doc_id").collect()
+    )
+    assert base == shuffled
+    # a different salt re-deals WHICH mega rows survive, not how many
+    redeal = cap_per_group(zipf_hosts, "host", 4, "doc_id", salt="cap-v2")
+    a = {r["doc_id"] for r in
+         cap_per_group(zipf_hosts, "host", 4, "doc_id")
+         .filter("host = 'mega.example'").collect()}
+    b = {r["doc_id"] for r in
+         redeal.filter("host = 'mega.example'").collect()}
+    assert len(a) == len(b) == 4 and a != b
+    with pytest.raises(ValueError, match="cap must be"):
+        cap_per_group(zipf_hosts, "host", 0, "doc_id")
