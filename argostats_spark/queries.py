@@ -315,6 +315,29 @@ def q_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT CAST(((c_custkey * 37) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
                  CAST(((c_custkey * 53) % 160) - 80 + 0.5 AS DOUBLE) AS lat
           FROM customer)
+    UNION ALL
+    SELECT 'zorder' AS which,
+           CAST(gx AS VARCHAR) AS k1, CAST(gy AS VARCHAR) AS k2,
+           CAST(x4 | (y4 << 1) AS BIGINT) AS n
+    FROM (
+      SELECT gx, gy,
+             (x3 | (x3 << 1)) & 1431655765 AS x4,
+             (y3 | (y3 << 1)) & 1431655765 AS y4
+      FROM (
+        SELECT gx, gy,
+               (x2 | (x2 << 2)) & 858993459 AS x3,
+               (y2 | (y2 << 2)) & 858993459 AS y3
+        FROM (
+          SELECT gx, gy,
+                 (x1 | (x1 << 4)) & 252645135 AS x2,
+                 (y1 | (y1 << 4)) & 252645135 AS y2
+          FROM (
+            SELECT gx, gy,
+                   (gx | (gx << 8)) & 16711935 AS x1,
+                   (gy | (gy << 8)) & 16711935 AS y1
+            FROM (SELECT (c_custkey * 2654435761) % 65536 AS gx,
+                         (c_custkey * 40503) % 65536 AS gy
+                  FROM customer)))))
     """,
 )
 def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,7 +360,14 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       UDF; hashed as integer meters at the former row's 3-dp-km
       precision (merged from the standalone ``haversine`` entry in
       round 6 to keep the registry inside the driver's 50-row window;
-      the NumPy differential tests live in test_functions.py).
+      the NumPy differential tests live in test_functions.py);
+    - ``zorder`` (round 8) — the Morton key behind the Z-order layout
+      writer (operators/layout.py): two hash-derived 16-bit grid
+      coordinates bit-interleaved with the 4-step spread-bits magic
+      numbers, pure long shift/and/or inside codegen. The oracle runs
+      the IDENTICAL integer arithmetic; the data-skipping claim itself
+      (a y-only box predicate prunes Z-ordered files that an x-sorted
+      layout must all read) is pinned by tests/test_layout.py.
     """
     ev = _t(spark, sf_dir, "events")
     dateparts = (
@@ -410,7 +440,22 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(haversine_km("lon", "lat", F.lit(0.0), F.lit(0.0)) * 1000, 0)
         .cast("long").alias("n"),
     )
-    return dateparts.unionByName(strings).unionByName(nulls).unionByName(hav)
+    from .operators.layout import morton_key
+
+    gx = (F.col("c_custkey").cast("long") * F.lit(2654435761)) % F.lit(65536)
+    gy = (F.col("c_custkey").cast("long") * F.lit(40503)) % F.lit(65536)
+    zord = c.select(
+        F.lit("zorder").alias("which"),
+        gx.cast("string").alias("k1"),
+        gy.cast("string").alias("k2"),
+        morton_key(gx, gy).alias("n"),
+    )
+    return (
+        dateparts.unionByName(strings)
+        .unionByName(nulls)
+        .unionByName(hav)
+        .unionByName(zord)
+    )
 
 
 @query(
