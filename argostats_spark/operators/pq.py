@@ -206,3 +206,102 @@ def pq_topk(
         out = out.unionByName(s)
     w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return out.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SQ8: per-vector symmetric int8 scalar quantization
+# ---------------------------------------------------------------------------
+#
+# The lighter sibling of PQ (FAISS's ScalarQuantizer QT_8bit family,
+# Milvus/pgvector "scalar quantization"): no training at all, 4x
+# memory over float32, and — because cosine is scale-invariant — the
+# per-vector scale cancels out of similarity ranking entirely, so
+# search runs on the int8 codes alone. The right first step before PQ
+# when 4x is enough; recall loss is the rounding error only.
+
+
+def sq8_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "sq8_code",
+    scale_col: str = "sq8_scale",
+) -> DataFrame:
+    """Quantize ``vec_col`` (array<float>) to ``code_col``
+    (array<tinyint>, values in [-127, 127]) plus a per-vector
+    ``scale_col`` (double) such that element ~= code * scale.
+
+    code_i = floor((x_i * 127) / maxabs + 0.5) — symmetric round-half-
+    up in a fixed (mul, div, add, floor) order of IEEE double ops, so
+    any engine evaluating the same expression produces the identical
+    code (the cross-engine determinism rule; DuckDB recomputes codes in
+    the ann_suite 'sq8' limb). The all-zero vector gets all-zero codes
+    and scale 0 (reconstruction exact); no division by zero.
+
+    One corpus scan, pure column expressions, zero shuffle, zero
+    driver traffic — stream-safe (score-at-ingest composes with
+    readStream the same way the row-local scorers do)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(
+        maxabs > F.lit(0.0),
+        F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(code_col, codes).withColumn(
+        scale_col, maxabs / F.lit(127.0)
+    )
+
+
+def sq8_decode_expr(code_col: str, scale_col: str):
+    """Dequantize: array<double> of code * scale. Needed for distance
+    metrics where scale does NOT cancel (dot product, L2); cosine
+    ranking should use the codes directly (sq8_topk)."""
+    return F.transform(
+        F.col(code_col), lambda x: x.cast("double") * F.col(scale_col)
+    )
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq8_code",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+    exclude_self: bool = True,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Asymmetric cosine top-k over the int8 codes: the float query
+    against the quantized corpus. cosine(q, scale*c) = cosine(q, c) —
+    the per-vector scale cancels, so the scan reads codes only (1/4 the
+    bytes of the float corpus; with both this and the raw-vector column
+    in parquet, column pruning means the float column is never read).
+    Broadcast query set x corpus scan + ranking window — the
+    brute_force_topk shape, deterministically tie-broken."""
+    from pyspark.sql import Window as W
+
+    from ..functions.arrays import cosine_similarity
+
+    q = F.broadcast(
+        queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv"))
+    )
+    cond = (
+        F.col(id_col) != F.col("qid") if exclude_self else F.lit(True)
+    )
+    sim = cosine_similarity("qv", code_col)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = q.join(encoded, cond).select(
+        "qid", F.col(id_col).alias("vec_id"), sim.alias("cosine")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1562,7 +1562,27 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
       JOIN cb ON cb.block = c.block AND cb.code = c.code
       WHERE c.vec_id <> q.qid
     ),
-    qd AS (SELECT qid, vec_id, {d_cols} FROM pb GROUP BY qid, vec_id)
+    qd AS (SELECT qid, vec_id, {d_cols} FROM pb GROUP BY qid, vec_id),
+    sq AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor((x * 127.0) / ma + 0.5)) AS c
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS ma
+            FROM emb)
+      WHERE ma > 0
+    ),
+    sqp AS (
+      SELECT q.qid, s.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] * s.c[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                          i -> q.qv[i] * q.qv[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(s.c) + 1),
+                          i -> s.c[i] * s.c[i])))),
+             5) AS sim
+      FROM qv2 q JOIN sq s ON s.vec_id <> q.qid
+    )
     SELECT 'ivf' AS method, qid, vec_id, sim AS score FROM (
       SELECT qid, vec_id, sim,
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
@@ -1574,6 +1594,12 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
              row_number() OVER (
                PARTITION BY qid ORDER BY round({total}, 6), vec_id) AS rn
       FROM qd
+    ) WHERE rn <= 5
+    UNION ALL
+    SELECT 'sq8' AS method, qid, vec_id, sim AS score FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM sqp
     ) WHERE rn <= 5
     """
 
@@ -1597,8 +1623,16 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       codebooks are materialized to the model parquet and the oracle
       re-derives both the code assignment and the ADC scores from them
       (_pq_oracle_sql), so the driver hash covers encode + scoring
-      end-to-end."""
-    from .operators.pq import pq_encode, pq_topk
+      end-to-end.
+    - ``sq8`` (round 8): per-vector int8 scalar quantization
+      (operators/pq.py::sq8_encode/sq8_topk — the FAISS QT_8bit /
+      pgvector family): training-free 4x compression, codes from a
+      fixed (mul, div, add, floor) IEEE-double chain the oracle
+      replays exactly, and cosine ranking directly on the codes (the
+      per-vector scale cancels — the float column is never read at
+      query time). Recall@5 >= 0.9 vs brute force pinned in
+      test_pq.py."""
+    from .operators.pq import pq_encode, pq_topk, sq8_encode, sq8_topk
     from .operators.similarity import ivf_assign, ivf_topk_scalable, train_centroids
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1620,7 +1654,15 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pq").alias("method"), "qid", "vec_id",
         F.col("adc_dist").alias("score"),
     )
-    return ivf.unionByName(pq)
+
+    sq_corpus = sq8_encode(e.select("vec_id", "embedding")).filter(
+        F.col("sq8_scale") > 0
+    )
+    sq = sq8_topk(sq_corpus, q, k=5, round_digits=5).select(
+        F.lit("sq8").alias("method"), "qid", "vec_id",
+        F.col("cosine").alias("score"),
+    )
+    return ivf.unionByName(pq).unionByName(sq)
 
 
 @query(

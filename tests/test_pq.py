@@ -141,3 +141,61 @@ def test_pq_topk_empty_query_set(spark, emb, books):
     out = pq_topk(enc, q, books, k=5)
     assert out.columns == ["qid", "vec_id", "adc_dist", "rnk"]
     assert out.count() == 0
+
+
+# --- SQ8 scalar quantization ---------------------------------------------
+
+
+def test_sq8_encode_matches_numpy_mirror(spark, emb):
+    from argostats_spark.operators.pq import sq8_encode
+
+    got = sq8_encode(emb.limit(50)).select("vec_id", "embedding",
+                                           "sq8_code", "sq8_scale").collect()
+    assert len(got) == 50
+    for r in got:
+        x = np.asarray(r["embedding"], dtype="f8")
+        ma = float(np.max(np.abs(x)))
+        exp = np.floor((x * 127.0) / ma + 0.5).astype("i8") if ma > 0 \
+            else np.zeros(len(x), dtype="i8")
+        assert list(exp) == list(r["sq8_code"]), r["vec_id"]
+        assert abs(r["sq8_scale"] - ma / 127.0) < 1e-15
+        # codes live in int8 range and reconstruction error <= scale/2
+        assert all(-127 <= c <= 127 for c in r["sq8_code"])
+        rec = np.asarray(r["sq8_code"], dtype="f8") * r["sq8_scale"]
+        assert float(np.max(np.abs(rec - x))) <= r["sq8_scale"] / 2 + 1e-12
+
+
+def test_sq8_code_dtype_is_tinyint_and_zero_vector_safe(spark):
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from argostats_spark.operators.pq import sq8_decode_expr, sq8_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 1.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    enc = sq8_encode(df)
+    assert isinstance(enc.schema["sq8_code"].dataType, ArrayType)
+    assert isinstance(enc.schema["sq8_code"].dataType.elementType, ByteType)
+    rows = {r["vec_id"]: r for r in
+            enc.withColumn("rec", sq8_decode_expr("sq8_code", "sq8_scale"))
+            .collect()}
+    assert rows[2]["sq8_code"] == [0, 0, 0, 0]
+    assert rows[2]["sq8_scale"] == 0.0
+    assert rows[2]["rec"] == [0.0, 0.0, 0.0, 0.0]
+    assert rows[1]["sq8_code"] == [64, -127, 32, 127]
+
+
+def test_sq8_topk_recall_vs_brute_force(spark, emb):
+    from argostats_spark.operators.pq import sq8_encode, sq8_topk
+    from argostats_spark.operators.similarity import brute_force_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = sq8_topk(sq8_encode(emb), q, k=5)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"sq8 recall@5 collapsed to {recall}"
