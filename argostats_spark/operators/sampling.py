@@ -273,6 +273,82 @@ def cap_per_group(
     return passed.unionByName(capped)
 
 
+def mixture_order(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "mixorder",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted interleave of sources — stride scheduling
+    (Waldspurger & Weihl 1995) applied to training-order construction:
+    the i-th document of source s (1-based, md5-priority order) gets
+    ``mix_key`` = i / w_s, and reading rows in ``mix_key`` order yields
+    every source at its mixture weight IN EVERY PREFIX (|prefix count −
+    w_s·L| ≤ ~1 per source), not just in expectation over the whole
+    epoch. This is how a pipeline materializes "70% web / 20% code /
+    10% books" so that training sees that ratio from step one — a
+    shuffled union only promises it asymptotically.
+
+    ``weights`` maps source → positive weight (normalized internally);
+    sources absent from the map are DROPPED (explicit curation
+    contract). ``weights=None`` uses weights ∝ source counts: a
+    maximally even round-robin of the corpus as-is. When a source
+    exhausts, its stride simply stops firing and the remaining sources
+    fill the ratio gap proportionally — no rebalancing pass needed.
+
+    Adds ``mix_pos`` (per-source 1-based md5 rank) and ``mix_key``
+    (double, rounded to ``round_digits`` — the repo's round-before-
+    compare convention so cross-engine ordering agrees exactly; break
+    remaining ties on (source, key) downstream).
+
+    Scale shape: one window exchange (rank within source) + a broadcast
+    literal weight map. The global order is intentionally NOT
+    materialized as a row number (that is a single-partition window);
+    write with ``repartitionByRange(mix_key) + sortWithinPartitions``
+    and the files ARE the schedule."""
+    if weights is None:
+        counts = {
+            r[0]: r[1]
+            for r in df.groupBy(source_col).count().collect()
+            if r[0] is not None
+        }
+        if not counts:
+            raise ValueError("mixture_order: no non-null sources")
+        total = float(sum(counts.values()))  # int sum: order-free, exact
+        # one division per source, no normalizing re-sum — the weight
+        # doubles are reproducible by any engine as n_s / n_total
+        norm = {s: c / total for s, c in counts.items()}
+    else:
+        if not weights:
+            raise ValueError("mixture_order: empty weight map")
+        bad = {s: w for s, w in weights.items() if not w > 0}
+        if bad:
+            raise ValueError(f"mixture_order: non-positive weights {bad}")
+        # sum in sorted-source order so normalization is deterministic
+        z = float(sum(w for _, w in sorted(weights.items())))
+        norm = {s: w / z for s, w in weights.items()}
+
+    pri = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = W.partitionBy(source_col).orderBy(pri.asc(), F.col(key_col).asc())
+    wmap = F.create_map(
+        *[F.lit(x) for s, v in sorted(norm.items()) for x in (s, float(v))]
+    )
+    out = (
+        df.filter(F.col(source_col).isin(*norm.keys()))
+        .withColumn("mix_pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "mix_key",
+            F.round(
+                F.col("mix_pos").cast("double") / wmap[F.col(source_col)],
+                round_digits,
+            ),
+        )
+    )
+    return out
+
+
 def stratified_sample_approx(
     df: DataFrame, strata_col: str, fraction: float, seed: int = 42
 ) -> DataFrame:

@@ -2329,13 +2329,16 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY lang
                ORDER BY md5('mix' || CAST(doc_id AS VARCHAR))) AS rn
       FROM documents)
-    SELECT 'frac20' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang
+    SELECT 'frac20' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(NULL AS BIGINT) AS pos
     FROM s WHERE rn <= CEIL(n * 0.2)
     UNION ALL
-    SELECT 'temp_mix' AS part, CAST(m.doc_id AS BIGINT) AS doc_id, m.lang
+    SELECT 'temp_mix' AS part, CAST(m.doc_id AS BIGINT) AS doc_id, m.lang,
+           CAST(NULL AS BIGINT) AS pos
     FROM m JOIN ks ON m.lang = ks.lang WHERE m.rn <= ks.k
     UNION ALL
-    SELECT 'wtd50' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang
+    SELECT 'wtd50' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(NULL AS BIGINT) AS pos
     FROM (
       SELECT doc_id, lang,
              round(ln((('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)),
@@ -2345,7 +2348,8 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY kk DESC, doc_id LIMIT 50
     ) t
     UNION ALL
-    SELECT 'cap8' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang
+    SELECT 'cap8' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(NULL AS BIGINT) AS pos
     FROM (
       SELECT doc_id, lang,
              row_number() OVER (
@@ -2354,6 +2358,23 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY source) AS n
       FROM documents)
     WHERE rn <= 8 OR n <= 8
+    UNION ALL
+    SELECT 'mix100' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(pos AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, lang, source, rn AS pos,
+             round(CAST(rn AS DOUBLE)
+                   / (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS k
+      FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('mixorder' || CAST(doc_id AS VARCHAR)),
+                          doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n,
+               count(*) OVER () AS tot
+        FROM documents WHERE source IS NOT NULL)
+      ORDER BY k, source, doc_id LIMIT 100)
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2385,32 +2406,58 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/sampling.py::cap_per_group): under-cap groups bypass
       the window via a null-safe anti join against the over-cap group
       list; only the hot head is ranked. The oracle is the equivalent
-      single-window form (equality pinned by test_sampling.py)."""
+      single-window form (equality pinned by test_sampling.py).
+    - ``mix100`` (round 8): stride-scheduled mixture ordering
+      (operators/sampling.py::mixture_order — Waldspurger-style stride
+      scheduling for training-order construction): the i-th doc of
+      source s gets key i/w_s, so every PREFIX of the key order holds
+      each source at its mixture weight. Here weights ∝ source counts
+      (w_s = n_s/n, one division — bit-reproducible by the oracle) and
+      the limb hashes the first-100 interleave prefix with each row's
+      per-source position. One window exchange + broadcast weight map;
+      the prefix-ratio property and float-weight path are pinned in
+      test_sampling.py."""
     from .operators.sampling import (
         cap_per_group,
+        mixture_order,
         stratified_sample_exact,
         temperature_mixture,
         weighted_sample,
     )
 
     d = _t(spark, sf_dir, "documents")
+    nul = F.lit(None).cast("long").alias("pos")
     frac = stratified_sample_exact(d, "lang", 0.2, "doc_id").select(
         F.lit("frac20").alias("part"),
-        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", nul,
     )
     mix = temperature_mixture(d, "lang", alpha=0.5, key_col="doc_id").select(
         F.lit("temp_mix").alias("part"),
-        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", nul,
     )
     wtd = weighted_sample(d, "n_chars", 50, "doc_id").select(
         F.lit("wtd50").alias("part"),
-        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", nul,
     )
     cap = cap_per_group(d, "source", 8, "doc_id").select(
         F.lit("cap8").alias("part"),
-        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", nul,
     )
-    return frac.unionByName(mix).unionByName(wtd).unionByName(cap)
+    mord = (
+        mixture_order(d, "source", weights=None, key_col="doc_id")
+        .orderBy(F.col("mix_key").asc(), F.col("source").asc(),
+                 F.col("doc_id").asc())
+        .limit(100)
+        .select(
+            F.lit("mix100").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"), "lang",
+            F.col("mix_pos").alias("pos"),
+        )
+    )
+    return (
+        frac.unionByName(mix).unionByName(wtd).unionByName(cap)
+        .unionByName(mord)
+    )
 
 
 @query(

@@ -533,3 +533,69 @@ def test_cap_per_group_partition_independent_and_salted(spark, zipf_hosts):
     assert len(a) == len(b) == 4 and a != b
     with pytest.raises(ValueError, match="cap must be"):
         cap_per_group(zipf_hosts, "host", 0, "doc_id")
+
+
+# --- mixture_order (stride-scheduled weighted interleave) ----------------
+
+
+@pytest.fixture(scope="module")
+def three_sources(spark):
+    rows = (
+        [(i, "web") for i in range(500)]
+        + [(1000 + i, "code") for i in range(500)]
+        + [(2000 + i, "books") for i in range(500)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, src string").cache()
+
+
+def test_mixture_order_prefix_property(spark, three_sources):
+    from argostats_spark.operators.sampling import mixture_order
+
+    w = {"web": 0.5, "code": 0.3, "books": 0.2}
+    ordered = (
+        mixture_order(three_sources, "src", w)
+        .orderBy("mix_key", "src", "doc_id")
+        .select("src")
+        .collect()
+    )
+    seen = {s: 0 for s in w}
+    for length, r in enumerate(ordered, start=1):
+        seen[r["src"]] += 1
+        if length <= 1000:  # before any source exhausts
+            for s, ws in w.items():
+                assert abs(seen[s] - ws * length) <= 2, (
+                    f"prefix {length}: {s} has {seen[s]}, want ~{ws * length}"
+                )
+    # total: web exhausts at 500; code/books absorb the remainder
+    assert seen == {"web": 500, "code": 500, "books": 500}
+
+
+def test_mixture_order_default_weights_and_contract(spark, three_sources):
+    from argostats_spark.operators.sampling import mixture_order
+
+    # None => proportional round-robin; every 3-prefix has one of each
+    ordered = (
+        mixture_order(three_sources, "src")
+        .orderBy("mix_key", "src", "doc_id")
+        .select("src")
+        .collect()
+    )
+    for i in range(0, 1500, 3):
+        assert {r["src"] for r in ordered[i : i + 3]} == {"web", "code", "books"}
+    # sources missing from the weight map are dropped
+    only = mixture_order(three_sources, "src", {"web": 1.0})
+    assert only.select("src").distinct().collect()[0][0] == "web"
+    assert only.count() == 500
+    with pytest.raises(ValueError, match="non-positive"):
+        mixture_order(three_sources, "src", {"web": 0.0})
+    with pytest.raises(ValueError, match="empty"):
+        mixture_order(three_sources, "src", {})
+
+
+def test_mixture_order_partition_independent(spark, three_sources):
+    from argostats_spark.operators.sampling import mixture_order
+
+    w = {"web": 0.6, "code": 0.4}
+    a = sorted(mixture_order(three_sources, "src", w).collect())
+    b = sorted(mixture_order(three_sources.repartition(13), "src", w).collect())
+    assert a == b
