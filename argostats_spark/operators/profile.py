@@ -1,0 +1,124 @@
+"""One-pass column profiler — the data-QA sweep a 100 TB pipeline runs
+before and after every stage (ingest contract checks, post-transform
+sanity, drift detection between snapshots).
+
+Green-field scope (no reference counterpart; the reference eyeballs
+arrays in notebooks). Unlike ``df.summary()``, the output is a tidy
+long-format DataFrame — (column, stat, sval, nval) rows — that joins,
+diffs across snapshots, and driver-hashes like any other table, and the
+stat set includes null counts and exact/approx distincts.
+
+Scale shape: ONE aggregate job over the table. Counts/min/max/mean are
+plain partial-aggregating expressions. Multiple EXACT distinct counts
+in one aggregate make Catalyst plan an Expand (k× the scan rows through
+the exchange) — acceptable to a few columns; for wide profiles at
+corpus scale pass ``exact_distinct=False`` and distincts become
+HyperLogLog++ sketches (approx_count_distinct): single pass, no Expand,
+mergeable partials. The melt to long format happens on the ONE
+aggregated row (explode of a literal struct array — no second scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+PROFILE_STATS = ("n", "n_null", "n_distinct", "min", "max", "mean")
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+    mean_round: int = 6,
+) -> DataFrame:
+    """Profile ``cols`` (default: every column) in one aggregate pass.
+
+    Returns (column, stat, sval, nval): numeric columns carry min/max/
+    mean in ``nval`` (mean rounded to ``mean_round`` — the repo's
+    round-before-compare convention); non-numeric min/max land in
+    ``sval``; ``n``/``n_null``/``n_distinct`` are always ``nval``.
+    ``mean`` is emitted for numeric columns only. NULLs are excluded
+    from n (non-null count), min/max/mean, and n_distinct — the SQL
+    aggregate semantics both engines share."""
+    if cols is None:
+        cols = list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns: no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+
+    aggs, numeric = [], {}
+    for c in cols:
+        numeric[c] = isinstance(df.schema[c].dataType, NumericType)
+        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nn_{c}")
+        )
+        dc = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs.append(dc.alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"__max_{c}"))
+        if numeric[c]:
+            aggs.append(
+                F.round(F.avg(F.col(c)), mean_round).alias(f"__mean_{c}")
+            )
+    one = df.agg(*aggs)
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+
+    def entry(c: str, stat: str, sval, nval):
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.lit(stat).alias("stat"),
+            sval.cast("string").alias("sval"),
+            nval.cast("double").alias("nval"),
+        )
+
+    entries = []
+    for c in cols:
+        entries.append(entry(c, "n", snull, F.col(f"__n_{c}")))
+        entries.append(entry(c, "n_null", snull, F.col(f"__nn_{c}")))
+        entries.append(entry(c, "n_distinct", snull, F.col(f"__nd_{c}")))
+        if numeric[c]:
+            entries.append(entry(c, "min", snull, F.col(f"__min_{c}")))
+            entries.append(entry(c, "max", snull, F.col(f"__max_{c}")))
+            entries.append(entry(c, "mean", snull, F.col(f"__mean_{c}")))
+        else:
+            entries.append(entry(c, "min", F.col(f"__min_{c}"), dnull))
+            entries.append(entry(c, "max", F.col(f"__max_{c}"), dnull))
+    return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+def profile_diff(
+    before: DataFrame, after: DataFrame, rel_tol: float = 0.0
+) -> DataFrame:
+    """Join two profiles and keep the stats that changed — the drift
+    report between pipeline snapshots. ``rel_tol`` suppresses numeric
+    changes below a relative threshold (e.g. 0.01 tolerates 1% count
+    drift between snapshots)."""
+    b = before.select(
+        "column", "stat",
+        F.col("sval").alias("sval_before"), F.col("nval").alias("nval_before"),
+    )
+    a = after.select(
+        "column", "stat",
+        F.col("sval").alias("sval_after"), F.col("nval").alias("nval_after"),
+    )
+    j = b.join(a, ["column", "stat"], "full_outer")
+    s_changed = ~F.col("sval_before").eqNullSafe(F.col("sval_after"))
+    n_delta = F.abs(F.col("nval_after") - F.col("nval_before"))
+    n_base = F.greatest(F.abs(F.col("nval_before")), F.lit(1e-300))
+    n_changed = F.when(
+        F.col("nval_before").isNull() | F.col("nval_after").isNull(),
+        ~F.col("nval_before").eqNullSafe(F.col("nval_after")),
+    ).otherwise(n_delta / n_base > F.lit(float(rel_tol)))
+    return j.filter(s_changed | n_changed)

@@ -1000,6 +1000,46 @@ def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year.unionByName(value)
 
 
+def _profile_oracle_sql(
+    table: str = "documents",
+    numcols: tuple = ("doc_id", "n_chars"),
+    strcols: tuple = ("lang", "source"),
+) -> str:
+    """Generated DuckDB twin for the stats_suite 'profile' limb —
+    one UNION ALL branch per (column, stat) of
+    operators/profile.py::profile_columns. Integer-valued means stay
+    exact in doubles (sums far below 2^53), so round(...,6) compares
+    equal, not merely close."""
+    parts = []
+    for c in numcols + strcols:
+        parts += [
+            f"SELECT 'profile' AS which, '{c}' AS grp, 'n' AS stat,"
+            f" CAST(NULL AS VARCHAR) AS sval,"
+            f" CAST(count({c}) AS DOUBLE) AS nval FROM {table}",
+            f"SELECT 'profile', '{c}', 'n_null', CAST(NULL AS VARCHAR),"
+            f" CAST(count(*) - count({c}) AS DOUBLE) FROM {table}",
+            f"SELECT 'profile', '{c}', 'n_distinct', CAST(NULL AS VARCHAR),"
+            f" CAST(count(DISTINCT {c}) AS DOUBLE) FROM {table}",
+        ]
+    for c in numcols:
+        parts += [
+            f"SELECT 'profile', '{c}', 'min', CAST(NULL AS VARCHAR),"
+            f" CAST(min({c}) AS DOUBLE) FROM {table}",
+            f"SELECT 'profile', '{c}', 'max', CAST(NULL AS VARCHAR),"
+            f" CAST(max({c}) AS DOUBLE) FROM {table}",
+            f"SELECT 'profile', '{c}', 'mean', CAST(NULL AS VARCHAR),"
+            f" round(CAST(avg({c}) AS DOUBLE), 6) FROM {table}",
+        ]
+    for c in strcols:
+        parts += [
+            f"SELECT 'profile', '{c}', 'min', CAST(min({c}) AS VARCHAR),"
+            f" CAST(NULL AS DOUBLE) FROM {table}",
+            f"SELECT 'profile', '{c}', 'max', CAST(max({c}) AS VARCHAR),"
+            f" CAST(NULL AS DOUBLE) FROM {table}",
+        ]
+    return "\n    UNION ALL ".join(parts)
+
+
 @query(
     "stats_suite",
     """
@@ -1045,7 +1085,8 @@ def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
                      median_value FROM qt
     UNION ALL SELECT 'quantile', event_type, 'p90_value', CAST(NULL AS VARCHAR),
                      p90_value FROM qt
-    """,
+    UNION ALL """
+    + _profile_oracle_sql(),
 )
 def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite, melted to (which, grp, stat, sval, nval) rows
@@ -1063,6 +1104,14 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each sub-result melts via ``stack`` (one generator per select) —
     the aggregates themselves run once, not once per melted row.
+
+    - ``profile`` (round 8) — the one-pass column profiler
+      (operators/profile.py::profile_columns) over four documents
+      columns: n / n_null / n_distinct / min / max (+ mean for
+      numerics) in ONE aggregate, melted from the single aggregated
+      row. Exact distincts here (oracle-able); the 100 TB wide-profile
+      path flips ``exact_distinct=False`` for HLL++ sketches with no
+      Expand (pinned in test_profile.py).
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -1120,7 +1169,19 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stat, sval, nval)"
         ),
     )
-    return mm_melt.unionByName(st_melt).unionByName(qt_melt)
+    from .operators.profile import profile_columns
+
+    prof = profile_columns(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "n_chars", "lang", "source"],
+    ).select(
+        F.lit("profile").alias("which"),
+        F.col("column").alias("grp"),
+        "stat", "sval", "nval",
+    )
+    return (
+        mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
+    )
 
 
 @query(

@@ -1,0 +1,75 @@
+"""Column profiler (operators/profile.py): stat correctness against
+hand-computed values, NULL semantics, approx path, and the drift diff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.profile import profile_columns, profile_diff
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, 10.0, "a"),
+        (2, 20.0, "b"),
+        (3, None, "b"),
+        (4, 40.0, None),
+        (5, 10.0, "c"),
+    ]
+    return spark.createDataFrame(rows, "id long, v double, s string").cache()
+
+
+def _stats(df):
+    return {
+        (r["column"], r["stat"]): (r["sval"], r["nval"]) for r in df.collect()
+    }
+
+
+def test_profile_stats_exact(spark, frame):
+    got = _stats(profile_columns(frame))
+    assert got[("id", "n")] == (None, 5.0)
+    assert got[("id", "n_null")] == (None, 0.0)
+    assert got[("id", "n_distinct")] == (None, 5.0)
+    assert got[("id", "min")] == (None, 1.0)
+    assert got[("id", "max")] == (None, 5.0)
+    assert got[("id", "mean")] == (None, 3.0)
+    assert got[("v", "n")] == (None, 4.0)
+    assert got[("v", "n_null")] == (None, 1.0)
+    assert got[("v", "n_distinct")] == (None, 3.0)  # NULL not counted
+    assert got[("v", "mean")] == (None, 20.0)       # NULL excluded
+    assert got[("s", "n")] == (None, 4.0)
+    assert got[("s", "n_null")] == (None, 1.0)
+    assert got[("s", "n_distinct")] == (None, 3.0)
+    assert got[("s", "min")] == ("a", None)
+    assert got[("s", "max")] == ("c", None)
+    assert ("s", "mean") not in got  # mean only for numeric columns
+
+
+def test_profile_validation_and_approx(spark, frame):
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(frame, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(frame, [])
+    # HLL path: same stat rows, distincts close on tiny input
+    approx = _stats(profile_columns(frame, exact_distinct=False))
+    assert abs(approx[("id", "n_distinct")][1] - 5.0) <= 1.0
+    # single aggregate job either way: one row pre-melt
+    assert profile_columns(frame).count() == 6 + 6 + 5
+
+
+def test_profile_diff_reports_only_drift(spark, frame):
+    before = profile_columns(frame)
+    after = profile_columns(
+        frame.withColumn("v", F.when(F.col("id") == 4, 99.0).otherwise(F.col("v")))
+    )
+    d = profile_diff(before, after).collect()
+    changed = {(r["column"], r["stat"]) for r in d}
+    # only v's max/mean/n_distinct move (40 -> 99 keeps 3 distincts? no:
+    # {10,20,99} is still 3 -> distinct unchanged; max & mean change)
+    assert ("v", "max") in changed and ("v", "mean") in changed
+    assert ("id", "n") not in changed and ("s", "min") not in changed
+    # rel_tol swallows small numeric drift
+    loose = profile_diff(before, after, rel_tol=10.0).collect()
+    assert loose == []
