@@ -300,3 +300,82 @@ def hyperplane_bucket(
         sign = F.when(dot_product(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket.bitwiseOR(F.shiftleft(sign.cast("long"), i))
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# MRL: Matryoshka prefix-dimension retrieval
+# ---------------------------------------------------------------------------
+
+
+def mrl_truncate(vec_col: str | Column, d: int) -> Column:
+    """First-``d``-dimensions prefix of an embedding (Kusupati et al.
+    2022, "Matryoshka Representation Learning" — MRL-trained encoders
+    pack a usable low-dim embedding into every prefix). Pure
+    ``slice``: one column expression, no recompute, no re-embed.
+
+    The retrieval pattern at corpus scale is two-stage: score
+    candidates on a short prefix (d/64ths of the bytes through the
+    scan; with the prefix materialized as its own column, column
+    pruning means the full vector is read only for the re-rank set),
+    then re-rank survivors at full dimension. Cosine works unchanged —
+    prefix norms are what they are; cosine_similarity normalizes per
+    row."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.slice(c, 1, d)
+
+
+def mrl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    k: int = 10,
+    rerank_full: bool = False,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k by cosine over the first ``d`` dimensions; with
+    ``rerank_full`` the prefix stage keeps ``expand * k`` candidates
+    and the full-dimension cosine re-ranks just those (the standard
+    funnel: cheap wide stage, exact narrow stage). Deterministic
+    (score desc, vec_id) tie-break throughout."""
+    from pyspark.sql import Window as W
+
+    from ..functions.arrays import cosine_similarity
+
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("qid"),
+            mrl_truncate(q_vec_col, d).alias("qp"),
+            F.col(q_vec_col).alias("qv"),
+        )
+    )
+    stage_k = expand * k if rerank_full else k
+    sim = cosine_similarity("qp", mrl_truncate(vec_col, d))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = q.join(corpus, F.col(id_col) != F.col("qid")).select(
+        "qid", "qv", F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"), sim.alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    head = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= stage_k)
+        .drop("rn")
+    )
+    if not rerank_full:
+        return head.drop("qv", "cv")
+    full = head.withColumn("cosine", cosine_similarity("qv", "cv")).drop(
+        "qv", "cv"
+    )
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1582,6 +1582,18 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
                           i -> s.c[i] * s.c[i])))),
              5) AS sim
       FROM qv2 q JOIN sq s ON s.vec_id <> q.qid
+    ),
+    mrlp AS (
+      SELECT q.qid, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, 33),
+                        i -> q.qv[i] * e.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 33),
+                          i -> q.qv[i] * q.qv[i])))
+                  * sqrt(list_sum(list_transform(range(1, 33),
+                          i -> e.v[i] * e.v[i])))),
+             5) AS sim
+      FROM qv2 q JOIN emb e ON e.vec_id <> q.qid
     )
     SELECT 'ivf' AS method, qid, vec_id, sim AS score FROM (
       SELECT qid, vec_id, sim,
@@ -1600,6 +1612,12 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
       SELECT qid, vec_id, sim,
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       FROM sqp
+    ) WHERE rn <= 5
+    UNION ALL
+    SELECT 'mrl32' AS method, qid, vec_id, sim AS score FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM mrlp
     ) WHERE rn <= 5
     """
 
@@ -1631,7 +1649,14 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       replays exactly, and cosine ranking directly on the codes (the
       per-vector scale cancels — the float column is never read at
       query time). Recall@5 >= 0.9 vs brute force pinned in
-      test_pq.py."""
+      test_pq.py.
+    - ``mrl32`` (round 8): Matryoshka prefix-dimension retrieval
+      (operators/similarity.py::mrl_truncate/mrl_topk): cosine over
+      the first 32 of 64 dims — the cheap wide stage of the MRL
+      funnel (half the bytes through the scan; the full-dim re-rank
+      stage and its exact-convergence pin live in
+      test_dedup_similarity.py). The oracle recomputes the truncated
+      cosine with the same 32-term fold."""
     from .operators.pq import pq_encode, pq_topk, sq8_encode, sq8_topk
     from .operators.similarity import ivf_assign, ivf_topk_scalable, train_centroids
 
@@ -1662,7 +1687,16 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sq8").alias("method"), "qid", "vec_id",
         F.col("cosine").alias("score"),
     )
-    return ivf.unionByName(pq).unionByName(sq)
+
+    from .operators.similarity import mrl_topk
+
+    mrl = mrl_topk(
+        e.select("vec_id", "embedding"), q, d=32, k=5, round_digits=5
+    ).select(
+        F.lit("mrl32").alias("method"), "qid", "vec_id",
+        F.col("cosine").alias("score"),
+    )
+    return ivf.unionByName(pq).unionByName(sq).unionByName(mrl)
 
 
 @query(

@@ -905,3 +905,47 @@ def test_collision_gate_with_persisted_band_artifact(spark, docs, tmp_path_facto
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --- MRL prefix-dimension retrieval --------------------------------------
+
+
+def test_mrl_funnel_beats_prefix_and_converges_to_exact(spark, sf_dir):
+    from argostats_spark.operators.similarity import brute_force_topk, mrl_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {(r["qid"], r["vec_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+
+    def recall(df):
+        got = {(r["qid"], r["vec_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    # NOTE: testdata embeddings are isotropic random — the WORST case
+    # for prefix truncation (an MRL-trained encoder front-loads the
+    # information). The structural claims still hold: recall grows
+    # with d, the rerank funnel strictly improves on prefix-only, and
+    # a funnel whose first stage keeps everything IS exact.
+    r_pre, r_fun = {}, {}
+    for d in (16, 32, 48):
+        r_pre[d] = recall(mrl_topk(e, q, d, k=5))
+        r_fun[d] = recall(mrl_topk(e, q, d, k=5, rerank_full=True, expand=4))
+        assert r_fun[d] > r_pre[d], (d, r_pre[d], r_fun[d])
+    assert r_pre[16] <= r_pre[32] <= r_pre[48]
+    assert r_fun[48] >= 0.7
+
+    n = e.count()
+    everything = mrl_topk(e, q, 16, k=5, rerank_full=True, expand=n)
+    assert {(r["qid"], r["vec_id"]) for r in everything.collect()} == exact
+
+
+def test_mrl_truncate_validation(spark):
+    from argostats_spark.operators.similarity import mrl_truncate
+
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<float>")
+    assert df.select(mrl_truncate("v", 2).alias("p")).first()["p"] == [1.0, 2.0]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="d must be"):
+        mrl_truncate("v", 0)
