@@ -1087,3 +1087,73 @@ def minhash_lsh_pairs_collapsed(
     )
     rep_pairs = minhash_lsh_pairs(rep_docs, id_col, text_col, **lsh_kwargs)
     return rep_pairs.unionByName(member_edges)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    band_width: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs of SHORT strings by Levenshtein distance —
+    the title/URL/name dedup step (shingle-based MinHash degenerates on
+    strings shorter than a shingle; edit distance is the right metric
+    at that length). Returns (id_a, id_b, dist), id_a < id_b,
+    dist <= ``max_dist``.
+
+    Candidate generation is length-banded, never all-pairs: an edit
+    changes length by at most 1, so strings within ``max_dist`` edits
+    sit within ``max_dist`` in length. Each string joins its own
+    length band plus the band above (bands of ``band_width`` >
+    ``max_dist``), which provably covers every qualifying pair exactly
+    once while the join stays an equi-join on the band key (shuffle
+    hash/sort-merge — no CartesianProduct in the plan; pinned by
+    test). The |len_a − len_b| <= max_dist prefilter then runs before
+    the O(len²) levenshtein, which evaluates JVM-side (built-in, no
+    UDF) only on the surviving in-band pairs.
+
+    At corpus scale the hot band is the modal title length; pair cost
+    is Σ_band |band|² — bounded by banding on a SECOND key upstream
+    (e.g. simhash band or source) before calling this, the same
+    mitigation ladder the LSH family documents. NULL texts are
+    excluded."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    w = band_width if band_width is not None else max_dist + 1
+    if w <= max_dist:
+        raise ValueError(
+            f"band_width must exceed max_dist ({max_dist}), got {w}"
+        )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        (F.length(text_col) / w).cast("long").alias("__band"),
+    )
+    # the pair roles are fixed by ID ORDER (id_a < id_b), not by band,
+    # so the left side sits at its own band and the right side visits
+    # {band-1, band, band+1}: whatever the band gap (0 or ±1 — a gap
+    # of 2+ is impossible within max_dist when band_width > max_dist),
+    # exactly ONE right arm lands on the left's band, so every
+    # qualifying pair meets exactly once and no distinct is needed
+    left = base.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("t_a"),
+        F.col("__band").alias("__k"),
+    )
+    right = base.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("t_b"),
+        F.explode(
+            F.array(
+                F.col("__band") - F.lit(1),
+                F.col("__band"),
+                F.col("__band") + F.lit(1),
+            )
+        ).alias("__k"),
+    )
+    cands = left.join(right, "__k").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.length("t_a") - F.length("t_b")) <= F.lit(max_dist))
+    )
+    return cands.select(
+        "id_a", "id_b", F.levenshtein("t_a", "t_b").alias("dist")
+    ).filter(F.col("dist") <= F.lit(max_dist))

@@ -1441,6 +1441,18 @@ _SIMHASH_SQL = f"""
         WHERE a.c < 8
       ) bits GROUP BY media_id
     ) ph
+    UNION ALL
+    SELECT 'lev', id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.title, b.title) AS INT) AS hamming
+      FROM (SELECT doc_id, concat('the ', lang, ' corpus ',
+                                  CAST(doc_id % 25 AS VARCHAR)) AS title
+            FROM documents WHERE doc_id < 60) a
+      JOIN (SELECT doc_id, concat('the ', lang, ' corpus ',
+                                  CAST(doc_id % 25 AS VARCHAR)) AS title
+            FROM documents WHERE doc_id < 60) b
+        ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 2
 """
 
 
@@ -1466,8 +1478,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       bit-pack, two's-complement fold to BIGINT — so every decode and
       all 64 bits are hash-pinned per document. phash near-dup PAIR
       generation shares hamming_block_pairs with the simhash path
-      (dedup.py:303) and is pinned by the reencode/upscale pytest."""
-    from .operators.dedup import simhash_near_pairs
+      (dedup.py:303) and is pinned by the reencode/upscale pytest.
+    - ``lev`` (round 8): Levenshtein near-dup pairs for SHORT strings
+      (operators/dedup.py::edit_distance_pairs — the title/URL dedup
+      metric where shingle MinHash degenerates) over a synthetic
+      60-doc title slice. Spark runs the length-banded equi-join
+      (plan-pinned: no CartesianProduct); the oracle brute-forces all
+      pairs with DuckDB's built-in levenshtein — equality IS the
+      completeness proof for the banding, the same argument the
+      simhash pigeonhole limb makes."""
+    from .operators.dedup import edit_distance_pairs, simhash_near_pairs
     from .operators.multimodal import image_phash_table, to_media_table
 
     d = _t(spark, sf_dir, "documents")
@@ -1494,7 +1514,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phash").alias("id_b"),
         F.lit(None).cast("int").alias("hamming"),
     )
-    return pairs.unionByName(ph)
+    titles = d.filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.concat(
+            F.lit("the "), F.col("lang"), F.lit(" corpus "),
+            (F.col("doc_id") % 25).cast("string"),
+        ).alias("text"),
+    )
+    lev = edit_distance_pairs(titles, max_dist=2).select(
+        F.lit("lev").alias("part"), "id_a", "id_b",
+        F.col("dist").cast("int").alias("hamming"),
+    )
+    return pairs.unionByName(ph).unionByName(lev)
 
 
 def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:

@@ -949,3 +949,65 @@ def test_mrl_truncate_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="d must be"):
         mrl_truncate("v", 0)
+
+
+# --- edit-distance (Levenshtein) near-dup for short strings ---------------
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    import itertools
+
+    from argostats_spark.operators.dedup import edit_distance_pairs
+
+    titles = [
+        (0, "the great gatsby"), (1, "the great gatsby!"),
+        (2, "the grat gatsby"), (3, "a tale of two cities"),
+        (4, "a tale of two citis"), (5, "moby dick"),
+        (6, "moby-dick"), (7, "mobydick"), (8, "x"), (9, "xy"),
+        (10, "completely different title"), (11, None),
+        (12, "the great gatsby"),  # exact dup at distance 0
+    ]
+    df = spark.createDataFrame(titles, "doc_id long, text string")
+    for md in (0, 1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_dist=md).collect()
+        }
+        # brute force over all non-null pairs
+        def lev(a, b):
+            import numpy as np
+            m, n = len(a), len(b)
+            d = np.arange(n + 1)
+            for i in range(1, m + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, n + 1):
+                    cur = min(d[j] + 1, d[j - 1] + 1,
+                              prev + (a[i - 1] != b[j - 1]))
+                    prev, d[j] = d[j], cur
+            return int(d[n])
+
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(
+                [(i, t) for i, t in titles if t is not None], 2)
+            if lev(a, b) <= md
+        }
+        assert got == want, f"max_dist={md}"
+
+
+def test_edit_distance_pairs_plan_is_equijoin_and_validates(spark):
+    from argostats_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"title number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        edit_distance_pairs(df, max_dist=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, max_dist=-1)
+    with pytest.raises(ValueError, match="band_width"):
+        edit_distance_pairs(df, max_dist=2, band_width=2)
