@@ -241,6 +241,8 @@ def test_registry_plans_free_of_antipatterns(spark, sf_dir):
         "join_range_bands",      # tiny bands dim, BETWEEN predicate
         "cosine_topk",           # broadcast query set, similarity predicate
         "embedding_near_pairs",  # broadcast candidate ids, cosine cutoff
+        "ann_suite",             # sq8/mrl32 limbs: broadcast query set vs
+                                 # corpus scan (the cosine_topk shape; r8)
         "ocean_mask_gate",       # broadcast scalar mask stats gate
         "argo_atlas_pipeline",   # contains the kernel grid join above
         "quality_filter",        # broadcast 1-row percentile threshold
