@@ -1104,12 +1104,14 @@ def edit_distance_pairs(
 
     Candidate generation is length-banded, never all-pairs: an edit
     changes length by at most 1, so strings within ``max_dist`` edits
-    sit within ``max_dist`` in length. Each string joins its own
-    length band plus the band above (bands of ``band_width`` >
-    ``max_dist``), which provably covers every qualifying pair exactly
-    once while the join stays an equi-join on the band key (shuffle
-    hash/sort-merge — no CartesianProduct in the plan; pinned by
-    test). The |len_a − len_b| <= max_dist prefilter then runs before
+    sit within ``max_dist`` in length. The lower-ID side sits at its
+    own length band; the higher-ID side visits {band-1, band, band+1}
+    (pair roles are fixed by ID order, NOT by band order, so both gap
+    directions must be covered from the right side) — with bands of
+    ``band_width`` > ``max_dist`` this meets every qualifying pair
+    exactly once while the join stays an equi-join on the band key
+    (shuffle hash/sort-merge — no CartesianProduct in the plan; pinned
+    by test). The |len_a − len_b| <= max_dist prefilter then runs before
     the O(len²) levenshtein, which evaluates JVM-side (built-in, no
     UDF) only on the surviving in-band pairs.
 

@@ -46,8 +46,13 @@ MAX_BITS = 16  # per dimension; 2 dims * 16 bits = 32-bit key in a long
 def spread_bits(col: Column | str) -> Column:
     """Spread a 16-bit integer's bits to the even positions of a 32-bit
     word (b15..b0 -> bit positions 30, 28, ..., 0). Pure long
-    arithmetic — codegen in Spark, identical ``<< & |`` in DuckDB."""
+    arithmetic — codegen in Spark, identical ``<< & |`` in DuckDB.
+    Only the LOW 16 BITS participate (masked explicitly up front, so a
+    >=2^16 input degrades to its low bits deterministically instead of
+    leaking partial high bits through the spread steps); feed grid
+    coordinates from ``grid_coord``, which guarantees the range."""
     c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    c = c.bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD_STEPS:
         c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
     return c
@@ -94,6 +99,13 @@ def zorder_key(
             *[f(c).cast("double") for c in dims for f in (F.min, F.max)]
         ).first()
         ranges = {c: (row[2 * i], row[2 * i + 1]) for i, c in enumerate(dims)}
+        bad = [c for c, (lo, hi) in ranges.items() if lo is None or hi is None]
+        if bad:
+            raise ValueError(
+                f"zorder_key: no non-NULL values to range over in {bad} "
+                "(empty frame or all-NULL dimension) — pass explicit "
+                "`ranges` or fix the input"
+            )
     gx = grid_coord(dims[0], *ranges[dims[0]], bits=bits)
     gy = grid_coord(dims[1], *ranges[dims[1]], bits=bits)
     return morton_key(gx, gy), ranges

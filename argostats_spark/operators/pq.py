@@ -273,7 +273,6 @@ def sq8_topk(
     code_col: str = "sq8_code",
     q_id_col: str = "qid",
     q_vec_col: str = "qv",
-    exclude_self: bool = True,
     round_digits: int | None = None,
 ) -> DataFrame:
     """Asymmetric cosine top-k over the int8 codes: the float query
@@ -281,27 +280,12 @@ def sq8_topk(
     the per-vector scale cancels, so the scan reads codes only (1/4 the
     bytes of the float corpus; with both this and the raw-vector column
     in parquet, column pruning means the float column is never read).
-    Broadcast query set x corpus scan + ranking window — the
-    brute_force_topk shape, deterministically tie-broken."""
-    from pyspark.sql import Window as W
+    Delegates to brute_force_topk with the code column as the vector —
+    one implementation of the broadcast-queries x corpus-scan ranking
+    topology, not a copy."""
+    from .similarity import brute_force_topk
 
-    from ..functions.arrays import cosine_similarity
-
-    q = F.broadcast(
-        queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv"))
-    )
-    cond = (
-        F.col(id_col) != F.col("qid") if exclude_self else F.lit(True)
-    )
-    sim = cosine_similarity("qv", code_col)
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    pairs = q.join(encoded, cond).select(
-        "qid", F.col(id_col).alias("vec_id"), sim.alias("cosine")
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+    return brute_force_topk(
+        encoded, queries, k=k, id_col=id_col, vec_col=code_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, round_digits=round_digits,
     )

@@ -38,13 +38,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     q_id_col: str = "qid",
     q_vec_col: str = "qv",
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Exact top-k: broadcast queries × full corpus scan + ranking window."""
+    """Exact top-k: broadcast queries × full corpus scan + ranking
+    window. ``vec_col`` may hold any numeric array (cosine casts
+    element-wise to double), so the quantized SQ8 code column ranks
+    through the same path. ``round_digits`` rounds the similarity
+    BEFORE ranking (round-before-compare: cross-engine ties then break
+    identically on vec_id)."""
     q = F.broadcast(queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")))
+    sim = cosine_similarity("qv", vec_col)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     pairs = q.join(corpus, F.col(id_col) != F.col("qid")).select(
         "qid",
         F.col(id_col).alias("vec_id"),
-        cosine_similarity("qv", vec_col).alias("cosine"),
+        sim.alias("cosine"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -371,9 +380,10 @@ def mrl_topk(
     )
     if not rerank_full:
         return head.drop("qv", "cv")
-    full = head.withColumn("cosine", cosine_similarity("qv", "cv")).drop(
-        "qv", "cv"
-    )
+    full_sim = cosine_similarity("qv", "cv")
+    if round_digits is not None:  # round-before-compare holds in BOTH stages
+        full_sim = F.round(full_sim, round_digits)
+    full = head.withColumn("cosine", full_sim).drop("qv", "cv")
     return (
         full.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -1445,11 +1445,11 @@ _SIMHASH_SQL = f"""
     SELECT 'lev', id_a, id_b, hamming FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(levenshtein(a.title, b.title) AS INT) AS hamming
-      FROM (SELECT doc_id, concat('the ', lang, ' corpus ',
-                                  CAST(doc_id % 25 AS VARCHAR)) AS title
+      FROM (SELECT doc_id, 'the ' || lang || ' corpus '
+                           || CAST(doc_id % 25 AS VARCHAR) AS title
             FROM documents WHERE doc_id < 60) a
-      JOIN (SELECT doc_id, concat('the ', lang, ' corpus ',
-                                  CAST(doc_id % 25 AS VARCHAR)) AS title
+      JOIN (SELECT doc_id, 'the ' || lang || ' corpus '
+                           || CAST(doc_id % 25 AS VARCHAR) AS title
             FROM documents WHERE doc_id < 60) b
         ON a.doc_id < b.doc_id
     ) WHERE hamming <= 2

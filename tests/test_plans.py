@@ -388,3 +388,32 @@ def test_lm_score_rows_literal_path_is_pure_expression(spark, sf):
     pd_path = lm_score_rows(d, vocab, t, v, max_literal_vocab=0)
     plan2 = physical_plan(pd_path)
     assert "ArrowEvalPython" in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_ann_ivf_pq_stages_stay_nested_loop_free(spark, sf_dir):
+    """ann_suite sits on the BNLJ allowlist only for its by-design
+    broadcast-query limbs (sq8/mrl32); the ivf and pq stages were
+    previously protected by the query-level gate and must stay free of
+    nested-loop shapes — pinned here at operator level."""
+    from pyspark.sql import functions as F
+
+    from argostats_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from argostats_spark.operators.similarity import (
+        ivf_assign, ivf_topk_scalable, train_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = train_centroids(e, n_centroids=4, sample_rows=200)
+    ivf = ivf_topk_scalable(ivf_assign(e, cents), q, cents, k=3, nprobe=2)
+    plan = physical_plan(ivf)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    books = pq_train(e, m=8, ksub=16, sample_rows=200, seed=3)
+    pq = pq_topk(pq_encode(e.select("vec_id", "embedding"), books), q, books, k=3)
+    plan = physical_plan(pq)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
