@@ -223,28 +223,37 @@ def cap_per_group(
     and re-dealt by changing ``salt``.
 
     Scale shape — the naive plan windows EVERY row by ``group_col``,
-    but the host distribution at crawl scale is Zipfian: the long tail
-    (most groups, most rows in aggregate) is under the cap and needs no
-    ranking at all. With ``skip_under_cap`` (default):
+    and a mega-host is then ONE window partition: a single task sorting
+    (and spilling) the whole host — measured 63.7 s worst-run vs a flat
+    ~4 s for this path at a 6M-row mega-host (SCALE.md cap probe,
+    scripts/bench_cap_scale.py); at a 500M-row host the single sort is
+    a wall, full stop. row_number cannot salt without changing its
+    answer, but SELECTION can — the priority here is an md5 string, so
+    its leading byte is a uniform radix over each group. With
+    ``skip_under_cap`` (default) the plan is a distributed
+    radix-select:
 
     1. one counts aggregate (map-side partial combine) finds the
-       over-cap groups — at a Zipf tail that set is SMALL (the head);
-    2. rows in under-cap groups pass through UNTOUCHED via a null-safe
-       anti join against the over-cap group list (broadcast-sized for
-       real host distributions — Spark's planner broadcasts it under
-       the threshold and falls back to a shuffle join above it, both
-       correct);
-    3. only the over-cap head is windowed — the expensive exchange
-       ranks the few hot groups instead of the whole corpus. The hot
-       groups are exactly the skewed window partitions, so pair this
-       with more shuffle partitions rather than salting (row_number
-       cannot salt without changing its answer).
+       over-cap groups; rows in under-cap groups — the Zipf tail, most
+       of a crawl — pass through UNTOUCHED via a null-safe anti join
+       (broadcast-sized over-cap list for real host distributions;
+       the planner falls back to a shuffle join above the threshold);
+    2. per over-cap group, counts by the priority's first byte (≤256
+       rows per group, map-side combined) + a cumulative window over
+       that TINY table find each group's threshold bucket: buckets
+       wholly before it keep every row, buckets after it drop, and
+       only the ONE threshold bucket — ~1/256th of the group — is
+       ranked to fill the remaining slots;
+    3. the final window therefore sorts ~group/256 rows per mega-host
+       instead of the whole host, at any host size.
 
     Equivalent by construction to the plain single-window form
-    (``skip_under_cap=False``): a window restricted to over-cap groups
-    ranks those groups identically, and under-cap groups keep every row
-    either way (pinned by test). NULL groups are one group in both
-    engines and both code paths (the joins are null-safe).
+    (``skip_under_cap=False``): the priority string orders as (first
+    byte, rest), so per-bucket selection composes to exactly the
+    global per-group top-``cap`` (pinned by test). NULL groups are one
+    group in both engines and both code paths (the joins are
+    null-safe). ``key_col`` must be non-NULL (it is an id): a NULL key
+    has no priority and the two engines order NULLs differently.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -256,21 +265,70 @@ def cap_per_group(
             .filter(F.col("__rn") <= cap)
             .drop("__rn")
         )
+    salt_col = F.substring(pri, 1, 2)
+
+    # pass 1: per-group counts -> the over-cap head (a TINY table at
+    # any Zipf shape; checkpointed so no consumer re-aggregates the
+    # corpus — measured: the un-checkpointed DAG re-ran this agg 4x)
     over = (
-        df.groupBy(group_col)
+        df.groupBy(F.col(group_col).alias("__g"))
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > cap)
-        .select(F.col(group_col).alias("__g"))
+        .select("__g")
+        .localCheckpoint(eager=False)
     )
     cond = F.col(group_col).eqNullSafe(F.col("__g"))
-    passed = df.join(over, cond, "left_anti")
-    capped = (
-        df.join(over, cond, "left_semi")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+    # the control tables MUST broadcast: left to the static planner,
+    # the null-safe join against a lazily-checkpointed table plans as
+    # a SortMergeJoin on the group key — a full corpus shuffle whose
+    # hottest key IS the mega-host (measured: 23 s vs 1.4 s at the 5M
+    # probe shape). The Zipf premise bounds both tables (over-cap
+    # groups, <=256 buckets each).
+    passed = df.join(F.broadcast(over), cond, "left_anti")
+
+    # pass 2: radix histogram of the HEAD only, by (group, first
+    # priority byte) — <=256 rows per over-cap group regardless of
+    # group size (histogramming every group instead would make this
+    # table corpus-sized on a billion-host tail). Buckets wholly
+    # before the threshold keep all rows, the ONE threshold bucket
+    # (~1/256th of the group) gets ranked, later buckets never join;
+    # all window work happens on this tiny table, not the corpus.
+    wcum = (
+        W.partitionBy("__g")
+        .orderBy(F.col("__salt").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    return passed.unionByName(capped)
+    actions = (
+        df.join(F.broadcast(over), cond, "left_semi")
+        .groupBy(F.col(group_col).alias("__g"), salt_col.alias("__salt"))
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .withColumn(
+            "__before", F.coalesce(F.sum("__bn").over(wcum), F.lit(0))
+        )
+        .filter(F.col("__before") < cap)
+        .select(
+            "__g",
+            F.col("__salt").alias("__asalt"),
+            (F.lit(cap) - F.col("__before")).alias("__rem"),
+            "__bn",
+        )
+        .localCheckpoint(eager=False)
+    )
+    acond = cond & (salt_col == F.col("__asalt"))
+    keep_whole = df.join(
+        F.broadcast(actions.filter(F.col("__rem") >= F.col("__bn"))),
+        acond, "left_semi",
+    )
+    threshold = (
+        df.join(
+            F.broadcast(actions.filter(F.col("__rem") < F.col("__bn"))),
+            acond, "inner",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__rem"))
+        .drop("__g", "__asalt", "__rem", "__bn", "__rn")
+    )
+    return passed.unionByName(keep_whole).unionByName(threshold)
 
 
 def mixture_order(
