@@ -389,3 +389,34 @@ def normalize_url(url) -> Column:
     # the fragment/utm passes apply ONLY on the rebuilt-URL branch — a
     # non-scheme input passes through byte-for-byte (contract)
     return F.when(scheme == F.lit(""), _c(url)).otherwise(n)
+
+
+# -------------------------------------------------------------------------
+# Sentence segmentation (round 8) — the boundary heuristic that
+# sentence-bounded chunking (operators/sampling.py::
+# chunk_documents_sentences) builds on.
+# -------------------------------------------------------------------------
+
+# boundary: >=2 word chars + end punctuation (+ optional closing
+# quotes/brackets), whitespace, then an uppercase/digit start. The
+# 2-char floor keeps initials ("J. Smith") intact; known limitation:
+# 2-letter abbreviations ("Dr. Who") still split — a curation chunker
+# prefers a rare extra boundary over a missed one. No lookarounds, so
+# Java regex and DuckDB RE2 read it identically; the next-sentence
+# first char is CONSUMED into the replacement, which is safe because
+# boundaries cannot overlap (the consumed char sits strictly between
+# two boundary matches).
+SENTENCE_BOUNDARY = '([A-Za-z0-9]{2}[.!?]+["\')\\]]*)\\s+([A-Z0-9])'
+_SENT_SEP = "\u001e"  # RS control char: normalize strips it, raw text never has it
+
+
+def sentences(text) -> Column:
+    """Array of sentences: mark boundaries with a control-char
+    separator, split, trim, drop empties. Pure codegen; the DuckDB twin
+    runs the same regexp_replace + split (pack_sequences 'sent'
+    limb)."""
+    marked = F.regexp_replace(_c(text), SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2")
+    return F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )

@@ -819,3 +819,100 @@ def pack_chunks_bestfit(
         ).alias("pack_id"),
         (F.col("__len") > budget).alias("oversize"),
     )
+
+
+def chunk_documents_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sentence-bounded greedy chunking — the RAG / training-prep
+    chunker that never cuts mid-sentence: sentences
+    (functions/text.py::sentences) fill a chunk until the NEXT sentence
+    would push it past ``max_tokens``, then a new chunk starts at that
+    sentence boundary. A single sentence longer than the budget becomes
+    its own oversize chunk (callers gate or re-split those; flagged by
+    n_chunk_tokens > max_tokens) — splitting it here would defeat the
+    operator's one guarantee.
+
+    Same output shape as the other chunkers (one row per chunk: id,
+    chunk_id, sent_start, sent_end, chunk_text, n_chunk_tokens), so it
+    composes with ``pack_chunks``/``pack_chunks_bestfit`` unchanged.
+    Token counts are whitespace tokens of each trimmed sentence —
+    reflowing the text (the boundary replacement collapses the
+    inter-sentence whitespace to one space) preserves them.
+
+    Scale shape: entirely row-local — one regexp pass to split
+    sentences, one fold over (token-count, index) pairs builds the
+    per-document chunk-start list, one posexplode emits the chunks. No
+    shuffle, no Python; the greedy fold is replayed exactly by DuckDB's
+    list_reduce in the pack_sequences 'sent' oracle limb."""
+    from ..functions.text import sentences
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    sents = F.col("__sents")
+    n = F.size(sents)
+    ncol = F.transform(sents, lambda s: F.size(F.split(s, "\\s+")))
+    sp = F.transform(
+        ncol, lambda c, i: F.struct(c.alias("n"), i.alias("i"))
+    )
+    acc0 = F.struct(
+        F.array(F.lit(0)).cast("array<int>").alias("starts"),
+        F.lit(0).alias("run"),
+    )
+    step = lambda acc, s: F.when(  # noqa: E731 — inline fold step
+        (acc.run > 0) & (acc.run + s.n > F.lit(max_tokens)),
+        F.struct(
+            F.concat(acc.starts, F.array(s.i.cast("int"))).alias("starts"),
+            s.n.alias("run"),
+        ),
+    ).otherwise(
+        F.struct(acc.starts.alias("starts"), (acc.run + s.n).alias("run"))
+    )
+    starts = F.aggregate(sp, acc0, step, lambda acc: acc.starts)
+    bounds = F.concat(starts, F.array(n.cast("int")))
+    carry = list(carry_cols)
+    return (
+        df.withColumn("__sents", sentences(F.col(text_col)))
+        .where(n > 0)
+        .withColumn("__ns", ncol)
+        .withColumn("__bounds", bounds)
+        .select(
+            id_col,
+            *carry,
+            "__sents", "__ns", "__bounds",
+            F.posexplode(F.slice("__bounds", 1, F.size("__bounds") - 1)).alias(
+                "chunk_id", "sent_start"
+            ),
+        )
+        .withColumn(
+            "__sent_end", F.element_at("__bounds", F.col("chunk_id") + 2)
+        )
+        .select(
+            id_col,
+            *carry,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("sent_start").cast("long").alias("sent_start"),
+            F.col("__sent_end").cast("long").alias("sent_end"),
+            F.array_join(
+                F.slice(
+                    F.col("__sents"),
+                    F.col("sent_start") + 1,
+                    F.col("__sent_end") - F.col("sent_start"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.aggregate(
+                F.slice(
+                    F.col("__ns"),
+                    F.col("sent_start") + 1,
+                    F.col("__sent_end") - F.col("sent_start"),
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )

@@ -2832,6 +2832,38 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) FILTER (WHERE n_tok = 60) AS c60,
              count(*) FILTER (WHERE n_tok = 40) AS c40
       FROM bf GROUP BY lang
+    ),
+    sraw AS (
+      SELECT doc_id, lang,
+             list_filter(list_transform(
+               string_split(regexp_replace(text,
+                 '([A-Za-z0-9]{2}[.!?]+["'')\]]*)\s+([A-Z0-9])',
+                 '\1' || chr(30) || '\2', 'g'), chr(30)),
+               s -> trim(s)), s -> s <> '') AS ss
+      FROM documents
+    ),
+    sfold AS (
+      SELECT doc_id, lang, ss,
+             list_transform(ss, s -> len(string_split_regex(s, '\s+'))) AS ns
+      FROM sraw WHERE len(ss) > 0
+    ),
+    sstate AS (
+      SELECT doc_id, lang, ss, ns,
+             list_reduce(
+               list_concat([[0, 0]],
+                 list_transform(range(1, len(ns) + 1), i -> [i - 1, ns[i]])),
+               (a, b) -> CASE
+                 WHEN a[-1] > 0 AND a[-1] + b[2] > 24
+                   THEN list_slice(a, 1, len(a) - 1) || b
+                 ELSE list_slice(a, 1, len(a) - 1) || [a[-1] + b[2]]
+               END) AS st
+      FROM sfold
+    ),
+    sx AS (
+      SELECT doc_id, lang, ss, ns,
+             list_slice(st, 1, len(st) - 1) || [len(ss)] AS bnds,
+             unnest(range(1, len(st))) AS j
+      FROM sstate
     )
     SELECT 'fixed' AS part, doc_id, window_id, tok_start, tok_end,
            n_chunk_tokens, chunk_md5, lang,
@@ -2864,6 +2896,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + (bfr.r - least(bfc.c40, bfc.c60)) // 2
            END AS BIGINT)
     FROM bfr JOIN bfc ON bfr.lang IS NOT DISTINCT FROM bfc.lang
+    UNION ALL
+    SELECT 'sent', doc_id, CAST(j - 1 AS BIGINT),
+           CAST(bnds[j] AS BIGINT),
+           CAST(bnds[j + 1] AS BIGINT),
+           CAST(list_sum(list_slice(ns, bnds[j] + 1, bnds[j + 1])) AS BIGINT),
+           md5(array_to_string(list_slice(ss, bnds[j] + 1, bnds[j + 1]), ' ')),
+           lang, CAST(NULL AS BIGINT)
+    FROM sx
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2894,10 +2934,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       resulting BFD assignment has a closed arithmetic form the twin
       states directly (oversize rank-identity; 60s offset by the
       oversize count; 40s pair into 60-pack remainders then fill
-      2-slot packs). ``chunk_md5`` carries the oversize flag."""
+      2-slot packs). ``chunk_md5`` carries the oversize flag.
+    - ``sent`` (round 8): sentence-bounded greedy chunking
+      (chunk_documents_sentences at max_tokens=24): sentences from the
+      cross-engine boundary regex (functions/text.py::sentences) fill
+      chunks greedily, never splitting mid-sentence; the DuckDB twin
+      replays the greedy fold with list_reduce over the identical
+      [starts..., run] integer state. Boundary/oversize/Python-mirror
+      tests in test_sampling.py."""
     from .operators.sampling import (
         chunk_documents,
         chunk_documents_cdc,
+        chunk_documents_sentences,
         pack_chunks,
         pack_chunks_bestfit,
     )
@@ -2947,7 +2995,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "pack_id",
     )
-    return fixed.unionByName(cdc).unionByName(bf)
+    sent = chunk_documents_sentences(
+        d, text_col="text", id_col="doc_id", max_tokens=24,
+        carry_cols=("lang",),
+    ).select(
+        F.lit("sent").alias("part"),
+        "doc_id",
+        F.col("chunk_id").alias("window_id"),
+        F.col("sent_start").alias("tok_start"),
+        F.col("sent_end").alias("tok_end"),
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "lang",
+        F.lit(None).cast("long").alias("pack_id"),
+    )
+    return fixed.unionByName(cdc).unionByName(bf).unionByName(sent)
 
 
 @query(

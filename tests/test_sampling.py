@@ -599,3 +599,79 @@ def test_mixture_order_partition_independent(spark, three_sources):
     a = sorted(mixture_order(three_sources, "src", w).collect())
     b = sorted(mixture_order(three_sources.repartition(13), "src", w).collect())
     assert a == b
+
+
+# --- chunk_documents_sentences (sentence-bounded greedy chunking) --------
+
+
+def test_sentence_chunker_matches_python_mirror(spark, sf_dir):
+    import re
+
+    from argostats_spark.operators.sampling import chunk_documents_sentences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    got = chunk_documents_sentences(d, max_tokens=24).collect()
+
+    bound = re.compile(r'([A-Za-z0-9]{2}[.!?]+["\')\]]*)\s+([A-Z0-9])')
+
+    def py_sentences(t):
+        marked = bound.sub(lambda m: m.group(1) + "\x1e" + m.group(2), t)
+        return [s.strip() for s in marked.split("\x1e") if s.strip()]
+
+    def py_chunks(t, mx):
+        ss = py_sentences(t)
+        ns = [len(s.split()) for s in ss]
+        starts, run = [0], 0
+        for i, c in enumerate(ns):
+            if run > 0 and run + c > mx:
+                starts.append(i)
+                run = c
+            else:
+                run += c
+        bounds = starts + [len(ss)]
+        return [
+            (j, bounds[j], bounds[j + 1],
+             " ".join(ss[bounds[j]:bounds[j + 1]]),
+             sum(ns[bounds[j]:bounds[j + 1]]))
+            for j in range(len(starts))
+        ]
+
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    want = {
+        (i, j, a, b, txt, n)
+        for i, t in texts.items() if py_sentences(t)
+        for (j, a, b, txt, n) in py_chunks(t, 24)
+    }
+    have = {
+        (r["doc_id"], r["chunk_id"], r["sent_start"], r["sent_end"],
+         r["chunk_text"], r["n_chunk_tokens"])
+        for r in got
+    }
+    assert have == want and len(have) > len(texts) // 2
+
+
+def test_sentence_chunker_never_splits_and_flags_oversize(spark):
+    from argostats_spark.operators.sampling import chunk_documents_sentences
+
+    rows = [
+        (1, "Short one. Also short. " * 6),
+        (2, " ".join(f"w{i}" for i in range(50)) + "."),  # one 50-tok sentence
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents_sentences(df, max_tokens=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: sentences are 2+2 tokens; chunks of <= 10 tokens each,
+    # every chunk text is whole sentences
+    for r in by_doc[1]:
+        assert r["n_chunk_tokens"] <= 10
+        assert r["chunk_text"].endswith(".")
+    # doc 2: single oversize sentence -> one oversize chunk, unsplit
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 50
+    # doc 3: no sentences -> no rows
+    assert 3 not in by_doc
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_tokens"):
+        chunk_documents_sentences(df, max_tokens=0)
