@@ -1,0 +1,85 @@
+"""Mergeable aggregate state — incremental corpus statistics without
+rescans (the batch half of the lambda architecture; the streaming half
+is streaming/events.py's algebraic incremental means).
+
+Green-field scope: a 100 TB corpus updates monthly; recomputing
+count/sum/min/max/mean/variance over the whole corpus per refresh
+re-reads 100 TB. Instead, persist a per-key STATE table (count, sum,
+sum-of-squares, min, max — all associative+commutative), compute the
+same state over just the increment, and MERGE: state(A) ⊎ state(B) =
+state(A ∪ B), exactly. Deletions are handled by merging the deleted
+slice with negated count/sums (min/max then need a rebuild only if the
+deleted slice touched them — flagged, not silently wrong).
+
+Exactness is what makes the merge law hold on any cluster: sums
+accumulate in DECIMAL (Spark decimal aggregation is exact and
+order-independent, the same mechanism the quality classifier and
+PageRank use for partition-independent fits), so merging snapshots in
+any order, any grouping, yields bit-identical state — pinned by the
+stats_suite 'aggstate' driver limb, whose oracle computes the UNSPLIT
+aggregate directly while Spark merges two half-corpus states.
+
+Scale shape: building a state is one groupBy (map-side partials); a
+merge is a groupBy over the CONCATENATED STATES — state-table-sized,
+not corpus-sized. Finalize (mean/variance) is row-local arithmetic on
+the state.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 14 integer digits of headroom for sums; squares get a wider type
+_SUM_T = "decimal(28,14)"
+_SUMSQ_T = "decimal(38,6)"
+
+STATE_COLS = ("n", "s", "sq", "mn", "mx")
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key mergeable state over ``value_col``: n (non-null count),
+    s (exact decimal sum), sq (exact decimal sum of squares), mn, mx.
+    NULL values contribute nothing (SQL aggregate semantics)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast(_SUM_T)).alias("s"),
+        F.sum((v.cast(_SUM_T) * v.cast(_SUM_T)).cast(_SUMSQ_T)).alias("sq"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_agg_states(keys: list[str], *states: DataFrame) -> DataFrame:
+    """state(A) ⊎ state(B) ⊎ ... = state(A ∪ B ∪ ...), exactly: counts
+    and decimal sums add, min/max fold. Cost is proportional to the
+    STATE tables (per-key rows), never the corpora behind them."""
+    if not states:
+        raise ValueError("merge_agg_states: no states to merge")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast(_SUM_T).alias("s"),
+        F.sum("sq").cast(_SUMSQ_T).alias("sq"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finalize_state(state: DataFrame) -> DataFrame:
+    """Row-local derived statistics: mean and (population) variance
+    from the exact sums — var = sq/n − (s/n)², clamped at 0 against
+    the tiny negative residue the subtraction can leave for constant
+    groups after the double cast. Groups with n=0 finalize to NULLs."""
+    n = F.col("n").cast("double")
+    mean = F.when(F.col("n") > 0, F.col("s").cast("double") / n)
+    var = F.when(
+        F.col("n") > 0,
+        F.greatest(
+            F.col("sq").cast("double") / n - mean * mean, F.lit(0.0)
+        ),
+    )
+    return state.withColumn("mean", mean).withColumn("var", var)

@@ -1040,6 +1040,41 @@ def _profile_oracle_sql(
     return "\n    UNION ALL ".join(parts)
 
 
+def _aggstate_oracle_sql() -> str:
+    """Generated DuckDB twin for the stats_suite 'aggstate' limb: the
+    oracle aggregates the UNSPLIT table directly, while the Spark side
+    merges two half-corpus states — equality proves the merge law
+    state(A) ⊎ state(B) == state(A ∪ B) holds exactly cross-engine
+    (decimal sums; operators/aggstate.py)."""
+    sub = """
+      SELECT l_returnflag,
+             CAST(count(l_quantity) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,14))) AS DOUBLE) AS sm,
+             CAST(min(l_quantity) AS DOUBLE) AS mn,
+             CAST(max(l_quantity) AS DOUBLE) AS mx,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,14))) AS DOUBLE)
+                   / count(l_quantity), 6) AS mean,
+             round(greatest(
+               CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,14))
+                             * CAST(l_quantity AS DECIMAL(28,14))
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(l_quantity)
+               - (CAST(sum(CAST(l_quantity AS DECIMAL(28,14))) AS DOUBLE)
+                  / count(l_quantity))
+               * (CAST(sum(CAST(l_quantity AS DECIMAL(28,14))) AS DOUBLE)
+                  / count(l_quantity)),
+               0), 6) AS var
+      FROM lineitem GROUP BY l_returnflag
+    """
+    stats = [("n", "n"), ("sum", "sm"), ("min", "mn"), ("max", "mx"),
+             ("mean", "mean"), ("var", "var")]
+    return "\n    UNION ALL ".join(
+        f"SELECT 'aggstate' AS which, l_returnflag AS grp, '{name}' AS stat,"
+        f" CAST(NULL AS VARCHAR) AS sval, {col} AS nval FROM ({sub})"
+        for name, col in stats
+    )
+
+
 @query(
     "stats_suite",
     """
@@ -1086,7 +1121,10 @@ def _profile_oracle_sql(
     UNION ALL SELECT 'quantile', event_type, 'p90_value', CAST(NULL AS VARCHAR),
                      p90_value FROM qt
     UNION ALL """
-    + _profile_oracle_sql(),
+    + _profile_oracle_sql()
+    + """
+    UNION ALL """
+    + _aggstate_oracle_sql(),
 )
 def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite, melted to (which, grp, stat, sval, nval) rows
@@ -1112,6 +1150,14 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       row. Exact distincts here (oracle-able); the 100 TB wide-profile
       path flips ``exact_distinct=False`` for HLL++ sketches with no
       Expand (pinned in test_profile.py).
+    - ``aggstate`` (round 8) — mergeable aggregate state
+      (operators/aggstate.py): the Spark side builds per-returnflag
+      states over the two l_orderkey-parity HALVES of lineitem and
+      MERGES them; the oracle aggregates the unsplit table directly.
+      Hash equality is the cross-engine proof of the merge law
+      state(A) ⊎ state(B) == state(A ∪ B) — exact decimal sums make
+      it hold bit-for-bit, the mechanism that lets a monthly corpus
+      refresh update statistics without rescanning 100 TB.
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -1179,8 +1225,32 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("column").alias("grp"),
         "stat", "sval", "nval",
     )
+    from .operators.aggstate import agg_state, finalize_state, merge_agg_states
+
+    halves = [li.filter(F.col("l_orderkey") % 2 == r) for r in (0, 1)]
+    fin = finalize_state(
+        merge_agg_states(
+            ["l_returnflag"],
+            *[agg_state(h, ["l_returnflag"], "l_quantity") for h in halves],
+        )
+    )
+    agl = fin.select(
+        F.lit("aggstate").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "stack(6,"
+            " 'n', CAST(NULL AS STRING), CAST(n AS DOUBLE),"
+            " 'sum', CAST(NULL AS STRING), CAST(s AS DOUBLE),"
+            " 'min', CAST(NULL AS STRING), CAST(mn AS DOUBLE),"
+            " 'max', CAST(NULL AS STRING), CAST(mx AS DOUBLE),"
+            " 'mean', CAST(NULL AS STRING), round(mean, 6),"
+            " 'var', CAST(NULL AS STRING), round(var, 6)"
+            ") AS (stat, sval, nval)"
+        ),
+    )
     return (
         mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
+        .unionByName(agl)
     )
 
 

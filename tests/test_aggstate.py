@@ -1,0 +1,80 @@
+"""Mergeable aggregate state (operators/aggstate.py): the merge law
+state(A) ⊎ state(B) == state(A ∪ B) must hold EXACTLY — any split,
+any merge order, any partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.aggstate import (
+    agg_state,
+    finalize_state,
+    merge_agg_states,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"k{i % 5}", float(((i * 7919) % 1000) - 500) / 7.0)
+        for i in range(5000)
+    ] + [(9000 + i, "k0", None) for i in range(10)]  # NULL values
+    return spark.createDataFrame(rows, "id long, k string, v double").cache()
+
+
+def _rows(df):
+    return sorted(
+        (r["k"], r["n"], r["s"], r["sq"], r["mn"], r["mx"])
+        for r in df.collect()
+    )
+
+
+def test_merge_law_exact_any_split(corpus):
+    direct = agg_state(corpus, ["k"], "v")
+    for mod in (2, 3, 7):
+        parts = [
+            agg_state(corpus.filter(F.col("id") % mod == r), ["k"], "v")
+            for r in range(mod)
+        ]
+        merged = merge_agg_states(["k"], *parts)
+        assert _rows(merged) == _rows(direct), f"split mod {mod}"
+    # merge order must not matter either
+    a, b, c = (
+        agg_state(corpus.filter(F.col("id") % 3 == r), ["k"], "v")
+        for r in range(3)
+    )
+    m1 = merge_agg_states(["k"], a, b, c)
+    m2 = merge_agg_states(["k"], merge_agg_states(["k"], c, a), b)
+    assert _rows(m1) == _rows(m2) == _rows(direct)
+
+
+def test_finalize_matches_direct_aggregates(corpus):
+    got = {
+        r["k"]: (r["n"], r["mean"], r["var"])
+        for r in finalize_state(agg_state(corpus, ["k"], "v")).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["mean"], r["var"])
+        for r in corpus.groupBy("k").agg(
+            F.count("v").alias("n"),
+            F.avg("v").alias("mean"),
+            F.var_pop("v").alias("var"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+        assert got[k][2] == pytest.approx(want[k][2], rel=1e-9)
+    # NULL values never entered the state: k0 count is the non-null one
+    assert got["k0"][0] == corpus.filter("k = 'k0' AND v IS NOT NULL").count()
+
+
+def test_merge_validation_and_constant_group(spark):
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "a", 2.5)],
+                               "id long, k string, v double")
+    st = finalize_state(agg_state(df, ["k"], "v")).first()
+    assert st["var"] == 0.0  # clamp kills the negative residue
+    with pytest.raises(ValueError, match="no states"):
+        merge_agg_states(["k"])
