@@ -173,3 +173,39 @@ def files_touched(
                 break
         touched += int(must_read)
     return touched, len(data_files)
+
+
+def compact_zordered(
+    spark,
+    path: str,
+    dest: str,
+    dims: list[str],
+    ranges: dict[str, tuple[float, float]],
+    bits: int = MAX_BITS,
+    target_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Layout maintenance (the OPTIMIZE step): re-cluster a directory
+    of many small/append-fragmented parquet files into
+    ``target_files`` Z-ordered files. Appends break clustering — each
+    appended file spans its own key range, so footer pruning degrades
+    toward reading everything; periodic compaction restores it.
+
+    Pass the SAME ``ranges`` the original write used (write_zordered
+    returns them; persist alongside the data): recomputing ranges from
+    the current data would shift every grid cell and re-cluster the
+    whole history, while pinned ranges keep the key space stable so
+    compaction is a pure re-sort. New data outside the original range
+    clamps into the edge cells (grid_coord) — re-range only when that
+    edge mass grows large enough to matter, and accept the full
+    rewrite that implies.
+
+    One range exchange + in-partition sort over the directory being
+    compacted — the same cost as the original write; pair with
+    partition-dir granularity (compact one date/shard at a time) so a
+    100 TB table never compacts in one job."""
+    df = spark.read.parquet(path)
+    write_zordered(
+        df, dest, dims, bits=bits, n_files=target_files,
+        ranges=ranges, mode=mode,
+    )

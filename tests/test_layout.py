@@ -100,3 +100,29 @@ def test_write_zordered_returns_reusable_ranges(spark, xy_frame, tmp_path):
     a = spark.read.parquet(d1).withColumn("z", key).groupBy().sum("z").first()[0]
     b = spark.read.parquet(d2).withColumn("z", key).groupBy().sum("z").first()[0]
     assert a == b
+
+
+def test_compact_restores_pruning_after_appends(spark, xy_frame, tmp_path):
+    from argostats_spark.operators.layout import compact_zordered
+
+    frag = str(tmp_path / "frag")
+    # simulate append fragmentation: 8 arrival slices, each written
+    # unsorted — every file spans the full (x, y) range
+    ranges = {"x": (0.0, 96.0), "y": (0.0, 88.0)}
+    for i in range(8):
+        (
+            xy_frame.filter(F.col("id") % 8 == i)
+            .write.mode("append").parquet(frag)
+        )
+    box = {"y": (10.0, 20.0)}
+    before, total_before = files_touched(frag, box)
+    assert before == total_before, "fragmented layout prunes nothing"
+
+    dest = str(tmp_path / "compacted")
+    compact_zordered(spark, frag, dest, ["x", "y"], ranges, target_files=16)
+    after, total_after = files_touched(dest, box)
+    assert total_after == 16 and after <= 8
+    # lossless
+    a = sorted(r["id"] for r in spark.read.parquet(frag).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+    assert a == b
