@@ -1547,3 +1547,50 @@ def test_audio_near_dups_finds_releveled_and_resampled_copies(spark):
     r0, x0 = decode_wav(_wav(base))
     r1, x1 = decode_wav(_wav(quiet))
     assert audio_hash64(r0, x0) == audio_hash64(r1, x1)
+
+
+def test_sentence_chunker_streaming_equals_batch(spark, tmp_path):
+    """chunk_documents_sentences is row-local (regexp pass + in-row
+    fold + posexplode), so it must run unchanged on a readStream and
+    emit byte-identical chunk rows to the batch path — the same
+    stream-safety contract the other row-local operators pin."""
+    from argostats_spark.operators.sampling import chunk_documents_sentences
+
+    batches = [
+        [(1, "2026-01-01 00:00:00",
+          "First things first. Then the second sentence arrives. Done.")],
+        [(2, "2026-01-01 00:01:00",
+          "One long sentence that just keeps going " * 3 + "finally ends.")],
+        [(3, "2026-01-01 00:02:00", "Tiny. Bits. Here. Now. Go.")],
+    ]
+    path, schema = _doc_batch_files(spark, tmp_path, batches)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/b=*")
+    )
+    q = run_to_memory(
+        chunk_documents_sentences(stream, max_tokens=8),
+        "sent_chunk_stream", output_mode="append",
+    )
+    try:
+        got = sorted(
+            tuple(r) for r in spark.sql(
+                "SELECT doc_id, chunk_id, sent_start, sent_end, chunk_text,"
+                " n_chunk_tokens FROM sent_chunk_stream").collect()
+        )
+    finally:
+        q.stop()
+
+    from datetime import datetime
+
+    flat = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        [(d, datetime.fromisoformat(t), x) for d, t, x in flat], schema
+    )
+    want = sorted(
+        tuple(r) for r in chunk_documents_sentences(batch_df, max_tokens=8)
+        .select("doc_id", "chunk_id", "sent_start", "sent_end",
+                "chunk_text", "n_chunk_tokens").collect()
+    )
+    assert got == want and len(got) >= 4
