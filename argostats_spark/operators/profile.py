@@ -122,3 +122,87 @@ def profile_diff(
         ~F.col("nval_before").eqNullSafe(F.col("nval_after")),
     ).otherwise(n_delta / n_base > F.lit(float(rel_tol)))
     return j.filter(s_changed | n_changed)
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/groupBy/window key
+    — the "why is my shuffle slow" tool, run BEFORE committing a plan
+    to a key at corpus scale. Returns the ``top`` hottest key values
+    with (n_rows, share, cum_share, rank): a head key holding 30% of
+    the corpus means the keyed exchange has a 30%-of-corpus partition,
+    and the caller should salt (aggregations), radix-select (ranking —
+    see cap_per_group), or broadcast the other side (joins).
+
+    One counts aggregate (map-side combined) + a TakeOrdered top-k +
+    a window over the K-ROW result (tiny by construction). The total
+    joins back as a broadcast literal — never a corpus-side shuffle."""
+    from pyspark.sql import Window as W
+
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__t"))
+    head = (
+        counts.orderBy(F.desc("n_rows"), F.col(key).asc())
+        .limit(top)
+        .join(F.broadcast(total))
+    )
+    w = W.orderBy(F.desc("n_rows"), F.col(key).asc())
+    return (
+        head.withColumn("rank", F.row_number().over(w))
+        .withColumn("share", F.col("n_rows") / F.col("__t"))
+        .withColumn(
+            "cum_share",
+            F.sum("n_rows").over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ) / F.col("__t"),
+        )
+        .drop("__t")
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    key_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Exact equi-depth (equal-count) histogram — the other standard
+    histogram next to the fixed-width one (optimizer statistics,
+    quantile-bucketed curricula): bucket i of k holds rows ranked in
+    ((i·n/k), ((i+1)·n/k)] of the (value, key) total order, so every
+    bucket has n/k ± 1 rows REGARDLESS of the value distribution.
+    Returns (by..., bucket, n, lo, hi). ``key_col`` breaks value ties
+    deterministically — without it, duplicate values straddling a
+    boundary would land nondeterministically and counts would drift
+    across runs/engines.
+
+    Exactness costs a rank window: per ``by`` group when given (the
+    usual call — per-type/per-source histograms spread the exchange),
+    or ONE GLOBAL SORT when ``by`` is None — fine for bounded slices,
+    wrong at corpus scale, where the approximate path is
+    ``approx_percentile(value, [i/k])`` boundaries instead (no oracle:
+    sketch-dependent)."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    part = list(by) if by else []
+    w = (W.partitionBy(*part) if part else W.partitionBy()).orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc()
+    )
+    wn = W.partitionBy(*part) if part else W.partitionBy()
+    rn = F.row_number().over(w) - F.lit(1)
+    n_g = F.count(F.lit(1)).over(wn)
+    bucket = F.floor(rn * F.lit(k) / n_g)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy(*part, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

@@ -968,13 +968,40 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "histograms",
     """
-    SELECT 'year' AS which, CAST(year(o_orderdate) AS BIGINT) AS bucket, count(*) AS n,
+    SELECT 'year' AS which, CAST(NULL AS VARCHAR) AS grp,
+           CAST(year(o_orderdate) AS BIGINT) AS bucket, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2
+    FROM orders GROUP BY 1, 2, 3
     UNION ALL
-    SELECT 'value', CAST(floor(l_quantity / 5) AS BIGINT), count(*),
+    SELECT 'value', CAST(NULL AS VARCHAR),
+           CAST(floor(l_quantity / 5) AS BIGINT), count(*),
            CAST(NULL AS DOUBLE)
-    FROM lineitem GROUP BY 1, 2
+    FROM lineitem GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'depth', l_returnflag, CAST(bucket AS BIGINT), count(*),
+           CAST(max(l_quantity) AS DOUBLE)
+    FROM (
+      SELECT l_returnflag, l_quantity,
+             floor((row_number() OVER (
+                      PARTITION BY l_returnflag
+                      ORDER BY l_quantity,
+                               l_orderkey * 10 + l_linenumber) - 1) * 8
+                   / (count(*) OVER (PARTITION BY l_returnflag))) AS bucket
+      FROM lineitem)
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'skew', CAST(l_suppkey AS VARCHAR), CAST(rank AS BIGINT),
+           n_rows, round(cum, 6)
+    FROM (
+      SELECT l_suppkey, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rank,
+             CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, l_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+               / (SELECT count(*) FROM lineitem) AS cum
+      FROM (SELECT l_suppkey, count(*) AS n_rows
+            FROM lineitem GROUP BY l_suppkey)
+      ORDER BY n_rows DESC, l_suppkey LIMIT 20)
     """,
 )
 def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,21 +1010,53 @@ def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``year`` — count-per-year histogram, the reference's np.histogram
       over profile years (README.md:60-65), plus per-year revenue;
     - ``value`` — fixed-bin histogram via floor(x/w) (DuckDB lacks
-      width_bucket, so the bin rule is the shared floor form).
+      width_bucket, so the bin rule is the shared floor form);
+    - ``depth`` (round 8) — exact equi-depth histogram
+      (operators/profile.py::equi_depth_histogram): 8 equal-count
+      buckets of l_quantity per returnflag via pure rank arithmetic
+      (deterministic composite-key tie-break — l_quantity is nearly
+      all duplicates, the hard case); per-group windows spread the
+      exchange, the global-sort variant is documented as
+      bounded-slice-only;
+    - ``skew`` (round 8) — key_skew_report: the top-20 hottest
+      l_suppkey values with share/cum_share — the shuffle-skew
+      diagnosis run before committing a plan to a key.
     """
+    nullg = F.lit(None).cast("string").alias("grp")
     o = _t(spark, sf_dir, "orders")
     year = o.groupBy(F.year("o_orderdate").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
-    ).select(F.lit("year").alias("which"), "bucket", "n", "total")
+    ).select(F.lit("year").alias("which"), nullg, "bucket", "n", "total")
     li = _t(spark, sf_dir, "lineitem")
     value = li.groupBy(
         F.floor(F.col("l_quantity") / 5).cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("value").alias("which"), "bucket", "n",
+        F.lit("value").alias("which"), nullg, "bucket", "n",
         F.lit(None).cast("double").alias("total"),
     )
-    return year.unionByName(value)
+
+    from .operators.profile import equi_depth_histogram, key_skew_report
+
+    depth = equi_depth_histogram(
+        li.withColumn(
+            "__ukey", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ),
+        "l_quantity", 8, "__ukey", by=["l_returnflag"],
+    ).select(
+        F.lit("depth").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("bucket"), "n",
+        F.col("hi").cast("double").alias("total"),
+    )
+    skew = key_skew_report(li, "l_suppkey", top=20).select(
+        F.lit("skew").alias("which"),
+        F.col("l_suppkey").cast("string").alias("grp"),
+        F.col("rank").cast("long").alias("bucket"),
+        F.col("n_rows").alias("n"),
+        F.round("cum_share", 6).alias("total"),
+    )
+    return year.unionByName(value).unionByName(depth).unionByName(skew)
 
 
 def _profile_oracle_sql(

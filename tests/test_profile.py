@@ -73,3 +73,56 @@ def test_profile_diff_reports_only_drift(spark, frame):
     # rel_tol swallows small numeric drift
     loose = profile_diff(before, after, rel_tol=10.0).collect()
     assert loose == []
+
+
+# --- key_skew_report / equi_depth_histogram -------------------------------
+
+
+def test_key_skew_report_finds_the_head(spark):
+    from argostats_spark.operators.profile import key_skew_report
+
+    rows = (
+        [(i, "mega") for i in range(600)]
+        + [(1000 + i, "hot") for i in range(300)]
+        + [(2000 + i, f"t{i % 50}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "id long, host string")
+    rep = key_skew_report(df, "host", top=3).collect()
+    assert [r["host"] for r in rep] == ["mega", "hot", "t0"]
+    assert rep[0]["n_rows"] == 600 and rep[0]["rank"] == 1
+    assert rep[0]["share"] == pytest.approx(0.6)
+    assert rep[1]["cum_share"] == pytest.approx(0.9)
+    with pytest.raises(ValueError, match="top"):
+        key_skew_report(df, "host", top=0)
+
+
+def test_equi_depth_histogram_equal_counts_any_distribution(spark):
+    from argostats_spark.operators.profile import equi_depth_histogram
+
+    # heavily skewed values: equi-WIDTH would put ~everything in one
+    # bin; equi-depth must still balance
+    rows = [(i, "a", float(min(i, 10))) for i in range(1000)] + [
+        (5000 + i, "b", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = equi_depth_histogram(df, "v", 4, "id", by=["g"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, n_tot in (("a", 1000), ("b", 100)):
+        rows_g = sorted(by_g[g], key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rows_g] == [0, 1, 2, 3]
+        for r in rows_g:
+            assert abs(r["n"] - n_tot / 4) <= 1
+        # buckets tile the value order: lo/hi are non-decreasing
+        for x, y in zip(rows_g, rows_g[1:]):
+            assert x["hi"] <= y["lo"] or x["hi"] == y["lo"]
+    # determinism under repartitioning (the key_col tie-break at work:
+    # group 'a' is ~99% duplicate values)
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple,
+                   equi_depth_histogram(df.repartition(13), "v", 4, "id",
+                                        by=["g"]).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="k must"):
+        equi_depth_histogram(df, "v", 0, "id")
