@@ -401,21 +401,38 @@ def normalize_url(url) -> Column:
 # quotes/brackets), whitespace, then an uppercase/digit start. The
 # 2-char floor keeps initials ("J. Smith") intact; known limitation:
 # 2-letter abbreviations ("Dr. Who") still split — a curation chunker
-# prefers a rare extra boundary over a missed one. No lookarounds, so
-# Java regex and DuckDB RE2 read it identically; the next-sentence
-# first char is CONSUMED into the replacement, which is safe because
-# boundaries cannot overlap (the consumed char sits strictly between
-# two boundary matches).
-SENTENCE_BOUNDARY = '([A-Za-z0-9]{2}[.!?]+["\')\\]]*)\\s+([A-Z0-9])'
+# prefers a rare extra boundary over a missed one. No lookarounds and
+# an EXPLICIT ASCII whitespace class (Java \s, RE2 \s, and Python \s
+# disagree at the edges — \x0B, unicode spaces), so Java regex, DuckDB
+# RE2, and the Python test mirror read the pattern identically. The
+# next-sentence first char is CONSUMED into the replacement, so a match
+# can shadow an immediately-following boundary whose sentence has
+# exactly 2 word chars ("Yes. OK. Done." — the 'O' of 'OK' is eaten and
+# 'K.' can't satisfy the 2-char floor); shadowed boundaries are always
+# ISOLATED between marked ones, so ONE repeat pass catches all of them
+# (sentences() applies the replacement twice; proof in the docstring).
+SENTENCE_BOUNDARY = (
+    '([A-Za-z0-9]{2}[.!?]+["\')\\]]*)[ \\t\\n\\r\\f]+([A-Z0-9])'
+)
 _SENT_SEP = "\u001e"  # RS control char: normalize strips it, raw text never has it
 
 
 def sentences(text) -> Column:
     """Array of sentences: mark boundaries with a control-char
-    separator, split, trim, drop empties. Pure codegen; the DuckDB twin
-    runs the same regexp_replace + split (pack_sequences 'sent'
-    limb)."""
-    marked = F.regexp_replace(_c(text), SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2")
+    separator (TWO replacement passes), split, trim, drop empties.
+
+    Why two passes: the boundary consumes the next sentence's first
+    char, so pass 1 can miss a boundary whose sentence is exactly 2
+    word chars long if the PREVIOUS boundary matched ("Yes. OK. Done.").
+    A missed boundary is therefore never adjacent to another missed one
+    — its predecessor matched — and pass 2 rescans each missed site
+    from a fresh separator with nothing left to shadow it (the pattern
+    cannot re-match across the separator: it is not in the whitespace
+    class). Pure codegen; the DuckDB twin nests the same two
+    regexp_replace passes (pack_sequences 'sent' limb)."""
+    rep = "$1" + _SENT_SEP + "$2"
+    marked = F.regexp_replace(_c(text), SENTENCE_BOUNDARY, rep)
+    marked = F.regexp_replace(marked, SENTENCE_BOUNDARY, rep)
     return F.filter(
         F.transform(F.split(marked, _SENT_SEP), lambda s: F.trim(s)),
         lambda s: s != "",

@@ -36,18 +36,27 @@ from pyspark.sql import functions as F
 _SUM_T = "decimal(28,14)"
 _SUMSQ_T = "decimal(38,6)"
 
-STATE_COLS = ("n", "s", "sq", "mn", "mx")
+STATE_COLS = ("n", "n_overflow", "s", "sq", "mn", "mx")
 
 
 def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Per-key mergeable state over ``value_col``: n (non-null count),
-    s (exact decimal sum), sq (exact decimal sum of squares), mn, mx.
-    NULL values contribute nothing (SQL aggregate semantics)."""
+    s (exact decimal sum), sq (exact decimal sum of squares), mn, mx,
+    and n_overflow — values too large for the decimal sum type
+    (|v| >= 10^14). The cast is try_cast, so behavior is identical
+    under ANSI and legacy modes: the row is excluded from s/sq and
+    REPORTED (a plain cast would THROW under ANSI and silently NULL
+    under legacy — neither is a usable cross-cluster contract). A
+    nonzero n_overflow means the state's sums exclude those rows —
+    callers must treat it as a contract violation, not a statistic. NULL values contribute nothing (SQL aggregate
+    semantics)."""
     v = F.col(value_col)
+    vc = v.try_cast(_SUM_T)
     return df.groupBy(*keys).agg(
         F.count(v).alias("n"),
-        F.sum(v.cast(_SUM_T)).alias("s"),
-        F.sum((v.cast(_SUM_T) * v.cast(_SUM_T)).cast(_SUMSQ_T)).alias("sq"),
+        (F.count(v) - F.count(vc)).alias("n_overflow"),
+        F.sum(vc).alias("s"),
+        F.sum((vc * vc).try_cast(_SUMSQ_T)).alias("sq"),
         F.min(v).alias("mn"),
         F.max(v).alias("mx"),
     )
@@ -62,6 +71,7 @@ def merge_agg_states(keys: list[str], *states: DataFrame) -> DataFrame:
     u = reduce(lambda a, b: a.unionByName(b), states)
     return u.groupBy(*keys).agg(
         F.sum("n").alias("n"),
+        F.sum("n_overflow").alias("n_overflow"),
         F.sum("s").cast(_SUM_T).alias("s"),
         F.sum("sq").cast(_SUMSQ_T).alias("sq"),
         F.min("mn").alias("mn"),

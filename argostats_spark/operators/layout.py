@@ -200,10 +200,23 @@ def compact_zordered(
     edge mass grows large enough to matter, and accept the full
     rewrite that implies.
 
+    ``bits`` must also match the original write (it shapes the same
+    grid the ranges pin). ``dest`` must differ from ``path``:
+    overwriting a directory that the same job is lazily reading is a
+    data-loss foot-gun Spark only sometimes catches — compact to a new
+    directory and swap pointers (the streaming atlas CURRENT-pointer
+    pattern).
+
     One range exchange + in-partition sort over the directory being
     compacted — the same cost as the original write; pair with
     partition-dir granularity (compact one date/shard at a time) so a
     100 TB table never compacts in one job."""
+    if os.path.abspath(dest) == os.path.abspath(path):
+        raise ValueError(
+            "compact_zordered: dest must differ from path (overwrite-"
+            "while-reading loses data) — write to a new dir and swap a "
+            "pointer, like the streaming atlas publish"
+        )
     df = spark.read.parquet(path)
     write_zordered(
         df, dest, dims, bits=bits, n_files=target_files,

@@ -193,7 +193,9 @@ def equi_depth_histogram(
         F.col(value_col).asc(), F.col(key_col).asc()
     )
     wn = W.partitionBy(*part) if part else W.partitionBy()
-    rn = F.row_number().over(w) - F.lit(1)
+    # row_number is 32-bit: cast BEFORE multiplying or rn*k wraps past
+    # ~2^31/k rows per group — exactly the corpus scale this targets
+    rn = (F.row_number().over(w) - F.lit(1)).cast("long")
     n_g = F.count(F.lit(1)).over(wn)
     bucket = F.floor(rn * F.lit(k) / n_g)
     return (

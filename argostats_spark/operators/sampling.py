@@ -235,9 +235,15 @@ def cap_per_group(
 
     1. one counts aggregate (map-side partial combine) finds the
        over-cap groups; rows in under-cap groups — the Zipf tail, most
-       of a crawl — pass through UNTOUCHED via a null-safe anti join
-       (broadcast-sized over-cap list for real host distributions;
-       the planner falls back to a shuffle join above the threshold);
+       of a crawl — pass through UNTOUCHED via a null-safe anti join.
+       The over-cap list is FORCE-broadcast (hard precondition: the
+       head is a small set of groups — the Zipf premise; left to the
+       static planner, the null-safe join against a checkpointed table
+       of unknown size plans a SortMergeJoin ON THE SKEWED HOST KEY,
+       measured 23 s vs 1.4 s). A non-Zipf input where MOST groups
+       exceed the cap breaks that premise — use
+       ``skip_under_cap=False`` there: with no dominant group the
+       plain window has no hot partition to fear;
     2. per over-cap group, counts by the priority's first byte (≤256
        rows per group, map-side combined) + a cumulative window over
        that TINY table find each group's threshold bucket: buckets
@@ -840,9 +846,10 @@ def chunk_documents_sentences(
     Same output shape as the other chunkers (one row per chunk: id,
     chunk_id, sent_start, sent_end, chunk_text, n_chunk_tokens), so it
     composes with ``pack_chunks``/``pack_chunks_bestfit`` unchanged.
-    Token counts are whitespace tokens of each trimmed sentence —
-    reflowing the text (the boundary replacement collapses the
-    inter-sentence whitespace to one space) preserves them.
+    Token counts are NON-EMPTY whitespace tokens of each trimmed
+    sentence (the empty-string filter matters: Spark's trim strips only
+    spaces, so a newline-prefixed sentence would otherwise count a
+    phantom token) — reflowing the text preserves them.
 
     Scale shape: entirely row-local — one regexp pass to split
     sentences, one fold over (token-count, index) pairs builds the
@@ -855,7 +862,12 @@ def chunk_documents_sentences(
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     sents = F.col("__sents")
     n = F.size(sents)
-    ncol = F.transform(sents, lambda s: F.size(F.split(s, "\\s+")))
+    # filter-nonempty: leading non-space whitespace (Spark trim strips
+    # only spaces) would otherwise add a phantom empty token per sentence
+    ncol = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(s, "\\s+"), lambda t: t != ""))
+    )
     sp = F.transform(
         ncol, lambda c, i: F.struct(c.alias("n"), i.alias("i"))
     )

@@ -2836,15 +2836,21 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sraw AS (
       SELECT doc_id, lang,
              list_filter(list_transform(
-               string_split(regexp_replace(text,
-                 '([A-Za-z0-9]{2}[.!?]+["'')\]]*)\s+([A-Z0-9])',
-                 '\1' || chr(30) || '\2', 'g'), chr(30)),
+               string_split(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '([A-Za-z0-9]{2}[.!?]+["'')\]]*)[ \t\n\r\f]+([A-Z0-9])',
+                     '\1' || chr(30) || '\2', 'g'),
+                   '([A-Za-z0-9]{2}[.!?]+["'')\]]*)[ \t\n\r\f]+([A-Z0-9])',
+                   '\1' || chr(30) || '\2', 'g'), chr(30)),
                s -> trim(s)), s -> s <> '') AS ss
       FROM documents
     ),
     sfold AS (
       SELECT doc_id, lang, ss,
-             list_transform(ss, s -> len(string_split_regex(s, '\s+'))) AS ns
+             list_transform(ss,
+               s -> len(list_filter(string_split_regex(s, '\s+'),
+                                    x -> x <> ''))) AS ns
       FROM sraw WHERE len(ss) > 0
     ),
     sstate AS (

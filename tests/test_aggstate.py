@@ -25,7 +25,7 @@ def corpus(spark):
 
 def _rows(df):
     return sorted(
-        (r["k"], r["n"], r["s"], r["sq"], r["mn"], r["mx"])
+        (r["k"], r["n"], r["n_overflow"], r["s"], r["sq"], r["mn"], r["mx"])
         for r in df.collect()
     )
 
@@ -78,3 +78,17 @@ def test_merge_validation_and_constant_group(spark):
     assert st["var"] == 0.0  # clamp kills the negative residue
     with pytest.raises(ValueError, match="no states"):
         merge_agg_states(["k"])
+
+
+def test_overflowing_values_are_loud_not_silent(spark):
+    from argostats_spark.operators.aggstate import agg_state
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 1e15), (3, "a", 3.0)],
+        "id long, k string, v double",
+    )
+    st = agg_state(df, ["k"], "v").first()
+    # the 1e15 value cannot fit decimal(28,14): it is EXCLUDED from the
+    # sums and REPORTED, never silently blended into a wrong mean
+    assert st["n"] == 3 and st["n_overflow"] == 1
+    assert float(st["s"]) == 5.0

@@ -612,15 +612,20 @@ def test_sentence_chunker_matches_python_mirror(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
     got = chunk_documents_sentences(d, max_tokens=24).collect()
 
-    bound = re.compile(r'([A-Za-z0-9]{2}[.!?]+["\')\]]*)\s+([A-Z0-9])')
+    bound = re.compile(
+        r'([A-Za-z0-9]{2}[.!?]+["\')\]]*)[ \t\n\r\f]+([A-Z0-9])')
 
     def py_sentences(t):
-        marked = bound.sub(lambda m: m.group(1) + "\x1e" + m.group(2), t)
-        return [s.strip() for s in marked.split("\x1e") if s.strip()]
+        rep = lambda m: m.group(1) + "\x1e" + m.group(2)  # noqa: E731
+        marked = bound.sub(rep, bound.sub(rep, t))  # two passes, like sentences()
+        # trim SPACES only — Spark trim() and DuckDB trim() both default
+        # to ' '; Python .strip() would diverge on newline-edged text
+        return [s.strip(" ") for s in marked.split("\x1e") if s.strip(" ")]
 
     def py_chunks(t, mx):
         ss = py_sentences(t)
-        ns = [len(s.split()) for s in ss]
+        ns = [len(s.split()) for s in ss]  # .split() drops empties, like
+        # the engine-side filter over split('\\s+')
         starts, run = [0], 0
         for i, c in enumerate(ns):
             if run > 0 and run + c > mx:
@@ -675,3 +680,20 @@ def test_sentence_chunker_never_splits_and_flags_oversize(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_tokens"):
         chunk_documents_sentences(df, max_tokens=0)
+
+
+def test_sentences_two_pass_catches_shadowed_boundaries(spark):
+    """The boundary consumes the next sentence's first char, so single-
+    pass marking misses a boundary after any 2-char sentence; the
+    second pass provably catches every shadowed (always-isolated)
+    boundary. 'Yes. OK. Done.' is the canonical case."""
+    from argostats_spark.functions.text import sentences
+
+    cases = {
+        "Yes. OK. Done.": ["Yes.", "OK.", "Done."],
+        "Go. No. Hm ok. Yes sir.": ["Go.", "No.", "Hm ok.", "Yes sir."],
+        "A1. B2. C3. D4. E5.": ["A1.", "B2.", "C3.", "D4.", "E5."],
+    }
+    df = spark.createDataFrame(list(cases.items()), "t string, want array<string>")
+    for r in df.select(sentences("t").alias("got"), "want").collect():
+        assert r["got"] == r["want"]
