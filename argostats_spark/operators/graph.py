@@ -117,32 +117,54 @@ def duplicate_groups(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Full corpus labeling from a near-dup pair set.
 
     Every document gets (comp_id, comp_size, keep): singletons are their
-    own component, keep=1 marks the canonical (minimum-id) doc per
-    group — the rows a dedup pipeline retains. One broadcast-able join
-    against the component labels (the label table is |nodes-in-pairs|,
-    tiny relative to the corpus) plus one window for sizes.
+    own component, keep=1 marks the canonical doc per group — the rows a
+    dedup pipeline retains. Two selection policies:
+
+    - ``score_col=None`` (default): keep the MINIMUM-ID member — stable
+      under corpus growth (adding new copies never flips which old doc
+      survives), the property incremental dedup relies on;
+    - ``score_col='...'``: keep the HIGHEST-SCORING member (ties break
+      to min id) — quality-preserving canonical selection (RefinedWeb
+      keeps the longest URL-duplicate, pipelines keep the best-quality
+      near-dup). NULL scores sort last, so a scored doc always beats an
+      unscored one. Costs one extra rank window over the SAME
+      comp-partitioned exchange the size count already pays.
+
+    One broadcast-able join against the component labels (the label
+    table is |nodes-in-pairs|, tiny relative to the corpus) plus the
+    per-component window.
     """
+    from pyspark.sql import Window as W
+
     cc = connected_components(edges, src=src, dst=dst)
+    carry = [F.col(score_col)] if score_col else []
     labeled = (
-        docs.select(F.col(id_col))
+        docs.select(F.col(id_col), *carry)
         .join(cc, docs[id_col] == cc["node"], "left")
         .select(
             F.col(id_col),
+            *carry,
             F.coalesce("comp", F.col(id_col)).alias("comp_id"),
         )
     )
-    from pyspark.sql import Window as W
-
     size = F.count(F.lit(1)).over(W.partitionBy("comp_id"))
+    if score_col is None:
+        keep = (F.col(id_col) == F.col("comp_id")).cast("int")
+    else:
+        w = W.partitionBy("comp_id").orderBy(
+            F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+        )
+        keep = (F.row_number().over(w) == 1).cast("int")
     return labeled.select(
         F.col(id_col),
         "comp_id",
         size.alias("comp_size"),
-        (F.col(id_col) == F.col("comp_id")).cast("int").alias("keep"),
+        keep.alias("keep"),
     )
 
 

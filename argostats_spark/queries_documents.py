@@ -1856,6 +1856,15 @@ _PR_ITER_SQL = """
            CAST(doc_id = comp_id AS INT) AS keep
     FROM full_lab
     UNION ALL
+    SELECT 'best',
+           CAST(f.doc_id AS BIGINT),
+           CAST(f.comp_id AS BIGINT),
+           CAST(count(*) OVER (PARTITION BY f.comp_id) AS BIGINT),
+           CAST(row_number() OVER (
+                  PARTITION BY f.comp_id
+                  ORDER BY d2.n_chars DESC NULLS LAST, f.doc_id) = 1 AS INT)
+    FROM full_lab f JOIN documents d2 ON d2.doc_id = f.doc_id
+    UNION ALL
     SELECT 'pagerank' AS part,
            CAST(pr3.node AS BIGINT),
            CAST(round(pr3.rank * 1e12) AS BIGINT),
@@ -1874,6 +1883,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       components by recursive transitive closure - two entirely
       different algorithms, one answer. Green-field (no reference
       counterpart; dedup family #6).
+    - ``best`` (round 8): the same labeling under the quality-
+      preserving canonical-selection policy — keep the LONGEST member
+      per component (score_col="n_chars", ties to min id, NULLs last;
+      the RefinedWeb keep-the-longest convention) instead of the
+      min-id member. One extra rank window over the same
+      comp-partitioned exchange.
     - ``pagerank`` (round 8): 3 power-iteration rounds of PageRank
       over the SAME near-dup graph (operators/graph.py::pagerank,
       directed=False) — the link-centrality prior crawl pipelines use,
@@ -1897,6 +1912,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = duplicate_groups(d, edges, id_col="doc_id").select(
         F.lit("comp").alias("part"), "doc_id", "comp_id", "comp_size", "keep"
     )
+    best = duplicate_groups(
+        d, edges, id_col="doc_id", score_col="n_chars"
+    ).select(
+        F.lit("best").alias("part"), "doc_id", "comp_id", "comp_size", "keep"
+    )
     pr = pagerank(edges, directed=False, iterations=3)
     n_nodes = pr.count()
     prr = pr.select(
@@ -1906,7 +1926,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_nodes).cast("long").alias("comp_size"),
         F.lit(0).alias("keep"),
     )
-    return comp.unionByName(prr)
+    return comp.unionByName(best).unionByName(prr)
 
 
 def _exact_dup_fraction(d, text_col: str = "text") -> float:

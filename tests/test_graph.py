@@ -220,3 +220,40 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(empty, iterations=3)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_duplicate_groups_best_score_policy(spark):
+    """score_col keeps the highest-scoring member per component (ties
+    to min id, NULL scores last); min-id default unchanged."""
+    from argostats_spark.operators.graph import duplicate_groups
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, None), (7, 1.0), (9, None)],
+        "doc_id long, q double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "id_a long, id_b long"
+    )
+    best = {
+        r["doc_id"]: (r["comp_id"], r["keep"])
+        for r in duplicate_groups(docs, edges, score_col="q").collect()
+    }
+    # comp {1,2,3}: best score 9.0 tie between 2 and 3 -> min id 2
+    assert best[2] == (1, 1) and best[1][1] == 0 and best[3][1] == 0
+    # comp {4,9}: both NULL scores -> min id 4 wins via the tiebreak
+    assert best[4] == (4, 1) and best[9][1] == 0
+    # singleton always kept
+    assert best[7] == (7, 1)
+    # default policy unchanged: min id keeps
+    minid = {
+        r["doc_id"]: r["keep"]
+        for r in duplicate_groups(docs, edges).collect()
+    }
+    assert minid == {1: 1, 2: 0, 3: 0, 4: 1, 7: 1, 9: 0}
+    # exactly one keeper per component in both policies
+    for pol in (best,):
+        by_comp = {}
+        for d, (c, k) in pol.items():
+            by_comp.setdefault(c, 0)
+            by_comp[c] += k
+        assert all(v == 1 for v in by_comp.values())
