@@ -208,3 +208,39 @@ def equi_depth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def dataset_manifest(
+    df: DataFrame,
+    by: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducibility manifest (the "data card" numbers): per-``by``
+    group (split, source, shard) row count, total characters, and an
+    ORDER-FREE content checksum - sum of each row's 48-bit md5 prefix
+    of (id, text) modulo 2^48, accumulated exactly in decimal. Two
+    manifests are equal iff the grouped contents are equal as
+    multisets, on any engine, any partitioning, any row order - the
+    check a pipeline runs after every copy/repartition/migration to
+    prove bytes survived, and the hash a dataset release pins.
+
+    One aggregate (map-side combined), zero joins. The checksum is
+    additive, so manifests of disjoint shards SUM to the manifest of
+    their union (mod 2^48) - shard-level verification composes without
+    re-reading the union."""
+    pref = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(" "),
+                    F.col(text_col),
+                )
+            ), 1, 12,
+        ), 16, 10,
+    ).cast("decimal(38,0)")
+    return df.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        (F.sum(pref) % F.lit(2 ** 48)).cast("long").alias("checksum"),
+    )

@@ -1099,6 +1099,25 @@ def _profile_oracle_sql(
     return "\n    UNION ALL ".join(parts)
 
 
+def _manifest_oracle_sql() -> str:
+    """Generated DuckDB twin for the stats_suite 'manifest' limb: the
+    per-language dataset manifest (operators/profile.py::
+    dataset_manifest) - counts, characters, and the order-free mod-2^48
+    md5-prefix checksum, all exact integers (< 2^53, so the DOUBLE
+    carry compares exactly)."""
+    chk = ("CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ' ' || text),"
+           " 1, 12))::BIGINT) % 281474976710656 AS DOUBLE)")
+    return (
+        "SELECT 'manifest' AS which, lang AS grp, 'n' AS stat,"
+        " CAST(NULL AS VARCHAR) AS sval, CAST(count(*) AS DOUBLE) AS nval"
+        " FROM documents GROUP BY lang"
+        "\n    UNION ALL SELECT 'manifest', lang, 'chars', CAST(NULL AS VARCHAR),"
+        " CAST(sum(len(text)) AS DOUBLE) FROM documents GROUP BY lang"
+        f"\n    UNION ALL SELECT 'manifest', lang, 'checksum', CAST(NULL AS VARCHAR),"
+        f" {chk} FROM documents GROUP BY lang"
+    )
+
+
 def _aggstate_oracle_sql() -> str:
     """Generated DuckDB twin for the stats_suite 'aggstate' limb: the
     oracle aggregates the UNSPLIT table directly, while the Spark side
@@ -1183,7 +1202,10 @@ def _aggstate_oracle_sql() -> str:
     + _profile_oracle_sql()
     + """
     UNION ALL """
-    + _aggstate_oracle_sql(),
+    + _aggstate_oracle_sql()
+    + """
+    UNION ALL """
+    + _manifest_oracle_sql(),
 )
 def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite, melted to (which, grp, stat, sval, nval) rows
@@ -1217,6 +1239,11 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       state(A) ⊎ state(B) == state(A ∪ B) — exact decimal sums make
       it hold bit-for-bit, the mechanism that lets a monthly corpus
       refresh update statistics without rescanning 100 TB.
+    - ``manifest`` (round 8) - the per-language dataset manifest
+      (operators/profile.py::dataset_manifest): counts, characters,
+      and the order-free additive mod-2^48 md5-prefix checksum that
+      pins a release's contents as a multiset on any engine or
+      partitioning; additivity across shards pinned in test_profile.
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -1307,9 +1334,24 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stat, sval, nval)"
         ),
     )
+    from .operators.profile import dataset_manifest
+
+    man = dataset_manifest(
+        _t(spark, sf_dir, "documents"), "lang"
+    ).select(
+        F.lit("manifest").alias("which"),
+        F.col("lang").alias("grp"),
+        F.expr(
+            "stack(3,"
+            " 'n', CAST(NULL AS STRING), CAST(n_rows AS DOUBLE),"
+            " 'chars', CAST(NULL AS STRING), CAST(n_chars AS DOUBLE),"
+            " 'checksum', CAST(NULL AS STRING), CAST(checksum AS DOUBLE)"
+            ") AS (stat, sval, nval)"
+        ),
+    )
     return (
         mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
-        .unionByName(agl)
+        .unionByName(agl).unionByName(man)
     )
 
 

@@ -126,3 +126,35 @@ def test_equi_depth_histogram_equal_counts_any_distribution(spark):
     assert a == b
     with pytest.raises(ValueError, match="k must"):
         equi_depth_histogram(df, "v", 0, "id")
+
+
+def test_dataset_manifest_order_free_and_additive(spark, sf_dir):
+    from argostats_spark.operators.profile import dataset_manifest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "g", F.col("doc_id") % 3
+    ).cache()
+    base = {r["g"]: (r["n_rows"], r["n_chars"], r["checksum"])
+            for r in dataset_manifest(d, "g").collect()}
+    # order/partitioning free
+    shuf = {r["g"]: (r["n_rows"], r["n_chars"], r["checksum"])
+            for r in dataset_manifest(d.repartition(13), "g").collect()}
+    assert base == shuf
+    # content-sensitive: one flipped char changes exactly that group
+    mut = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") == d.select(F.min("doc_id")).first()[0],
+               F.concat(F.col("text"), F.lit("!"))).otherwise(F.col("text")),
+    )
+    mm = {r["g"]: r["checksum"] for r in dataset_manifest(mut, "g").collect()}
+    changed = [g for g in base if mm[g] != base[g][2]]
+    assert len(changed) == 1
+    # additive: shard manifests sum (mod 2^48) to the union's manifest
+    s0 = dataset_manifest(d.filter("doc_id % 2 = 0"), "g").collect()
+    s1 = dataset_manifest(d.filter("doc_id % 2 = 1"), "g").collect()
+    summed = {}
+    for r in list(s0) + list(s1):
+        n, c, k = summed.get(r["g"], (0, 0, 0))
+        summed[r["g"]] = (n + r["n_rows"], c + r["n_chars"],
+                          (k + r["checksum"]) % 2 ** 48)
+    assert summed == base
