@@ -246,6 +246,8 @@ def test_registry_plans_free_of_antipatterns(spark, sf_dir):
         "ocean_mask_gate",       # broadcast scalar mask stats gate
         "argo_atlas_pipeline",   # contains the kernel grid join above
         "quality_filter",        # broadcast 1-row percentile threshold
+        "histograms",            # skew limb: broadcast 1-row total onto
+                                 # the 20-row top-k (key_skew_report; r8)
     }
     offenders = {}
     for name, fn in mod.queries().items():
