@@ -369,3 +369,74 @@ def compression_ratio_rows(
     )
     return docs.mapInPandas(run, schema)
 
+
+
+def blend_scores(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 4,
+    out_col: str = "blend",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Quantile-normalize-and-blend: calibrate heterogeneous quality
+    signals (an LM NLL in nats, a classifier probability, a length)
+    onto one comparable [0, 1] scale and average them - how a curation
+    pipeline combines signals whose units and distributions have
+    nothing in common (the FineWeb-style multi-classifier blend).
+
+    Each signal maps to its quantile bucket: one EXACT percentile
+    aggregate yields k-1 edges per signal (k·|cols| doubles of driver
+    traffic), and each row's bucket is the count of edges strictly
+    below its value - a row-local fold over broadcast literals, zero
+    joins, zero shuffles after the edges agg. normalized = bucket/(k-1
+    +1): 0 for the bottom bucket, 1 for the top. ``out_col`` is the
+    mean of the normalized signals; per-signal columns land as
+    ``<col>_qn``. Values and edges compare ROUNDED to ``round_digits``
+    (round-before-compare: cross-engine edge interpolation agrees to
+    the last ulp, the rounding makes bucket boundaries identical -
+    the stats_suite quantile limb pins the interpolation equality).
+
+    NULL signals contribute NULL normalized values; the blend averages
+    the NON-NULL normalized signals (aggregate semantics), so a doc
+    missing one signal is scored by the others rather than dropped.
+
+    At corpus scale swap the exact percentile for approx_percentile:
+    same plan shape, sketch-accurate edges (no oracle)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not cols:
+        raise ValueError("blend_scores: no signal columns")
+    qs = [i / k for i in range(1, k)]
+    row = df.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(qs)).alias(c)
+            for c in cols
+        ]
+    ).first()
+    edges = {c: [float(x) for x in row[c]] for c in cols}
+
+    out = df
+    for c in cols:
+        v = F.round(F.col(c).cast("double"), round_digits)
+        bucket = None
+        for e in edges[c]:
+            hit = F.when(v > F.round(F.lit(e), round_digits), 1).otherwise(0)
+            bucket = hit if bucket is None else bucket + hit
+        out = out.withColumn(
+            f"{c}_qn",
+            F.when(
+                F.col(c).isNotNull(),
+                F.round(
+                    bucket.cast("double") / F.lit(float(k - 1)), round_digits
+                ),
+            ),
+        )
+    qn_cols = [F.col(f"{c}_qn") for c in cols]
+    n_present = sum(
+        (F.when(q.isNotNull(), 1).otherwise(0) for q in qn_cols), F.lit(0)
+    )
+    total = sum((F.coalesce(q, F.lit(0.0)) for q in qn_cols), F.lit(0.0))
+    return out.withColumn(
+        out_col,
+        F.when(n_present > 0, F.round(total / n_present, round_digits)),
+    )

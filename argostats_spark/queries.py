@@ -1099,6 +1099,34 @@ def _profile_oracle_sql(
     return "\n    UNION ALL ".join(parts)
 
 
+def _blend_oracle_sql(k: int = 4) -> str:
+    """Generated DuckDB twin for the stats_suite 'blend' limb
+    (operators/textstats.py::blend_scores over two exact integer
+    signals, n_chars and the whitespace token count): the oracle
+    recomputes the quantile edges with quantile_cont (the identical
+    interpolation the quantile limb pins), the strict-> bucket counts
+    under the same round-9-before-compare, and the rounded average."""
+    tok = ("len(list_filter(string_split_regex(trim(text), '\\s+'),"
+           " x -> x <> ''))")
+    qs = ", ".join(str(i / k) for i in range(1, k))
+
+    def qn(val: str, edge: str) -> str:
+        hits = " + ".join(
+            f"(CASE WHEN round(CAST({val} AS DOUBLE), 9)"
+            f" > round({edge}[{i}], 9) THEN 1 ELSE 0 END)"
+            for i in range(1, k)
+        )
+        return f"round(({hits}) / {float(k - 1)}, 9)"
+
+    return f"""SELECT 'blend' AS which, CAST(doc_id AS VARCHAR) AS grp,
+           'q' AS stat, CAST(NULL AS VARCHAR) AS sval,
+           round(({qn('n_chars', 'e.ce')} + {qn('d.tok', 'e.te')}) / 2, 9) AS nval
+    FROM (SELECT doc_id, n_chars, {tok} AS tok FROM documents) d,
+         (SELECT quantile_cont(CAST(n_chars AS DOUBLE), [{qs}]) AS ce,
+                 quantile_cont(CAST({tok} AS DOUBLE), [{qs}]) AS te
+          FROM documents) e"""
+
+
 def _manifest_oracle_sql() -> str:
     """Generated DuckDB twin for the stats_suite 'manifest' limb: the
     per-language dataset manifest (operators/profile.py::
@@ -1205,7 +1233,10 @@ def _aggstate_oracle_sql() -> str:
     + _aggstate_oracle_sql()
     + """
     UNION ALL """
-    + _manifest_oracle_sql(),
+    + _manifest_oracle_sql()
+    + """
+    UNION ALL """
+    + _blend_oracle_sql(),
 )
 def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite, melted to (which, grp, stat, sval, nval) rows
@@ -1244,6 +1275,13 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       and the order-free additive mod-2^48 md5-prefix checksum that
       pins a release's contents as a multiset on any engine or
       partitioning; additivity across shards pinned in test_profile.
+    - ``blend`` (round 8) - quantile-normalize-and-blend
+      (operators/textstats.py::blend_scores): heterogeneous quality
+      signals calibrated onto one [0,1] quantile scale and averaged
+      (the FineWeb-style multi-signal blend). One exact percentile
+      agg -> broadcast literal edges -> row-local strict-> bucket
+      fold; here over two exact integer signals so the oracle
+      replays edges, buckets, and the rounded average bit-for-bit.
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -1349,9 +1387,23 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stat, sval, nval)"
         ),
     )
+    from .operators.textstats import blend_scores
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__tok",
+        F.size(F.filter(F.split(F.trim("text"), "\\s+"),
+                        lambda t: t != "")),
+    )
+    bl = blend_scores(docs, ["n_chars", "__tok"], k=4).select(
+        F.lit("blend").alias("which"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.lit("q").alias("stat"),
+        F.lit(None).cast("string").alias("sval"),
+        F.col("blend").alias("nval"),
+    )
     return (
         mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
-        .unionByName(agl).unionByName(man)
+        .unionByName(agl).unionByName(man).unionByName(bl)
     )
 
 

@@ -362,3 +362,53 @@ def test_compression_ratio_rows(spark):
     assert got[3] is None and got[2] == 1.0
     assert got[1] < 0.2 < got[0] < 1.0
     assert got[1] < got[0]  # spam compresses harder
+
+
+# --- blend_scores (quantile-normalize-and-blend) --------------------------
+
+
+def test_blend_scores_calibrates_incomparable_units(spark):
+    from argostats_spark.operators.textstats import blend_scores
+
+    # signal a: tiny floats; signal b: huge ints; same ordering
+    rows = [(i, float(i) / 1000.0, int(i * 10_000)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, a double, b long")
+    out = blend_scores(df, ["a", "b"], k=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # perfectly correlated signals: normalized values agree everywhere
+    for r in out:
+        assert r["a_qn"] == r["b_qn"] == r["blend"]
+    # quartiles: 4 distinct levels, monotone in the underlying order
+    levels = sorted({r["blend"] for r in out})
+    assert levels == [0.0, 1.0 / 3, 2.0 / 3, 1.0] or len(levels) == 4
+    assert by_id[0]["blend"] == 0.0 and by_id[99]["blend"] == 1.0
+
+
+def test_blend_scores_nulls_and_validation(spark):
+    import pytest as _pt
+
+    from argostats_spark.operators.textstats import blend_scores
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, None, 20.0), (3, 3.0, None), (4, None, None),
+         (5, 2.0, 15.0)],
+        "doc_id long, a double, b double",
+    )
+    got = {r["doc_id"]: r for r in blend_scores(df, ["a", "b"], k=2).collect()}
+    assert got[2]["a_qn"] is None and got[2]["blend"] == got[2]["b_qn"]
+    assert got[4]["blend"] is None  # no signals at all
+    with _pt.raises(ValueError, match="k must"):
+        blend_scores(df, ["a"], k=1)
+    with _pt.raises(ValueError, match="no signal"):
+        blend_scores(df, [], k=4)
+
+
+def test_blend_scores_partition_independent(spark):
+    from argostats_spark.operators.textstats import blend_scores
+
+    rows = [(i, float((i * 37) % 101), float((i * 53) % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, a double, b double")
+    x = sorted(map(tuple, blend_scores(df, ["a", "b"], k=10).collect()))
+    y = sorted(map(tuple,
+                   blend_scores(df.repartition(11), ["a", "b"], k=10).collect()))
+    assert x == y
