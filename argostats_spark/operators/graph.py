@@ -118,6 +118,7 @@ def duplicate_groups(
     src: str = "id_a",
     dst: str = "id_b",
     score_col: str | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Full corpus labeling from a near-dup pair set.
 
@@ -137,11 +138,16 @@ def duplicate_groups(
 
     One broadcast-able join against the component labels (the label
     table is |nodes-in-pairs|, tiny relative to the corpus) plus the
-    per-component window.
+    per-component window. Pass precomputed ``labels``
+    (connected_components output) to label the same graph under BOTH
+    policies without re-running the iterative propagation — the CC loop
+    is the dominant cost of this operator.
     """
     from pyspark.sql import Window as W
 
-    cc = connected_components(edges, src=src, dst=dst)
+    cc = labels if labels is not None else connected_components(
+        edges, src=src, dst=dst
+    )
     carry = [F.col(score_col)] if score_col else []
     labeled = (
         docs.select(F.col(id_col), *carry)

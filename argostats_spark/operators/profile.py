@@ -223,7 +223,11 @@ def dataset_manifest(
     manifests are equal iff the grouped contents are equal as
     multisets, on any engine, any partitioning, any row order - the
     check a pipeline runs after every copy/repartition/migration to
-    prove bytes survived, and the hash a dataset release pins.
+    prove bytes survived, and the hash a dataset release pins. NULL
+    texts participate: the hashed string carries an explicit
+    is-null flag beside the coalesced text, so a NULL-text row and an
+    empty-text row checksum differently and neither silently drops out
+    (n_chars, per SQL sum semantics, counts non-NULL text only).
 
     One aggregate (map-side combined), zero joins. The checksum is
     additive, so manifests of disjoint shards SUM to the manifest of
@@ -234,7 +238,8 @@ def dataset_manifest(
             F.md5(
                 F.concat(
                     F.col(id_col).cast("string"), F.lit(" "),
-                    F.col(text_col),
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(" "),
+                    F.col(text_col).isNull().cast("string"),
                 )
             ), 1, 12,
         ), 16, 10,

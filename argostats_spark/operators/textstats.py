@@ -388,8 +388,8 @@ def blend_scores(
     aggregate yields k-1 edges per signal (k·|cols| doubles of driver
     traffic), and each row's bucket is the count of edges strictly
     below its value - a row-local fold over broadcast literals, zero
-    joins, zero shuffles after the edges agg. normalized = bucket/(k-1
-    +1): 0 for the bottom bucket, 1 for the top. ``out_col`` is the
+    joins, zero shuffles after the edges agg. normalized = bucket/(k-1):
+    0 for the bottom bucket, 1 for the top. ``out_col`` is the
     mean of the normalized signals; per-signal columns land as
     ``<col>_qn``. Values and edges compare ROUNDED to ``round_digits``
     (round-before-compare: cross-engine edge interpolation agrees to
@@ -413,10 +413,19 @@ def blend_scores(
             for c in cols
         ]
     ).first()
-    edges = {c: [float(x) for x in row[c]] for c in cols}
+    # an all-NULL signal (or empty frame) has no percentiles: that
+    # signal normalizes to NULL everywhere and the blend averages the
+    # rest (the same per-row missing-signal rule, applied column-wide)
+    edges = {
+        c: (None if row[c] is None else [float(x) for x in row[c]])
+        for c in cols
+    }
 
     out = df
     for c in cols:
+        if edges[c] is None:
+            out = out.withColumn(f"{c}_qn", F.lit(None).cast("double"))
+            continue
         v = F.round(F.col(c).cast("double"), round_digits)
         bucket = None
         for e in edges[c]:

@@ -1111,16 +1111,22 @@ def _blend_oracle_sql(k: int = 4) -> str:
     qs = ", ".join(str(i / k) for i in range(1, k))
 
     def qn(val: str, edge: str) -> str:
+        # NULL signal -> NULL qn (matching blend_scores), never bucket 0
         hits = " + ".join(
             f"(CASE WHEN round(CAST({val} AS DOUBLE), 9)"
             f" > round({edge}[{i}], 9) THEN 1 ELSE 0 END)"
             for i in range(1, k)
         )
-        return f"round(({hits}) / {float(k - 1)}, 9)"
+        return (f"CASE WHEN {val} IS NULL THEN NULL"
+                f" ELSE round(({hits}) / {float(k - 1)}, 9) END")
 
+    a, b = qn("n_chars", "e.ce"), qn("d.tok", "e.te")
     return f"""SELECT 'blend' AS which, CAST(doc_id AS VARCHAR) AS grp,
            'q' AS stat, CAST(NULL AS VARCHAR) AS sval,
-           round(({qn('n_chars', 'e.ce')} + {qn('d.tok', 'e.te')}) / 2, 9) AS nval
+           round((coalesce(({a}), 0) + coalesce(({b}), 0))
+                 / nullif((CASE WHEN ({a}) IS NULL THEN 0 ELSE 1 END)
+                          + (CASE WHEN ({b}) IS NULL THEN 0 ELSE 1 END), 0),
+                 9) AS nval
     FROM (SELECT doc_id, n_chars, {tok} AS tok FROM documents) d,
          (SELECT quantile_cont(CAST(n_chars AS DOUBLE), [{qs}]) AS ce,
                  quantile_cont(CAST({tok} AS DOUBLE), [{qs}]) AS te
@@ -1133,7 +1139,9 @@ def _manifest_oracle_sql() -> str:
     dataset_manifest) - counts, characters, and the order-free mod-2^48
     md5-prefix checksum, all exact integers (< 2^53, so the DOUBLE
     carry compares exactly)."""
-    chk = ("CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ' ' || text),"
+    chk = ("CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ' '"
+           " || coalesce(text, '') || ' '"
+           " || CAST(text IS NULL AS VARCHAR)),"
            " 1, 12))::BIGINT) % 281474976710656 AS DOUBLE)")
     return (
         "SELECT 'manifest' AS which, lang AS grp, 'n' AS stat,"
@@ -1387,12 +1395,11 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stat, sval, nval)"
         ),
     )
+    from .functions.text import token_count
     from .operators.textstats import blend_scores
 
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "__tok",
-        F.size(F.filter(F.split(F.trim("text"), "\\s+"),
-                        lambda t: t != "")),
+        "__tok", token_count(F.col("text"))
     )
     bl = blend_scores(docs, ["n_chars", "__tok"], k=4).select(
         F.lit("blend").alias("which"),

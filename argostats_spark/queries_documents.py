@@ -1909,11 +1909,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    comp = duplicate_groups(d, edges, id_col="doc_id").select(
+    from .operators.graph import connected_components
+
+    # one label propagation serves both keep policies (the CC loop is
+    # the dominant cost; review finding r8)
+    labels = connected_components(edges).localCheckpoint(eager=True)
+    comp = duplicate_groups(d, edges, id_col="doc_id", labels=labels).select(
         F.lit("comp").alias("part"), "doc_id", "comp_id", "comp_size", "keep"
     )
     best = duplicate_groups(
-        d, edges, id_col="doc_id", score_col="n_chars"
+        d, edges, id_col="doc_id", score_col="n_chars", labels=labels
     ).select(
         F.lit("best").alias("part"), "doc_id", "comp_id", "comp_size", "keep"
     )

@@ -250,10 +250,11 @@ def test_duplicate_groups_best_score_policy(spark):
         for r in duplicate_groups(docs, edges).collect()
     }
     assert minid == {1: 1, 2: 0, 3: 0, 4: 1, 7: 1, 9: 0}
-    # exactly one keeper per component in both policies
-    for pol in (best,):
-        by_comp = {}
-        for d, (c, k) in pol.items():
-            by_comp.setdefault(c, 0)
-            by_comp[c] += k
-        assert all(v == 1 for v in by_comp.values())
+    # exactly one keeper per component in BOTH policies (min-id keep
+    # flags counted against the component map the score policy exposed)
+    by_comp_best, by_comp_min = {}, {}
+    for d, (c, k) in best.items():
+        by_comp_best[c] = by_comp_best.get(c, 0) + k
+        by_comp_min[c] = by_comp_min.get(c, 0) + minid[d]
+    assert all(v == 1 for v in by_comp_best.values())
+    assert all(v == 1 for v in by_comp_min.values())
