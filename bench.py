@@ -106,7 +106,7 @@ LIMB_SPECS: dict[str, dict] = {
     },
     "stats_suite": {
         "mode": "tag", "col": "which",
-        "values": ["minmax", "quantile", "stats", "profile", "aggstate"],
+        "values": ["minmax", "quantile", "stats", "profile", "aggstate", "manifest", "blend"],
     },
 }
 
