@@ -65,15 +65,25 @@ def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
 def merge_agg_states(keys: list[str], *states: DataFrame) -> DataFrame:
     """state(A) ⊎ state(B) ⊎ ... = state(A ∪ B ∪ ...), exactly: counts
     and decimal sums add, min/max fold. Cost is proportional to the
-    STATE tables (per-key rows), never the corpora behind them."""
+    STATE tables (per-key rows), never the corpora behind them.
+
+    State schema contract: ``s`` is decimal(38,14) and ``sq``
+    decimal(38,6) — the SUM-WIDENED types ``agg_state`` already emits
+    (Spark's decimal sum adds 10 integer digits, capped at 38). The
+    merge keeps them as-is: an earlier version narrowed ``s`` back to
+    decimal(28,14), which silently NULLed (legacy) or threw (ANSI) once
+    a merged total crossed 10^14 — exactly the multi-snapshot regime
+    this operator exists for — with no n_overflow-style report. Sums
+    stay exact to 10^24; per-value overflow is still caught and
+    reported at ``agg_state`` time via n_overflow."""
     if not states:
         raise ValueError("merge_agg_states: no states to merge")
     u = reduce(lambda a, b: a.unionByName(b), states)
     return u.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         F.sum("n_overflow").alias("n_overflow"),
-        F.sum("s").cast(_SUM_T).alias("s"),
-        F.sum("sq").cast(_SUMSQ_T).alias("sq"),
+        F.sum("s").alias("s"),
+        F.sum("sq").alias("sq"),
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
     )

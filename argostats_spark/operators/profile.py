@@ -232,13 +232,25 @@ def dataset_manifest(
     One aggregate (map-side combined), zero joins. The checksum is
     additive, so manifests of disjoint shards SUM to the manifest of
     their union (mod 2^48) - shard-level verification composes without
-    re-reading the union."""
+    re-reading the union.
+
+    The hash preimage is length-prefixed —
+    ``len(id)|id|text|is_null`` — so the id/text boundary is
+    unambiguous even when ids contain the separator: with a plain
+    space-joined preimage, (id='a', text='b c') and (id='a b',
+    text='c') hashed identically, breaking the multiset guarantee by
+    construction rather than by 48-bit collision (ADVICE r8). The
+    length prefix makes the encoding injective: digits up to the first
+    '|' give the id's length, the next that-many characters are the id
+    exactly, and the trailing '|flag' pins the NULL marker."""
+    id_str = F.col(id_col).cast("string")
     pref = F.conv(
         F.substring(
             F.md5(
                 F.concat(
-                    F.col(id_col).cast("string"), F.lit(" "),
-                    F.coalesce(F.col(text_col), F.lit("")), F.lit(" "),
+                    F.length(id_str).cast("string"), F.lit("|"),
+                    id_str, F.lit("|"),
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit("|"),
                     F.col(text_col).isNull().cast("string"),
                 )
             ), 1, 12,

@@ -377,6 +377,8 @@ def blend_scores(
     k: int = 4,
     out_col: str = "blend",
     round_digits: int = 9,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Quantile-normalize-and-blend: calibrate heterogeneous quality
     signals (an LM NLL in nats, a classifier probability, a length)
@@ -400,19 +402,26 @@ def blend_scores(
     the NON-NULL normalized signals (aggregate semantics), so a doc
     missing one signal is scored by the others rather than dropped.
 
-    At corpus scale swap the exact percentile for approx_percentile:
-    same plan shape, sketch-accurate edges (no oracle)."""
+    At corpus scale pass ``exact=False``: the edges aggregate becomes
+    ``approx_percentile`` (Greenwald-Khanna sketch at ``accuracy``,
+    rank error <= 1/accuracy) — same plan shape, sketch-accurate
+    edges, no multi-GB sort behind the exact percentile (ADVICE r8:
+    the documented scale path is now a parameter, not a fork). Either
+    way the edges aggregate is its own ACTION before the row-local
+    bucketing plan — cache ``df`` first or its lineage is computed
+    twice."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if not cols:
         raise ValueError("blend_scores: no signal columns")
     qs = [i / k for i in range(1, k)]
-    row = df.agg(
-        *[
-            F.percentile(F.col(c).cast("double"), F.lit(qs)).alias(c)
-            for c in cols
-        ]
-    ).first()
+    if exact:
+        pct = lambda c: F.percentile(F.col(c).cast("double"), F.lit(qs))  # noqa: E731
+    else:
+        pct = lambda c: F.percentile_approx(  # noqa: E731
+            F.col(c).cast("double"), F.lit(qs), F.lit(accuracy)
+        )
+    row = df.agg(*[pct(c).alias(c) for c in cols]).first()
     # an all-NULL signal (or empty frame) has no percentiles: that
     # signal normalizes to NULL everywhere and the blend averages the
     # rest (the same per-row missing-signal rule, applied column-wide)

@@ -176,8 +176,10 @@ def unigram_train(
 ) -> list[tuple[str, float]]:
     """Learn a unigram tokenizer model: returns [(piece, logp), ...]
     sorted (logp desc, piece asc). ``vocab_size`` bounds the final
-    piece count (single characters always survive, so the floor is the
-    alphabet size). Deterministic and partition-independent: integer
+    piece count EXACTLY — |model| = min-bounded at the alphabet size
+    (single characters always survive for closure) and otherwise
+    == min(vocab_size, |alphabet| + |candidate multis|).
+    Deterministic and partition-independent: integer
     expected counts, fixed tiebreaks, per-word serial Viterbi."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
@@ -215,13 +217,24 @@ def unigram_train(
         tot = sum(cnts.values())
         logp = {p: math.log(c / tot) for p, c in cnts.items()}
 
-    # prune to vocab_size by (count desc, piece asc), keeping all
-    # single chars (closure); then renormalize
+    # prune to vocab_size by (count desc, piece asc): single chars are
+    # mandatory (segmentation closure), so their slots are reserved
+    # FIRST and the remaining vocab_size - |alphabet| slots go to the
+    # best-ranked multi-char pieces — the final piece count is exactly
+    # bounded by vocab_size (SentencePiece keeps the size exact; an
+    # earlier version appended out-of-top singles AFTER the top-N cut,
+    # overshooting the bound — ADVICE r8). Only when the alphabet alone
+    # exceeds vocab_size does closure win over the bound (the model is
+    # then all singles, |alphabet| pieces — SentencePiece errors here;
+    # we keep encodability and document the floor).
     final_counts = cnts
     singles = {p: c for p, c in final_counts.items() if len(p) == 1}
-    ranked = sorted(final_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    kept = dict(ranked[:vocab_size])
-    kept.update(singles)
+    multi_ranked = sorted(
+        ((p, c) for p, c in final_counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    kept = dict(singles)
+    kept.update(dict(multi_ranked[: max(vocab_size - len(singles), 0)]))
     tot = sum(kept.values())
     model = {p: math.log(c / tot) for p, c in kept.items()}
     return sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))

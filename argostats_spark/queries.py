@@ -1139,8 +1139,10 @@ def _manifest_oracle_sql() -> str:
     dataset_manifest) - counts, characters, and the order-free mod-2^48
     md5-prefix checksum, all exact integers (< 2^53, so the DOUBLE
     carry compares exactly)."""
-    chk = ("CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ' '"
-           " || coalesce(text, '') || ' '"
+    chk = ("CAST(sum(('0x' || substr(md5("
+           "CAST(len(CAST(doc_id AS VARCHAR)) AS VARCHAR) || '|'"
+           " || CAST(doc_id AS VARCHAR) || '|'"
+           " || coalesce(text, '') || '|'"
            " || CAST(text IS NULL AS VARCHAR)),"
            " 1, 12))::BIGINT) % 281474976710656 AS DOUBLE)")
     return (

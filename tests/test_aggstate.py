@@ -92,3 +92,24 @@ def test_overflowing_values_are_loud_not_silent(spark):
     # sums and REPORTED, never silently blended into a wrong mean
     assert st["n"] == 3 and st["n_overflow"] == 1
     assert float(st["s"]) == 5.0
+
+
+def test_merged_totals_past_1e14_stay_exact(spark):
+    """ADVICE r8: the merge must NOT narrow s back to decimal(28,14) —
+    snapshots each under the per-value 10^14 bound can still merge to a
+    total past it, and that total must come through exact (the
+    multi-snapshot 100TB regime), not NULL/throw."""
+    big = 9.0e13  # fits decimal(28,14) per value
+    dfs = [
+        spark.createDataFrame([(i, "a", big)], "id long, k string, v double")
+        for i in range(3)
+    ]
+    states = [agg_state(d, ["k"], "v") for d in dfs]
+    merged = merge_agg_states(["k"], *states)
+    row = merged.first()
+    assert row["n_overflow"] == 0
+    assert row["s"] is not None and float(row["s"]) == 2.7e14
+    # schema contract: merge output types == agg_state output types, so
+    # re-merging a merged state is schema-stable
+    assert dict(merged.dtypes)["s"] == dict(states[0].dtypes)["s"]
+    assert dict(merged.dtypes)["sq"] == dict(states[0].dtypes)["sq"]

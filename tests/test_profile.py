@@ -158,3 +158,19 @@ def test_dataset_manifest_order_free_and_additive(spark, sf_dir):
         summed[r["g"]] = (n + r["n_rows"], c + r["n_chars"],
                           (k + r["checksum"]) % 2 ** 48)
     assert summed == base
+
+
+def test_dataset_manifest_preimage_injective(spark):
+    """ADVICE r8: with the old space-joined preimage, (id='a',
+    text='b c') and (id='a b', text='c') hashed identically — a
+    guaranteed (not 48-bit-collision) false equality. The
+    length-prefixed encoding must separate them."""
+    from argostats_spark.operators.profile import dataset_manifest
+
+    a = spark.createDataFrame([("a", "b c", "g")],
+                              "doc_id string, text string, g string")
+    b = spark.createDataFrame([("a b", "c", "g")],
+                              "doc_id string, text string, g string")
+    ka = dataset_manifest(a, "g").first()["checksum"]
+    kb = dataset_manifest(b, "g").first()["checksum"]
+    assert ka != kb

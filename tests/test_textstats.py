@@ -412,3 +412,30 @@ def test_blend_scores_partition_independent(spark):
     y = sorted(map(tuple,
                    blend_scores(df.repartition(11), ["a", "b"], k=10).collect()))
     assert x == y
+
+
+def test_blend_scores_approx_path(spark):
+    """ADVICE r8: the documented corpus-scale path (approx_percentile
+    edges) must be reachable via a parameter. At high accuracy the GK
+    sketch's edges land within one rank of exact, so per-doc buckets
+    shift by at most one quantile step — and on a distinct-valued
+    input at accuracy >> n the paths agree exactly."""
+    from argostats_spark.operators.textstats import blend_scores
+
+    rows = [(i, float((i * 37) % 101), float((i * 53) % 97)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, a double, b double").cache()
+    exact = {r["doc_id"]: r["blend"]
+             for r in blend_scores(df, ["a", "b"], k=4).collect()}
+    approx = {r["doc_id"]: r["blend"]
+              for r in blend_scores(df, ["a", "b"], k=4,
+                                    exact=False).collect()}
+    step = 1.0 / 3  # one quantile-bucket step at k=4, per signal
+    assert set(exact) == set(approx)
+    off = [i for i in exact if abs(exact[i] - approx[i]) > step / 2 + 1e-9]
+    assert not off, f"approx buckets drifted more than one step: {off[:5]}"
+    # NULL semantics identical on the approx path
+    dn = spark.createDataFrame([(1, None, 5.0), (2, None, None)],
+                               "doc_id long, a double, b double")
+    got = {r["doc_id"]: r
+           for r in blend_scores(dn, ["a", "b"], k=2, exact=False).collect()}
+    assert got[1]["a_qn"] is None and got[2]["blend"] is None

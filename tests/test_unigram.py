@@ -202,3 +202,24 @@ def test_empty_corpus_rejected(spark):
     empty = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         unigram_train(empty, vocab_size=10)
+
+
+def test_vocab_size_is_an_exact_bound(spark):
+    """ADVICE r8: the final model must never exceed vocab_size (unless
+    the alphabet alone does — closure floor). Use a vocab_size small
+    enough that some singles fall outside the top-N by count."""
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog zzz qqq xyzw")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    alphabet = {c for c in "thequickbrownfoxjumpsoverlazydogzqxyw"}
+    for vs in (len(alphabet) + 3, len(alphabet) + 10, 200):
+        model = unigram_train(docs, vocab_size=vs, em_rounds=1, seed_size=80)
+        assert len(model) <= max(vs, len(alphabet)), vs
+        # closure: every single char survives
+        pieces = {p for p, _ in model}
+        assert alphabet <= pieces
+    # alphabet bigger than vocab_size: the floor wins, model = singles
+    tiny = unigram_train(docs, vocab_size=5, em_rounds=1, seed_size=80)
+    assert {p for p, _ in tiny} == alphabet
