@@ -3220,11 +3220,26 @@ def _bpe_suite_oracle_sql() -> str:
     independently — tokenization, the vocabulary join, subword
     frequencies, per-document subword counts and fertility, and the
     corpus totals. Training itself is pinned engine-side by the exact
-    differential vs a reference Python BPE (tests/test_bpe.py)."""
+    differential vs a reference Python BPE (tests/test_bpe.py).
+
+    The unigram parts replay the per-word Viterbi DP from the model
+    parquet with a RECURSIVE CTE — one iteration per character
+    position (bounded by the longest word), state = the per-word
+    best/backpointer lists. The DP recurrence performs the IDENTICAL
+    float additions (best[j] + logp) in the identical order on the
+    identical model doubles as the engine's Python kernel
+    (operators/unigram.py::viterbi_segment), so scores are
+    bit-identical and the argmax + tie-break ('min j among argmax' ==
+    'first strict max over longest-first candidates') reproduce the
+    segmentation exactly — proven by the engineered-tie differential
+    in tests/test_unigram.py. NOTE: a struct-accumulator list_reduce
+    formulation is NOT usable here — DuckDB 1.0's list_reduce drops
+    accumulated list fields inside struct accumulators."""
     words = _model_parquet_path("bpe_words")
     merges = _model_parquet_path("bpe_merges")
+    upieces = _model_parquet_path("unigram_pieces")
     return rf"""
-    WITH tok AS (
+    WITH RECURSIVE tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                                 t -> t <> '')) AS word
@@ -3247,7 +3262,57 @@ def _bpe_suite_oracle_sql() -> str:
              CAST(count(*) AS BIGINT) AS n_tok,
              CAST(sum(len(e.symbols)) AS BIGINT) AS n_sub
       FROM enc e GROUP BY e.doc_id
-    )
+    ),
+    uw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word
+    ),
+    um AS (
+      SELECT map(list(piece), list(logp)) AS mp
+      FROM read_parquet('{upieces}')
+    ),
+    udp AS (
+      SELECT word, 0 AS i, [0.0]::DOUBLE[] AS best,
+             [-1]::INT[] AS bj, ['']::VARCHAR[] AS bp
+      FROM uw
+      UNION ALL
+      SELECT word, i + 1,
+             best || [win.s], bj || [CAST(win.j AS INT)], bp || [win.piece]
+      FROM (
+        SELECT word, i, best, bj, bp,
+               list_filter(scored, c -> c.s = list_aggregate(
+                 list_transform(scored, x -> x.s), 'max'))[1] AS win
+        FROM (
+          SELECT d.word, d.i, d.best, d.bj, d.bp,
+            list_transform(
+              list_filter(
+                list_transform(range(greatest(0, d.i + 1 - 8), d.i + 1),
+                  j -> struct_pack(
+                    j := j,
+                    piece := substr(d.word, CAST(j + 1 AS INT),
+                                    CAST(d.i + 1 - j AS INT)),
+                    lp := CASE
+                      WHEN len(um.mp[substr(d.word, CAST(j + 1 AS INT),
+                                            CAST(d.i + 1 - j AS INT))]) > 0
+                        THEN um.mp[substr(d.word, CAST(j + 1 AS INT),
+                                          CAST(d.i + 1 - j AS INT))][1]
+                      WHEN d.i + 1 - j = 1 THEN -100.0
+                      ELSE NULL END)),
+                c -> c.lp IS NOT NULL),
+              c -> struct_pack(j := c.j, piece := c.piece,
+                               s := d.best[CAST(c.j + 1 AS INT)] + c.lp)
+            ) AS scored
+          FROM udp d, um WHERE d.i < len(d.word)
+        )
+      )
+    ),
+    ufin AS (SELECT word, bj, bp FROM udp WHERE i = len(word)),
+    ubt AS (
+      SELECT word, len(word) AS pos, []::VARCHAR[] AS ps, bj, bp FROM ufin
+      UNION ALL
+      SELECT word, bj[pos + 1], list_prepend(bp[pos + 1], ps), bj, bp
+      FROM ubt WHERE pos > 0
+    ),
+    useg AS (SELECT word, ps FROM ubt WHERE pos = 0)
     SELECT 'merge' AS part, CAST(NULL AS BIGINT) AS id, a || b AS k,
            CAST(rank AS BIGINT) AS rnk, CAST(cnt AS BIGINT) AS n,
            CAST(NULL AS DOUBLE) AS v
@@ -3263,6 +3328,17 @@ def _bpe_suite_oracle_sql() -> str:
     SELECT 'vocab', NULL, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            (SELECT count(*) FROM swc),
            (SELECT CAST(sum(c) AS DOUBLE) FROM swc)
+    UNION ALL
+    SELECT 'upiece', NULL, piece, CAST(rnk AS BIGINT), CAST(NULL AS BIGINT),
+           round(logp, 9)
+    FROM read_parquet('{upieces}')
+    UNION ALL
+    SELECT 'uword', NULL,
+           s.word || '|' || array_to_string(s.ps, ' '),
+           CAST(len(s.ps) AS BIGINT), uw.n,
+           CASE WHEN len(list_filter(s.ps, p -> len(um.mp[p]) = 0)) = 0
+                THEN 1.0 ELSE 0.0 END
+    FROM useg s JOIN uw USING (word), um
     """
 
 
@@ -3287,8 +3363,30 @@ def q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``vocab``: distinct subword types + total subword tokens.
 
     Integer counts everywhere; the one float (fertility) is a ratio of
-    integers rounded at 6 dp — no sum-order sensitivity anywhere."""
+    integers rounded at 6 dp — no sum-order sensitivity anywhere.
+
+    Round 9 adds the UNIGRAM-LM tokenizer (Kudo 2018;
+    operators/unigram.py) as two more parts — the last operator family
+    that was pytest-only:
+
+    - ``upiece``: the trained piece model (piece, rank, logp@9dp) —
+      rides in as data like ``merge`` (Viterbi-EM training is
+      iterative; pinned engine-side by test_unigram.py's exact
+      differential + partition-independence + monotone-likelihood
+      pins);
+    - ``uword``: every DISTINCT corpus word Viterbi-encoded under that
+      model — word, its segmentation (space-joined; pieces are
+      whitespace-free so the join is unambiguous), piece count, corpus
+      frequency, and the in-vocab flag. The DuckDB twin REPLAYS the
+      per-word Viterbi DP from the model parquet with a bounded
+      recursive CTE (one iteration per character position): identical
+      float additions in identical order on identical model doubles →
+      bit-identical argmax and tie-breaks (ties prefer the longer
+      piece — the 'first strict max over longest-first candidates'
+      rule is replayed as 'min j among argmax', the same thing).
+    """
     from .operators.bpe import bpe_encode
+    from .operators.unigram import unigram_encode, unigram_train
 
     merges, words = _train_and_write_bpe(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
@@ -3342,4 +3440,43 @@ def q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("types").cast("long").alias("n"), F.col("total").alias("v"),
     )
 
-    return merge_rows.unionByName(sw_rows).unionByName(doc_rows).unionByName(vocab_rows)
+    umodel = unigram_train(d, vocab_size=240, em_rounds=2, seed_size=2000)
+    _write_model_parquet(
+        "unigram_pieces",
+        {
+            "rnk": list(range(1, len(umodel) + 1)),
+            "piece": [p for p, _ in umodel],
+            "logp": [lp for _, lp in umodel],
+        },
+    )
+    upiece_rows = spark.createDataFrame(
+        [(i + 1, p, lp) for i, (p, lp) in enumerate(umodel)],
+        "rnk bigint, k string, lp double",
+    ).select(
+        F.lit("upiece").alias("part"), F.lit(None).cast("long").alias("id"),
+        "k", "rnk", F.lit(None).cast("long").alias("n"),
+        F.round(F.col("lp"), 9).alias("v"),
+    )
+    uenc = unigram_encode(d, umodel)
+    uword_rows = (
+        uenc.groupBy(
+            "word",
+            F.array_join("pieces", " ").alias("seg"),
+            "n_pieces",
+            "in_vocab",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("uword").alias("part"), F.lit(None).cast("long").alias("id"),
+            F.concat(F.col("word"), F.lit("|"), F.col("seg")).alias("k"),
+            F.col("n_pieces").cast("long").alias("rnk"),
+            F.col("cnt").cast("long").alias("n"),
+            F.when(F.col("in_vocab"), 1.0).otherwise(0.0).alias("v"),
+        )
+    )
+
+    return (
+        merge_rows.unionByName(sw_rows).unionByName(doc_rows)
+        .unionByName(vocab_rows).unionByName(upiece_rows)
+        .unionByName(uword_rows)
+    )

@@ -223,3 +223,85 @@ def test_vocab_size_is_an_exact_bound(spark):
     # alphabet bigger than vocab_size: the floor wins, model = singles
     tiny = unigram_train(docs, vocab_size=5, em_rounds=1, seed_size=80)
     assert {p for p, _ in tiny} == alphabet
+
+
+def test_duckdb_viterbi_twin_matches_python_exactly():
+    """The bpe_subwords 'uword' oracle replays Viterbi with a DuckDB
+    recursive CTE. This differential pins the construction against the
+    engine kernel (viterbi_segment) on a model with an ENGINEERED
+    EXACT-FLOAT TIE ('th' vs 't'+'h') — the case where anything short
+    of bit-identical scores + the same tie-break diverges. Mirrors the
+    CTE in queries_documents._bpe_suite_oracle_sql."""
+    import math
+    import random
+
+    import duckdb
+
+    random.seed(7)
+    pieces = list("abcdefghijklmnopqrstuvwxyz012") + [
+        "th", "he", "in", "er", "an", "ing", "ion", "ent", "the", "and",
+        "tion", "ed", "es", "re", "at", "st", "on", "qu", "ck",
+    ]
+    logp = {p: math.log(random.uniform(1, 500)) - math.log(5000)
+            for p in pieces}
+    logp["th"] = logp["t"] + logp["h"]  # exact tie: longer piece must win
+    words = ["the", "thing", "quick", "entertain", "station", "zzz",
+             "q0x", "ingestion", "anon", "attention", "hehehe", "th",
+             "a", "extraordinarily"]
+    py = {w: viterbi_segment(w, logp, 8) for w in words}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE model(piece VARCHAR, logp DOUBLE)")
+    con.executemany("INSERT INTO model VALUES (?, ?)", list(logp.items()))
+    con.execute("CREATE TABLE uw(word VARCHAR)")
+    con.executemany("INSERT INTO uw VALUES (?)", [(w,) for w in words])
+    got = {r[0]: (r[1], r[2]) for r in con.execute(r"""
+    WITH RECURSIVE um AS (SELECT map(list(piece), list(logp)) AS mp FROM model),
+    udp AS (
+      SELECT word, 0 AS i, [0.0]::DOUBLE[] AS best,
+             [-1]::INT[] AS bj, ['']::VARCHAR[] AS bp FROM uw
+      UNION ALL
+      SELECT word, i + 1,
+             best || [win.s], bj || [CAST(win.j AS INT)], bp || [win.piece]
+      FROM (
+        SELECT word, i, best, bj, bp,
+               list_filter(scored, c -> c.s = list_aggregate(
+                 list_transform(scored, x -> x.s), 'max'))[1] AS win
+        FROM (
+          SELECT d.word, d.i, d.best, d.bj, d.bp,
+            list_transform(
+              list_filter(
+                list_transform(range(greatest(0, d.i + 1 - 8), d.i + 1),
+                  j -> struct_pack(
+                    j := j,
+                    piece := substr(d.word, CAST(j + 1 AS INT),
+                                    CAST(d.i + 1 - j AS INT)),
+                    lp := CASE
+                      WHEN len(um.mp[substr(d.word, CAST(j + 1 AS INT),
+                                            CAST(d.i + 1 - j AS INT))]) > 0
+                        THEN um.mp[substr(d.word, CAST(j + 1 AS INT),
+                                          CAST(d.i + 1 - j AS INT))][1]
+                      WHEN d.i + 1 - j = 1 THEN -100.0
+                      ELSE NULL END)),
+                c -> c.lp IS NOT NULL),
+              c -> struct_pack(j := c.j, piece := c.piece,
+                               s := d.best[CAST(c.j + 1 AS INT)] + c.lp)
+            ) AS scored
+          FROM udp d, um WHERE d.i < len(d.word)
+        )
+      )
+    ),
+    ufin AS (SELECT word, bj, bp FROM udp WHERE i = len(word)),
+    ubt AS (
+      SELECT word, len(word) AS pos, []::VARCHAR[] AS ps, bj, bp FROM ufin
+      UNION ALL
+      SELECT word, bj[pos + 1], list_prepend(bp[pos + 1], ps), bj, bp
+      FROM ubt WHERE pos > 0
+    )
+    SELECT b.word, b.ps,
+           len(list_filter(b.ps, p -> len(um.mp[p]) = 0)) = 0
+    FROM ubt b, um WHERE b.pos = 0
+    """).fetchall()}
+    assert got == {w: (py[w][0], py[w][1]) for w in words}
+    # the tie case specifically: longer piece won on both engines
+    assert got["th"][0] == ["th"]
