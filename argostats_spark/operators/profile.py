@@ -167,6 +167,9 @@ def equi_depth_histogram(
     k: int,
     key_col: str,
     by: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    max_global_rows: int = 10_000_000,
 ) -> DataFrame:
     """Exact equi-depth (equal-count) histogram — the other standard
     histogram next to the fixed-width one (optimizer statistics,
@@ -181,14 +184,69 @@ def equi_depth_histogram(
     Exactness costs a rank window: per ``by`` group when given (the
     usual call — per-type/per-source histograms spread the exchange),
     or ONE GLOBAL SORT when ``by`` is None — fine for bounded slices,
-    wrong at corpus scale, where the approximate path is
-    ``approx_percentile(value, [i/k])`` boundaries instead (no oracle:
-    sketch-dependent)."""
+    wrong at corpus scale. The global exact form is therefore GUARDED
+    (VERDICT r8 item 4, the pack_chunks_bestfit pattern): past
+    ``max_global_rows`` it raises naming the remedy instead of
+    planning a single-partition WindowExec that a 100 TB caller only
+    discovers in the Spark UI.
+
+    ``exact=False`` is the corpus-scale path: per-group (or global)
+    bucket BOUNDARIES from ``approx_percentile`` (Greenwald-Khanna at
+    ``accuracy``, rank error <= 1/accuracy), then a row-local
+    strictly-greater edge count — one aggregate + zero windows, any
+    scale. Semantics shift with the sketch: buckets are VALUE-bucketed
+    (duplicate values always land together; no key tie-break), so
+    counts are n/k only up to duplicate mass at the boundaries — the
+    histograms driver limb pins the rank-error guarantee as a boolean
+    next to exact anchors rather than hashing sketch internals."""
     from pyspark.sql import Window as W
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     part = list(by) if by else []
+    if not exact:
+        qs = [i / k for i in range(1, k)]
+        v = F.col(value_col).cast("double")
+        nn = df.filter(F.col(value_col).isNotNull())
+        if qs:
+            pa = F.percentile_approx(v, F.lit(qs), F.lit(accuracy))
+            if part:
+                edges = nn.groupBy(*part).agg(pa.alias("__edges"))
+                src = nn.join(F.broadcast(edges), part)
+            else:
+                # global: edges ride in as literals (one tiny driver
+                # action, the blend_scores convention) — no 1-row
+                # BroadcastNestedLoopJoin to special-case in plan gates
+                row = nn.agg(pa.alias("__edges")).first()
+                e = row["__edges"] if row and row["__edges"] else []
+                src = nn.withColumn(
+                    "__edges",
+                    F.array(*[F.lit(float(x)) for x in e]).cast("array<double>"),
+                )
+            bucket = F.size(F.filter(F.col("__edges"), lambda x: v > x))
+        else:  # k == 1: one bucket, no edges
+            src = nn
+            bucket = F.lit(0)
+        return (
+            src.withColumn("bucket", bucket.cast("long"))
+            .groupBy(*part, "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(value_col).alias("lo"),
+                F.max(value_col).alias("hi"),
+            )
+        )
+    if not part:
+        n_global = df.filter(F.col(value_col).isNotNull()).count()
+        if n_global > max_global_rows:
+            raise ValueError(
+                f"equi_depth_histogram: exact global form over "
+                f"{n_global} rows would plan a single-partition global "
+                f"sort (> max_global_rows={max_global_rows}). Pass "
+                f"exact=False for approx_percentile boundaries (any "
+                f"scale), supply by=[...] to spread the rank window, "
+                f"or raise max_global_rows for a bounded slice."
+            )
     w = (W.partitionBy(*part) if part else W.partitionBy()).orderBy(
         F.col(value_col).asc(), F.col(key_col).asc()
     )

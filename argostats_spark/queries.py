@@ -990,6 +990,11 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem)
     GROUP BY 1, 2, 3
     UNION ALL
+    SELECT 'depth_ap', l_returnflag, CAST(i AS BIGINT), 1,
+           CAST(NULL AS DOUBLE)
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+         (SELECT unnest(range(1, 8)) AS i)
+    UNION ALL
     SELECT 'skew', CAST(l_suppkey AS VARCHAR), CAST(rank AS BIGINT),
            n_rows, round(cum, 6)
     FROM (
@@ -1056,7 +1061,59 @@ def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n"),
         F.round("cum_share", 6).alias("total"),
     )
-    return year.unionByName(value).unionByName(depth).unionByName(skew)
+
+    # depth_ap limb (VERDICT r8 item 5): the equi-depth approx boundary
+    # path (equi_depth_histogram exact=False) gets its Greenwald-Khanna
+    # guarantee oracle-pinned. Edge VALUES are sketch outputs (not
+    # replayable), so the hashed value per (group, edge i of k=8) is
+    # the GK rank-error boolean: #{v < e_i} <= (i/8 + eps)·n + 1 and
+    # #{v <= e_i} >= (i/8 − eps)·n − 1, eps = 1/accuracy (the ±1 floor
+    # absorbs the floor/ceil rank convention). The oracle emits 1s;
+    # the exact anchors live in the 'depth' limb of the same union.
+    acc = 10_000
+    eps = 1.0 / acc
+    qv = F.col("l_quantity").cast("double")
+    ap_edges = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            qv, F.lit([i / 8 for i in range(1, 8)]), F.lit(acc)
+        ).alias("__edges"),
+        F.count("l_quantity").alias("__nv"),
+    )
+    ap_src = li.join(F.broadcast(ap_edges), "l_returnflag")
+    ap_aggs = []
+    for i in range(7):
+        ap_aggs.append(
+            F.sum((qv < F.col("__edges")[i]).cast("long")).alias(f"lt{i}")
+        )
+        ap_aggs.append(
+            F.sum((qv <= F.col("__edges")[i]).cast("long")).alias(f"le{i}")
+        )
+    chk = ap_src.groupBy("l_returnflag", "__nv").agg(*ap_aggs)
+    for i in range(7):
+        q_i = (i + 1) / 8
+        ok = (
+            F.col(f"lt{i}") <= (F.lit(q_i) + F.lit(eps)) * F.col("__nv") + 1
+        ) & (
+            F.col(f"le{i}") >= (F.lit(q_i) - F.lit(eps)) * F.col("__nv") - 1
+        )
+        chk = chk.withColumn(f"ok{i}", ok.cast("long"))
+    depth_ap = chk.select(
+        "l_returnflag",
+        F.expr(
+            "stack(7, "
+            + ", ".join(f"CAST({i + 1} AS BIGINT), ok{i}" for i in range(7))
+            + ") AS (bucket, okn)"
+        ),
+    ).select(
+        F.lit("depth_ap").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        "bucket", F.col("okn").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+    )
+    return (
+        year.unionByName(value).unionByName(depth).unionByName(skew)
+        .unionByName(depth_ap)
+    )
 
 
 def _profile_oracle_sql(
@@ -1236,6 +1293,8 @@ def _aggstate_oracle_sql() -> str:
                      median_value FROM qt
     UNION ALL SELECT 'quantile', event_type, 'p90_value', CAST(NULL AS VARCHAR),
                      p90_value FROM qt
+    UNION ALL SELECT 'hll', c, 'distinct_ok', CAST(NULL AS VARCHAR), 1.0
+    FROM (VALUES ('doc_id'), ('n_chars'), ('lang'), ('source')) t(c)
     UNION ALL """
     + _profile_oracle_sql()
     + """
@@ -1351,13 +1410,38 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.profile import profile_columns
 
-    prof = profile_columns(
-        _t(spark, sf_dir, "documents"),
-        ["doc_id", "n_chars", "lang", "source"],
-    ).select(
+    _pcols = ["doc_id", "n_chars", "lang", "source"]
+    prof = profile_columns(_t(spark, sf_dir, "documents"), _pcols).select(
         F.lit("profile").alias("which"),
         F.col("column").alias("grp"),
         "stat", "sval", "nval",
+    )
+    # hll limb (VERDICT r8 item 5, the CMS anchor+guarantee policy):
+    # the profiler's corpus-scale HLL path (exact_distinct=False) gets
+    # an oracle pin — per column, the HLL++ estimate must sit within
+    # 3x its rsd (3 * 0.05) of the exact distinct count, a >=3-sigma
+    # bound. Sketch values differ per engine, so the hashed value is
+    # the GUARANTEE boolean (oracle emits 1.0); the exact anchors are
+    # the 'profile' limb's own n_distinct rows in the same union.
+    pe = (
+        profile_columns(_t(spark, sf_dir, "documents"), _pcols)
+        .filter(F.col("stat") == "n_distinct")
+        .select(F.col("column").alias("grp"), F.col("nval").alias("ex"))
+    )
+    pa = (
+        profile_columns(
+            _t(spark, sf_dir, "documents"), _pcols, exact_distinct=False
+        )
+        .filter(F.col("stat") == "n_distinct")
+        .select(F.col("column").alias("grp"), F.col("nval").alias("ap"))
+    )
+    hll = pe.join(pa, "grp").select(
+        F.lit("hll").alias("which"), "grp",
+        F.lit("distinct_ok").alias("stat"),
+        F.lit(None).cast("string").alias("sval"),
+        F.when(
+            F.abs(F.col("ap") - F.col("ex")) / F.col("ex") <= 0.15, 1.0
+        ).otherwise(0.0).alias("nval"),
     )
     from .operators.aggstate import agg_state, finalize_state, merge_agg_states
 
@@ -1412,7 +1496,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
-        .unionByName(agl).unionByName(man).unionByName(bl)
+        .unionByName(hll).unionByName(agl).unionByName(man).unionByName(bl)
     )
 
 

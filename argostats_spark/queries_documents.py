@@ -516,6 +516,13 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'vocab', 'all', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            v, CAST(t AS DOUBLE)
     FROM tot
+    UNION ALL
+    SELECT 'lm_decile_ap', 'all', CAST(NULL AS VARCHAR), CAST(d AS BIGINT),
+           1, CAST(NULL AS DOUBLE)
+    FROM (SELECT unnest(range(1, 11)) AS d)
+    UNION ALL
+    SELECT 'lm_decile_ap', 'all', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           0, (SELECT CAST(count(*) AS DOUBLE) FROM nll)
     """,
 )
 def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,7 +612,61 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("vocab", "all", None, None, v_size, float(t_total))],
         "part string, k1 string, k2 string, rnk bigint, n bigint, score double",
     )
-    return tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)
+
+    # lm_decile_ap limb (VERDICT r8 item 5, the CMS anchor+guarantee
+    # policy): the scale path's approx_percentile decile assignment
+    # gets oracle-pinned GUARANTEES instead of sketch values —
+    # (a) per decile 1..10, the approx bucket population sits within
+    # 5%·n + 3 of n/10 (the test_textstats bound, loosened by the +3
+    # absolute floor so tiny corpora pass); (b) zero documents with a
+    # UNIQUE d_nll move more than one decile vs exact (tie runs are
+    # excluded — ntile splits them by doc_id across a boundary, which
+    # value-bucketing cannot replay; the pytest pins the same rule).
+    # The oracle emits the literals (1-booleans / 0 violators); a
+    # sketch drifting out of bounds flips a value and fails the hash.
+    # Both decile columns land on the SAME row (nll_deciles preserves
+    # input columns; the approx bucket is a row-local broadcast-edge
+    # fold) and the tie-run size is a d_nll-partitioned window — zero
+    # joins, so no corpus-sized SortMergeJoin enters this query's plan
+    # (the plan test forbids one).
+    both = nll_deciles(
+        dec.withColumnRenamed("decile", "d_ex"), exact=False
+    ).withColumnsRenamed({"decile": "d_ap"}).withColumn(
+        "__vc", F.count(F.lit(1)).over(W.partitionBy("d_nll"))
+    )
+    pop_rows = (
+        both.groupBy("d_ap").agg(F.count(F.lit(1)).alias("pop"))
+        .withColumn("__n", F.sum("pop").over(W.partitionBy()))
+        .select(
+            F.lit("lm_decile_ap").alias("part"), F.lit("all").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("d_ap").cast("long").alias("rnk"),
+            (
+                F.abs(F.col("pop") - F.col("__n") / 10.0)
+                <= F.col("__n") * 0.05 + 3
+            ).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    )
+    viol_row = both.agg(
+        F.sum(
+            (
+                (F.col("__vc") == 1)
+                & (F.abs(F.col("d_ex") - F.col("d_ap")) > 1)
+            ).cast("long")
+        ).alias("n_viol"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        F.lit("lm_decile_ap").alias("part"), F.lit("all").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.col("n_viol").alias("n"),
+        F.col("n_docs").cast("double").alias("score"),
+    )
+    return (
+        tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)
+        .unionByName(pop_rows).unionByName(viol_row)
+    )
 
 
 # =========================================================================
@@ -759,26 +820,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain.unionByName(inc)
 
 
-def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
-    """The registry's banded-MinHash pair plan over a documents frame
-    (md5 hash family, one 2-row band, Jaccard >= 0.6) — shared by
-    dedup_minhash_lsh (plain) and dedup_groups_lsh (behind the
-    exact-collapse pre-pass). Kept inline-SQL-twin-compatible: the
-    DuckDB _MINHASH_SQL evaluates the identical hash family."""
-    # Everything codegen, no arrays, no Python: shingles via
-    # posexplode + lead() window (interpreted higher-order functions
-    # measured 8x slower building the same shingles), signatures as
-    # partial-aggregate min(md5), and Jaccard verification as exploded
-    # equi-joins restricted to candidate pairs — |∩| is a count, |∪| is
-    # n_a + n_b − |∩|, so shingle payloads never travel with a pair.
-    # Shingles with ZERO extra shuffles: slice the token array by 1 and
-    # 2, arrays_zip, explode — all codegen (the posexplode+lead()-window
-    # form costs a full shuffle+sort by doc_id; the interpreted-HOF form
-    # measured 8x slower still). Duplicates survive here: min(md5) over
-    # a multiset equals min over its set, so signatures don't need
-    # distinct — only verification does, and that dedups candidates only.
+def _lsh_shingles(d: DataFrame) -> DataFrame:
+    """The registry pair plan's shingle stream: 3-gram shingles with
+    ZERO extra shuffles — slice the token array by 1 and 2, arrays_zip,
+    explode, all codegen (the posexplode+lead()-window form costs a
+    full shuffle+sort by doc_id; the interpreted-HOF form measured 8x
+    slower still). Exposed for bench.py's per-stage attribution."""
     tk = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
-    sh_raw = (
+    return (
         tk.select(
             "doc_id",
             F.explode(
@@ -792,14 +841,39 @@ def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
         .filter(F.col("z.t2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "z.t0", "z.t1", "z.t2").alias("g"))
     )
-    # ONE shuffle over the full shingle stream: distinct count + both
-    # band mins in a single grouped aggregate (Catalyst plans the mixed
-    # distinct/non-distinct agg as one exchange with an Expand).
-    stats = sh_raw.groupBy("doc_id").agg(
+
+
+def _lsh_doc_signatures(d: DataFrame, sh_raw: DataFrame | None = None) -> DataFrame:
+    """Per-doc signature stats: ONE shuffle over the full shingle
+    stream — distinct count + both band mins in a single grouped
+    aggregate (Catalyst plans the mixed distinct/non-distinct agg as
+    one exchange with an Expand). Exposed for bench.py's per-stage
+    attribution (the 'sig' limb times exactly this subplan)."""
+    if sh_raw is None:
+        sh_raw = _lsh_shingles(d)
+    return sh_raw.groupBy("doc_id").agg(
         F.count_distinct("g").alias("n_sh"),
         F.min(F.md5(F.concat(F.lit("s1|"), F.col("g")))).alias("mh1"),
         F.min(F.md5(F.concat(F.lit("s2|"), F.col("g")))).alias("mh2"),
     )
+
+
+def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
+    """The registry's banded-MinHash pair plan over a documents frame
+    (md5 hash family, one 2-row band, Jaccard >= 0.6) — shared by
+    dedup_minhash_lsh (plain) and dedup_groups_lsh (behind the
+    exact-collapse pre-pass). Kept inline-SQL-twin-compatible: the
+    DuckDB _MINHASH_SQL evaluates the identical hash family."""
+    # Everything codegen, no arrays, no Python: shingles + signatures
+    # from the stage helpers above (partial-aggregate min(md5)), and
+    # Jaccard verification as exploded equi-joins restricted to
+    # candidate pairs — |∩| is a count, |∪| is n_a + n_b − |∩|, so
+    # shingle payloads never travel with a pair. Duplicates survive the
+    # signature stage: min(md5) over a multiset equals min over its
+    # set, so signatures don't need distinct — only verification does,
+    # and that dedups candidates only.
+    sh_raw = _lsh_shingles(d)
+    stats = _lsh_doc_signatures(d, sh_raw)
     a, b = stats.alias("a"), stats.alias("b")
     # candidates are tiny by LSH construction — materialize once
     # (localCheckpoint) so the expensive stats agg isn't re-derived for

@@ -102,11 +102,12 @@ LIMB_SPECS: dict[str, dict] = {
     },
     "tfidf_lm_suite": {
         "mode": "tag", "col": "part",
-        "values": ["tfidf", "lm_decile", "vocab"],
+        "values": ["tfidf", "lm_decile", "vocab", "lm_decile_ap"],
     },
     "stats_suite": {
         "mode": "tag", "col": "which",
-        "values": ["minmax", "quantile", "stats", "profile", "aggstate", "manifest", "blend"],
+        "values": ["minmax", "quantile", "stats", "profile", "aggstate",
+                   "manifest", "blend", "hll"],
     },
 }
 
@@ -306,6 +307,34 @@ def main() -> None:
             ),
             3,
         )
+
+        # EAPE (VERDICT r8 item 3): the reference's costliest
+        # computation (reference atlas.py:439-448) was correctness-
+        # covered but never timed — a plan regression in the two-pass
+        # cached-pair dataflow (pass-1 cell means broadcast back onto
+        # the pair set, per-pair displacement kernel, weighted mean)
+        # would never trip a wire. Regional 5 deg box (100x70 deg, 280
+        # cells), R14 kernel, same profiles/smoothing as the atlas row
+        # so the numbers are comparable; pairs/ts recomputed inside
+        # each run — the measured time IS the full two-pass dataflow.
+        from argostats_spark.operators.atlas import clim_eape
+
+        egrid = make_grid(spark, (-80.0, 20.0, -60.0, 10.0), reso_deg=5.0)
+        clim_eape(
+            egrid, profiles, reso_deg=5.0, smoothing_factor=2.0
+        ).write.format("noop").mode("overwrite").save()  # warm EAPE workers
+        eape_sec = warm_min(
+            lambda: clim_eape(
+                egrid, profiles, reso_deg=5.0, smoothing_factor=2.0
+            ).write.format("noop").mode("overwrite").save()
+        )
+        timings["argo_eape_regional_5deg"] = round(eape_sec, 3)
+        argo.update(
+            eape_algo="R14",
+            eape_cells=int(egrid.count()),
+            eape_sec=round(eape_sec, 3),
+            eape_profiles_per_sec=round(n_raw / eape_sec, 1),
+        )
     except Exception as exc:  # partial argo numbers beat no artifact
         errors["argo_microbench"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -339,6 +368,60 @@ def main() -> None:
             limbs[name] = sub
         except Exception as exc:
             errors[f"limbs:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # dedup_groups_lsh stage attribution (VERDICT r8 item 6): the
+    # slowest headline row gets per-stage numbers so a drift names its
+    # stage, not just the whole-query delta. Cumulative-prefix timing —
+    # each limb is a fresh build of a strictly larger subplan ('sig' ⊂
+    # 'pairs' ⊂ the headline row), so stage costs are the DELTAS
+    # between rows (labeled cum_*); attribution only, not a tripwire.
+    try:
+        from argostats_spark.operators.graph import duplicate_groups
+        from argostats_spark.queries_documents import (
+            _exact_dup_fraction,
+            _lsh_doc_signatures,
+            _minhash_lsh_pairs_inline,
+        )
+
+        d_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sub = {}
+        t0 = time.perf_counter()
+        dup_frac = _exact_dup_fraction(d_docs)
+        sub["gate_probe"] = round(time.perf_counter() - t0, 3)
+        sub["(dup_frac)"] = round(dup_frac, 4)
+
+        def _stage(fn):
+            fn()  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        sub["cum_sig"] = _stage(
+            lambda: _lsh_doc_signatures(d_docs)
+            .write.format("noop").mode("overwrite").save()
+        )
+        sub["cum_pairs"] = _stage(
+            lambda: _minhash_lsh_pairs_inline(d_docs)
+            .write.format("noop").mode("overwrite").save()
+        )
+        # CC + keep flags over a prebuilt edge list (pairs cost removed
+        # so the CC limb is NOT cumulative: edges come from one
+        # checkpointed build)
+        edges = (
+            _minhash_lsh_pairs_inline(d_docs).select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        sub["cc_flags"] = _stage(
+            lambda: duplicate_groups(d_docs, edges, id_col="doc_id")
+            .write.format("noop").mode("overwrite").save()
+        )
+        limbs["dedup_groups_lsh"] = sub
+        spark.catalog.clearCache()
+    except Exception as exc:
+        errors["limbs:dedup_groups_lsh"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -419,3 +419,44 @@ def test_ann_ivf_pq_stages_stay_nested_loop_free(spark, sf_dir):
     plan = physical_plan(pq)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_window_sites_are_inventoried():
+    """VERDICT r8 item 8: every no-partition window in the source maps
+    to a KNOWN bounded input, so the bench tail's 'No Partition
+    Defined' warnings are all accounted for and a future unbounded
+    global window cannot hide among them. A new site anywhere changes
+    a count and fails this test — classify it here (bounded: fine;
+    unbounded: guard it like equi_depth_histogram's max_global_rows).
+
+    Current inventory (all windows over bounded frames unless noted):
+    - queries_documents.py: dsir bucket_rows (limit 10 → rank), bpe
+      sw_rows (limit 50 → rank), lm_decile_ap pop sum (<= 10 decile
+      rows);
+    - operators/dsir.py: top-k rank over a limit(k) frame;
+    - operators/bpe.py: subword-id rank over the VOCABULARY table;
+    - operators/profile.py (3): key_skew_report rank over limit(top)
+      rows, plus equi_depth_histogram's two conditional by=None
+      windows — guarded by max_global_rows since round 9 (the guard
+      raises before either is planned past the bound);
+    - operators/textstats.py: nll_deciles exact ntile — the ONE
+      corpus-sized global sort, documented demo/test-only; the scale
+      path is exact=False (approx edges, zero windows)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "argostats_spark"
+    pat = re.compile(r"W\.partitionBy\(\)|(?<![.\w])W\.orderBy\(|Window\.orderBy\(")
+    found: dict[str, int] = {}
+    for p in sorted(pkg.rglob("*.py")):
+        n = sum(len(pat.findall(line)) for line in p.read_text().splitlines()
+                if not line.lstrip().startswith("#"))
+        if n:
+            found[str(p.relative_to(pkg))] = n
+    assert found == {
+        "operators/bpe.py": 1,
+        "operators/dsir.py": 1,
+        "operators/profile.py": 3,
+        "operators/textstats.py": 1,
+        "queries_documents.py": 3,
+    }, f"global-window inventory drifted: {found}"

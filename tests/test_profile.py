@@ -174,3 +174,40 @@ def test_dataset_manifest_preimage_injective(spark):
     ka = dataset_manifest(a, "g").first()["checksum"]
     kb = dataset_manifest(b, "g").first()["checksum"]
     assert ka != kb
+
+
+def test_equi_depth_global_guard_and_approx_path(spark):
+    """VERDICT r8 item 4: the exact global form must refuse to plan an
+    unbounded single-partition sort (raising with the exact=False
+    remedy named), and the approx path must bucket within one step of
+    exact on duplicate-free data — with no Window in its plan."""
+    import pytest as _pt
+
+    from argostats_spark.operators.profile import equi_depth_histogram
+    from argostats_spark.plans.explain import physical_plan
+
+    rows = [(i, float((i * 7919) % 100003)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double").cache()
+
+    with _pt.raises(ValueError, match="exact=False"):
+        equi_depth_histogram(df, "v", 8, "id", max_global_rows=1000)
+
+    exact = {r["bucket"]: (r["n"], r["lo"], r["hi"])
+             for r in equi_depth_histogram(df, "v", 8, "id").collect()}
+    ap = equi_depth_histogram(df, "v", 8, "id", exact=False)
+    approx = {r["bucket"]: (r["n"], r["lo"], r["hi"]) for r in ap.collect()}
+    assert "Window" not in physical_plan(ap)
+    assert set(approx) == set(range(8))
+    # distinct values + high accuracy: counts within 1% of n/k + 1
+    for b in range(8):
+        assert abs(approx[b][0] - 250) <= 250 * 0.01 + 1, (b, approx[b])
+    assert exact[0][1] == approx[0][1] and exact[7][2] == approx[7][2]
+
+    # grouped approx path: one row-local bucket per group, no window
+    g = df.withColumn("g", (F.col("id") % 3).cast("string"))
+    gp = equi_depth_histogram(g, "v", 4, "id", by=["g"], exact=False)
+    assert "Window" not in physical_plan(gp)
+    got = gp.collect()
+    assert {r["g"] for r in got} == {"0", "1", "2"}
+    for r in got:
+        assert abs(r["n"] - 2000 / 3 / 4) <= 2000 / 3 / 4 * 0.05 + 2
