@@ -47,16 +47,19 @@ def ngram_contamination(
     hit_ratio, contaminated)`` where ``n_hits`` counts DISTINCT corpus
     n-grams that appear anywhere in the benchmark set.
 
-    Scale note (round-6 analysis): the broadcast side is the 8-byte
-    hash per DISTINCT benchmark n-gram — ~1 GB per 10⁸ n-grams, fine
-    for any real benchmark suite. A Bloom filter was considered and
-    rejected: Spark's bloom_filter_agg/might_contain are internal
-    runtime-filter expressions (not user-callable — probed on 4.1.2),
-    a hand-rolled bitmap only shrinks the broadcast ~6× (10 bits vs 64
-    per element) while adding false-positive contamination flags and h
-    probe-joins per corpus n-gram. If the eval side ever outgrows a
-    broadcast, the right fallback is the plain shuffle join on the
-    n-gram hash — same plan shape, no new operator.
+    Scale note (round-6 analysis, revised round 9): the broadcast side
+    is the 8-byte hash per DISTINCT benchmark n-gram — ~1 GB per 10⁸
+    n-grams, fine for any real benchmark suite, so this plain
+    broadcast-join form stays the default. When the eval side DOES
+    outgrow the broadcast, :mod:`.bloom` now provides the pre-gate
+    this note once rejected (Spark's bloom_filter_agg is indeed not
+    user-callable, but the public bitmap_construct_agg family builds
+    the same artifact): a row-local literal-bloom membership test
+    prunes the definitely-clean n-gram mass with zero joins, and only
+    candidates reach this exact verify join — false positives cost
+    candidate rows, never wrong flags, because the verify join still
+    decides. The decontaminate driver limb pins gate→verify ==
+    plain-join every round.
     """
     sh = F.array_distinct(word_ngrams(text_col, n))
     bench_grams = (

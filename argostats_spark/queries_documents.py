@@ -2175,6 +2175,15 @@ _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
            CAST(coalesce(hits.n_hits, 0) >= 1 AS INT) AS contaminated
     FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
     UNION ALL
+    SELECT 'bloom' AS part,
+           CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(len(c.sh) AS INT) AS n_grams,
+           CAST(coalesce(hits.n_hits, 0) AS INT) AS n_hits,
+           round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+                 / greatest(len(c.sh), 1), 6) AS hit_ratio,
+           CAST(coalesce(hits.n_hits, 0) >= 1 AS INT) AS contaminated
+    FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    UNION ALL
     SELECT 'dup_passage' AS part,
            CAST(doc_id AS BIGINT) AS doc_id,
            CAST(count(*) AS INT) AS n_grams,
@@ -2432,9 +2441,52 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("hit_ratio"),
         (F.col("n_lines_removed") > 0).cast("int").alias("contaminated"),
     )
+    # bloom limb (round 9): the SAME eval-contamination answer as
+    # eval_ngram, computed through the Catalyst-native broadcast-bloom
+    # pre-gate (operators/bloom.py) — corpus shingles are first gated
+    # by a row-local literal-bloom membership test (zero joins for the
+    # definitely-clean mass), and only bloom-passing candidates reach
+    # the exact verify join. No false negatives is structural, so the
+    # limb's output is IDENTICAL to eval_ngram's no matter the fpp —
+    # the driver hash cross-checks the whole gate→verify composition
+    # against the twin's plain join every round.
+    from .functions.text import word_ngrams
+    from .operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_to_bytes,
+    )
+
+    sh3 = F.array_distinct(word_ngrams("text", 3))
+    bench_g = bench.select(F.explode(sh3).alias("g")).distinct()
+    m_bits, k_h = 32768 * 16, 3  # 64 KiB literal, fpp ~1e-5 at this n
+    blit = bloom_to_bytes(bloom_build(bench_g, "g", m_bits, k_h), m_bits)
+    docs_g = corpus.select(
+        "doc_id", sh3.alias("sh"), F.size(sh3).alias("n_grams")
+    )
+    cand = (
+        docs_g.select("doc_id", F.explode("sh").alias("g"))
+        .filter(bloom_might_contain("g", blit, m_bits, k_h))
+    )
+    bhits = (
+        cand.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nb = F.coalesce(F.col("n_hits"), F.lit(0))
+    blm = docs_g.join(bhits, "doc_id", "left").select(
+        F.lit("bloom").alias("part"),
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        nb.cast("int").alias("n_hits"),
+        F.round(
+            nb.cast("double") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+        ).alias("hit_ratio"),
+        (nb >= 1).cast("int").alias("contaminated"),
+    )
     return (
         ev.unionByName(dp).unionByName(bl).unionByName(wr)
-        .unionByName(rem).unionByName(dl)
+        .unionByName(rem).unionByName(dl).unionByName(blm)
     )
 
 
