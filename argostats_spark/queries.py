@@ -1241,11 +1241,24 @@ def _aggstate_oracle_sql() -> str:
     """
     stats = [("n", "n"), ("sum", "sm"), ("min", "mn"), ("max", "mx"),
              ("mean", "mean"), ("var", "var")]
-    return "\n    UNION ALL ".join(
+    core = "\n    UNION ALL ".join(
         f"SELECT 'aggstate' AS which, l_returnflag AS grp, '{name}' AS stat,"
         f" CAST(NULL AS VARCHAR) AS sval, {col} AS nval FROM ({sub})"
         for name, col in stats
     )
+    # distinct-state rows (round 9): 'dexact' is the exact per-key
+    # distinct (the anchor, replayed here); 'dok' is the HLL-merge
+    # guarantee boolean (|est(merge of halves) − exact| ≤ 5%·exact+1)
+    # — the sketch estimate itself is engine-internal, the approx-
+    # family policy hashes the bound, not the sketch
+    return core + """
+    UNION ALL SELECT 'aggstate', l_returnflag, 'dexact',
+           CAST(NULL AS VARCHAR),
+           CAST(count(DISTINCT l_quantity) AS DOUBLE)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL SELECT 'aggstate', l_returnflag, 'dok',
+           CAST(NULL AS VARCHAR), 1.0
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)"""
 
 
 @query(
@@ -1443,7 +1456,14 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ap") - F.col("ex")) / F.col("ex") <= 0.15, 1.0
         ).otherwise(0.0).alias("nval"),
     )
-    from .operators.aggstate import agg_state, finalize_state, merge_agg_states
+    from .operators.aggstate import (
+        agg_state,
+        distinct_state,
+        finalize_distinct,
+        finalize_state,
+        merge_agg_states,
+        merge_distinct_states,
+    )
 
     halves = [li.filter(F.col("l_orderkey") % 2 == r) for r in (0, 1)]
     fin = finalize_state(
@@ -1466,6 +1486,34 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stat, sval, nval)"
         ),
     )
+    # distinct-state rows (round 9): Spark merges two half-corpus HLL
+    # sketches (operators/aggstate.py::distinct_state — the mergeable
+    # n_distinct that exact countDistinct can't be), the exact anchor
+    # is one direct countDistinct on the unsplit frame, and the hashed
+    # value is the 5% guarantee boolean — so the limb proves the HLL
+    # merge law cross-engine without hashing sketch internals.
+    dfin = finalize_distinct(
+        merge_distinct_states(
+            ["l_returnflag"],
+            *[distinct_state(h, ["l_returnflag"], "l_quantity") for h in halves],
+        )
+    )
+    dex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_quantity").alias("dex")
+    )
+    dagl = dfin.join(F.broadcast(dex), "l_returnflag").select(
+        F.lit("aggstate").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "stack(2,"
+            " 'dexact', CAST(NULL AS STRING), CAST(dex AS DOUBLE),"
+            " 'dok', CAST(NULL AS STRING),"
+            "  CAST(CASE WHEN abs(CAST(n_distinct_est AS DOUBLE) - dex)"
+            "            <= 0.05 * dex + 1 THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+            ") AS (stat, sval, nval)"
+        ),
+    )
+    agl = agl.unionByName(dagl)
     from .operators.profile import dataset_manifest
 
     man = dataset_manifest(

@@ -113,3 +113,50 @@ def test_merged_totals_past_1e14_stay_exact(spark):
     # re-merging a merged state is schema-stable
     assert dict(merged.dtypes)["s"] == dict(states[0].dtypes)["s"]
     assert dict(merged.dtypes)["sq"] == dict(states[0].dtypes)["sq"]
+
+
+def test_distinct_state_merge_law(spark, corpus):
+    """HLL distinct state: union of split-sketches == whole-corpus
+    sketch (same estimate), independent of split/merge order and
+    partitioning; estimate within 5% of exact."""
+    from argostats_spark.operators.aggstate import (
+        distinct_state,
+        finalize_distinct,
+        merge_distinct_states,
+    )
+
+    whole = {
+        r["k"]: (r["n_distinct_est"], r["n"])
+        for r in finalize_distinct(
+            distinct_state(corpus, ["k"], "v")
+        ).collect()
+    }
+    for mod in (2, 5):
+        parts = [
+            distinct_state(corpus.filter(F.col("id") % mod == r), ["k"], "v")
+            for r in range(mod)
+        ]
+        merged = {
+            r["k"]: (r["n_distinct_est"], r["n"])
+            for r in finalize_distinct(
+                merge_distinct_states(["k"], *parts)
+            ).collect()
+        }
+        assert merged == whole, f"split mod {mod}"
+    shuf = {
+        r["k"]: (r["n_distinct_est"], r["n"])
+        for r in finalize_distinct(
+            distinct_state(corpus.repartition(17), ["k"], "v")
+        ).collect()
+    }
+    assert shuf == whole
+    exact = {
+        r["k"]: r["d"]
+        for r in corpus.groupBy("k").agg(
+            F.countDistinct("v").alias("d")
+        ).collect()
+    }
+    for k, (est, _) in whole.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k] + 1, (k, est, exact[k])
+    with pytest.raises(ValueError, match="no states"):
+        merge_distinct_states(["k"])
