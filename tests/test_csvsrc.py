@@ -1,0 +1,109 @@
+"""CSV/TSV ingestion (sources/csvsrc.py): schema enforcement,
+corrupt-row quarantine (bad casts, wrong arity, broken quoting),
+header dropping, write/read roundtrip, streaming==batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from argostats_spark.sources.csvsrc import (
+    read_csv_corpus,
+    read_csv_corpus_stream,
+    write_csv_corpus,
+)
+
+SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("label", StringType()),
+    StructField("score", DoubleType()),
+])
+
+
+@pytest.fixture(scope="module")
+def csv_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "part-000.csv"
+    lines = [
+        "doc_id,label,score",          # header
+        "1,spam,0.91",
+        '2,"ham, sort of",0.25',       # quoted separator
+        "3,unk,notanumber",            # bad cast -> quarantine
+        "4,toofew",                    # wrong arity -> quarantine
+        "5,x,0.5,extra",               # extra field -> quarantine
+        "6,ok,0.125",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_split_good_and_quarantine(spark, csv_path):
+    good, bad = read_csv_corpus(spark, csv_path, SCHEMA, header=True)
+    g = {r["doc_id"]: (r["label"], r["score"]) for r in good.collect()}
+    assert g == {1: ("spam", 0.91), 2: ("ham, sort of", 0.25),
+                 6: ("ok", 0.125)}
+    assert good.columns == ["doc_id", "label", "score"]
+    raw = sorted(r["raw_line"] for r in bad.collect())
+    assert raw == ["3,unk,notanumber", "4,toofew", "5,x,0.5,extra"]
+
+
+def test_quarantine_off_and_validation(spark, csv_path):
+    good, bad = read_csv_corpus(
+        spark, csv_path, SCHEMA, header=True, quarantine=False
+    )
+    assert bad is None and good.count() == 3
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_corpus(
+            spark, csv_path,
+            StructType([StructField("_corrupt_record", StringType())]),
+        )
+
+
+def test_tsv_and_headerless(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("tsv") / "t.tsv"
+    p.write_text("7\thello world\t1.5\n8\ttab\tseparated\t2.0\n")
+    good, bad = read_csv_corpus(spark, str(p), SCHEMA, sep="\t")
+    assert {r["doc_id"] for r in good.collect()} == {7}
+    assert bad.count() == 1  # 4 fields
+
+
+def test_write_read_roundtrip(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("csv_rt") / "out")
+    df = spark.createDataFrame(
+        [(1, "a,b", 0.5), (2, 'quo"te', -1.25), (3, None, 0.0)],
+        SCHEMA,
+    )
+    write_csv_corpus(df, d)
+    back, bad = read_csv_corpus(spark, d, SCHEMA, header=True)
+    assert bad.count() == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_streaming_matches_batch(spark, csv_path, tmp_path_factory):
+    import shutil
+
+    from argostats_spark.streaming.events import run_to_memory
+
+    d = tmp_path_factory.mktemp("csv_stream")
+    shutil.copy(csv_path, d / "part-000.csv")
+    stream = read_csv_corpus_stream(spark, str(d), SCHEMA, header=True)
+    assert stream.isStreaming
+    q = run_to_memory(stream, "csv_stream", output_mode="append")
+    try:
+        rows = spark.table("csv_stream").collect()
+    finally:
+        q.stop()
+    good = {r["doc_id"] for r in rows if not r["is_corrupt"]}
+    bad = sorted(r["raw_line"] for r in rows if r["is_corrupt"])
+    bgood, bbad = read_csv_corpus(spark, csv_path, SCHEMA, header=True)
+    assert good == {r["doc_id"] for r in bgood.collect()}
+    assert bad == sorted(r["raw_line"] for r in bbad.collect())
+    for r in rows:
+        if r["is_corrupt"]:
+            assert r["doc_id"] is None and r["score"] is None
