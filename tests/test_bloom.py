@@ -180,3 +180,37 @@ def test_decontamination_composition_prunes_then_verifies(spark):
     )
     # and the gate really pruned: candidates ~ true hits + fpp*corpus
     assert cand.count() <= want.count() + 10
+
+
+def test_literal_probe_is_stream_safe(spark, dirty, bloom, tmp_path_factory):
+    """bloom_might_contain claims readStream composability (row-local,
+    no state): gate a file stream and pin the result equal to gating
+    the same frame in batch."""
+    from argostats_spark.streaming.events import run_to_memory
+
+    blit = bloom_to_bytes(bloom, M)
+    d = tmp_path_factory.mktemp("bloom_stream")
+    rows = [{"k": f"dirty-{i}"} for i in range(0, 50)] + [
+        {"k": f"clean-{i}"} for i in range(50)
+    ]
+    import json as _json
+
+    (d / "part-000.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("k string").json(str(d))
+        .withColumn("m", bloom_might_contain("k", blit, M, K))
+    )
+    q = run_to_memory(stream, "bloom_stream", output_mode="append")
+    try:
+        got = {r["k"]: r["m"] for r in spark.table("bloom_stream").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r["k"]: r["m"]
+        for r in spark.read.schema("k string").json(str(d))
+        .withColumn("m", bloom_might_contain("k", blit, M, K)).collect()
+    }
+    assert got == batch and len(got) == 100
+    assert all(got[f"dirty-{i}"] for i in range(50))
