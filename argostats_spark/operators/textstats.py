@@ -67,7 +67,8 @@ def unigram_lm_nll(docs: DataFrame, text_col: str = "text",
 
 
 def nll_deciles(nll: DataFrame, id_col: str = "doc_id",
-                exact: bool = True) -> DataFrame:
+                exact: bool = True,
+                materialize_edges: bool = True) -> DataFrame:
     """Assign each scored document a quality decile (1..10, 1 = lowest
     NLL = most in-distribution): (id_col, d_nll, decile).
 
@@ -82,14 +83,34 @@ def nll_deciles(nll: DataFrame, id_col: str = "doc_id",
     (relativeError 1e-4 → ±0.01% of rows near each edge); bucket
     IDENTITY for any document farther than the sketch error from an
     edge is identical — pinned by test_textstats.py.
-    """
+
+    ``materialize_edges``: True collects the 9 edges to the driver
+    (one action at call time) and buckets against literals — right
+    when the caller will reuse the result across jobs. False keeps the
+    edges INSIDE the plan: a 1-row aggregate broadcast back on a
+    constant join key, so the whole thing stays lazy and runs in the
+    SAME job as sibling branches (full stage overlap — the
+    tfidf_lm_suite de-overlap fix, round 9). Identical bucketing rule
+    either way (edge strictly below the score)."""
     if exact:
         w = W.orderBy(F.col("d_nll").asc(), F.col(id_col).asc())
         return nll.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    qs = [i / 10.0 for i in range(1, 10)]
+    if not materialize_edges:
+        e = nll.groupBy(F.lit(1).alias("__j")).agg(
+            F.percentile_approx("d_nll", qs, 10000).alias("__e")
+        )
+        dec = F.lit(1) + F.size(
+            F.filter(F.col("__e"), lambda x: x < F.col("d_nll"))
+        )
+        return (
+            nll.withColumn("__j", F.lit(1))
+            .join(F.broadcast(e), "__j")
+            .withColumn("decile", dec.cast("long"))
+            .drop("__j", "__e")
+        )
     edges_row = nll.agg(
-        F.percentile_approx(
-            "d_nll", [i / 10.0 for i in range(1, 10)], 10000
-        ).alias("e")
+        F.percentile_approx("d_nll", F.lit(qs), 10000).alias("e")
     ).first()
     if edges_row["e"] is None:  # empty input: keep the output schema
         return nll.withColumn("decile", F.lit(None).cast("long"))

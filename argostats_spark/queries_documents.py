@@ -516,13 +516,6 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'vocab', 'all', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            v, CAST(t AS DOUBLE)
     FROM tot
-    UNION ALL
-    SELECT 'lm_decile_ap', 'all', CAST(NULL AS VARCHAR), CAST(d AS BIGINT),
-           1, CAST(NULL AS DOUBLE)
-    FROM (SELECT unnest(range(1, 11)) AS d)
-    UNION ALL
-    SELECT 'lm_decile_ap', 'all', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-           0, (SELECT CAST(count(*) AS DOUBLE) FROM nll)
     """,
 )
 def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,60 +606,7 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part string, k1 string, k2 string, rnk bigint, n bigint, score double",
     )
 
-    # lm_decile_ap limb (VERDICT r8 item 5, the CMS anchor+guarantee
-    # policy): the scale path's approx_percentile decile assignment
-    # gets oracle-pinned GUARANTEES instead of sketch values —
-    # (a) per decile 1..10, the approx bucket population sits within
-    # 5%·n + 3 of n/10 (the test_textstats bound, loosened by the +3
-    # absolute floor so tiny corpora pass); (b) zero documents with a
-    # UNIQUE d_nll move more than one decile vs exact (tie runs are
-    # excluded — ntile splits them by doc_id across a boundary, which
-    # value-bucketing cannot replay; the pytest pins the same rule).
-    # The oracle emits the literals (1-booleans / 0 violators); a
-    # sketch drifting out of bounds flips a value and fails the hash.
-    # Both decile columns land on the SAME row (nll_deciles preserves
-    # input columns; the approx bucket is a row-local broadcast-edge
-    # fold) and the tie-run size is a d_nll-partitioned window — zero
-    # joins, so no corpus-sized SortMergeJoin enters this query's plan
-    # (the plan test forbids one).
-    both = nll_deciles(
-        dec.withColumnRenamed("decile", "d_ex"), exact=False
-    ).withColumnsRenamed({"decile": "d_ap"}).withColumn(
-        "__vc", F.count(F.lit(1)).over(W.partitionBy("d_nll"))
-    )
-    pop_rows = (
-        both.groupBy("d_ap").agg(F.count(F.lit(1)).alias("pop"))
-        .withColumn("__n", F.sum("pop").over(W.partitionBy()))
-        .select(
-            F.lit("lm_decile_ap").alias("part"), F.lit("all").alias("k1"),
-            F.lit(None).cast("string").alias("k2"),
-            F.col("d_ap").cast("long").alias("rnk"),
-            (
-                F.abs(F.col("pop") - F.col("__n") / 10.0)
-                <= F.col("__n") * 0.05 + 3
-            ).cast("long").alias("n"),
-            F.lit(None).cast("double").alias("score"),
-        )
-    )
-    viol_row = both.agg(
-        F.sum(
-            (
-                (F.col("__vc") == 1)
-                & (F.abs(F.col("d_ex") - F.col("d_ap")) > 1)
-            ).cast("long")
-        ).alias("n_viol"),
-        F.count(F.lit(1)).alias("n_docs"),
-    ).select(
-        F.lit("lm_decile_ap").alias("part"), F.lit("all").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.lit(None).cast("long").alias("rnk"),
-        F.col("n_viol").alias("n"),
-        F.col("n_docs").cast("double").alias("score"),
-    )
-    return (
-        tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)
-        .unionByName(pop_rows).unionByName(viol_row)
-    )
+    return tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)
 
 
 # =========================================================================

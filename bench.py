@@ -102,12 +102,12 @@ LIMB_SPECS: dict[str, dict] = {
     },
     "tfidf_lm_suite": {
         "mode": "tag", "col": "part",
-        "values": ["tfidf", "lm_decile", "vocab", "lm_decile_ap"],
+        "values": ["tfidf", "lm_decile", "vocab"],
     },
     "stats_suite": {
         "mode": "tag", "col": "which",
         "values": ["minmax", "quantile", "stats", "profile", "aggstate",
-                   "manifest", "blend", "hll"],
+                   "manifest", "blend", "hll", "lm_ap"],
     },
 }
 

@@ -248,6 +248,9 @@ def test_registry_plans_free_of_antipatterns(spark, sf_dir):
         "quality_filter",        # broadcast 1-row percentile threshold
         "histograms",            # skew limb: broadcast 1-row total onto
                                  # the 20-row top-k (key_skew_report; r8)
+        "stats_suite",           # lm_ap limb: broadcast 1-row approx-
+                                 # edge array onto the scored docs (the
+                                 # constant join key folds away; r9)
     }
     offenders = {}
     for name, fn in mod.queries().items():
@@ -430,9 +433,9 @@ def test_global_window_sites_are_inventoried():
     unbounded: guard it like equi_depth_histogram's max_global_rows).
 
     Current inventory (all windows over bounded frames unless noted):
-    - queries_documents.py: dsir bucket_rows (limit 10 → rank), bpe
-      sw_rows (limit 50 → rank), lm_decile_ap pop sum (<= 10 decile
-      rows);
+    - queries_documents.py (2): dsir bucket_rows (limit 10 → rank),
+      bpe sw_rows (limit 50 → rank);
+    - queries.py (1): stats_suite lm_ap pop sum (<= 10 decile rows);
     - operators/dsir.py: top-k rank over a limit(k) frame;
     - operators/bpe.py: subword-id rank over the VOCABULARY table;
     - operators/profile.py (3): key_skew_report rank over limit(top)
@@ -458,5 +461,6 @@ def test_global_window_sites_are_inventoried():
         "operators/dsir.py": 1,
         "operators/profile.py": 3,
         "operators/textstats.py": 1,
-        "queries_documents.py": 3,
+        "queries.py": 1,
+        "queries_documents.py": 2,
     }, f"global-window inventory drifted: {found}"

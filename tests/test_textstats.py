@@ -439,3 +439,17 @@ def test_blend_scores_approx_path(spark):
     got = {r["doc_id"]: r
            for r in blend_scores(dn, ["a", "b"], k=2, exact=False).collect()}
     assert got[1]["a_qn"] is None and got[2]["blend"] is None
+
+
+def test_nll_deciles_join_form_equals_literal_form(docs_df):
+    """materialize_edges=False (edges as a 1-row broadcast inside the
+    plan — the single-job overlap form) must assign identical deciles
+    to the literal-edges form: same aggregate, same bucketing rule."""
+    nll = unigram_lm_nll(docs_df).cache()
+    lit_form = {r["doc_id"]: r["decile"]
+                for r in nll_deciles(nll, exact=False).collect()}
+    join_form = {r["doc_id"]: r["decile"]
+                 for r in nll_deciles(nll, exact=False,
+                                      materialize_edges=False).collect()}
+    assert lit_form == join_form
+    nll.unpersist()
