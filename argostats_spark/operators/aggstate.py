@@ -163,3 +163,112 @@ def finalize_state(state: DataFrame) -> DataFrame:
         ),
     )
     return state.withColumn("mean", mean).withColumn("var", var)
+
+
+def topk_state(
+    df: DataFrame, keys: list[str], value_col: str, k_state: int
+) -> DataFrame:
+    """Per-key MERGEABLE top-K-frequent-values state (round 9 — the
+    third leg of the mergeable-state family: counts/sums merge exactly,
+    distincts merge as HLL sketches, and heavy hitters merge as
+    truncated count tables, the Misra-Gries / SpaceSaving summary of
+    Agarwal et al. 2013, "Mergeable Summaries").
+
+    State = the ``k_state`` highest-count values per key group with
+    their EXACT within-shard counts, plus ``bound`` — the count of the
+    first DROPPED value (rank k_state+1; 0 when nothing was dropped),
+    replicated onto every kept row. A value absent from this shard's
+    state has a true within-shard count ≤ bound; that is the whole
+    error model :func:`merge_topk_states` needs.
+
+    One counts aggregate (map-side combined) + one per-key-group rank
+    window over the VALUE-DISTINCT table (bounded by the column's
+    cardinality, not the corpus); ties rank (count desc, value asc) so
+    the state is deterministic on any partitioning. Size the state
+    k_state ≳ 2-4× the top-K you ultimately want — the slack is what
+    keeps real heavy hitters guaranteed-present after a merge."""
+    from pyspark.sql import Window as _W
+
+    if k_state < 1:
+        raise ValueError(f"k_state must be >= 1, got {k_state}")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = _W.partitionBy(*keys).orderBy(F.col("c").desc(), F.col("v").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    bound = (
+        ranked.filter(F.col("__r") == k_state + 1)
+        .select(*keys, F.col("c").alias("bound"))
+    )
+    return (
+        ranked.filter(F.col("__r") <= k_state)
+        .join(bound, list(keys), "left")
+        .select(
+            *keys, "v", "c",
+            F.coalesce(F.col("bound"), F.lit(0)).alias("bound"),
+        )
+    )
+
+
+def merge_topk_states(
+    keys: list[str], *states: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Merge shard top-K states into global heavy-hitter ESTIMATES with
+    two-sided guarantees: (keys..., v, est, err) where the true global
+    count lies in ``[est, est + err]`` — est sums the exact counts from
+    the shards that kept v (an undercount only), err sums the bounds of
+    the shards that did NOT (each can hide at most its bound). Cost:
+    state-table rows, never the corpora.
+
+    ``k`` keeps the top-k by (est desc, v asc) AFTER merging (None =
+    all surviving values). A value certainly in the global top-k is one
+    whose est exceeds the (k+1)-th value's est + err — callers rank on
+    the intervals; the approx_aggregates driver limb pins the interval
+    guarantee against exact anchors.
+
+    Merge ALL states in one call (n-way): the output is a RESULT, not
+    a re-mergeable state — per-value errors would need to ride along
+    and compound on re-merge. Keep the shard states and re-merge from
+    them (they are tiny) rather than merging merges."""
+    if not states:
+        raise ValueError("merge_topk_states: no states to merge")
+    tagged = [
+        s.select(
+            *keys, "v", "c", "bound", F.lit(i).alias("__shard")
+        )
+        for i, s in enumerate(states)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    # per key group: the sum of every shard's bound (each shard's rows
+    # replicate its bound, so take it once per (shard, keys))
+    total_bound = (
+        u.select(*keys, "__shard", "bound").distinct()
+        .groupBy(*keys)
+        .agg(F.sum("bound").alias("__tb"))
+    )
+    merged = (
+        u.groupBy(*keys, "v")
+        .agg(
+            F.sum("c").alias("est"),
+            F.sum("bound").alias("__pb"),  # bounds of PRESENT shards
+        )
+        .join(total_bound, list(keys))
+        .select(
+            *keys, "v", "est",
+            (F.col("__tb") - F.col("__pb")).alias("err"),
+        )
+    )
+    if k is None:
+        return merged
+    if k < 1:
+        raise ValueError(f"k must be >= 1 or None, got {k}")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*keys).orderBy(F.col("est").desc(), F.col("v").asc())
+    return (
+        merged.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

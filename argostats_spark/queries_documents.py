@@ -1298,7 +1298,9 @@ def q_ocean_mask_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(any_value(topq.exact_top_qty_count) AS BIGINT)
              AS exact_top_qty_count,
            TRUE AS cms_never_underestimates,
-           TRUE AS cms_within_eps
+           TRUE AS cms_within_eps,
+           TRUE AS mg_contains_top,
+           TRUE AS mg_bounds_ok
     FROM lineitem g JOIN topq ON g.l_returnflag = topq.l_returnflag
     GROUP BY g.l_returnflag
     """,
@@ -1370,6 +1372,45 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_never_underestimates boolean, cms_within_eps boolean",
     )
 
+    # Misra-Gries merge limb (round 9): build truncated top-K count
+    # states over TWO half-corpora, merge (operators/aggstate.py::
+    # topk_state/merge_topk_states — the Agarwal et al. mergeable-
+    # summaries shape), and pin the guarantees against the exact
+    # anchors this query already hashes: the known exact top value
+    # must SURVIVE the merge, and its merged interval [est, est+err]
+    # must contain its exact count. Merged-state values are shard-
+    # dependent, so — approx-family policy — the hashed columns are
+    # the booleans (oracle emits TRUE), never the state itself. The
+    # collect is flags x k_state rows, the CMS driver-probe precedent.
+    from .operators.aggstate import merge_topk_states, topk_state
+
+    mg_states = [
+        topk_state(
+            li.filter(F.col("l_orderkey") % 2 == r).select(
+                "l_returnflag", qlong.alias("q")
+            ),
+            ["l_returnflag"], "q", k_state=12,
+        )
+        for r in (0, 1)
+    ]
+    mg = {}
+    for r in merge_topk_states(["l_returnflag"], *mg_states).collect():
+        mg.setdefault(r["l_returnflag"], {})[int(r["v"])] = (
+            int(r["est"]), int(r["err"])
+        )
+    mg_rows = []
+    for flag, (q, c) in tops.items():
+        hit = mg.get(flag, {}).get(q)
+        mg_rows.append((
+            flag,
+            hit is not None,
+            hit is not None and hit[0] <= c <= hit[0] + hit[1],
+        ))
+    mg_df = spark.createDataFrame(
+        mg_rows,
+        "l_returnflag string, mg_contains_top boolean, mg_bounds_ok boolean",
+    )
+
     return agg.select(
         "l_returnflag",
         F.col("exact_orders").cast("long").alias("exact_orders"),
@@ -1381,7 +1422,9 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_median_qty").between(F.col("p40"), F.col("p60")).alias(
             "median_within_p40_p60"
         ),
-    ).join(F.broadcast(cms_df), "l_returnflag")
+    ).join(F.broadcast(cms_df), "l_returnflag").join(
+        F.broadcast(mg_df), "l_returnflag"
+    )
 
 
 _SIMHASH_BITS = 60

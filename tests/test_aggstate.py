@@ -160,3 +160,101 @@ def test_distinct_state_merge_law(spark, corpus):
         assert abs(est - exact[k]) <= 0.05 * exact[k] + 1, (k, est, exact[k])
     with pytest.raises(ValueError, match="no states"):
         merge_distinct_states(["k"])
+
+
+def test_topk_state_merge_bounds_and_guarantees(spark):
+    """Misra-Gries/SpaceSaving merge (Agarwal et al. 2013): for every
+    value the merged interval [est, est+err] must contain the true
+    global count, est must be exact for values every shard kept, and
+    any value with true count > sum-of-shard-bounds must survive the
+    merge. Zipf-ish data split adversarially (round-robin AND by-value
+    skewed) so shards disagree about the tail."""
+    import random
+
+    from argostats_spark.operators.aggstate import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    rng = random.Random(11)
+    # zipf-ish: value j appears ~ 3000/j times, two key groups
+    rows = []
+    i = 0
+    for g in ("a", "b"):
+        for j in range(1, 60):
+            for _ in range(3000 // j):
+                rows.append((i, g, f"v{j:02d}"))
+                i += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, g string, v string").cache()
+    true = {
+        (r["g"], r["v"]): r["c"]
+        for r in df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    for splitter in (
+        lambda r: F.col("id") % 3,                       # round-robin
+        lambda r: F.pmod(F.xxhash64("v"), F.lit(3)),     # by-value (skewed)
+    ):
+        shards = [df.filter(splitter(None) == s) for s in range(3)]
+        states = [topk_state(s, ["g"], "v", k_state=15) for s in shards]
+        bounds = {}
+        for st in states:
+            for r in st.select("g", "bound").distinct().collect():
+                bounds[r["g"]] = bounds.get(r["g"], 0) + r["bound"]
+        merged = merge_topk_states(["g"], *states).collect()
+        seen = set()
+        for r in merged:
+            key = (r["g"], r["v"])
+            seen.add(key)
+            t = true[key]
+            assert r["est"] <= t <= r["est"] + r["err"], (key, r, t)
+        # guaranteed presence: true count above the total bound
+        for key, t in true.items():
+            if t > bounds[key[0]]:
+                assert key in seen, (key, t, bounds)
+    # exactness when nothing is dropped: k_state >= cardinality
+    full = [topk_state(s, ["g"], "v", k_state=100)
+            for s in (df.filter(F.col("id") % 2 == r) for r in range(2))]
+    fm = merge_topk_states(["g"], *full).collect()
+    assert all(r["err"] == 0 for r in fm)
+    assert {(r["g"], r["v"]): r["est"] for r in fm} == true
+
+
+def test_topk_state_k_cut_and_validation(spark):
+    from argostats_spark.operators.aggstate import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", f"v{i % 7}") for i in range(700)] + [(999, "g", None)],
+        "id long, g string, v string",
+    )
+    st = topk_state(df, ["g"], "v", k_state=5)
+    assert st.count() == 5  # NULLs excluded, state truncated
+    top3 = merge_topk_states(["g"], st, k=3).collect()
+    assert len(top3) == 3
+    with pytest.raises(ValueError, match="k_state"):
+        topk_state(df, ["g"], "v", 0)
+    with pytest.raises(ValueError, match="no states"):
+        merge_topk_states(["g"])
+    with pytest.raises(ValueError, match="k must"):
+        merge_topk_states(["g"], st, k=0)
+
+
+def test_topk_state_deterministic_under_repartition(spark):
+    from argostats_spark.operators.aggstate import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", f"v{(i * 13) % 23}") for i in range(2000)],
+        "id long, g string, v string",
+    )
+    a = sorted(map(tuple, merge_topk_states(
+        ["g"], topk_state(df, ["g"], "v", 10), k=5).collect()))
+    b = sorted(map(tuple, merge_topk_states(
+        ["g"], topk_state(df.repartition(13), ["g"], "v", 10), k=5).collect()))
+    assert a == b
