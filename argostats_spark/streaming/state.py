@@ -1,0 +1,175 @@
+"""Streaming maintenance of the mergeable aggregate states — the
+lambda-architecture loop closed: operators/aggstate.py proves
+state(A) ⊎ state(B) == state(A ∪ B); this module keeps such a state
+CONTINUOUSLY current as data streams in, without ever rescanning the
+backlog.
+
+Design (the streaming/atlas.py pair-store pattern, reused):
+
+- Each micro-batch aggregates to its own tiny state table and writes
+  it to ``{store}/increments/b=<batch_id>`` — the batch OWNS its
+  partition, so a foreachBatch replay (at-least-once contract)
+  overwrites its own output byte-identically instead of
+  double-counting. Nothing is read-modify-written inside the hot
+  path: an increment write is O(batch), never O(history).
+- :func:`read_state` is the merge law applied at read time: base
+  version (if any) ⊎ all newer increments. State tables are per-key
+  rows — merging dozens of them is trivia next to any corpus.
+- :func:`compact_state` folds increments into a fresh base version
+  published with the SAME atomic CURRENT-pointer swap the atlas store
+  uses (a reader resolves either the old base — whose newer increments
+  still exist — or the new one; never a torn state). Increments
+  covered by the PREVIOUS base are pruned (two-version retention, the
+  atlas convention, so a reader holding the old pointer mid-swap still
+  finds everything it needs).
+
+Exactness: for ``kind="agg"`` the decimal merge law makes the
+continuously-maintained state BIT-IDENTICAL to a cold batch rebuild
+(pinned by test); for ``kind="distinct"`` the HLL register-max merge
+gives the same sketch estimate as a one-pass build (same pin).
+``topk_state`` is deliberately NOT maintained here: its merge output
+is a result, not a re-mergeable state (see merge_topk_states) — keep
+the per-shard states and merge at read time instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.aggstate import (
+    agg_state,
+    distinct_state,
+    merge_agg_states,
+    merge_distinct_states,
+)
+from .atlas import publish_version
+
+__all__ = [
+    "state_increment_writer",
+    "read_state",
+    "compact_state",
+]
+
+_KINDS = {
+    "agg": (agg_state, merge_agg_states),
+    "distinct": (distinct_state, merge_distinct_states),
+}
+
+
+def _check_store(store: str) -> None:
+    if "://" in store:
+        raise NotImplementedError(
+            "state store uses driver-local listing/rename (the atlas "
+            f"pointer pattern); URI store {store!r} needs the Hadoop "
+            "FileSystem API or a table format"
+        )
+
+
+def _increment_ids(store: str) -> list[int]:
+    inc = os.path.join(store, "increments")
+    if not os.path.isdir(inc):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(inc)
+        if d.startswith("b=")
+    )
+
+
+def _current_version(store: str) -> int | None:
+    cur = os.path.join(store, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return int(f.read().strip())
+
+
+def state_increment_writer(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    store: str,
+    checkpoint_dir: str,
+    kind: str = "agg",
+    available_now: bool = True,
+    **state_kwargs,
+):
+    """Start the maintenance stream: each micro-batch's state lands in
+    its own ``increments/b=<batch_id>`` partition (replay-idempotent).
+    Returns the StreamingQuery. ``state_kwargs`` pass through to the
+    state builder (e.g. ``lg_k`` for kind='distinct')."""
+    _check_store(store)
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
+    build, _ = _KINDS[kind]
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        build(batch, keys, value_col, **state_kwargs).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store, "increments", f"b={batch_id}"))
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_state(
+    spark: SparkSession, store: str, keys: list[str], kind: str = "agg"
+) -> DataFrame:
+    """The current state: base version (if published) ⊎ every newer
+    increment — the merge law applied at read time. Raises if the
+    store holds nothing yet."""
+    _check_store(store)
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
+    _, merge = _KINDS[kind]
+    ver = _current_version(store)
+    parts: list[DataFrame] = []
+    if ver is not None:
+        parts.append(spark.read.parquet(os.path.join(store, f"v={ver}")))
+    parts += [
+        spark.read.parquet(os.path.join(store, "increments", f"b={b}"))
+        for b in _increment_ids(store)
+        if ver is None or b > ver
+    ]
+    if not parts:
+        raise ValueError(f"read_state: no state at {store!r}")
+    return merge(keys, *parts)
+
+
+def compact_state(
+    spark: SparkSession, store: str, keys: list[str], kind: str = "agg"
+) -> int | None:
+    """Fold base + increments into a fresh base ``v=<max batch id>``,
+    publish it atomically (CURRENT-pointer swap, two-version
+    retention), and prune increments the PREVIOUS base already covers.
+    Returns the published version, or None when there is nothing newer
+    than the current base (no-op — safe to call on a schedule)."""
+    _check_store(store)
+    ver = _current_version(store)
+    newer = [b for b in _increment_ids(store) if ver is None or b > ver]
+    if not newer:
+        return None
+    new_ver = max(newer)
+    read_state(spark, store, keys, kind).write.mode("overwrite").parquet(
+        os.path.join(store, f"v={new_ver}")
+    )
+    publish_version(store, new_ver)  # keeps 2 newest v= dirs
+    # prune increments the PREVIOUS base covers: a reader that resolved
+    # the old pointer still merges old-base + increments > old version,
+    # all of which survive this prune
+    if ver is not None:
+        for b in _increment_ids(store):
+            if b <= ver:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(store, "increments", f"b={b}"),
+                    ignore_errors=True,
+                )
+    return new_ver

@@ -1,0 +1,137 @@
+"""Streaming mergeable-state maintenance (streaming/state.py): the
+continuously-maintained state must equal a cold batch rebuild
+BIT-EXACTLY (kind='agg', the decimal merge law) / estimate-exactly
+(kind='distinct'), survive foreachBatch replay without double
+counting, and compact atomically with readable retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.aggstate import (
+    agg_state,
+    distinct_state,
+    finalize_distinct,
+)
+from argostats_spark.streaming.state import (
+    compact_state,
+    read_state,
+    state_increment_writer,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def feed(spark, tmp_path):
+    """Three jsonl files → three micro-batches (maxFilesPerTrigger=1)."""
+    d = tmp_path / "feed"
+    d.mkdir()
+    n = 0
+    for part in range(3):
+        lines = []
+        for i in range(200):
+            lines.append(json.dumps(
+                {"id": n, "k": f"k{(n * 7) % 5}", "v": ((n * 13) % 97) / 3.0}
+            ))
+            n += 1
+        (d / f"part-{part:03d}.jsonl").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def _run_stream(spark, feed, store, ckpt, kind, **kw):
+    stream = (
+        spark.readStream.schema("id long, k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    q = state_increment_writer(
+        stream, ["k"], "v", store, ckpt, kind=kind, **kw
+    )
+    q.awaitTermination(120)
+    return spark.read.schema("id long, k string, v double").json(feed)
+
+
+def test_streamed_agg_state_equals_batch_rebuild(spark, feed, tmp_path):
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "agg")
+    got = read_state(spark, store, ["k"])
+    want = agg_state(all_rows, ["k"], "v")
+    assert _rows(got) == _rows(want)  # bit-exact: decimal merge law
+    # three increments landed (one per file)
+    assert len(os.listdir(os.path.join(store, "increments"))) == 3
+
+
+def test_replay_is_idempotent(spark, feed, tmp_path):
+    """Simulate foreachBatch at-least-once: re-writing a batch's own
+    increment partition must leave the merged state unchanged."""
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "agg")
+    before = _rows(read_state(spark, store, ["k"]))
+    # replay batch 1: the same slice of the feed, written again
+    batch1 = all_rows.filter((F.col("id") >= 200) & (F.col("id") < 400))
+    agg_state(batch1, ["k"], "v").write.mode("overwrite").parquet(
+        os.path.join(store, "increments", "b=1")
+    )
+    assert _rows(read_state(spark, store, ["k"])) == before
+
+
+def test_compaction_atomic_with_retention(spark, feed, tmp_path):
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "agg")
+    want = _rows(agg_state(all_rows, ["k"], "v"))
+    v1 = compact_state(spark, store, ["k"])
+    assert v1 == 2  # max batch id
+    assert _rows(read_state(spark, store, ["k"])) == want
+    # no newer increments: compaction is a no-op
+    assert compact_state(spark, store, ["k"]) is None
+    # new increment after the base → read merges base + increment,
+    # second compact folds it and prunes what the PREVIOUS base covers
+    extra = spark.createDataFrame(
+        [(9001, "k0", 5.0), (9002, "k9", 7.0)], "id long, k string, v double"
+    )
+    agg_state(extra, ["k"], "v").write.mode("overwrite").parquet(
+        os.path.join(store, "increments", "b=7")
+    )
+    want2 = _rows(agg_state(all_rows.unionByName(extra), ["k"], "v"))
+    assert _rows(read_state(spark, store, ["k"])) == want2
+    v2 = compact_state(spark, store, ["k"])
+    assert v2 == 7
+    assert _rows(read_state(spark, store, ["k"])) == want2
+    # retention: both v dirs kept (atlas keep=2), covered increments gone
+    vdirs = {d for d in os.listdir(store) if d.startswith("v=")}
+    assert vdirs == {"v=2", "v=7"}
+    assert os.listdir(os.path.join(store, "increments")) == ["b=7"]
+
+
+def test_distinct_kind_matches_one_pass_sketch(spark, feed, tmp_path):
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "distinct")
+    got = {
+        r["k"]: (r["n_distinct_est"], r["n"])
+        for r in finalize_distinct(
+            read_state(spark, store, ["k"], kind="distinct")
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n_distinct_est"], r["n"])
+        for r in finalize_distinct(
+            distinct_state(all_rows, ["k"], "v")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        read_state(spark, str(tmp_path), ["k"], kind="nope")
+    with pytest.raises(ValueError, match="no state"):
+        read_state(spark, str(tmp_path), ["k"])
+    with pytest.raises(NotImplementedError, match="URI"):
+        read_state(spark, "s3a://bucket/x", ["k"])
