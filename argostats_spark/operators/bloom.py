@@ -206,7 +206,11 @@ def bloom_gate_join(
     ints travel). Adds ``out_col``; NULL keys gate to NULL."""
     _validate(num_bits, num_hashes)
     pid = F.monotonically_increasing_id()
-    src = probe.withColumn("__rid", pid)
+    # the rid is NONDETERMINISTIC across recomputations and two lineage
+    # branches consume src (the probe explosion and the final join) —
+    # pin the assignment once so a task retry or a second action can
+    # never pair verdicts with the wrong rows
+    src = probe.withColumn("__rid", pid).localCheckpoint(eager=False)
     pos = F.explode(F.array(*_positions(F.col(col), num_bits, num_hashes)))
     probes = (
         src.filter(F.col(col).isNotNull())
