@@ -335,6 +335,22 @@ def main() -> None:
             eape_sec=round(eape_sec, 3),
             eape_profiles_per_sec=round(n_raw / eape_sec, 1),
         )
+        # T25 variant (same dataflow, gammat-bisection kernel — the
+        # Tailleux-2025 displacement against the global Lorenz
+        # profile): its per-pair cost is the bisection, so a kernel
+        # regression shows here even when R14 is flat
+        clim_eape(
+            egrid, profiles, reso_deg=5.0, smoothing_factor=2.0,
+            algo="T25",
+        ).write.format("noop").mode("overwrite").save()
+        t25_sec = warm_min(
+            lambda: clim_eape(
+                egrid, profiles, reso_deg=5.0, smoothing_factor=2.0,
+                algo="T25",
+            ).write.format("noop").mode("overwrite").save()
+        )
+        timings["argo_eape_t25_regional_5deg"] = round(t25_sec, 3)
+        argo["eape_t25_sec"] = round(t25_sec, 3)
     except Exception as exc:  # partial argo numbers beat no artifact
         errors["argo_microbench"] = f"{type(exc).__name__}: {exc}"[:300]
 
