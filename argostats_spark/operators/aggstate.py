@@ -198,17 +198,25 @@ def topk_state(
     )
     w = _W.partitionBy(*keys).orderBy(F.col("c").desc(), F.col("v").asc())
     ranked = counts.withColumn("__r", F.row_number().over(w))
-    bound = (
-        ranked.filter(F.col("__r") == k_state + 1)
-        .select(*keys, F.col("c").alias("bound"))
+    # the bound attaches via a WINDOW over the same partition rather
+    # than a key equi-join: an equi-join on the key columns would
+    # never match a NULL key group (NULL != NULL), silently zeroing
+    # that group's bound and breaking the merge error model (review
+    # finding, round 9); max-over-partition of the rank-(k+1) count
+    # needs no join and treats NULL keys as the ordinary group the
+    # window partitioner already makes them
+    wb = _W.partitionBy(*keys)
+    bounded = ranked.withColumn(
+        "bound",
+        F.coalesce(
+            F.max(
+                F.when(F.col("__r") == k_state + 1, F.col("c"))
+            ).over(wb),
+            F.lit(0),
+        ),
     )
-    return (
-        ranked.filter(F.col("__r") <= k_state)
-        .join(bound, list(keys), "left")
-        .select(
-            *keys, "v", "c",
-            F.coalesce(F.col("bound"), F.lit(0)).alias("bound"),
-        )
+    return bounded.filter(F.col("__r") <= k_state).select(
+        *keys, "v", "c", "bound"
     )
 
 
@@ -248,17 +256,22 @@ def merge_topk_states(
         .groupBy(*keys)
         .agg(F.sum("bound").alias("__tb"))
     )
-    merged = (
-        u.groupBy(*keys, "v")
-        .agg(
-            F.sum("c").alias("est"),
-            F.sum("bound").alias("__pb"),  # bounds of PRESENT shards
-        )
-        .join(total_bound, list(keys))
-        .select(
-            *keys, "v", "est",
-            (F.col("__tb") - F.col("__pb")).alias("err"),
-        )
+    # NULL-safe key equality: a plain inner equi-join would drop the
+    # NULL key group's heavy hitters entirely (review finding, round 9)
+    per_v = u.groupBy(*keys, "v").agg(
+        F.sum("c").alias("est"),
+        F.sum("bound").alias("__pb"),  # bounds of PRESENT shards
+    )
+    tb = total_bound.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys], "__tb"
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [per_v[k].eqNullSafe(tb[f"__tk_{k}"]) for k in keys],
+    )
+    merged = per_v.join(tb, cond).select(
+        *[per_v[k] for k in keys], "v", "est",
+        (F.col("__tb") - F.col("__pb")).alias("err"),
     )
     if k is None:
         return merged

@@ -211,8 +211,22 @@ def equi_depth_histogram(
         if qs:
             pa = F.percentile_approx(v, F.lit(qs), F.lit(accuracy))
             if part:
-                edges = nn.groupBy(*part).agg(pa.alias("__edges"))
-                src = nn.join(F.broadcast(edges), part)
+                # NULL-safe key equality: the exact path's window keeps
+                # a NULL `by` group, so the approx path must too — a
+                # plain equi-join would silently drop it (review
+                # finding, round 9)
+                edges = nn.groupBy(*part).agg(pa.alias("__edges")).select(
+                    *[F.col(c).alias(f"__ek_{c}") for c in part], "__edges"
+                )
+                from functools import reduce as _reduce
+
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [nn[c].eqNullSafe(edges[f"__ek_{c}"]) for c in part],
+                )
+                src = nn.join(F.broadcast(edges), cond).drop(
+                    *[f"__ek_{c}" for c in part]
+                )
             else:
                 # global: edges ride in as literals (one tiny driver
                 # action, the blend_scores convention) — no 1-row
@@ -237,7 +251,14 @@ def equi_depth_histogram(
             )
         )
     if not part:
-        n_global = df.filter(F.col(value_col).isNotNull()).count()
+        # limit-bounded probe: the guard must not itself cost a full
+        # scan of a 100 TB frame — counting max_global_rows+1 rows
+        # establishes the threshold and lets the scan stop early
+        # (review finding, round 9)
+        n_global = (
+            df.filter(F.col(value_col).isNotNull())
+            .limit(max_global_rows + 1).count()
+        )
         if n_global > max_global_rows:
             raise ValueError(
                 f"equi_depth_histogram: exact global form over "

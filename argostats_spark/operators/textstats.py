@@ -100,8 +100,15 @@ def nll_deciles(nll: DataFrame, id_col: str = "doc_id",
         e = nll.groupBy(F.lit(1).alias("__j")).agg(
             F.percentile_approx("d_nll", qs, 10000).alias("__e")
         )
-        dec = F.lit(1) + F.size(
-            F.filter(F.col("__e"), lambda x: x < F.col("d_nll"))
+        # NULL edges (every d_nll NULL) must yield NULL deciles like
+        # the materialized path — without the guard, size(filter(NULL))
+        # is -1 under legacy mode and the decile came out 0 (review
+        # finding, round 9)
+        dec = F.when(
+            F.col("__e").isNotNull(),
+            F.lit(1) + F.size(
+                F.filter(F.col("__e"), lambda x: x < F.col("d_nll"))
+            ),
         )
         return (
             nll.withColumn("__j", F.lit(1))

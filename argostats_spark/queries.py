@@ -1444,10 +1444,11 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound. Sketch values differ per engine, so the hashed value is
     # the GUARANTEE boolean (oracle emits 1.0); the exact anchors are
     # the 'profile' limb's own n_distinct rows in the same union.
-    pe = (
-        profile_columns(_t(spark, sf_dir, "documents"), _pcols)
-        .filter(F.col("stat") == "n_distinct")
-        .select(F.col("column").alias("grp"), F.col("nval").alias("ex"))
+    # exact anchors come from the prof frame already built above — a
+    # second profile_columns call would duplicate the full-corpus
+    # profiling aggregate in the plan (review finding, round 9)
+    pe = prof.filter(F.col("stat") == "n_distinct").select(
+        "grp", F.col("nval").alias("ex")
     )
     pa = (
         profile_columns(

@@ -24,6 +24,8 @@ one parse. Compression and globs ride on the stock text reader.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -52,13 +54,24 @@ def _parse(
     }
     lines = reader.text(path).filter(F.trim("value") != F.lit(""))
     if header:
-        # drop every line equal to the header line (the per-FILE header
-        # cannot be addressed positionally on a distributed text scan;
-        # equality matching drops all of them and nothing else as long
-        # as no data row repeats the header verbatim — the documented
-        # contract)
-        hdr = sep.join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("value") != F.lit(hdr))
+        # drop every line that IS the header (the per-FILE header
+        # cannot be addressed positionally on a distributed text scan).
+        # Comparison is NORMALIZED — quotes stripped, whitespace around
+        # separators collapsed, case-folded — so the real-world header
+        # variants ('a, b', '"a","b"', 'A,B') are all caught instead of
+        # silently parsing as a clean all-strings data row (review
+        # finding, round 9). Residual contract: a DATA row whose
+        # normalized form equals the header's is dropped too — name
+        # your columns unlike your data.
+        hdr = sep.lower().join(f.name.lower() for f in schema.fields)
+        sep_re = re.escape(sep)
+        norm = F.lower(
+            F.regexp_replace(
+                F.regexp_replace(F.trim(F.col("value")), '"', ""),
+                rf"\s*{sep_re}\s*", sep,
+            )
+        )
+        lines = lines.filter(norm != F.lit(hdr))
     # from_csv takes a DDL schema string, not a StructType (probed on
     # 4.1.2); CSV schemas are flat so simpleString() is lossless here
     parsed = lines.select(

@@ -258,3 +258,36 @@ def test_topk_state_deterministic_under_repartition(spark):
     b = sorted(map(tuple, merge_topk_states(
         ["g"], topk_state(df.repartition(13), ["g"], "v", 10), k=5).collect()))
     assert a == b
+
+
+def test_topk_state_null_key_group(spark):
+    """Review finding (r9): NULL key groups must carry their bound and
+    survive the merge — an equi-join on the keys would silently zero
+    the bound (NULL != NULL) and then drop the group entirely."""
+    from argostats_spark.operators.aggstate import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    rows = []
+    i = 0
+    for g in ("a", None):
+        for j in range(1, 10):
+            for _ in range(40 // j):
+                rows.append((i, g, f"v{j}")); i += 1
+    df = spark.createDataFrame(rows, "id long, g string, v string").cache()
+    true = {(r["g"], r["v"]): r["c"] for r in
+            df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    states = [topk_state(df.filter(F.col("id") % 2 == r), ["g"], "v", 4)
+              for r in range(2)]
+    # the NULL group's state rows exist with a NONZERO bound (9 values
+    # > k_state=4, so something was dropped)
+    for st in states:
+        nulls = [r for r in st.collect() if r["g"] is None]
+        assert nulls and all(r["bound"] > 0 for r in nulls)
+    merged = merge_topk_states(["g"], *states).collect()
+    null_rows = {r["v"]: r for r in merged if r["g"] is None}
+    assert null_rows, "NULL key group vanished from the merge"
+    for v, r in null_rows.items():
+        t = true[(None, v)]
+        assert r["est"] <= t <= r["est"] + r["err"], (v, r, t)

@@ -107,3 +107,24 @@ def test_streaming_matches_batch(spark, csv_path, tmp_path_factory):
     for r in rows:
         if r["is_corrupt"]:
             assert r["doc_id"] is None and r["score"] is None
+
+
+def test_header_variants_are_dropped(spark, tmp_path_factory):
+    """Review finding (r9): real-world header spellings (spaces after
+    separators, quoted fields, different case) must not leak through
+    as clean all-string data rows."""
+    p = tmp_path_factory.mktemp("csv_hdr") / "h.csv"
+    p.write_text(
+        'doc_id, label, score\n'
+        '"doc_id","label","score"\n'
+        'DOC_ID,LABEL,SCORE\n'
+        '1,ok,0.5\n'
+    )
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("label", StringType()),
+        StructField("score", StringType()),
+    ])
+    good, bad = read_csv_corpus(spark, str(p), schema, header=True)
+    assert bad.count() == 0
+    assert [tuple(r) for r in good.collect()] == [("1", "ok", "0.5")]

@@ -211,3 +211,20 @@ def test_equi_depth_global_guard_and_approx_path(spark):
     assert {r["g"] for r in got} == {"0", "1", "2"}
     for r in got:
         assert abs(r["n"] - 2000 / 3 / 4) <= 2000 / 3 / 4 * 0.05 + 2
+
+
+def test_equi_depth_approx_keeps_null_by_group(spark):
+    """Review finding (r9): the approx path must keep a NULL `by`
+    group like the exact path does (a plain equi-join on the group
+    key silently dropped it)."""
+    from argostats_spark.operators.profile import equi_depth_histogram
+
+    rows = [(i, None if i % 3 == 0 else f"g{i % 3}", float(i)) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    exact_groups = {r["g"] for r in
+                    equi_depth_histogram(df, "v", 4, "id", by=["g"]).collect()}
+    approx_groups = {r["g"] for r in
+                     equi_depth_histogram(df, "v", 4, "id", by=["g"],
+                                          exact=False).collect()}
+    assert None in exact_groups
+    assert approx_groups == exact_groups

@@ -54,7 +54,9 @@ def _run_stream(spark, feed, store, ckpt, kind, **kw):
     q = state_increment_writer(
         stream, ["k"], "v", store, ckpt, kind=kind, **kw
     )
-    q.awaitTermination(120)
+    # loud on timeout: a still-running stream would otherwise race the
+    # assertions below into a phantom state mismatch
+    assert q.awaitTermination(180), "state stream did not terminate"
     return spark.read.schema("id long, k string, v double").json(feed)
 
 
@@ -79,6 +81,8 @@ def test_replay_is_idempotent(spark, feed, tmp_path):
     agg_state(batch1, ["k"], "v").write.mode("overwrite").parquet(
         os.path.join(store, "increments", "b=1")
     )
+    open(os.path.join(store, "increments", "b=1", "_STATE_COMMITTED"),
+         "w").write("1")
     assert _rows(read_state(spark, store, ["k"])) == before
 
 
@@ -99,6 +103,8 @@ def test_compaction_atomic_with_retention(spark, feed, tmp_path):
     agg_state(extra, ["k"], "v").write.mode("overwrite").parquet(
         os.path.join(store, "increments", "b=7")
     )
+    open(os.path.join(store, "increments", "b=7", "_STATE_COMMITTED"),
+         "w").write("1")
     want2 = _rows(agg_state(all_rows.unionByName(extra), ["k"], "v"))
     assert _rows(read_state(spark, store, ["k"])) == want2
     v2 = compact_state(spark, store, ["k"])
@@ -135,3 +141,19 @@ def test_validation(spark, tmp_path):
         read_state(spark, str(tmp_path), ["k"])
     with pytest.raises(NotImplementedError, match="URI"):
         read_state(spark, "s3a://bucket/x", ["k"])
+
+
+def test_uncommitted_increment_is_invisible(spark, feed, tmp_path):
+    """An increment directory without the commit marker (a live or torn
+    micro-batch write) must be invisible to read_state AND compaction
+    — compacting past it would permanently exclude its rows."""
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "agg")
+    before = _rows(read_state(spark, store, ["k"]))
+    torn = spark.createDataFrame([(1, "k0", 1.0)], "id long, k string, v double")
+    dest = os.path.join(store, "increments", "b=99")
+    agg_state(torn, ["k"], "v").write.mode("overwrite").parquet(dest)
+    os.remove(os.path.join(dest, "_STATE_COMMITTED")) if os.path.exists(
+        os.path.join(dest, "_STATE_COMMITTED")) else None
+    assert _rows(read_state(spark, store, ["k"])) == before
+    assert compact_state(spark, store, ["k"]) == 2  # not 99
