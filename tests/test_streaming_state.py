@@ -41,7 +41,13 @@ def feed(spark, tmp_path):
                 {"id": n, "k": f"k{(n * 7) % 5}", "v": ((n * 13) % 97) / 3.0}
             ))
             n += 1
-        (d / f"part-{part:03d}.jsonl").write_text("\n".join(lines) + "\n")
+        p = d / f"part-{part:03d}.jsonl"
+        p.write_text("\n".join(lines) + "\n")
+        # FileStreamSource orders batches by modification time; files
+        # written within the same millisecond tie and the order goes
+        # nondeterministic (flaked the replay test: "batch 1" was
+        # sometimes part-002). Pin mtimes seconds apart.
+        os.utime(p, (1_700_000_000 + part, 1_700_000_000 + part))
     return str(d)
 
 
