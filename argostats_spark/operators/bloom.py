@@ -203,8 +203,22 @@ def bloom_gate_join(
     to any corpus), and a per-row count-of-set-bits == k aggregate
     restores one row per input row. One exchange over probe×k hash
     rows — still no corpus-payload shuffle (only a row id and two
-    ints travel). Adds ``out_col``; NULL keys gate to NULL."""
+    ints travel). Adds ``out_col``; NULL keys gate to NULL.
+
+    Name contract (ADVICE r9): ``__rid`` and ``out_col`` are the only
+    names this operator writes into the caller's frame — a probe
+    already carrying either would be silently overwritten/dropped, so
+    both raise instead. The other internals (bucket/__bit/__set/
+    bitmap) live only in projected-away intermediate frames and can
+    coexist with same-named probe columns."""
     _validate(num_bits, num_hashes)
+    for reserved in ("__rid", out_col):
+        if reserved in probe.columns:
+            raise ValueError(
+                f"bloom_gate_join: probe already has a column named "
+                f"{reserved!r}, which this operator would overwrite — "
+                f"rename it (or pass a different out_col) first."
+            )
     pid = F.monotonically_increasing_id()
     # the rid is NONDETERMINISTIC across recomputations and two lineage
     # branches consume src (the probe explosion and the final join) —

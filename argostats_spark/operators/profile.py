@@ -224,7 +224,16 @@ def equi_depth_histogram(
                     lambda a, b: a & b,
                     [nn[c].eqNullSafe(edges[f"__ek_{c}"]) for c in part],
                 )
-                src = nn.join(F.broadcast(edges), cond).drop(
+                # No F.broadcast hint: edges has one row per `by` group,
+                # which is small for the usual per-source/per-split call
+                # but unbounded for a high-cardinality `by` — a forced
+                # broadcast there bypasses autoBroadcastJoinThreshold
+                # and can OOM the driver, contradicting the "any scale"
+                # contract this path advertises (ADVICE r9). eqNullSafe
+                # keys are equi-join keys, so AQE/Catalyst still picks
+                # broadcast-hash when edges measures small at runtime
+                # and falls back to a keyed exchange when it doesn't.
+                src = nn.join(edges, cond).drop(
                     *[f"__ek_{c}" for c in part]
                 )
             else:

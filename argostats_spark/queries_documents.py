@@ -3321,6 +3321,14 @@ def _train_and_write_bpe(spark: SparkSession, sf_dir: str, num_merges: int = 24)
     return merges, words
 
 
+# Single source of truth for the unigram tokenizer's piece-length
+# window: interpolated into the DuckDB Viterbi twin below AND passed
+# explicitly to unigram_train/unigram_encode in q_bpe_subwords, so the
+# engine and the oracle can never silently desync on it (ADVICE r9 —
+# the twin previously hardcoded the literal 8).
+_UNIGRAM_MAX_PIECE_LEN = 8
+
+
 def _bpe_suite_oracle_sql() -> str:
     """Generated DuckDB twin for bpe_subwords: the trained model (the
     word → subwords map — BPE training is an iterative argmax no SQL
@@ -3394,7 +3402,7 @@ def _bpe_suite_oracle_sql() -> str:
           SELECT d.word, d.i, d.best, d.bj, d.bp,
             list_transform(
               list_filter(
-                list_transform(range(greatest(0, d.i + 1 - 8), d.i + 1),
+                list_transform(range(greatest(0, d.i + 1 - {_UNIGRAM_MAX_PIECE_LEN}), d.i + 1),
                   j -> struct_pack(
                     j := j,
                     piece := substr(d.word, CAST(j + 1 AS INT),
@@ -3549,7 +3557,10 @@ def q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("types").cast("long").alias("n"), F.col("total").alias("v"),
     )
 
-    umodel = unigram_train(d, vocab_size=240, em_rounds=2, seed_size=2000)
+    umodel = unigram_train(
+        d, vocab_size=240, em_rounds=2, seed_size=2000,
+        max_piece_len=_UNIGRAM_MAX_PIECE_LEN,
+    )
     _write_model_parquet(
         "unigram_pieces",
         {
@@ -3566,7 +3577,7 @@ def q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "rnk", F.lit(None).cast("long").alias("n"),
         F.round(F.col("lp"), 9).alias("v"),
     )
-    uenc = unigram_encode(d, umodel)
+    uenc = unigram_encode(d, umodel, max_piece_len=_UNIGRAM_MAX_PIECE_LEN)
     uword_rows = (
         uenc.groupBy(
             "word",

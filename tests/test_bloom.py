@@ -159,6 +159,33 @@ def test_validation(spark, dirty):
         bloom_might_contain("k", [b"\x00"], M, K)
 
 
+def test_gate_join_rejects_reserved_probe_columns(spark, dirty, bloom):
+    """ADVICE r9: a probe already carrying __rid (or the out_col) used
+    to be silently overwritten and dropped — both now raise. Internals
+    that live only in projected-away frames (bucket/bitmap) must keep
+    working when the probe has same-named columns."""
+    base = spark.createDataFrame([(1, "dirty-1")], "id long, k string")
+    with pytest.raises(ValueError, match="__rid"):
+        bloom_gate_join(base.withColumn("__rid", F.lit(7)), bloom, "k", M, K)
+    with pytest.raises(ValueError, match="might_contain"):
+        bloom_gate_join(
+            base.withColumn("might_contain", F.lit(True)), bloom, "k", M, K
+        )
+    # same probe frame, renamed out_col: fine
+    got = bloom_gate_join(
+        base.withColumn("might_contain", F.lit(False)),
+        bloom, "k", M, K, out_col="bloom_hit",
+    ).first()
+    assert got["bloom_hit"] is True and got["might_contain"] is False
+    # non-reserved coexistence: probe's own bucket/bitmap columns survive
+    got2 = bloom_gate_join(
+        base.withColumn("bucket", F.lit(99)).withColumn("bitmap", F.lit("x")),
+        bloom, "k", M, K,
+    ).first()
+    assert got2["bucket"] == 99 and got2["bitmap"] == "x"
+    assert got2["might_contain"] is True
+
+
 def test_decontamination_composition_prunes_then_verifies(spark):
     """The 100TB shape end-to-end at toy scale: bloom gate prunes the
     corpus row-locally, the exact verify semi-join touches only
