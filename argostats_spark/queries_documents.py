@@ -167,6 +167,69 @@ def _ensure_warc_fixture() -> str:
     return fix_dir
 
 
+# --- CSV/TSV ingest fixture (decontaminate 'csv_ingest' limb) ------------
+# Labeled (line, kind) literals; kind in {'header','good','bad'}. The
+# engine writes the LINES verbatim and runs the real quarantine ingest
+# (sources/csvsrc.py) over them; the DuckDB twin re-reads the SAME file
+# with DuckDB's OWN CSV parser for the good side — a genuine
+# two-independent-parsers differential on typed parsing, quoting, and
+# permissive row rejection — and derives the quarantine side (md5 of
+# each raw line, header-vs-parse reason) from these literals in SQL.
+_CSV_FIXTURE_CSV = [
+    ("doc_id,label,score", "header"),          # schema-derived header
+    ('"DOC_ID", "LABEL", "SCORE"', "header"),  # quoted/spaced/upper variant
+    ("101,alpha,0.5", "good"),
+    ('102,"beta, quoted",1.25', "good"),       # quoted separator
+    ("103,gamma,-2.75", "good"),
+    ("104,delta,0.015625", "good"),            # binary-exact double
+    ("105,epsilon,notanumber", "bad"),         # bad cast
+    ("106,toofew", "bad"),                     # arity short
+    ("107,zeta,0.5,extra", "bad"),             # arity long
+    ("108,eta,3", "good"),                     # int literal into double
+]
+_CSV_FIXTURE_TSV = [
+    ("201\ttabbed label\t4.5", "good"),
+    ("202\twide\t1.5\textra", "bad"),
+    ("203\tok\t-0.25", "good"),
+]
+
+
+def _csv_fixture_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_model_parquet_path("csv_fixture")), "csv_fixture"
+    )
+
+
+def _ensure_csv_fixture() -> str:
+    """Write fixture.csv / fixture.tsv from the labeled literals above
+    (atomic rename, concurrent-safe; the _ensure_warc_fixture pattern)
+    and return the directory."""
+    import os
+    import tempfile
+
+    fix_dir = _csv_fixture_dir()
+    os.makedirs(fix_dir, exist_ok=True)
+    for fname, rows in (
+        ("fixture.csv", _CSV_FIXTURE_CSV),
+        ("fixture.tsv", _CSV_FIXTURE_TSV),
+    ):
+        final = os.path.join(fix_dir, fname)
+        data = ("\n".join(line for line, _ in rows) + "\n").encode()
+        try:
+            with open(final, "rb") as f:
+                if f.read() == data:
+                    continue
+        except OSError:
+            pass
+        fd, stage = tempfile.mkstemp(dir=fix_dir)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(stage, final)
+    return fix_dir
+
+
 def _train_and_write_pq(spark: SparkSession, sf_dir: str):
     """Train the PQ codebooks (deterministic: content-ordered sample →
     driver NumPy, partition-independent by test) and materialize them
@@ -2111,6 +2174,47 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
 
 
+def _csv_ingest_limb_sql() -> str:
+    """The decontaminate twin's csv_ingest fragment: good rows from
+    DuckDB's OWN read_csv over the engine-written fixture files (two
+    independent CSV parsers must agree on typed parse, quoting, and
+    permissive rejection), quarantine rows derived in SQL from the
+    same labeled literals the engine wrote (md5 of each raw line,
+    header-vs-parse reason as n_hits)."""
+    import os
+
+    d = _csv_fixture_dir()
+    cols = "{'doc_id': 'BIGINT', 'label': 'VARCHAR', 'score': 'DOUBLE'}"
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    reads = " UNION ALL ".join(
+        f"SELECT * FROM read_csv('{os.path.join(d, fname)}', "
+        f"columns={cols}, header=false, sep='{sep}', "
+        f"ignore_errors=true, auto_detect=false)"
+        for fname, sep in (("fixture.csv", ","), ("fixture.tsv", "\t"))
+    )
+    quarantined = ",\n      ".join(
+        f"('{esc(line)}', {1 if kind == 'header' else 0})"
+        for rows in (_CSV_FIXTURE_CSV, _CSV_FIXTURE_TSV)
+        for line, kind in rows
+        if kind != "good"
+    )
+    return f"""
+    SELECT 'csv_ingest' AS part, CAST(g.doc_id AS BIGINT) AS doc_id,
+           CAST(length(g.label) AS INT) AS n_grams,
+           CAST(('0x' || substr(md5(g.label), 1, 7))::BIGINT AS INT) AS n_hits,
+           g.score AS hit_ratio, 0 AS contaminated
+    FROM ({reads}) g
+    UNION ALL
+    SELECT 'csv_ingest', ('0x' || substr(md5(q.line), 1, 15))::BIGINT,
+           CAST(length(q.line) AS INT), CAST(q.is_hdr AS INT),
+           CAST(('0x' || substr(md5(q.line), 1, 12))::BIGINT AS DOUBLE), 1
+    FROM (VALUES {quarantined}) q(line, is_hdr)
+    """
+
+
 @query(
     "decontaminate",
     f"""
@@ -2278,6 +2382,8 @@ _BLOCKLIST = ("slow", "slow query", "big join", "stream merge")
                i -> NOT list_contains(coalesce(lc.cuts, []), i)) AS keptidx
       FROM ml m LEFT JOIN lcuts lc ON m.doc_id = lc.doc_id
     ) lk
+    UNION ALL
+    {_csv_ingest_limb_sql()}
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,7 +2421,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       CCNet paragraph-hash / RefinedWeb exact-line-dedup family over a
       deterministically re-flowed multi-line corpus (8-token lines);
       the twin re-derives the duplicated-line cut set with the same
-      rank+count windows and hash-pins the rebuilt text."""
+      rank+count windows and hash-pins the rebuilt text.
+    - ``csv_ingest`` (round 10): the CSV/TSV quarantine ingest
+      (sources/csvsrc.py) over labeled fixture files — good rows are
+      an independent-parser differential (DuckDB's read_csv vs the
+      UniVocity from_csv path: typed parse, quoted separators,
+      permissive arity/cast rejection, header-variant dropping);
+      quarantine rows are md5-content-addressed with the
+      header-vs-parse reason pinned in n_hits."""
     from .operators.decontam import flag_duplicate_passages, ngram_contamination
 
     d = _t(spark, sf_dir, "documents")
@@ -2467,9 +2580,61 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hit_ratio"),
         (nb >= 1).cast("int").alias("contaminated"),
     )
+    # csv_ingest limb (round 10): the CSV/TSV quarantine ingest
+    # (sources/csvsrc.py — explicit schema, corrupt-row quarantine,
+    # header-variant dropping with quarantine_headers observability)
+    # over the labeled fixture files. Good rows are a genuine
+    # two-parser differential (the twin re-reads the same files with
+    # DuckDB's own read_csv); quarantine rows are content-addressed:
+    # doc_id = 60-bit md5 prefix of the raw line, hit_ratio = the
+    # 48-bit md5 prefix as an exact double, n_hits = 1 iff the line
+    # was a dropped header form. Good rows pin the typed parse:
+    # doc_id/score pass through, n_hits carries a 28-bit md5 prefix
+    # of the label.
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources.csvsrc import read_csv_corpus
+
+    cfix = _ensure_csv_fixture()
+    cschema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("label", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    cg, cb = read_csv_corpus(
+        spark, cfix + "/fixture.csv", cschema,
+        header=True, quarantine_headers=True,
+    )
+    tg, tb = read_csv_corpus(spark, cfix + "/fixture.tsv", cschema, sep="\t")
+    cgood = cg.unionByName(tg).select(
+        F.lit("csv_ingest").alias("part"),
+        F.col("doc_id"),
+        F.length("label").cast("int").alias("n_grams"),
+        F.conv(F.substring(F.md5("label"), 1, 7), 16, 10)
+        .cast("int").alias("n_hits"),
+        F.col("score").alias("hit_ratio"),
+        F.lit(0).alias("contaminated"),
+    )
+    cbad = cb.unionByName(tb).select(
+        F.lit("csv_ingest").alias("part"),
+        F.conv(F.substring(F.md5("raw_line"), 1, 15), 16, 10)
+        .cast("long").alias("doc_id"),
+        F.length("raw_line").cast("int").alias("n_grams"),
+        (F.col("reason") == "header").cast("int").alias("n_hits"),
+        F.conv(F.substring(F.md5("raw_line"), 1, 12), 16, 10)
+        .cast("double").alias("hit_ratio"),
+        F.lit(1).alias("contaminated"),
+    )
     return (
         ev.unionByName(dp).unionByName(bl).unionByName(wr)
         .unionByName(rem).unionByName(dl).unionByName(blm)
+        .unionByName(cgood).unionByName(cbad)
     )
 
 

@@ -128,3 +128,58 @@ def test_header_variants_are_dropped(spark, tmp_path_factory):
     good, bad = read_csv_corpus(spark, str(p), schema, header=True)
     assert bad.count() == 0
     assert [tuple(r) for r in good.collect()] == [("1", "ok", "0.5")]
+
+
+def test_expected_header_catches_foreign_spelling(spark, tmp_path_factory):
+    """ADVICE r9: a file whose real header uses different names/order
+    than the schema used to parse as a data row (silently, for
+    all-string schemas). expected_header names the files' spelling(s)
+    and those lines now drop like any header."""
+    p = tmp_path_factory.mktemp("csv_xhdr") / "x.csv"
+    p.write_text(
+        "id, category , weight\n"   # foreign spelling + spacing
+        "1,ok,0.5\n"
+        "2,also,1.25\n"
+    )
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("label", StringType()),
+        StructField("score", StringType()),
+    ])
+    # without expected_header the foreign header leaks through as data
+    leaked, _ = read_csv_corpus(spark, str(p), schema, header=True)
+    assert leaked.count() == 3
+    good, bad = read_csv_corpus(
+        spark, str(p), schema, header=True,
+        expected_header="ID,CATEGORY,WEIGHT",
+    )
+    assert {r["doc_id"] for r in good.collect()} == {"1", "2"}
+    assert bad.count() == 0
+    # list form: several known spellings at once
+    good2, _ = read_csv_corpus(
+        spark, str(p), schema,
+        expected_header=["id,category,weight", "col_a,col_b,col_c"],
+    )
+    assert good2.count() == 2
+
+
+def test_quarantine_headers_makes_residual_observable(spark, csv_path):
+    """ADVICE r9: quarantine_headers=True routes header-form lines to
+    the bad frame tagged reason='header' (instead of vanishing), so a
+    data row colliding with the header spelling is recoverable and
+    'one header per part file' is countable. Parse failures keep
+    reason='parse'."""
+    good, bad = read_csv_corpus(
+        spark, csv_path, SCHEMA, header=True, quarantine_headers=True
+    )
+    assert good.count() == 3  # split unchanged
+    rows = {(r["raw_line"], r["reason"]) for r in bad.collect()}
+    assert ("doc_id,label,score", "header") in rows
+    assert {r for r in rows if r[1] == "parse"} == {
+        ("3,unk,notanumber", "parse"),
+        ("4,toofew", "parse"),
+        ("5,x,0.5,extra", "parse"),
+    }
+    # default: headers stay out of quarantine, reason is all-parse
+    _, bad_default = read_csv_corpus(spark, csv_path, SCHEMA, header=True)
+    assert {r["reason"] for r in bad_default.collect()} == {"parse"}
