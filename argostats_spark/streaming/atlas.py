@@ -35,55 +35,48 @@ publishes it by an atomic rename of a pointer file
 :func:`current_atlas` and only ever see a fully-written version. The
 two newest versions are retained so a reader that resolved the old
 pointer mid-swap still finds its files; older versions are pruned.
-The pointer plumbing is DRIVER-LOCAL filesystem I/O (os.rename is
-atomic on one local/NFS mount) — atlas_store must be a plain path
-visible to driver and readers; URI-scheme stores (hdfs://, s3a://)
-are rejected loudly rather than mis-publishing a local pointer
-(production there would swap the pointer through the Hadoop
-FileSystem API, a conditional put, or a table format). The
+The pointer plumbing goes through :mod:`.fsio` (VERDICT r9 item 3):
+plain paths use driver-local os.rename (atomic on one local/NFS
+mount), ``scheme://`` URIs use the Hadoop FileSystem API —
+FileContext.rename(OVERWRITE), atomic on HDFS, last-writer-wins on
+object stores (see fsio's per-filesystem atomicity contract; true
+transactional publish on s3a/gs belongs in a table format). The
 pair-store appends are replay-safe via the per-batch partition.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.atlas import clim_eape, clim_ts, match_pairs
+from .fsio import store_fs
 
 __all__ = ["atlas_refresh_writer", "current_atlas", "publish_version"]
 
 
-def publish_version(atlas_store: str, version: int, keep: int = 2) -> None:
+def publish_version(
+    atlas_store: str, version: int, keep: int = 2, spark: SparkSession | None = None
+) -> None:
     """Atomically point ``{atlas_store}/CURRENT`` at ``v=<version>``:
-    write the pointer to a temp file and os.rename it over CURRENT —
-    rename on one filesystem is atomic, so a concurrent reader sees
-    either the old pointer or the new one, never a torn write. Then
+    write the pointer to a temp file and rename it over CURRENT —
+    local rename / HDFS FileContext OVERWRITE-rename are atomic, so a
+    concurrent reader sees either the old pointer or the new one,
+    never a torn write (object-store caveat: fsio docstring). Then
     prune all but the ``keep`` newest versions (keep >= 2 so a reader
     that resolved the OLD pointer just before the swap still finds its
-    files)."""
-    if "://" in atlas_store:
-        raise NotImplementedError(
-            "publish_version uses driver-local rename for atomicity; "
-            f"URI store {atlas_store!r} needs the Hadoop FileSystem API "
-            "or a table format (see module docstring)"
-        )
-    tmp = os.path.join(atlas_store, f".CURRENT.tmp.{version}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(atlas_store, "CURRENT"))
+    files). ``spark`` is required for URI stores (fsio.HadoopFS)."""
+    fs = store_fs(atlas_store, spark)
+    fs.write_text_atomic(
+        f"{atlas_store}/CURRENT", str(version), f".CURRENT.tmp.{version}"
+    )
     versions = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(atlas_store)
+        for d in fs.listdir(atlas_store)
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     )
     for v in versions[:-keep]:
         if v != version:
-            shutil.rmtree(os.path.join(atlas_store, f"v={v}"), ignore_errors=True)
+            fs.delete(f"{atlas_store}/v={v}")
 
 
 def current_atlas(spark: SparkSession, atlas_store: str) -> DataFrame:
@@ -92,21 +85,13 @@ def current_atlas(spark: SparkSession, atlas_store: str) -> DataFrame:
     refresh landing mid-read cannot disturb it (versions are
     write-once; the retention window keeps the previous version on
     disk through the swap)."""
-    if "://" in atlas_store:
-        raise NotImplementedError(
-            "current_atlas resolves a driver-local pointer file; "
-            f"URI store {atlas_store!r} is not supported (module docstring)"
-        )
-    ptr = os.path.join(atlas_store, "CURRENT")
-    try:
-        with open(ptr) as f:
-            version = int(f.read().strip())
-    except FileNotFoundError:
+    txt = store_fs(atlas_store, spark).read_text(f"{atlas_store}/CURRENT")
+    if txt is None:
         raise FileNotFoundError(
             f"no atlas published yet under {atlas_store!r} "
             "(CURRENT pointer missing — wait for the first refresh)"
-        ) from None
-    return spark.read.parquet(os.path.join(atlas_store, f"v={version}"))
+        )
+    return spark.read.parquet(f"{atlas_store}/v={int(txt)}")
 
 
 def atlas_refresh_writer(
@@ -174,9 +159,9 @@ def atlas_refresh_writer(
         # versioned write + atomic pointer swap: replayed batches
         # overwrite their own v= directory (idempotent), readers via
         # current_atlas() never observe a partial directory
-        os.makedirs(atlas_store, exist_ok=True)
+        store_fs(atlas_store, spark).mkdirs(atlas_store)
         out.write.mode("overwrite").parquet(f"{atlas_store}/v={batch_id}")
-        publish_version(atlas_store, batch_id)
+        publish_version(atlas_store, batch_id, spark=spark)
 
     # let callers release the cached grid once the stream is stopped
     refresh.unpersist_grid = lambda blocking=False: grid.unpersist(blocking)

@@ -34,8 +34,6 @@ the per-shard states and merge at read time instead.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.aggstate import (
@@ -45,6 +43,7 @@ from ..operators.aggstate import (
     merge_distinct_states,
 )
 from .atlas import publish_version
+from .fsio import store_fs
 
 __all__ = [
     "state_increment_writer",
@@ -58,42 +57,27 @@ _KINDS = {
 }
 
 
-def _check_store(store: str) -> None:
-    if "://" in store:
-        raise NotImplementedError(
-            "state store uses driver-local listing/rename (the atlas "
-            f"pointer pattern); URI store {store!r} needs the Hadoop "
-            "FileSystem API or a table format"
-        )
-
-
 _MARKER = "_STATE_COMMITTED"
 
 
-def _increment_ids(store: str) -> list[int]:
+def _increment_ids(fs, store: str) -> list[int]:
     """COMMITTED increments only: the writer drops a marker file after
     the parquet write completes, so a compaction or read racing a live
     micro-batch can never fold a partially-written increment and then
     permanently exclude its missing rows (review finding, round 9 —
     parquet part-files become listable before the write finishes). A
     replayed batch rewrites its partition and re-drops the marker."""
-    inc = os.path.join(store, "increments")
-    if not os.path.isdir(inc):
-        return []
+    inc = f"{store}/increments"
     return sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(inc)
-        if d.startswith("b=")
-        and os.path.exists(os.path.join(inc, d, _MARKER))
+        for d in fs.listdir(inc)
+        if d.startswith("b=") and fs.exists(f"{inc}/{d}/{_MARKER}")
     )
 
 
-def _current_version(store: str) -> int | None:
-    cur = os.path.join(store, "CURRENT")
-    if not os.path.exists(cur):
-        return None
-    with open(cur) as f:
-        return int(f.read().strip())
+def _current_version(fs, store: str) -> int | None:
+    txt = fs.read_text(f"{store}/CURRENT")
+    return int(txt) if txt else None
 
 
 def state_increment_writer(
@@ -110,21 +94,21 @@ def state_increment_writer(
     its own ``increments/b=<batch_id>`` partition (replay-idempotent).
     Returns the StreamingQuery. ``state_kwargs`` pass through to the
     state builder (e.g. ``lg_k`` for kind='distinct')."""
-    _check_store(store)
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
     build, _ = _KINDS[kind]
 
     def _write(batch: DataFrame, batch_id: int) -> None:
-        dest = os.path.join(store, "increments", f"b={batch_id}")
+        dest = f"{store}/increments/b={batch_id}"
         build(batch, keys, value_col, **state_kwargs).write.mode(
             "overwrite"
         ).parquet(dest)
         # commit marker: readers/compaction only see the increment
         # once the parquet write above has fully finished (the
         # overwrite removes any stale marker first)
-        with open(os.path.join(dest, _MARKER), "w") as f:
-            f.write("1")
+        store_fs(store, batch.sparkSession).write_text(
+            f"{dest}/{_MARKER}", "1"
+        )
 
     writer = stream_df.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint_dir
@@ -140,17 +124,17 @@ def read_state(
     """The current state: base version (if published) ⊎ every newer
     increment — the merge law applied at read time. Raises if the
     store holds nothing yet."""
-    _check_store(store)
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
     _, merge = _KINDS[kind]
-    ver = _current_version(store)
+    fs = store_fs(store, spark)
+    ver = _current_version(fs, store)
     parts: list[DataFrame] = []
     if ver is not None:
-        parts.append(spark.read.parquet(os.path.join(store, f"v={ver}")))
+        parts.append(spark.read.parquet(f"{store}/v={ver}"))
     parts += [
-        spark.read.parquet(os.path.join(store, "increments", f"b={b}"))
-        for b in _increment_ids(store)
+        spark.read.parquet(f"{store}/increments/b={b}")
+        for b in _increment_ids(fs, store)
         if ver is None or b > ver
     ]
     if not parts:
@@ -166,26 +150,21 @@ def compact_state(
     retention), and prune increments the PREVIOUS base already covers.
     Returns the published version, or None when there is nothing newer
     than the current base (no-op — safe to call on a schedule)."""
-    _check_store(store)
-    ver = _current_version(store)
-    newer = [b for b in _increment_ids(store) if ver is None or b > ver]
+    fs = store_fs(store, spark)
+    ver = _current_version(fs, store)
+    newer = [b for b in _increment_ids(fs, store) if ver is None or b > ver]
     if not newer:
         return None
     new_ver = max(newer)
     read_state(spark, store, keys, kind).write.mode("overwrite").parquet(
-        os.path.join(store, f"v={new_ver}")
+        f"{store}/v={new_ver}"
     )
-    publish_version(store, new_ver)  # keeps 2 newest v= dirs
+    publish_version(store, new_ver, spark=spark)  # keeps 2 newest v= dirs
     # prune increments the PREVIOUS base covers: a reader that resolved
     # the old pointer still merges old-base + increments > old version,
     # all of which survive this prune
     if ver is not None:
-        for b in _increment_ids(store):
+        for b in _increment_ids(fs, store):
             if b <= ver:
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(store, "increments", f"b={b}"),
-                    ignore_errors=True,
-                )
+                fs.delete(f"{store}/increments/b={b}")
     return new_ver

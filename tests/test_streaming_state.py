@@ -2,7 +2,14 @@
 continuously-maintained state must equal a cold batch rebuild
 BIT-EXACTLY (kind='agg', the decimal merge law) / estimate-exactly
 (kind='distinct'), survive foreachBatch replay without double
-counting, and compact atomically with readable retention."""
+counting, and compact atomically with readable retention.
+
+The replay/compaction/publish tests run twice (VERDICT r9 item 3):
+once on a plain local path (the os/shutil fast path) and once on a
+``file://`` URI, which routes every store operation — listing, the
+commit markers, the CURRENT-pointer OVERWRITE-rename, pruning —
+through the Hadoop FileSystem API code path (fsio.HadoopFS), the same
+calls an hdfs:///s3a:// store makes at 100 TB."""
 
 from __future__ import annotations
 
@@ -26,6 +33,17 @@ from argostats_spark.streaming.state import (
 
 def _rows(df):
     return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(params=["local", "file_uri"])
+def mkstore(request, tmp_path):
+    """(store_path_for_engine, plain_path_for_direct_os_asserts)."""
+    def make(name):
+        plain = str(tmp_path / name)
+        if request.param == "file_uri":
+            return "file://" + plain, plain
+        return plain, plain
+    return make
 
 
 @pytest.fixture()
@@ -66,34 +84,38 @@ def _run_stream(spark, feed, store, ckpt, kind, **kw):
     return spark.read.schema("id long, k string, v double").json(feed)
 
 
-def test_streamed_agg_state_equals_batch_rebuild(spark, feed, tmp_path):
-    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+def test_streamed_agg_state_equals_batch_rebuild(spark, feed, mkstore, tmp_path):
+    (store, plain), ckpt = mkstore("store"), str(tmp_path / "ckpt")
     all_rows = _run_stream(spark, feed, store, ckpt, "agg")
     got = read_state(spark, store, ["k"])
     want = agg_state(all_rows, ["k"], "v")
     assert _rows(got) == _rows(want)  # bit-exact: decimal merge law
-    # three increments landed (one per file)
-    assert len(os.listdir(os.path.join(store, "increments"))) == 3
+    # three increments landed (one per file), each with its marker
+    assert len(os.listdir(os.path.join(plain, "increments"))) == 3
+    for d in os.listdir(os.path.join(plain, "increments")):
+        assert os.path.exists(
+            os.path.join(plain, "increments", d, "_STATE_COMMITTED")
+        )
 
 
-def test_replay_is_idempotent(spark, feed, tmp_path):
+def test_replay_is_idempotent(spark, feed, mkstore, tmp_path):
     """Simulate foreachBatch at-least-once: re-writing a batch's own
     increment partition must leave the merged state unchanged."""
-    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    (store, plain), ckpt = mkstore("store"), str(tmp_path / "ckpt")
     all_rows = _run_stream(spark, feed, store, ckpt, "agg")
     before = _rows(read_state(spark, store, ["k"]))
     # replay batch 1: the same slice of the feed, written again
     batch1 = all_rows.filter((F.col("id") >= 200) & (F.col("id") < 400))
     agg_state(batch1, ["k"], "v").write.mode("overwrite").parquet(
-        os.path.join(store, "increments", "b=1")
+        store + "/increments/b=1"
     )
-    open(os.path.join(store, "increments", "b=1", "_STATE_COMMITTED"),
+    open(os.path.join(plain, "increments", "b=1", "_STATE_COMMITTED"),
          "w").write("1")
     assert _rows(read_state(spark, store, ["k"])) == before
 
 
-def test_compaction_atomic_with_retention(spark, feed, tmp_path):
-    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+def test_compaction_atomic_with_retention(spark, feed, mkstore, tmp_path):
+    (store, plain), ckpt = mkstore("store"), str(tmp_path / "ckpt")
     all_rows = _run_stream(spark, feed, store, ckpt, "agg")
     want = _rows(agg_state(all_rows, ["k"], "v"))
     v1 = compact_state(spark, store, ["k"])
@@ -107,9 +129,9 @@ def test_compaction_atomic_with_retention(spark, feed, tmp_path):
         [(9001, "k0", 5.0), (9002, "k9", 7.0)], "id long, k string, v double"
     )
     agg_state(extra, ["k"], "v").write.mode("overwrite").parquet(
-        os.path.join(store, "increments", "b=7")
+        store + "/increments/b=7"
     )
-    open(os.path.join(store, "increments", "b=7", "_STATE_COMMITTED"),
+    open(os.path.join(plain, "increments", "b=7", "_STATE_COMMITTED"),
          "w").write("1")
     want2 = _rows(agg_state(all_rows.unionByName(extra), ["k"], "v"))
     assert _rows(read_state(spark, store, ["k"])) == want2
@@ -117,9 +139,9 @@ def test_compaction_atomic_with_retention(spark, feed, tmp_path):
     assert v2 == 7
     assert _rows(read_state(spark, store, ["k"])) == want2
     # retention: both v dirs kept (atlas keep=2), covered increments gone
-    vdirs = {d for d in os.listdir(store) if d.startswith("v=")}
+    vdirs = {d for d in os.listdir(plain) if d.startswith("v=")}
     assert vdirs == {"v=2", "v=7"}
-    assert os.listdir(os.path.join(store, "increments")) == ["b=7"]
+    assert os.listdir(os.path.join(plain, "increments")) == ["b=7"]
 
 
 def test_distinct_kind_matches_one_pass_sketch(spark, feed, tmp_path):
@@ -145,21 +167,47 @@ def test_validation(spark, tmp_path):
         read_state(spark, str(tmp_path), ["k"], kind="nope")
     with pytest.raises(ValueError, match="no state"):
         read_state(spark, str(tmp_path), ["k"])
-    with pytest.raises(NotImplementedError, match="URI"):
-        read_state(spark, "s3a://bucket/x", ["k"])
+    # URI stores now go through fsio.HadoopFS — an EMPTY file:// store
+    # reads as no-state (not a scheme rejection), and constructing a
+    # URI-store backend without a session raises naming the need
+    with pytest.raises(ValueError, match="no state"):
+        read_state(spark, "file://" + str(tmp_path), ["k"])
+    from argostats_spark.streaming.fsio import store_fs
+    with pytest.raises(ValueError, match="SparkSession"):
+        store_fs("s3a://bucket/x", None)
 
 
-def test_uncommitted_increment_is_invisible(spark, feed, tmp_path):
+def test_atlas_pointer_roundtrip_file_uri(spark, tmp_path):
+    """publish_version / current_atlas over a file:// URI: the
+    CURRENT-pointer OVERWRITE-rename, version pruning (keep=2), and
+    the missing-pointer error all through fsio.HadoopFS."""
+    from argostats_spark.streaming.atlas import current_atlas, publish_version
+
+    plain = str(tmp_path / "atlas")
+    store = "file://" + plain
+    for ver, n in ((1, 3), (2, 5), (3, 7)):
+        spark.range(n).write.parquet(f"{store}/v={ver}")
+        publish_version(store, ver, spark=spark)
+        assert current_atlas(spark, store).count() == n
+    vdirs = {d for d in os.listdir(plain) if d.startswith("v=")}
+    assert vdirs == {"v=2", "v=3"}  # keep=2 pruned v=1
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        current_atlas(spark, "file://" + str(tmp_path / "empty"))
+
+
+def test_uncommitted_increment_is_invisible(spark, feed, mkstore, tmp_path):
     """An increment directory without the commit marker (a live or torn
     micro-batch write) must be invisible to read_state AND compaction
     — compacting past it would permanently exclude its rows."""
-    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    (store, plain), ckpt = mkstore("store"), str(tmp_path / "ckpt")
     all_rows = _run_stream(spark, feed, store, ckpt, "agg")
     before = _rows(read_state(spark, store, ["k"]))
     torn = spark.createDataFrame([(1, "k0", 1.0)], "id long, k string, v double")
-    dest = os.path.join(store, "increments", "b=99")
-    agg_state(torn, ["k"], "v").write.mode("overwrite").parquet(dest)
-    os.remove(os.path.join(dest, "_STATE_COMMITTED")) if os.path.exists(
-        os.path.join(dest, "_STATE_COMMITTED")) else None
+    agg_state(torn, ["k"], "v").write.mode("overwrite").parquet(
+        store + "/increments/b=99"
+    )
+    marker = os.path.join(plain, "increments", "b=99", "_STATE_COMMITTED")
+    if os.path.exists(marker):
+        os.remove(marker)
     assert _rows(read_state(spark, store, ["k"])) == before
     assert compact_state(spark, store, ["k"]) == 2  # not 99
