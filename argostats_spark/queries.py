@@ -118,6 +118,16 @@ def query(name: str, sql: str | None = None):
 # coordinates, so DuckDB can brute-force the same θ-join.
 # =========================================================================
 
+# lm_ap exact-anchor slice cap (VERDICT r9 item 5): the exact-ntile
+# anchor the lm_ap guarantee compares against runs on the deterministic
+# slice doc_id < CAP, so queries() never reaches a corpus-sized global
+# sort through any path — the guarantee booleans ("approx bucketing is
+# within one decile of exact for unique values; approx populations are
+# n/10 ± 5%+3") keep their meaning on the slice, and the sort is
+# bounded at any corpus size. 8192 covers the whole sf0.01 driver
+# corpus (ids are dense from 0), so the driver row loses nothing.
+_LM_AP_SLICE_CAP = 8192
+
 _RESO = 10.0          # grid resolution, degrees
 _SF = 1.0             # smoothing factor → kernel radius = 10° of arc
 _THETA = math.sin(math.radians(_SF * _RESO) / 2.0) ** 2
@@ -1314,7 +1324,8 @@ def _aggstate_oracle_sql() -> str:
     UNION ALL SELECT 'lm_ap', 'all', 'viol', CAST(NULL AS VARCHAR), 0.0
     UNION ALL SELECT 'lm_ap', 'all', 'n_docs', CAST(NULL AS VARCHAR),
            (SELECT CAST(count(*) AS DOUBLE) FROM documents
-            WHERE len(list_filter(string_split_regex(trim(lower(text)),
+            WHERE doc_id < """ + str(_LM_AP_SLICE_CAP) + """
+              AND len(list_filter(string_split_regex(trim(lower(text)),
                   '\\s+'), x -> x <> '')) > 0)
     UNION ALL """
     + _profile_oracle_sql()
@@ -1468,32 +1479,43 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lm_ap limb (VERDICT r8 item 5): the approx_percentile decile
     # assignment path (nll_deciles exact=False) oracle-pinned by
     # GUARANTEES, not sketch values — per decile 1..10 the approx
-    # population sits within 5%·n+3 of n/10, and zero documents with a
-    # UNIQUE d_nll move more than one decile vs exact (tie runs are
-    # excluded: ntile splits them by doc_id across a boundary, which
-    # value-bucketing cannot replay — the pytest pins the same rule).
+    # population sits within 5%·n+3 of n/10 (FULL corpus, zero
+    # windows), and zero documents with a UNIQUE d_nll move more than
+    # one decile vs exact (tie runs are excluded: ntile splits them by
+    # doc_id across a boundary, which value-bucketing cannot replay —
+    # the pytest pins the same rule). The exact-ntile anchor for that
+    # second guarantee runs on the capped deterministic slice
+    # doc_id < _LM_AP_SLICE_CAP (VERDICT r9 item 5): queries() no
+    # longer reaches a corpus-sized global sort through any path — the
+    # one remaining exact ntile sorts at most CAP rows at any corpus
+    # size, and the guarantee keeps its meaning on the slice (exact
+    # vs approx over the SAME slice population).
     # Lives HERE beside the hll/dok/depth_ap guarantee limbs rather
     # than in tfidf_lm_suite: stats_suite is not a bench headline row,
     # so the guarantee work doesn't change what the tfidf headline has
     # measured since round 6 (the limb briefly lived there and moved
     # the sf1 row 1.8→3.6 s — real added work, wrong place to charge
-    # it). Both decile columns land on the same row (zero joins); the
-    # lazy localCheckpoint computes the NLL lineage once per job.
+    # it). The lazy localCheckpoint computes the NLL lineage once per
+    # job across the full-corpus and slice consumers.
     from .operators.textstats import nll_deciles, unigram_lm_nll
 
     nll_s = unigram_lm_nll(
         _t(spark, sf_dir, "documents")
     ).localCheckpoint(eager=False)
-    dec_s = nll_deciles(nll_s, exact=True).withColumnRenamed(
+    ap_s = nll_deciles(
+        nll_s, exact=False, materialize_edges=False
+    ).withColumnsRenamed({"decile": "d_ap"})
+    sl = nll_s.filter(F.col("doc_id") < _LM_AP_SLICE_CAP)
+    dec_sl = nll_deciles(sl, exact=True).withColumnRenamed(
         "decile", "d_ex"
     )
-    both_s = nll_deciles(
-        dec_s, exact=False, materialize_edges=False
+    both_sl = nll_deciles(
+        dec_sl, exact=False, materialize_edges=False
     ).withColumnsRenamed({"decile": "d_ap"}).withColumn(
         "__vc", F.count(F.lit(1)).over(W.partitionBy("d_nll"))
     )
     lm_pop = (
-        both_s.groupBy("d_ap").agg(F.count(F.lit(1)).alias("pop"))
+        ap_s.groupBy("d_ap").agg(F.count(F.lit(1)).alias("pop"))
         .withColumn("__n", F.sum("pop").over(W.partitionBy()))
         .select(
             F.lit("lm_ap").alias("which"),
@@ -1506,7 +1528,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("nval"),
         )
     )
-    lm_agg = both_s.agg(
+    lm_agg = both_sl.agg(
         F.sum(
             (
                 (F.col("__vc") == 1)

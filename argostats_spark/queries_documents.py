@@ -847,15 +847,20 @@ def _lsh_shingles(d: DataFrame) -> DataFrame:
 
 
 def _lsh_doc_signatures(d: DataFrame, sh_raw: DataFrame | None = None) -> DataFrame:
-    """Per-doc signature stats: ONE shuffle over the full shingle
-    stream — distinct count + both band mins in a single grouped
-    aggregate (Catalyst plans the mixed distinct/non-distinct agg as
-    one exchange with an Expand). Exposed for bench.py's per-stage
-    attribution (the 'sig' limb times exactly this subplan)."""
+    """Per-doc signatures: ONE shuffle over the full shingle stream —
+    both band mins in a single grouped aggregate, NO distinct count
+    (round-10 A/B, scripts/bench_lsh_pairs_ab.py `v4_lazy_nsh`): the
+    former count_distinct here made Catalyst plan a mixed
+    distinct/non-distinct aggregate, whose Expand doubles the shingle
+    stream through the exchange. The |shingle set| each pair's Jaccard
+    needs is only needed for CANDIDATE docs, so the pair plan derives
+    it from the already-distinct candidate shingle table instead —
+    serialized fresh-JVM A/B: full pairs subplan 2.07→1.60 s at sf0.1,
+    identical verified pair set both orders. Exposed for bench.py's
+    per-stage attribution (the 'sig' limb times exactly this subplan)."""
     if sh_raw is None:
         sh_raw = _lsh_shingles(d)
     return sh_raw.groupBy("doc_id").agg(
-        F.count_distinct("g").alias("n_sh"),
         F.min(F.md5(F.concat(F.lit("s1|"), F.col("g")))).alias("mh1"),
         F.min(F.md5(F.concat(F.lit("s2|"), F.col("g")))).alias("mh2"),
     )
@@ -889,13 +894,17 @@ def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-        F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
     ).localCheckpoint(eager=True)
 
     # Verification touches candidate docs only: ONE more pass over the
     # shingle stream, gated by a broadcast of the candidate id set (no
     # full-table shuffle); distinct applies to that small subset, and
-    # |∩| is a count over broadcast joins.
+    # |∩| is a count over broadcast joins. |shingle set| sizes (the
+    # Jaccard denominators) also come from HERE — counting the
+    # already-distinct candidate shingle table replaces a corpus-wide
+    # count_distinct in the signature aggregate, whose Expand doubled
+    # the shingle stream through the exchange (round-10 A/B: pairs
+    # subplan 2.07→1.60 s, identical output; bench_lsh_pairs_ab.py).
     ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .union(cand.select(F.col("id_b").alias("doc_id")))
@@ -905,6 +914,14 @@ def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
         sh_raw.join(F.broadcast(ids), "doc_id")
         .select("doc_id", "g").distinct()
         .localCheckpoint(eager=True)
+    )
+    n_tbl = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = cand.join(
+        F.broadcast(n_tbl.select(F.col("doc_id").alias("id_a"),
+                                 F.col("n_sh").alias("n_a"))), "id_a"
+    ).join(
+        F.broadcast(n_tbl.select(F.col("doc_id").alias("id_b"),
+                                 F.col("n_sh").alias("n_b"))), "id_b"
     )
     sa = sh_cand.select(F.col("doc_id").alias("id_a"), "g")
     sb = sh_cand.select(F.col("doc_id").alias("id_b"), "g")

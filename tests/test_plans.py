@@ -442,9 +442,13 @@ def test_global_window_sites_are_inventoried():
       rows, plus equi_depth_histogram's two conditional by=None
       windows — guarded by max_global_rows since round 9 (the guard
       raises before either is planned past the bound);
-    - operators/textstats.py: nll_deciles exact ntile — the ONE
-      corpus-sized global sort, documented demo/test-only; the scale
-      path is exact=False (approx edges, zero windows)."""
+    - operators/textstats.py: nll_deciles exact ntile — BOUNDED from
+      every queries() path since round 10 (VERDICT r9 item 5): the
+      stats_suite lm_ap anchor feeds it the capped slice
+      doc_id < _LM_AP_SLICE_CAP, so the sort is <= CAP rows at any
+      corpus size; the corpus-sized form remains reachable only by a
+      direct exact=True call (documented demo/test usage; the scale
+      path is exact=False — approx edges, zero windows)."""
     import re
     from pathlib import Path
 
