@@ -223,7 +223,13 @@ def bloom_gate_join(
     # the rid is NONDETERMINISTIC across recomputations and two lineage
     # branches consume src (the probe explosion and the final join) —
     # pin the assignment once so a task retry or a second action can
-    # never pair verdicts with the wrong rows
+    # never pair verdicts with the wrong rows. Lifetime note (VERDICT
+    # r9): a lazy localCheckpoint's blocks persist until the DRIVER GCs
+    # the handle — fine for one-shot gates, but a caller timing or
+    # chaining many gate_joins in one session should drop references
+    # (or gc.collect()) between them so checkpoint debris doesn't tax
+    # later queries' executor memory (the round-6 bench lesson,
+    # SCALE.md host-contention ledger).
     src = probe.withColumn("__rid", pid).localCheckpoint(eager=False)
     pos = F.explode(F.array(*_positions(F.col(col), num_bits, num_hashes)))
     probes = (

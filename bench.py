@@ -531,6 +531,15 @@ def main() -> None:
     # each limb is a fresh build of a strictly larger subplan ('sig' ⊂
     # 'pairs' ⊂ the headline row), so stage costs are the DELTAS
     # between rows (labeled cum_*); attribution only, not a tripwire.
+    def _stage(fn):
+        fn()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     try:
         from argostats_spark.operators.graph import duplicate_groups
         from argostats_spark.queries_documents import (
@@ -545,15 +554,6 @@ def main() -> None:
         dup_frac = _exact_dup_fraction(d_docs)
         sub["gate_probe"] = round(time.perf_counter() - t0, 3)
         sub["(dup_frac)"] = round(dup_frac, 4)
-
-        def _stage(fn):
-            fn()  # warm
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn()
-                best = min(best, time.perf_counter() - t0)
-            return round(best, 3)
 
         sub["cum_sig"] = _stage(
             lambda: _lsh_doc_signatures(d_docs)
@@ -578,6 +578,49 @@ def main() -> None:
         spark.catalog.clearCache()
     except Exception as exc:
         errors["limbs:dedup_groups_lsh"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # dsir_select stage attribution (round 10): the #2 headline row
+    # gets the same cumulative-prefix treatment — 'cum_feats' is the
+    # corpus feature pass alone (explode + (id, bucket) aggregate),
+    # 'cum_lam' adds the target fit + λ join; the headline row adds
+    # scoring + Gumbel TakeOrdered on top. Attribution only, not a
+    # tripwire.
+    try:
+        from argostats_spark.operators.dsir import (
+            doc_bucket_counts,
+            dsir_logratio,
+            gram_rows,
+            _bucket_of,
+        )
+        from pyspark.sql import functions as _F2
+
+        d_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        raw = d_docs.where(_F2.col("source") != "src0")
+        tgt = d_docs.where(_F2.col("source") == "src0")
+        sub = {}
+
+        def _feats():
+            return doc_bucket_counts(raw, "text", "doc_id", 4096)
+
+        def _lam():
+            raw_tot = _feats().groupBy("bucket").agg(_F2.sum("c").alias("c"))
+            tgt_tot = (
+                gram_rows(tgt, "text", [])
+                .select(_bucket_of(_F2.col("gram"), 4096))
+                .groupBy("bucket").agg(_F2.count(_F2.lit(1)).alias("c"))
+            )
+            return dsir_logratio(tgt_tot, raw_tot, 4096, 1.0)
+
+        sub["cum_feats"] = _stage(
+            lambda: _feats().write.format("noop").mode("overwrite").save()
+        )
+        sub["cum_lam"] = _stage(
+            lambda: _lam().write.format("noop").mode("overwrite").save()
+        )
+        limbs["dsir_select"] = sub
+        spark.catalog.clearCache()
+    except Exception as exc:
+        errors["limbs:dsir_select"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
