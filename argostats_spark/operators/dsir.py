@@ -174,7 +174,16 @@ def dsir_logratio(
     a training-corpus score; NEW documents at inference time can hit
     them, so ``return_floor=True`` additionally returns the both-sides
     smoothed value ln(α/(T+αB)) − ln(α/(R+αB)) those buckets carry
-    (used by :func:`dense_lambda` for the streaming/row-local path)."""
+    (used by :func:`dense_lambda` for the streaming/row-local path).
+
+    Both inputs are lazily localCheckpointed here: two consumers read
+    each (the scalar-totals action and the λ join), and without the
+    pin a caller passing a raw lineage — e.g. the target corpus's
+    tokenize+aggregate — pays that lineage once per consumer (measured
+    on the dsir_select bench row: the target pass ran twice). The
+    checkpointed frames are ≤B rows, so the pinned blocks are KBs."""
+    target_bucket_totals = target_bucket_totals.localCheckpoint(eager=False)
+    raw_bucket_totals = raw_bucket_totals.localCheckpoint(eager=False)
     totals = {
         r["side"]: r["t"]
         for r in target_bucket_totals.select(F.lit("t").alias("side"), "c")

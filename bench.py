@@ -158,6 +158,13 @@ def _measure_single(row: str) -> dict:
     warm-up preamble, one untimed warm run, warm min-of-3 noop
     writes. 1-min load is recorded before and after so the artifact
     shows whether the box was quiet."""
+    _ARGO_ROWS = {
+        "argo_summary_build_30k", "argo_interp_30k_profiles",
+        "argo_atlas_global_5deg", "argo_eape_regional_5deg",
+        "argo_eape_t25_regional_5deg",
+    }
+    if row not in QUERIES and row not in _ARGO_ROWS:
+        raise SystemExit(f"_measure_single: unknown row {row!r}")
     load_before = os.getloadavg()
     spark = get_spark(app_name=f"bench_row_{row}")
 
@@ -688,6 +695,25 @@ def main() -> None:
                     timings[name] = entry["committed_sec"]
                 out["remeasured"][name] = entry
             out["value"] = round(sum(timings.values()), 3)
+            # keep the derived argo block consistent with any replaced
+            # argo row: sec + profiles/s re-derived from the committed
+            # number (self-review, round 10 — a remeasured interp row
+            # previously left interp_profiles_per_sec at the flagged
+            # in-session value)
+            n_raw_a = argo.get("interp_profiles_in")
+            for rname, sec_key, rate_key in (
+                ("argo_summary_build_30k", "summary_sec",
+                 "summary_profiles_per_sec"),
+                ("argo_interp_30k_profiles", "interp_sec",
+                 "interp_profiles_per_sec"),
+                ("argo_eape_regional_5deg", "eape_sec",
+                 "eape_profiles_per_sec"),
+                ("argo_eape_t25_regional_5deg", "eape_t25_sec", None),
+            ):
+                if rname in out.get("remeasured", {}) and rname in timings:
+                    argo[sec_key] = timings[rname]
+                    if rate_key and n_raw_a:
+                        argo[rate_key] = round(n_raw_a / timings[rname], 1)
             flagged = _flags(timings, prev_q)
         out["regressions"] = flagged
     if errors:
