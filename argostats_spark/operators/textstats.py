@@ -344,6 +344,88 @@ def lm_score_rows(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Robertson et al., TREC-3; the Lucene-default scoring
+    form) of every document against a bag-of-terms query — the standard
+    lexical retrieval scorer a training-data pipeline uses for
+    fuzzy eval-set decontamination (rank corpus docs against each eval
+    question, audit the head) and query-targeted data selection (the
+    lexical complement to DSIR's hashed-ngram importance weights).
+
+    Returns (id_col, n_terms_matched, score) for every document
+    matching >= 1 query term, score rounded to 6 dp (the cross-engine
+    determinism policy):
+
+        score = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                  · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with tf the term's count in the doc, dl the doc's token count,
+    N/avgdl corpus totals. Terms absent from the corpus contribute
+    nothing (no +0.5 phantom idf rows — they generate no match rows).
+
+    Scale shape: the corpus explode filters to query terms BEFORE the
+    exchange (a row-local isin on a literal set), so the one keyed
+    shuffle carries only matching tokens — queries are words, corpora
+    are 100 TB; the match stream is closer to query-side-sized. The
+    df table is term-bounded and broadcast; N and avgdl come back as
+    two scalars (one tiny action, the blend_scores convention). dl is
+    computed row-locally pre-explode, so no second corpus pass."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    qt = sorted({t.lower() for t in query_terms})
+    tk = docs.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(id_col, F.size("__toks").alias("__dl"), F.col("__toks"))
+    row = tk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = row["n"], row["avgdl"]
+    if not n_docs or not avgdl:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_terms_matched int, score double"
+        )
+    matches = (
+        tk.select(id_col, "__dl", F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(qt))
+    )
+    tf_tbl = matches.groupBy(id_col, "__dl", "__t").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    df_tbl = tf_tbl.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    sat = (
+        F.col("__tf").cast("double") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("__tf")
+        + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+        )
+    )
+    return (
+        tf_tbl.join(F.broadcast(df_tbl), "__t")
+        .withColumn("__s", idf * sat)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+    )
+
+
 def compression_ratio_rows(
     docs: DataFrame,
     text_col: str = "text",

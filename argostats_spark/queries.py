@@ -1271,10 +1271,45 @@ def _aggstate_oracle_sql() -> str:
     FROM (SELECT DISTINCT l_returnflag FROM lineitem)"""
 
 
+# bm25 limb query terms (round 10): drawn from the synthetic corpus
+# vocabulary with a real idf spread — 'dup' is rare (~6% of docs),
+# 'scan'/'vector' are near-ubiquitous — plus one absent term pinning
+# the no-phantom-idf contract (absent terms generate no match rows,
+# never a smoothed ghost contribution). The DuckDB twin embeds the
+# same list.
+_BM25_TERMS = ("dup", "scan", "vector", "nosuchterm")
+
+
 @query(
     "stats_suite",
-    """
-    WITH mm AS (
+    f"""
+    WITH btk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    btot AS (
+      SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM btk
+    ),
+    btf AS (
+      SELECT doc_id, dl, w, count(*) AS tf FROM (
+        SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM btk
+      ) WHERE w IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+      GROUP BY doc_id, dl, w
+    ),
+    bdf AS (SELECT w, count(*) AS df FROM btf GROUP BY w),
+    bsc AS (
+      SELECT btf.doc_id, CAST(count(*) AS INT) AS nt,
+             round(sum(
+               ln(1 + (btot.n - bdf.df + 0.5) / (bdf.df + 0.5))
+               * (btf.tf * 2.2)
+               / (btf.tf + 1.2 * (0.25 + 0.75 * btf.dl / btot.avgdl))
+             ), 6) AS score
+      FROM btf JOIN bdf USING (w), btot
+      GROUP BY btf.doc_id
+    ),
+    mm AS (
       SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
              strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
              min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
@@ -1327,6 +1362,9 @@ def _aggstate_oracle_sql() -> str:
             WHERE doc_id < """ + str(_LM_AP_SLICE_CAP) + """
               AND len(list_filter(string_split_regex(trim(lower(text)),
                   '\\s+'), x -> x <> '')) > 0)
+    UNION ALL SELECT 'bm25', CAST(doc_id AS VARCHAR), 'score',
+                     CAST(nt AS VARCHAR), score
+    FROM bsc
     UNION ALL """
     + _profile_oracle_sql()
     + """
@@ -1632,10 +1670,29 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("sval"),
         F.col("blend").alias("nval"),
     )
+    # bm25 limb (round 10): Okapi BM25 of every document against a
+    # fixed bag-of-terms query (operators/textstats.py::bm25_scores) —
+    # the lexical retrieval scorer for fuzzy eval-decontamination
+    # ranking and query-targeted selection. The twin recomputes the
+    # whole thing (tf / df / dl / N / avgdl and the saturation
+    # formula) from the same term list; n_terms_matched rides in sval
+    # so matched-term count and score pin on one row per doc.
+    from .operators.textstats import bm25_scores
+
+    bm = bm25_scores(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS)
+    ).select(
+        F.lit("bm25").alias("which"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.lit("score").alias("stat"),
+        F.col("n_terms_matched").cast("string").alias("sval"),
+        F.col("score").alias("nval"),
+    )
     return (
         mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
         .unionByName(hll).unionByName(lm_pop).unionByName(lm_rows2)
         .unionByName(agl).unionByName(man).unionByName(bl)
+        .unionByName(bm)
     )
 
 

@@ -107,7 +107,7 @@ LIMB_SPECS: dict[str, dict] = {
     "stats_suite": {
         "mode": "tag", "col": "which",
         "values": ["minmax", "quantile", "stats", "profile", "aggstate",
-                   "manifest", "blend", "hll", "lm_ap"],
+                   "manifest", "blend", "hll", "lm_ap", "bm25"],
     },
 }
 

@@ -453,3 +453,63 @@ def test_nll_deciles_join_form_equals_literal_form(docs_df):
                                       materialize_edges=False).collect()}
     assert lit_form == join_form
     nll.unpersist()
+
+
+def test_bm25_matches_python_mirror(spark, docs_df):
+    """bm25_scores vs a direct Python BM25 over the real corpus: same
+    tokenization, same Robertson idf, same saturation; rounded 6dp."""
+    from collections import Counter
+
+    from argostats_spark.operators.textstats import bm25_scores
+
+    terms = ["dup", "scan", "vector", "nosuchterm"]
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(docs_df, terms).collect()
+    }
+
+    rows = docs_df.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter(
+        t for tk in toks.values() for t in set(tk) if t in set(terms)
+    )
+    want = {}
+    for did, tk in toks.items():
+        c = Counter(t for t in tk if t in set(terms))
+        if not c:
+            continue
+        s = 0.0
+        for t, tf in c.items():
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        want[did] = (len(c), round(s, 6))
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
+    # real idf spread reaches the fixture: the rare term must be rarer
+    assert 0 < df["dup"] < df["scan"]
+
+
+def test_bm25_absent_term_and_validation(spark):
+    """An absent query term contributes nothing (no phantom smoothed
+    idf rows); non-matching docs are absent; empty query raises;
+    empty corpus returns an empty typed frame."""
+    from argostats_spark.operators.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r["score"]
+            for r in bm25_scores(df, ["alpha", "beta"]).collect()}
+    plus = {r["doc_id"]: r["score"]
+            for r in bm25_scores(df, ["alpha", "beta", "zzz"]).collect()}
+    assert base == plus and set(base) == {1, 3}  # doc 2 matches nothing
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(df, [])
+    empty = bm25_scores(df.filter("doc_id < 0"), ["alpha"])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "n_terms_matched", "score"}
