@@ -230,10 +230,17 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # ONE full-table shuffle: the multiset shingle stream (no distinct,
     # no shuffle to build — zip-slice explode) feeds a single grouped
-    # aggregate computing the distinct-shingle count AND every hash min
-    # (min over a multiset == min over its set).
+    # aggregate of hash mins ONLY (min over a multiset == min over its
+    # set). The distinct-shingle counts the Jaccard denominators need
+    # are NOT computed here: a count_distinct beside the mins plans as
+    # a mixed distinct/non-distinct aggregate whose Expand doubles the
+    # shingle stream through the exchange (round-10 A/B,
+    # scripts/bench_lsh_pairs_ab.py: pairs subplan −23% at sf0.1 with
+    # identical output); they come from the candidate-only distinct
+    # shingle table below instead — candidate-sized, never
+    # corpus-sized.
     sh_raw = shingle_table(df, id_col, text_col, shingle_n, unique=False)
-    aggs = [F.count_distinct("g").alias("n_sh")] + [
+    aggs = [
         F.min(_component_hash(i, "xxhash64")(F.col("g"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
@@ -244,7 +251,7 @@ def minhash_lsh_pairs(
     # hash collisions from pairing)
     band_cols = _band_key_cols(num_hashes, bands, "xxhash64")
     kb = stats.select(
-        "doc_id", "n_sh", F.posexplode(F.array(*band_cols)).alias("band_no", "bk")
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_no", "bk")
     )
     a, b = kb.alias("a"), kb.alias("b")
     # candidates are tiny by LSH construction: materialize once so the
@@ -258,7 +265,6 @@ def minhash_lsh_pairs(
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -276,6 +282,14 @@ def minhash_lsh_pairs(
         sh_raw.join(F.broadcast(ids), "doc_id")
         .select("doc_id", "g").distinct()
         .localCheckpoint(eager=True)
+    )
+    n_tbl = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cands = cands.join(
+        F.broadcast(n_tbl.select(F.col("doc_id").alias("id_a"),
+                                 F.col("n_sh").alias("n_a"))), "id_a"
+    ).join(
+        F.broadcast(n_tbl.select(F.col("doc_id").alias("id_b"),
+                                 F.col("n_sh").alias("n_b"))), "id_b"
     )
     sh_a = sh_cand.select(F.col("doc_id").alias("id_a"), "g")
     if salt_verify:
