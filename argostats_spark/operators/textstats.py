@@ -390,8 +390,9 @@ def bm25_scores(
     ).first()
     n_docs, avgdl = row["n"], row["avgdl"]
     if not n_docs or not avgdl:
+        id_type = docs.schema[id_col].dataType.simpleString()
         return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_terms_matched int, score double"
+            [], f"{id_col} {id_type}, n_terms_matched int, score double"
         )
     matches = (
         tk.select(id_col, "__dl", F.explode("__toks").alias("__t"))
