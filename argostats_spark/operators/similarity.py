@@ -389,3 +389,46 @@ def mrl_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    on: list[str],
+    rank_col: str = "rank",
+    k: int = 60,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009; the Elasticsearch/OpenSearch hybrid-search default): fuse
+    N retrievers' rankings into one score per key,
+
+        rrf(key) = Σ_lists 1 / (k + rank_in_list)
+
+    Returns (*on, rrf_score, n_lists) for every key present in at
+    least one list — rank-based fusion needs no score calibration
+    across retrievers (BM25 scores and cosine similarities live on
+    incomparable scales; ranks don't), which is exactly why it is the
+    standard lexical+dense combiner. ``k`` damps the head (k=60 is the
+    paper's constant); ``n_lists`` exposes single-list stragglers so
+    callers can require corroboration.
+
+    Scale shape: one unionByName + one keyed aggregate over the
+    CANDIDATE rows (each retriever's top-k × queries — never corpus-
+    sized). Score rounded to ``round_digits`` (the cross-engine
+    determinism policy: the sum over ≤N reciprocal terms is
+    partition-order-dependent at ~1e-17)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    u = None
+    for r in rankings:
+        part = r.select(*on, F.col(rank_col).alias("__rk"))
+        u = part if u is None else u.unionByName(part)
+    return u.groupBy(*on).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__rk"))),
+            round_digits,
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )

@@ -427,6 +427,90 @@ def bm25_scores(
     )
 
 
+def bm25_scores_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched multi-query BM25 — ONE corpus pass for ANY number of
+    queries (the retrieval shape an eval-decontamination sweep runs:
+    thousands of benchmark questions against a 100 TB corpus, never
+    one corpus scan per question). ``queries`` is (qid, terms
+    array<string>, pre-normalized by the caller); returns
+    (qid, id_col, n_terms_matched, score) with the identical formula
+    and 6 dp rounding as :func:`bm25_scores` — pinned equal on shared
+    terms by test.
+
+    Scale shape: the query-term table is exploded and BROADCAST; the
+    corpus explode joins it row-locally, so the one keyed exchange
+    carries only (query, matching-token) rows. df is derived from the
+    matched (doc, term) set (never a second corpus pass) and the tf
+    table is lazily localCheckpointed because two consumers read it
+    (the df aggregate and the scoring join — the dsir_logratio
+    lesson). N/avgdl are two scalars in one tiny action."""
+    tk = docs.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(id_col, F.size("__toks").alias("__dl"), F.col("__toks"))
+    row = tk.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = row["n"], row["avgdl"]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if not n_docs or not avgdl:
+        return docs.sparkSession.createDataFrame(
+            [],
+            f"{qid_col} long, {id_col} {id_type}, "
+            "n_terms_matched int, score double",
+        )
+    qt = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("__t"),
+    )
+    matches = (
+        tk.select(id_col, "__dl", F.explode("__toks").alias("__t"))
+        .join(F.broadcast(qt), "__t")
+    )
+    tf_tbl = matches.groupBy(qid_col, id_col, "__dl", "__t").agg(
+        F.count(F.lit(1)).alias("__tf")
+    ).localCheckpoint(eager=False)
+    # df is per TERM over the corpus (query-independent): distinct
+    # (doc, term) from the matched set — a term shared by two queries
+    # must not double-count its documents
+    df_tbl = (
+        tf_tbl.select(id_col, "__t").distinct()
+        .groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    sat = (
+        F.col("__tf").cast("double") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("__tf")
+        + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+        )
+    )
+    return (
+        tf_tbl.join(F.broadcast(df_tbl), "__t")
+        .withColumn("__s", idf * sat)
+        .groupBy(qid_col, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+    )
+
+
 def compression_ratio_rows(
     docs: DataFrame,
     text_col: str = "text",

@@ -1762,6 +1762,64 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
                           i -> e.v[i] * e.v[i])))),
              5) AS sim
       FROM qv2 q JOIN emb e ON e.vec_id <> q.qid
+    ),
+    hq AS (
+      SELECT doc_id AS qid,
+             list_distinct(list_filter(string_split_regex(trim(lower(text)),
+                 '\\s+'), x -> x <> '')) AS qterms
+      FROM documents WHERE doc_id < 3
+    ),
+    htk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    htot AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM htk),
+    hmt AS (
+      SELECT qq.qid, t.doc_id, t.dl, t.w
+      FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM htk) t
+      JOIN (SELECT qid, unnest(qterms) AS w FROM hq) qq USING (w)
+    ),
+    htf AS (
+      SELECT qid, doc_id, dl, w, count(*) AS tf
+      FROM hmt GROUP BY qid, doc_id, dl, w
+    ),
+    hdf AS (
+      SELECT w, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, w FROM hmt) GROUP BY w
+    ),
+    hsc AS (
+      SELECT htf.qid, htf.doc_id,
+             round(sum(
+               ln(1 + (htot.n - hdf.df + 0.5) / (hdf.df + 0.5))
+               * (htf.tf * 2.2)
+               / (htf.tf + 1.2 * (0.25 + 0.75 * htf.dl / htot.avgdl))
+             ), 6) AS score
+      FROM htf JOIN hdf USING (w), htot
+      GROUP BY htf.qid, htf.doc_id
+    ),
+    hlex AS (
+      SELECT qid, doc_id, rk FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM hsc WHERE doc_id <> qid
+      ) WHERE rk <= 10
+    ),
+    hden AS (
+      SELECT qid, vec_id, rk FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM pairs WHERE qid < 3
+      ) WHERE rk <= 10
+    ),
+    hfuse AS (
+      SELECT qid, vec_id, round(sum(1.0 / (60 + rk)), 6) AS rrf
+      FROM (SELECT qid, doc_id AS vec_id, rk FROM hlex
+            UNION ALL SELECT qid, vec_id, rk FROM hden)
+      GROUP BY qid, vec_id
     )
     SELECT 'ivf' AS method, qid, vec_id, sim AS score FROM (
       SELECT qid, vec_id, sim,
@@ -1787,6 +1845,8 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       FROM mrlp
     ) WHERE rn <= 5
+    UNION ALL
+    SELECT 'hybrid' AS method, qid, vec_id, rrf AS score FROM hfuse
     """
 
 
@@ -1864,7 +1924,56 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mrl32").alias("method"), "qid", "vec_id",
         F.col("cosine").alias("score"),
     )
-    return ivf.unionByName(pq).unionByName(sq).unionByName(mrl)
+    # hybrid limb (round 10): lexical BM25 (each query = the distinct
+    # tokens of documents 0..2, batched through bm25_scores_queries —
+    # ONE corpus pass for all queries) + dense cosine (the cosine_topk
+    # formula, round-5-before-rank), top-10 each, fused by Reciprocal
+    # Rank Fusion (operators/similarity.py::rrf_fuse, k=60). The twin
+    # replays the ENTIRE funnel — tf/df/dl/N/avgdl, both rankings with
+    # their tie-breaks, and the fused reciprocal sums — so a drift in
+    # any stage (tokenization, saturation, rounding, rank ties, the
+    # fusion constant) flips the hash. vec_id and doc_id share the id
+    # space by testdata construction.
+    from .operators.similarity import rrf_fuse
+    from .operators.textstats import bm25_scores_queries
+
+    hd = _t(spark, sf_dir, "documents")
+    hq = hd.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("terms"),
+    )
+    wlex = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    lexr = (
+        bm25_scores_queries(hd, hq)
+        .filter(F.col("doc_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= 10)
+        .select("qid", F.col("doc_id").alias("vec_id"), "rank")
+    )
+    q3 = F.broadcast(
+        e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    wden = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    denr = (
+        q3.join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(cosine_similarity("qv", "embedding"), 5).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(wden))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id", "rank")
+    )
+    hyb = rrf_fuse([lexr, denr], on=["qid", "vec_id"]).select(
+        F.lit("hybrid").alias("method"), "qid", "vec_id",
+        F.col("rrf_score").alias("score"),
+    )
+    return (
+        ivf.unionByName(pq).unionByName(sq).unionByName(mrl)
+        .unionByName(hyb)
+    )
 
 
 @query(

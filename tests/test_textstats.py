@@ -513,3 +513,57 @@ def test_bm25_absent_term_and_validation(spark):
     empty = bm25_scores(df.filter("doc_id < 0"), ["alpha"])
     assert empty.count() == 0
     assert set(empty.columns) == {"doc_id", "n_terms_matched", "score"}
+
+
+def test_bm25_queries_batch_equals_single(spark, docs_df):
+    """bm25_scores_queries (one corpus pass for a query batch) must
+    produce, for each query, exactly bm25_scores run with that query's
+    terms alone — same formula, same df, same rounding."""
+    from argostats_spark.operators.textstats import (
+        bm25_scores,
+        bm25_scores_queries,
+    )
+
+    qsets = {0: ["dup", "scan"], 1: ["vector", "merge", "nosuch"],
+             2: ["dup"]}
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in qsets.items()],
+        "qid long, terms array<string>",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): (r["n_terms_matched"], r["score"])
+        for r in bm25_scores_queries(docs_df, queries).collect()
+    }
+    for q, ts in qsets.items():
+        want = {
+            (q, r["doc_id"]): (r["n_terms_matched"], r["score"])
+            for r in bm25_scores(docs_df, ts).collect()
+        }
+        sub = {k: v for k, v in got.items() if k[0] == q}
+        assert sub == want, f"query {q} diverged"
+
+
+def test_rrf_fuse_mirror_and_validation(spark):
+    from argostats_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 12, 1)], "qid long, id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "qid long, id long, rank int"
+    )
+    got = {
+        (r["qid"], r["id"]): (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([a, b], on=["qid", "id"]).collect()
+    }
+    assert got == {
+        (0, 10): (round(1 / 61, 6), 1),
+        (0, 11): (round(1 / 62 + 1 / 61, 6), 2),
+        (0, 13): (round(1 / 62, 6), 1),
+        (1, 12): (round(1 / 61, 6), 1),
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        rrf_fuse([], on=["id"])
+    with _pt.raises(ValueError, match="k must"):
+        rrf_fuse([a], on=["qid", "id"], k=0)
