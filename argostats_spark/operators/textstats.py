@@ -511,6 +511,94 @@ def bm25_scores_queries(
     )
 
 
+def bm25_fit(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+) -> tuple[dict[str, int], int, float]:
+    """Freeze the BM25 corpus statistics a scorer needs: (df_by_term,
+    n_docs, avgdl) for ``query_terms`` over ``docs``. One corpus pass
+    (dl + matched-term explode into a single mixed aggregate would
+    Expand; two aggregates over the SAME scan stay cheap because the
+    df side is match-filtered row-locally first). The returned model
+    is O(|query_terms|) — collect-and-ship is the point."""
+    if not query_terms:
+        raise ValueError("bm25_fit: query_terms must be non-empty")
+    qt = sorted({t.lower() for t in query_terms})
+    tk = docs.select(
+        tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).select(F.size("__toks").alias("__dl"), F.col("__toks"))
+    row = tk.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(row["n"] or 0), row["avgdl"]
+    dfs = {
+        r["__t"]: int(r["__df"])
+        for r in (
+            tk.select(F.explode(F.array_distinct("__toks")).alias("__t"))
+            .filter(F.col("__t").isin(qt))
+            .groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+            .collect()
+        )
+    }
+    return dfs, n_docs, float(avgdl or 0.0)
+
+
+def bm25_score_rows(
+    docs: DataFrame,
+    model: tuple[dict[str, int], int, float],
+    text_col: str = "text",
+    out_col: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Inference-time BM25 against a FROZEN model (from
+    :func:`bm25_fit`): adds ``out_col`` while keeping the frame
+    ROW-SHAPED — the lm_score_rows / dsir_score_rows score-at-ingest
+    shape (no shuffle, no state, no output-mode constraints — a
+    stateless streaming map, so the same call gates a readStream).
+
+    Per-term tf is an in-row count over the token array; idf constants
+    fold at the driver from the frozen (df, N); the saturation uses
+    the frozen avgdl. Docs matching no term score 0.0 (a valid "not
+    relevant" — unlike lm_score_rows' NULL-for-unscorable, a zero here
+    IS the scorer's answer); NULL text scores NULL. On the fitted
+    corpus the scores equal :func:`bm25_scores` for every matching doc
+    (pinned by test; score_rows additionally keeps the non-matching
+    rows)."""
+    import math
+
+    dfs, n_docs, avgdl = model
+    if n_docs <= 0 or not avgdl:
+        raise ValueError(
+            "bm25_score_rows: model has no corpus statistics "
+            "(n_docs/avgdl empty) — fit on a non-empty corpus"
+        )
+    toks = tokens(F.lower(F.col(text_col)))
+    dl = F.size(toks)
+    denom_tail = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl))
+    )
+    parts = []
+    for t in sorted(dfs):
+        idf = math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        parts.append(
+            F.when(
+                tf > 0,
+                F.lit(idf) * tf.cast("double") * F.lit(k1 + 1.0)
+                / (tf + denom_tail),
+            ).otherwise(F.lit(0.0))
+        )
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return docs.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNotNull(), F.round(total, 6)),
+    )
+
+
 def compression_ratio_rows(
     docs: DataFrame,
     text_col: str = "text",

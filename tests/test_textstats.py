@@ -567,3 +567,60 @@ def test_rrf_fuse_mirror_and_validation(spark):
         rrf_fuse([], on=["id"])
     with _pt.raises(ValueError, match="k must"):
         rrf_fuse([a], on=["qid", "id"], k=0)
+
+
+def test_bm25_score_rows_equals_batch_and_streams(spark, docs_df, tmp_path):
+    """The frozen-model row-local scorer (bm25_fit + bm25_score_rows)
+    agrees with the batch bm25_scores on every matching doc of the
+    fitted corpus, keeps non-matching rows at 0.0, NULLs NULL text,
+    and gates a readStream unchanged (stateless map)."""
+    from argostats_spark.operators.textstats import (
+        bm25_fit,
+        bm25_score_rows,
+        bm25_scores,
+    )
+
+    terms = ["dup", "scan", "vector"]
+    model = bm25_fit(docs_df, terms)
+    batch = {r["doc_id"]: r["score"]
+             for r in bm25_scores(docs_df, terms).collect()}
+    rows = {r["doc_id"]: r["bm25"]
+            for r in bm25_score_rows(docs_df, model).collect()}
+    assert set(batch) <= set(rows)
+    for did, s in batch.items():
+        assert rows[did] == pytest.approx(s, abs=2e-6)
+    for did, s in rows.items():
+        if did not in batch:
+            assert s == 0.0
+    # NULL text scores NULL, never 0.0
+    nd = spark.createDataFrame([(99, None)], "doc_id long, text string")
+    assert bm25_score_rows(nd, model).first()["bm25"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_fit(docs_df, [])
+    with pytest.raises(ValueError, match="corpus statistics"):
+        bm25_score_rows(nd, ({}, 0, 0.0))
+
+    # streaming == batch through a memory sink
+    import json as _json
+
+    from argostats_spark.streaming.events import run_to_memory
+
+    d = tmp_path / "bm25_stream"
+    d.mkdir()
+    sample = docs_df.select("doc_id", "text").limit(50).collect()
+    (d / "part-000.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                  for r in sample) + "\n"
+    )
+    stream = bm25_score_rows(
+        spark.readStream.schema("doc_id long, text string").json(str(d)),
+        model,
+    )
+    q = run_to_memory(stream, "bm25_rows_stream", output_mode="append")
+    try:
+        got = {r["doc_id"]: r["bm25"]
+               for r in spark.table("bm25_rows_stream").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: rows[r["doc_id"]] for r in sample}
+    assert got == want
