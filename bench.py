@@ -682,7 +682,18 @@ def main() -> None:
 
             _gc.collect()
             out["remeasure_protocol"] = REMEASURE_PROTOCOL
-            rm = _remeasure_flagged(sorted(flagged))
+            # wall-clock guard: a broad flag event (testdata regen, a
+            # genuinely slower box generation) must not spawn 19 fresh
+            # JVMs inside the driver's bench window — re-measure the
+            # WORST offenders (by ratio) up to a cap and say which rows
+            # were skipped, so the artifact stays honest either way
+            cap = 6
+            by_ratio = sorted(
+                flagged, key=lambda n: -flagged[n]["ratio"]
+            )
+            if len(by_ratio) > cap:
+                out["remeasure_skipped"] = sorted(by_ratio[cap:])
+            rm = _remeasure_flagged(sorted(by_ratio[:cap]))
             out["remeasured"] = {}
             for name, r in rm.items():
                 entry = {"insession_sec": timings[name], **r}
