@@ -86,7 +86,10 @@ def current_atlas(spark: SparkSession, atlas_store: str) -> DataFrame:
     write-once; the retention window keeps the previous version on
     disk through the swap)."""
     txt = store_fs(atlas_store, spark).read_text(f"{atlas_store}/CURRENT")
-    if txt is None:
+    # `not txt` (not `is None`): an empty pointer file reads as "" —
+    # treat it as unpublished like a missing one, instead of an int()
+    # ValueError that misdiagnoses the store (self-review, round 10)
+    if not txt:
         raise FileNotFoundError(
             f"no atlas published yet under {atlas_store!r} "
             "(CURRENT pointer missing — wait for the first refresh)"

@@ -14,6 +14,9 @@ another's storage debris or GC state.
 
 Usage: python scripts/bench_remeasure_r9.py            # all three
        python scripts/bench_remeasure_r9.py <row> ...  # subset
+SUPERSEDED (round 10): this protocol is folded into bench.py itself —
+flagged rows auto-re-measure in fresh JVMs before the artifact is
+written (see REMEASURE_PROTOCOL and --row). Kept for the r9 history.
 Prints one JSON line per row and a summary comparing against the
 BENCH_r07/BENCH_r08 numbers.
 """
