@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
+# bm25_score_rows builds ONE column expression with a
+# size(filter(...)) + saturation branch PER frozen term; past a few
+# dozen terms the expression tree approaches Janino/codegen limits
+# and fails with an opaque JVM error. Named bound, checked up front —
+# large query sets belong in bm25_scores_queries (batched form).
+BM25_ROW_LOCAL_MAX_TERMS = 64
+
 
 def unigram_lm_nll(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", return_totals: bool = False):
@@ -462,10 +469,11 @@ def bm25_scores_queries(
     ).first()
     n_docs, avgdl = row["n"], row["avgdl"]
     id_type = docs.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[qid_col].dataType.simpleString()
     if not n_docs or not avgdl:
         return docs.sparkSession.createDataFrame(
             [],
-            f"{qid_col} long, {id_col} {id_type}, "
+            f"{qid_col} {qid_type}, {id_col} {id_type}, "
             "n_terms_matched int, score double",
         )
     qt = queries.select(
@@ -574,6 +582,16 @@ def bm25_score_rows(
             "bm25_score_rows: model has no corpus statistics "
             "(n_docs/avgdl empty) — fit on a non-empty corpus"
         )
+    if len(dfs) > BM25_ROW_LOCAL_MAX_TERMS:
+        raise ValueError(
+            f"bm25_score_rows: {len(dfs)} frozen terms exceeds "
+            f"BM25_ROW_LOCAL_MAX_TERMS={BM25_ROW_LOCAL_MAX_TERMS} — "
+            "each term adds a size(filter(...)) branch to ONE column "
+            "expression, and thousands of branches blow the codegen "
+            "limit with an opaque JVM error. For large query sets use "
+            "bm25_scores_queries (the batched form: one corpus pass, "
+            "broadcast query-term table)."
+        )
     toks = tokens(F.lower(F.col(text_col)))
     dl = F.size(toks)
     denom_tail = F.lit(k1) * (
@@ -590,7 +608,11 @@ def bm25_score_rows(
                 / (tf + denom_tail),
             ).otherwise(F.lit(0.0))
         )
-    total = parts[0]
+    # dfs can legitimately be empty: bm25_fit returns {} when none of
+    # the query terms occur in the corpus (absent terms produce no df
+    # rows while n_docs/avgdl stay non-zero) — every doc then scores
+    # the documented 0.0, not an IndexError
+    total = parts[0] if parts else F.lit(0.0)
     for p in parts[1:]:
         total = total + p
     return docs.withColumn(

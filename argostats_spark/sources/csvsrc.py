@@ -47,13 +47,26 @@ from pyspark.sql.types import StringType, StructField, StructType
 _CORRUPT = "_corrupt_record"
 
 
+def _pad_ws_class(sep: str) -> str:
+    """Whitespace-around-separator class that EXCLUDES the separator
+    itself. A bare ``\\s`` matches a tab separator, so for TSV a run
+    of tabs (a header with an empty field) would collapse to ONE
+    separator — such a header form could never match and adjacent
+    fields could falsely collide (review finding, round 10). The
+    double-negative class ``[^\\S<sep>]`` = "whitespace that is not
+    the separator" parses identically in Python and Java regex."""
+    return rf"[^\S{re.escape(sep)}]*"
+
+
 def _norm_py(s: str, sep: str) -> str:
     """Driver-side mirror of the normalization the scan applies to
-    every line: quotes out, whitespace around separators collapsed,
+    every line: quotes out, padding whitespace around separators
+    collapsed (never the separator itself — see :func:`_pad_ws_class`),
     case folded. Applied to caller-supplied expected headers so both
     sides of the comparison are in normal form."""
     s = s.strip().replace('"', "")
-    s = re.sub(rf"\s*{re.escape(sep)}\s*", sep, s)
+    ws = _pad_ws_class(sep)
+    s = re.sub(rf"{ws}{re.escape(sep)}{ws}", sep, s)
     return s.lower()
 
 
@@ -110,10 +123,11 @@ def _parse(
         # normalized form equals a header's matches too — pass
         # quarantine_headers=True upstream to make those observable.
         sep_re = re.escape(sep)
+        ws = _pad_ws_class(sep)
         norm = F.lower(
             F.regexp_replace(
                 F.regexp_replace(F.trim(F.col("value")), '"', ""),
-                rf"\s*{sep_re}\s*", sep,
+                rf"{ws}{sep_re}{ws}", sep,
             )
         )
         is_header = norm.isin(forms)

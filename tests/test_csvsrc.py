@@ -130,6 +130,45 @@ def test_header_variants_are_dropped(spark, tmp_path_factory):
     assert [tuple(r) for r in good.collect()] == [("1", "ok", "0.5")]
 
 
+def test_tsv_header_normalization_keeps_empty_fields(spark, tmp_path_factory):
+    """ADVICE r10: the header normalizer's whitespace class must not
+    match the separator itself — for TSV, a bare \\s collapsed runs of
+    tabs, so a DATA row with an empty field ('a\\t\\tb') normalized to
+    the same form as a two-field header ('a\\tb') and was falsely
+    dropped. Only PADDING whitespace may collapse."""
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("mid", StringType()),
+        StructField("score", StringType()),
+    ])
+    # a 3-field data row with an EMPTY middle field must NOT collide
+    # with the 2-field expected_header form "doc_id\tscore"
+    p = tmp_path_factory.mktemp("tsv_hdr") / "h.tsv"
+    p.write_text(
+        "doc_id\tmid\tscore\n"
+        "doc_id\t\tscore\n"      # DATA: (doc_id, '', score)
+        "1\tx\t0.5\n"
+    )
+    good, bad = read_csv_corpus(
+        spark, str(p), schema, sep="\t", header=True,
+        expected_header="doc_id\tscore",
+    )
+    got = sorted(tuple(r) for r in good.collect())
+    # the empty field parses as NULL; the point is the row SURVIVES
+    # as data instead of being dropped as a header
+    assert got == [("1", "x", "0.5"), ("doc_id", None, "score")]
+    assert bad.count() == 0
+    # padding spaces around tabs still collapse: a padded spelling of
+    # the real header matches the schema-derived form
+    p2 = tmp_path_factory.mktemp("tsv_hdr2") / "h2.tsv"
+    p2.write_text("doc_id \t mid \t score\n2\ty\t1.5\n")
+    good2, bad2 = read_csv_corpus(
+        spark, str(p2), schema, sep="\t", header=True,
+    )
+    assert [tuple(r) for r in good2.collect()] == [("2", "y", "1.5")]
+    assert bad2.count() == 0
+
+
 def test_expected_header_catches_foreign_spelling(spark, tmp_path_factory):
     """ADVICE r9: a file whose real header uses different names/order
     than the schema used to parse as a data row (silently, for

@@ -543,6 +543,51 @@ def test_bm25_queries_batch_equals_single(spark, docs_df):
         assert sub == want, f"query {q} diverged"
 
 
+def test_bm25_score_rows_absent_terms_and_term_bound(spark):
+    """A legitimate model with dfs={} (bm25_fit on terms that never
+    occur: absent terms yield no df rows while n_docs/avgdl stay
+    non-zero) must score 0.0 as documented, not IndexError (review
+    finding, round 10); and the row-local form refuses a frozen term
+    count past BM25_ROW_LOCAL_MAX_TERMS, naming the batched remedy."""
+    from argostats_spark.operators.textstats import (
+        BM25_ROW_LOCAL_MAX_TERMS,
+        bm25_fit,
+        bm25_score_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None)],
+        "doc_id long, text string",
+    )
+    model = bm25_fit(df, ["zzz", "qqq"])
+    assert model[0] == {} and model[1] == 3 and model[2] > 0
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_score_rows(df, model).collect()}
+    assert got == {1: 0.0, 2: 0.0, 3: None}
+    big = {f"t{i}": 1 for i in range(BM25_ROW_LOCAL_MAX_TERMS + 1)}
+    with pytest.raises(ValueError, match="bm25_scores_queries"):
+        bm25_score_rows(df, (big, 3, 2.0))
+    # exactly at the bound is fine
+    at = {f"t{i}": 1 for i in range(BM25_ROW_LOCAL_MAX_TERMS)}
+    assert bm25_score_rows(df, (at, 3, 2.0)).count() == 3
+
+
+def test_bm25_queries_empty_corpus_preserves_qid_type(spark):
+    """The empty-corpus early return must carry the queries frame's
+    actual qid type (a string qid previously came back as long on
+    this edge only, breaking downstream unions — review finding,
+    round 10)."""
+    from argostats_spark.operators.textstats import bm25_scores_queries
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("qa", ["alpha"])], "qid string, terms array<string>"
+    )
+    out = bm25_scores_queries(docs, queries)
+    assert out.count() == 0
+    assert out.schema["qid"].dataType.simpleString() == "string"
+
+
 def test_rrf_fuse_mirror_and_validation(spark):
     from argostats_spark.operators.similarity import rrf_fuse
 
