@@ -1816,7 +1816,8 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
       ) WHERE rk <= 10
     ),
     hfuse AS (
-      SELECT qid, vec_id, round(sum(1.0 / (60 + rk)), 6) AS rrf
+      SELECT qid, vec_id, round(sum(1.0 / (60 + rk)), 6) AS rrf,
+             count(*) AS nl
       FROM (SELECT qid, doc_id AS vec_id, rk FROM hlex
             UNION ALL SELECT qid, vec_id, rk FROM hden)
       GROUP BY qid, vec_id
@@ -1847,6 +1848,9 @@ def _ann_suite_oracle_sql(m: int = 8, dsub: int = 8) -> str:
     ) WHERE rn <= 5
     UNION ALL
     SELECT 'hybrid' AS method, qid, vec_id, rrf AS score FROM hfuse
+    UNION ALL
+    SELECT 'hybrid_nl' AS method, qid, vec_id,
+           CAST(nl AS DOUBLE) AS score FROM hfuse
     """
 
 
@@ -1966,13 +1970,27 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "vec_id", "rank")
     )
-    hyb = rrf_fuse([lexr, denr], on=["qid", "vec_id"]).select(
+    # lazy localCheckpoint: two union branches project the same fused
+    # frame — without the in-plan edge each branch would replay the
+    # whole BM25+cosine funnel (union-branch lineage multiplication)
+    fused = rrf_fuse([lexr, denr], on=["qid", "vec_id"]).localCheckpoint(
+        eager=False
+    )
+    hyb = fused.select(
         F.lit("hybrid").alias("method"), "qid", "vec_id",
         F.col("rrf_score").alias("score"),
     )
+    # n_lists corroboration gate, hashed (VERDICT r10 item 8): the
+    # single-list-straggler count was the one rrf_fuse output column
+    # without an oracle column — shipped as its own tagged rows so the
+    # suite's shared (method, qid, vec_id, score) schema is untouched
+    hybn = fused.select(
+        F.lit("hybrid_nl").alias("method"), "qid", "vec_id",
+        F.col("n_lists").cast("double").alias("score"),
+    )
     return (
         ivf.unionByName(pq).unionByName(sq).unionByName(mrl)
-        .unionByName(hyb)
+        .unionByName(hyb).unionByName(hybn)
     )
 
 

@@ -11,12 +11,15 @@ fatal. This module mirrors :mod:`.jsonl` exactly, swapping the parser:
 ``spark.read.csv``, as a column expression), which sidesteps the same
 corrupt-column-only query restriction the JSONL module documents.
 
-Caveat, stated rather than hidden: line-level text splitting means
-MULTILINE quoted fields (embedded newlines) are not supported here —
-each physical line is one record, the dominant machine-written CSV
-shape. A corpus with multiline quoting needs ``spark.read.csv`` with
-``multiLine=true`` (which gives up per-line quarantine and splittable
-parallel reads anyway — multiline CSV files parse whole-file).
+Caveat, stated rather than hidden: the default line-level text
+splitting means MULTILINE quoted fields (embedded newlines) are not
+records there — each physical line is one record, the dominant
+machine-written CSV shape; a quoted-newline row quarantines
+observably. A corpus with multiline quoting passes
+``multiline=True``: ``spark.read.csv`` with ``multiLine=true`` under
+the SAME (good, bad) quarantine contract, costing what multiline CSV
+inherently costs (whole-file parse, no splittable parallel reads
+within a file, positional per-file header instead of match-based).
 
 Header contract (ADVICE r9): the per-FILE header cannot be addressed
 positionally on a distributed text scan, so header handling is
@@ -153,6 +156,7 @@ def read_csv_corpus(
     quarantine: bool = True,
     expected_header: str | list[str] | None = None,
     quarantine_headers: bool = False,
+    multiline: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Read a CSV/TSV table with an enforced schema.
 
@@ -164,7 +168,26 @@ def read_csv_corpus(
     the schema-derived header; ``expected_header`` adds the files' own
     header spelling(s) when they differ from the schema's field names
     (see module header contract).
+
+    ``multiline=True`` (VERDICT r10 item 6) switches to the
+    quoted-embedded-newline path: ``spark.read.csv`` with
+    ``multiLine=true`` under the SAME (good, bad) quarantine contract.
+    Costs what multiline CSV inherently costs — files parse whole-file
+    (not splittable), and the header is the native positional
+    first-line-per-file drop, so ``expected_header`` /
+    ``quarantine_headers`` (match-based, line-split concepts) are
+    rejected loudly rather than silently ignored.
     """
+    if multiline:
+        if expected_header is not None or quarantine_headers:
+            raise ValueError(
+                "multiline=True uses the native per-file positional "
+                "header (header=True/False); expected_header and "
+                "quarantine_headers are line-split concepts — drop them"
+            )
+        return _read_csv_multiline(
+            spark, path, schema, sep, header, quarantine
+        )
     parsed, is_bad, is_header = _parse(
         spark.read, path, schema, sep, header, expected_header
     )
@@ -181,6 +204,72 @@ def read_csv_corpus(
         F.when(is_header, F.lit("header"))
         .otherwise(F.lit("parse"))
         .alias("reason"),
+    )
+    return good, bad
+
+
+def _read_csv_multiline(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str,
+    header: bool,
+    quarantine: bool,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Quoted-embedded-newline CSV under the quarantine contract:
+    ``spark.read.csv`` PERMISSIVE + corrupt-record column, split into
+    the same (good, bad) pair as the line-split path. The bad frame's
+    ``raw_line`` coalesces the corrupt column with a re-serialized
+    struct of the typed fields — referencing the data columns alongside
+    the corrupt one sidesteps Spark's corrupt-column-only query
+    restriction WITHOUT caching the scan (the documented workaround,
+    which would be wrong at corpus scale); the coalesce always takes
+    the corrupt text on the rows the filter keeps."""
+    if _CORRUPT in schema.fieldNames():
+        raise ValueError(
+            f"schema must not define the reserved column {_CORRUPT!r}"
+        )
+    full = StructType(
+        list(schema.fields) + [StructField(_CORRUPT, StringType(), True)]
+    )
+    df = (
+        spark.read.options(
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=_CORRUPT,
+            sep=sep,
+            header=str(bool(header)).lower(),
+            multiLine="true",
+        )
+        .schema(full)
+        .csv(path)
+    )
+    # The corrupt column is only populated for columns the parser
+    # actually PARSES, and column pruning reaches the parser: a
+    # downstream count() over `good` prunes to [_corrupt_record]
+    # alone, which (a) trips Spark's corrupt-column-only restriction
+    # and (b) would be WRONG anyway — a bad-cast row whose failing
+    # column got pruned reads as clean (measured: 3 "good" rows
+    # instead of 2 when only doc_id survived pruning). This tautology
+    # conjunct references every data column, pinning requiredSchema to
+    # the full row so the quarantine decision never depends on what
+    # the caller projects. Catalyst has no rule proving sum(is-null
+    # flags) >= 0, so it survives optimization; per-row cost is a few
+    # null checks.
+    _all_cols = sum(
+        (F.col(f.name).isNull().cast("int") for f in schema.fields),
+        F.lit(0),
+    ) >= F.lit(0)
+    good = df.filter(F.col(_CORRUPT).isNull() & _all_cols).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
+    if not quarantine:
+        return good, None
+    bad = df.filter(F.col(_CORRUPT).isNotNull() & _all_cols).select(
+        F.coalesce(
+            F.col(_CORRUPT),
+            F.to_csv(F.struct(*[F.col(f.name) for f in schema.fields])),
+        ).alias("raw_line"),
+        F.lit("parse").alias("reason"),
     )
     return good, bad
 

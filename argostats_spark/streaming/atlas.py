@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.atlas import clim_eape, clim_ts, match_pairs
-from .fsio import store_fs
+from .fsio import read_pointer, store_fs
 
 __all__ = ["atlas_refresh_writer", "current_atlas", "publish_version"]
 
@@ -85,10 +85,13 @@ def current_atlas(spark: SparkSession, atlas_store: str) -> DataFrame:
     refresh landing mid-read cannot disturb it (versions are
     write-once; the retention window keeps the previous version on
     disk through the swap)."""
-    txt = store_fs(atlas_store, spark).read_text(f"{atlas_store}/CURRENT")
-    # `not txt` (not `is None`): an empty pointer file reads as "" —
-    # treat it as unpublished like a missing one, instead of an int()
-    # ValueError that misdiagnoses the store (self-review, round 10)
+    # read_pointer retries once on a missing/empty pointer: object-store
+    # rename is copy+delete, so the swap has an instant where CURRENT is
+    # absent (fsio.py atomicity contract); an empty pointer file after
+    # the retry is unpublished, same as missing (self-review, round 10)
+    txt = read_pointer(
+        store_fs(atlas_store, spark), f"{atlas_store}/CURRENT"
+    )
     if not txt:
         raise FileNotFoundError(
             f"no atlas published yet under {atlas_store!r} "

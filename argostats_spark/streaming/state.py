@@ -43,7 +43,7 @@ from ..operators.aggstate import (
     merge_distinct_states,
 )
 from .atlas import publish_version
-from .fsio import store_fs
+from .fsio import read_pointer, store_fs
 
 __all__ = [
     "state_increment_writer",
@@ -76,7 +76,10 @@ def _increment_ids(fs, store: str) -> list[int]:
 
 
 def _current_version(fs, store: str) -> int | None:
-    txt = fs.read_text(f"{store}/CURRENT")
+    # retry-once on missing/empty: covers the object-store mid-swap
+    # window where rename=copy+delete leaves CURRENT briefly absent
+    # (fsio.read_pointer; VERDICT r10 item 5)
+    txt = read_pointer(fs, f"{store}/CURRENT")
     return int(txt) if txt else None
 
 

@@ -665,35 +665,60 @@ def main() -> None:
 
     prev = _prev_bench(sf_val)
     out["regressions"] = {}
-    if prev is not None:
-        rnd, prev_q = prev
-        out["regression_baseline_round"] = rnd
+    # --serialized-all: round-close mode — EVERY headline row gets its
+    # own fresh-JVM serialized measurement and the committed number is
+    # min(in-session, isolated). Use when the artifact must be
+    # load-clean across the board (the VERDICT r10 finding: 13 of 19
+    # rows drifted 1.1-1.36x under broad host load but only one crossed
+    # the hard tripwire, so the committed artifact mixed one isolated
+    # number with 18 load-inflated ones).
+    serialized_all = "--serialized-all" in sys.argv
+    if prev is not None or serialized_all:
+        prev_q: dict[str, float] = prev[1] if prev is not None else {}
+        if prev is not None:
+            out["regression_baseline_round"] = prev[0]
         flagged = _flags(timings, prev_q)
-        if flagged:
-            # the fold-in of scripts/bench_remeasure_r9.py (VERDICT r9
-            # item 1): don't commit a contention flag the standing
-            # protocol would clear — re-measure each flagged row in a
-            # fresh JVM, serialized, before writing the artifact. The
-            # in-session session must release the box first: clear
-            # caches and GC so the children measure a quiet JVM-free
-            # machine (their own load numbers are in the artifact).
+        # drift gate (VERDICT r10 item 1): the hard tripwire's 0.25 s
+        # absolute floor let fast rows drift 1.3x forever without ever
+        # earning an isolated measurement. Any row >1.25x its previous
+        # committed number is re-measured too — no floor — so the
+        # round-over-round comparison stays on one measurement basis.
+        drift = {
+            name: round(now / prev_q[name], 2)
+            for name, now in timings.items()
+            if prev_q.get(name) and now > 1.25 * prev_q[name]
+        }
+        if serialized_all:
+            to_rm = sorted(timings)
+        else:
+            # wall-clock guard: a broad drift event must not spawn 19
+            # fresh JVMs inside the driver's bench window by accident —
+            # re-measure the WORST ratios up to a cap (env-tunable) and
+            # say which rows were skipped, so the artifact stays honest
+            # either way. Hard tripwire flags sort first.
+            cap = int(os.environ.get("SPARK_GRAFT_REMEASURE_CAP", "12"))
+            by_ratio = sorted(
+                drift,
+                key=lambda n: (n not in flagged, -drift[n]),
+            )
+            to_rm = sorted(by_ratio[:cap])
+            if len(by_ratio) > cap:
+                out["remeasure_skipped"] = sorted(by_ratio[cap:])
+        if to_rm:
+            # don't commit a contention number the standing protocol
+            # would clear — re-measure each row in a fresh JVM,
+            # serialized, before writing the artifact. The in-session
+            # session must release the box first: clear caches and GC
+            # so the children measure a quiet JVM-free machine (their
+            # own load numbers are in the artifact).
             spark.catalog.clearCache()
             import gc as _gc
 
             _gc.collect()
             out["remeasure_protocol"] = REMEASURE_PROTOCOL
-            # wall-clock guard: a broad flag event (testdata regen, a
-            # genuinely slower box generation) must not spawn 19 fresh
-            # JVMs inside the driver's bench window — re-measure the
-            # WORST offenders (by ratio) up to a cap and say which rows
-            # were skipped, so the artifact stays honest either way
-            cap = 6
-            by_ratio = sorted(
-                flagged, key=lambda n: -flagged[n]["ratio"]
-            )
-            if len(by_ratio) > cap:
-                out["remeasure_skipped"] = sorted(by_ratio[cap:])
-            rm = _remeasure_flagged(sorted(by_ratio[:cap]))
+            if drift:
+                out["drift_remeasured"] = drift
+            rm = _remeasure_flagged(to_rm)
             out["remeasured"] = {}
             for name, r in rm.items():
                 entry = {"insession_sec": timings[name], **r}

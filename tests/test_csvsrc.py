@@ -202,6 +202,47 @@ def test_expected_header_catches_foreign_spelling(spark, tmp_path_factory):
     assert good2.count() == 2
 
 
+def test_multiline_quoted_newlines(spark, tmp_path_factory):
+    """VERDICT r10 item 6: multiline=True parses quoted embedded
+    newlines under the same (good, bad) contract; the default
+    line-split path quarantines the same rows observably; and the
+    line-split-only options are rejected loudly with multiline."""
+    p = tmp_path_factory.mktemp("csv_ml") / "m.csv"
+    p.write_text(
+        'doc_id,label,score\n'
+        '1,"two\nlines",0.5\n'
+        '2,plain,1.25\n'
+        '3,bad,notanumber\n'
+    )
+    good, bad = read_csv_corpus(
+        spark, str(p), SCHEMA, header=True, multiline=True
+    )
+    assert sorted(tuple(r) for r in good.collect()) == [
+        (1, "two\nlines", 0.5), (2, "plain", 1.25),
+    ]
+    brows = bad.collect()
+    assert len(brows) == 1 and brows[0]["reason"] == "parse"
+    assert "notanumber" in brows[0]["raw_line"]
+    # quarantine=False drops the bad frame, same as the line-split path
+    g2, b2 = read_csv_corpus(
+        spark, str(p), SCHEMA, header=True, multiline=True,
+        quarantine=False,
+    )
+    assert b2 is None and g2.count() == 2
+    # the default path can't join the split halves back — but each half
+    # QUARANTINES (observable), never silently parses wrong
+    gd, bd = read_csv_corpus(spark, str(p), SCHEMA, header=True)
+    assert {r["doc_id"] for r in gd.collect()} == {2}
+    assert bd.count() == 3  # two halves of the quoted row + the bad cast
+    # line-split-only options are rejected, not ignored
+    with pytest.raises(ValueError, match="line-split"):
+        read_csv_corpus(spark, str(p), SCHEMA, multiline=True,
+                        expected_header="a,b,c")
+    with pytest.raises(ValueError, match="line-split"):
+        read_csv_corpus(spark, str(p), SCHEMA, multiline=True,
+                        quarantine_headers=True)
+
+
 def test_quarantine_headers_makes_residual_observable(spark, csv_path):
     """ADVICE r9: quarantine_headers=True routes header-form lines to
     the bad frame tagged reason='header' (instead of vanishing), so a
