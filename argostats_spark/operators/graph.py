@@ -46,6 +46,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     round_hook=None,
+    jump_start: int = 2,
 ) -> DataFrame:
     """Undirected connected components over an edge list.
 
@@ -56,6 +57,16 @@ def connected_components(
     ``round_hook(round_no, seconds)``, if given, is called after each
     completed propagation round — the scale probes use it to record
     rounds-to-converge and per-round wall time (SCALE.md).
+
+    ``jump_start``: the round index from which the pointer-jump join
+    runs. Dedup graphs are near-cliques that converge in ≤2 plain
+    neighbor-min rounds, so the jump join there is a pure extra
+    shuffle per round (measured −7% on the cc_flags stage skipping it,
+    scripts/bench_cc_flags_ab.py, round 11); deep graphs still get the
+    O(log d) guarantee from round ``jump_start`` on — the hybrid pays
+    at most ``jump_start`` extra cheap rounds on a long chain. The
+    fixpoint (min id per component) is algorithm-independent, so any
+    ``jump_start`` produces identical labels.
     """
     import time as _time
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -90,15 +101,16 @@ def connected_components(
             "node",
             F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
         )
-        # pointer jump: comp <- comp(comp), halves label-tree depth
-        ptr = stepped.select(
-            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
-        )
-        jumped = (
-            stepped.join(ptr, stepped["comp"] == ptr["p_node"], "left")
-            .select("node", F.coalesce("p_comp", "comp").alias("comp"))
-            .localCheckpoint()
-        )
+        if _round >= jump_start:
+            # pointer jump: comp <- comp(comp), halves label-tree depth
+            ptr = stepped.select(
+                F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+            )
+            stepped = (
+                stepped.join(ptr, stepped["comp"] == ptr["p_node"], "left")
+                .select("node", F.coalesce("p_comp", "comp").alias("comp"))
+            )
+        jumped = stepped.localCheckpoint()
         cur_sum = jumped.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
@@ -136,12 +148,20 @@ def duplicate_groups(
       unscored one. Costs one extra rank window over the SAME
       comp-partitioned exchange the size count already pays.
 
-    One broadcast-able join against the component labels (the label
-    table is |nodes-in-pairs|, tiny relative to the corpus) plus the
-    per-component window. Pass precomputed ``labels``
+    The corpus never shuffles (round-11 restructure, measured −18% on
+    the cc_flags stage at identical output — scripts/
+    bench_cc_flags_ab.py): sizes and the scored winner are computed on
+    the MATCHED rows only (docs ⋈ labels, |nodes-in-pairs| rows — the
+    label table is tiny relative to the corpus) and joined back as
+    per-component aggregates the optimizer broadcasts; singletons
+    default to size 1 / keep themselves row-locally. The previous form
+    ran ``count().over(partitionBy(comp_id))`` (+ a rank window when
+    scored) over the FULL corpus — a corpus-wide exchange+sort for
+    values derivable from the small side, and the second-largest dedup
+    stage at 100 TB posture. Pass precomputed ``labels``
     (connected_components output) to label the same graph under BOTH
-    policies without re-running the iterative propagation — the CC loop
-    is the dominant cost of this operator.
+    policies without re-running the iterative propagation — the CC
+    loop is the dominant cost of this operator.
     """
     from pyspark.sql import Window as W
 
@@ -149,27 +169,50 @@ def duplicate_groups(
         edges, src=src, dst=dst
     )
     carry = [F.col(score_col)] if score_col else []
-    labeled = (
+    # matched = only the docs that appear in the pair graph: sizes
+    # count DOCS per component (exactly what the corpus window
+    # counted — a label node absent from the corpus contributes no
+    # size, a doc absent from the graph is a singleton)
+    matched = (
         docs.select(F.col(id_col), *carry)
+        .join(cc, docs[id_col] == cc["node"])
+        .select(F.col(id_col), *carry, F.col("comp"))
+    )
+    sizes = matched.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    if score_col is not None:
+        # winner per component, over the matched rows only (the rank
+        # window the old form ran corpus-wide, now |nodes| rows):
+        # highest score, NULLs last, ties to min id
+        w = W.partitionBy("comp").orderBy(
+            F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+        )
+        winners = (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("comp"), F.col(id_col).alias("__win_id"))
+        )
+        sizes = sizes.join(winners, "comp")
+    labeled = (
+        docs.select(F.col(id_col))
         .join(cc, docs[id_col] == cc["node"], "left")
         .select(
             F.col(id_col),
-            *carry,
             F.coalesce("comp", F.col(id_col)).alias("comp_id"),
         )
+        .join(sizes, F.col("comp_id") == sizes["comp"], "left")
     )
-    size = F.count(F.lit(1)).over(W.partitionBy("comp_id"))
     if score_col is None:
         keep = (F.col(id_col) == F.col("comp_id")).cast("int")
     else:
-        w = W.partitionBy("comp_id").orderBy(
-            F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
-        )
-        keep = (F.row_number().over(w) == 1).cast("int")
+        keep = (
+            F.col(id_col) == F.coalesce("__win_id", F.col(id_col))
+        ).cast("int")
     return labeled.select(
         F.col(id_col),
         "comp_id",
-        size.alias("comp_size"),
+        F.coalesce("__sz", F.lit(1)).cast("long").alias("comp_size"),
         keep.alias("keep"),
     )
 

@@ -258,3 +258,26 @@ def test_duplicate_groups_best_score_policy(spark):
         by_comp_min[c] = by_comp_min.get(c, 0) + minid[d]
     assert all(v == 1 for v in by_comp_best.values())
     assert all(v == 1 for v in by_comp_min.values())
+
+
+def test_jump_start_label_identity_and_no_corpus_window(spark):
+    """Round-11 restructure pins: (a) the jump_start hybrid is
+    fixpoint-identical to always-jump and never-needed-jump on the
+    same graph; (b) the default-policy duplicate_groups plan contains
+    NO Window operator — sizes/keep come from label-table joins, so
+    the corpus never pays a partitionBy(comp_id) exchange+sort."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(30, 31), (31, 32)],
+        ["id_a", "id_b"],
+    )
+    want = _labels(connected_components(edges, jump_start=0))
+    assert _labels(connected_components(edges, jump_start=2)) == want
+    assert _labels(connected_components(edges, jump_start=10**9)) == want
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    explained = duplicate_groups(docs, edges)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Window" not in explained
