@@ -109,6 +109,15 @@ LIMB_SPECS: dict[str, dict] = {
         "values": ["minmax", "quantile", "stats", "profile", "aggstate",
                    "manifest", "blend", "hll", "lm_ap", "bm25"],
     },
+    # round 11 (VERDICT r10 item 2): the ANN family gets limb
+    # attribution so the hybrid (BM25+dense RRF) limb carries its own
+    # scaling evidence at sf0.1 AND the sf1 checkpoint; hybrid_nl is
+    # the same fused frame projected to the corroboration count, so it
+    # measures the checkpoint-shared cost, not a second funnel
+    "ann_suite": {
+        "mode": "tag", "col": "method",
+        "values": ["ivf", "pq", "sq8", "mrl32", "hybrid", "hybrid_nl"],
+    },
 }
 
 
@@ -696,7 +705,10 @@ def main() -> None:
             # re-measure the WORST ratios up to a cap (env-tunable) and
             # say which rows were skipped, so the artifact stays honest
             # either way. Hard tripwire flags sort first.
-            cap = int(os.environ.get("SPARK_GRAFT_REMEASURE_CAP", "12"))
+            try:
+                cap = int(os.environ.get("SPARK_GRAFT_REMEASURE_CAP", "12"))
+            except ValueError:  # a bad env var must not cost the artifact
+                cap = 12
             by_ratio = sorted(
                 drift,
                 key=lambda n: (n not in flagged, -drift[n]),
