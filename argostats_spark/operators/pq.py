@@ -29,6 +29,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# pq_topk inlines one m*ksub-double distance table per query into a
+# single select; past a few dozen queries the expression tree
+# approaches codegen limits (the bm25_score_rows bound pattern).
+PQ_TOPK_MAX_QUERIES = 64
+
 
 def pq_train(
     corpus: DataFrame,
@@ -155,7 +160,18 @@ def pq_topk(
     (distance, vec_id) — the deterministic tiebreak the rest of the ANN
     family uses. ``exclude_self`` drops corpus rows whose id equals the
     query id BEFORE ranking (for corpus-drawn query sets, matching the
-    IVF/brute-force convention)."""
+    IVF/brute-force convention).
+
+    Scale shape (round-11 restructure): ONE corpus scan for the whole
+    query batch — every query's distance is a column of the same
+    select, exploded to (qid, dist) rows. The previous form unioned
+    one scan per query, which multiplied the ENCODE of a lazily-built
+    code table by |queries| (measured at the 10x checkpoint: the pq
+    limb ran 16.5 s where its siblings were ~1 s — 5 queries x a
+    corpus re-encode each; the batched-BM25 lesson applied to ADC).
+    |queries| is bounded (collected to the driver, distance tables
+    inlined as literals) — a thousand-query sweep belongs in a
+    broadcast-join variant, same remedy family as bm25_scores_queries."""
     from pyspark.sql import Window as W
 
     m = len(codebooks)
@@ -163,6 +179,14 @@ def pq_topk(
     dsub = len(codebooks[0][0])
     books = np.array(codebooks, dtype="f8")          # m × ksub × dsub
     qrows = queries.select(q_id_col, q_vec_col).collect()
+    if len(qrows) > PQ_TOPK_MAX_QUERIES:
+        raise ValueError(
+            f"pq_topk: {len(qrows)} queries exceeds "
+            f"PQ_TOPK_MAX_QUERIES={PQ_TOPK_MAX_QUERIES} — each query "
+            "inlines an m*ksub-literal distance table into one select; "
+            "batch a large eval sweep through several calls or a "
+            "broadcast-join variant"
+        )
     if not qrows:  # empty query set degrades to an empty result, like
         from pyspark.sql.types import (  # the rest of the ANN family
             DoubleType, IntegerType, StructField, StructType,
@@ -176,7 +200,7 @@ def pq_topk(
         ])
         return encoded.sparkSession.createDataFrame([], schema)
 
-    scored = []
+    entries = []
     for qr in qrows:
         qv = np.asarray(qr[q_vec_col], dtype="f8")
         # dt[b, j] = ||q_b - c_bj||²  (flattened row-major to m·ksub)
@@ -191,19 +215,25 @@ def pq_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        base = encoded
-        if exclude_self:
-            base = base.filter(F.col(id_col) != F.lit(qr[q_id_col]))
-        scored.append(
-            base.select(
-                F.lit(qr[q_id_col]).alias("qid"),
-                F.col(id_col).alias("vec_id"),
-                F.round(dist, 6).alias("adc_dist"),
-            )
+        entry = F.struct(
+            F.lit(qr[q_id_col]).alias("qid"),
+            F.round(dist, 6).alias("adc_dist"),
         )
-    out = scored[0]
-    for s in scored[1:]:
-        out = out.unionByName(s)
+        if exclude_self:
+            # a NULL array element survives the explode as a NULL row;
+            # the filter below drops it — the self row never ranks
+            entry = F.when(
+                F.col(id_col) != F.lit(qr[q_id_col]), entry
+            )
+        entries.append(entry)
+    out = (
+        encoded.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(F.array(*entries)).alias("__q"),
+        )
+        .where(F.col("__q").isNotNull())
+        .select("__q.qid", "vec_id", "__q.adc_dist")
+    )
     w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return out.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 

@@ -29,6 +29,14 @@ keep) set — checked):
 
 Protocol: one child JVM per variant, serialized, warm min-of-3 of the
 full stage, loadavg recorded. JSON table printed for SCALE.md.
+
+SHIPPED (round 11, after the measured table in SCALE.md): v1's
+join-flags restructure + a hybrid of v2 (connected_components
+jump_start=2 — plain rounds first, pointer jumping from round 2 keeps
+O(log d) for deep graphs). `v0_current` always measures whatever
+duplicate_groups currently ships, so re-running this script after the
+land measures the shipped plan, not the round-10 window plan the
+table's v0 row recorded.
 """
 
 from __future__ import annotations

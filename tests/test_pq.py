@@ -143,6 +143,40 @@ def test_pq_topk_empty_query_set(spark, emb, books):
     assert out.count() == 0
 
 
+def test_pq_topk_single_scan_and_query_bound(spark, emb, books):
+    """Round-11 restructure pins: (a) the multi-query plan has NO
+    Union — every query's distance is a column of ONE corpus scan
+    (the previous per-query union re-ran a lazy encode |queries|
+    times: 16.5 s vs ~1.2 s at the 10x checkpoint); (b) the query
+    count is bounded with an error naming the remedy; (c) exclude_self
+    drops exactly the self row per query."""
+    from argostats_spark.operators.pq import PQ_TOPK_MAX_QUERIES
+
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = pq_topk(enc, q, books, k=5, exclude_self=True)
+    explained = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Union" not in explained
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2}
+    assert all(r["vec_id"] != r["qid"] for r in rows)
+    for qid in (0, 1, 2):
+        rnks = sorted(r["rnk"] for r in rows if r["qid"] == qid)
+        assert rnks == [1, 2, 3, 4, 5]
+    big = spark.range(PQ_TOPK_MAX_QUERIES + 1).select(
+        F.col("id").alias("qid"),
+        F.array(*[F.lit(0.0)] * len(books[0][0]) * len(books)).alias("qv"),
+    )
+    with pytest.raises(ValueError, match="PQ_TOPK_MAX_QUERIES"):
+        pq_topk(enc, big, books, k=5)
+
+
 # --- SQ8 scalar quantization ---------------------------------------------
 
 
