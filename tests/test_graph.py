@@ -281,3 +281,87 @@ def test_jump_start_label_identity_and_no_corpus_window(spark):
         )
     )
     assert "Window" not in explained
+
+
+def test_duplicate_groups_matches_python_mirror_property(spark):
+    """Property over random graphs + random corpora (round 11, after
+    the join-flags restructure): duplicate_groups' (comp_id,
+    comp_size, keep) under BOTH policies equals a plain-Python mirror
+    — including docs absent from the graph (singletons), graph nodes
+    absent from the corpus (foreign ids: they must not count toward
+    comp_size, and a foreign min-id means NO doc in that group keeps
+    under the min-id policy), and NULL scores (sort last, ties to min
+    id)."""
+    import random
+
+    def mirror(doc_ids, scores, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        nodes = {u for e in edges for u in e}
+        comp_of = {}
+        for x in nodes:
+            r = find(x)
+            comp_of[x] = min(y for y in nodes if find(y) == r)
+        out = {}
+        by_comp = {}
+        for d in doc_ids:
+            c = comp_of.get(d, d)
+            by_comp.setdefault(c, []).append(d)
+        for d in doc_ids:
+            c = comp_of.get(d, d)
+            members = by_comp[c]
+            size = len(members)
+            keep_min = int(d == c)
+            ranked = sorted(
+                members,
+                key=lambda m: (
+                    scores[m] is None,
+                    -(scores[m] or 0.0),
+                    m,
+                ),
+            )
+            keep_best = int(d == ranked[0])
+            out[d] = (c, size, keep_min, keep_best)
+        return out
+
+    for seed in range(8):
+        rng = random.Random(100 + seed)
+        n = rng.randint(3, 30)
+        doc_ids = sorted(rng.sample(range(n + 10), rng.randint(2, n)))
+        m = rng.randint(1, 25)
+        # edges over a slightly larger id space -> some foreign nodes
+        edges = [
+            (rng.randrange(n + 10), rng.randrange(n + 10)) for _ in range(m)
+        ]
+        scores = {
+            d: (None if rng.random() < 0.3 else round(rng.random() * 5, 2))
+            for d in doc_ids
+        }
+        docs = spark.createDataFrame(
+            [(d, scores[d]) for d in doc_ids], "doc_id long, q double"
+        )
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = mirror(doc_ids, scores, edges)
+        got_min = {
+            r["doc_id"]: (r["comp_id"], r["comp_size"], r["keep"])
+            for r in duplicate_groups(docs, edf).collect()
+        }
+        got_best = {
+            r["doc_id"]: (r["comp_id"], r["comp_size"], r["keep"])
+            for r in duplicate_groups(docs, edf, score_col="q").collect()
+        }
+        for d, (c, size, keep_min, keep_best) in want.items():
+            # comp_size counts CORPUS DOCS in the component, not nodes
+            assert got_min[d] == (c, size, keep_min), f"seed={seed} d={d}"
+            assert got_best[d] == (c, size, keep_best), f"seed={seed} d={d}"

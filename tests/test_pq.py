@@ -233,3 +233,36 @@ def test_sq8_topk_recall_vs_brute_force(spark, emb):
     a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"sq8 recall@5 collapsed to {recall}"
+
+
+def test_pq_adc_distances_match_numpy_mirror(spark, emb, books):
+    """Exact differential for the single-scan ADC (round 11): every
+    (qid, vec_id) distance equals the NumPy table-lookup mirror to the
+    operator's 6-dp rounding, and ranks follow (dist, vec_id)."""
+    enc = pq_encode(emb.select("vec_id", "embedding"), books).cache()
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = pq_topk(enc, q, books, k=7, exclude_self=True).collect()
+
+    m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+    bk = np.array(books, dtype="f8")
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    qvs = {r["qid"]: np.asarray(r["qv"], dtype="f8") for r in q.collect()}
+    for r in got:
+        qv = qvs[r["qid"]]
+        dt = ((qv.reshape(m, 1, dsub) - bk) ** 2).sum(axis=2)
+        want = round(float(sum(
+            dt[b, codes[r["vec_id"]][b]] for b in range(m)
+        )), 6)
+        assert r["adc_dist"] == pytest.approx(want, abs=2e-6), (
+            r["qid"], r["vec_id"])
+    # per-query ranks are 1..k ordered by (dist, vec_id)
+    for qid in qvs:
+        rows = sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rnk"]
+        )
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r["adc_dist"], r["vec_id"]) for r in rows]
+        assert keys == sorted(keys)
+    enc.unpersist()
