@@ -162,6 +162,12 @@ def duplicate_groups(
     (connected_components output) to label the same graph under BOTH
     policies without re-running the iterative propagation — the CC
     loop is the dominant cost of this operator.
+
+    ``docs`` is scanned twice (the matched aggregate and the labeling
+    join) — two cheap columnar scans instead of one corpus-wide
+    shuffle+sort. If ``docs`` is an expensive lazy lineage rather than
+    a table scan, localCheckpoint it first (the CC-loop labels are
+    already checkpointed per round).
     """
     from pyspark.sql import Window as W
 

@@ -281,6 +281,7 @@ def read_csv_corpus_stream(
     sep: str = ",",
     header: bool = False,
     expected_header: str | list[str] | None = None,
+    multiline: bool = False,
 ) -> DataFrame:
     """Continuous CSV ingestion: ONE stream carrying the caller's
     columns plus ``is_corrupt`` and ``raw_line`` — the
@@ -289,7 +290,57 @@ def read_csv_corpus_stream(
     lines (schema-derived and ``expected_header`` alike) are dropped
     pre-parse — a stream has no natural place for the batch reader's
     ``quarantine_headers`` observability, so count headers at the
-    batch backfill if the invariant matters."""
+    batch backfill if the invariant matters.
+
+    ``multiline=True`` mirrors the batch mode under the same stream
+    contract: the native csv stream source with ``multiLine=true``
+    (quoted embedded newlines parse; files read whole; positional
+    per-file header, so ``expected_header`` is rejected); ``raw_line``
+    is the corrupt text for corrupt rows, NULL for good ones (the
+    physical line of a parsed multiline record is not a meaningful
+    unit to echo back)."""
+    if multiline:
+        if expected_header is not None:
+            raise ValueError(
+                "multiline=True uses the native per-file positional "
+                "header (header=True/False); expected_header is a "
+                "line-split concept — drop it"
+            )
+        if _CORRUPT in schema.fieldNames():
+            raise ValueError(
+                f"schema must not define the reserved column {_CORRUPT!r}"
+            )
+        full = StructType(
+            list(schema.fields)
+            + [StructField(_CORRUPT, StringType(), True)]
+        )
+        df = (
+            spark.readStream.options(
+                mode="PERMISSIVE",
+                columnNameOfCorruptRecord=_CORRUPT,
+                sep=sep,
+                header=str(bool(header)).lower(),
+                multiLine="true",
+            )
+            .schema(full)
+            .csv(path)
+        )
+        # same full-row parse pin as the batch path: the corrupt column
+        # is only populated for PARSED columns, so a pruned consumer
+        # would silently change the is_corrupt verdict
+        _all_cols = sum(
+            (F.col(f.name).isNull().cast("int") for f in schema.fields),
+            F.lit(0),
+        ) >= F.lit(0)
+        is_bad = F.col(_CORRUPT).isNotNull() & _all_cols
+        return df.select(
+            *[
+                F.when(~is_bad, F.col(f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            is_bad.alias("is_corrupt"),
+            F.col(_CORRUPT).alias("raw_line"),
+        )
     parsed, is_bad, is_header = _parse(
         spark.readStream, path, schema, sep, header, expected_header
     )

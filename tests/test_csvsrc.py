@@ -109,6 +109,43 @@ def test_streaming_matches_batch(spark, csv_path, tmp_path_factory):
             assert r["doc_id"] is None and r["score"] is None
 
 
+def test_multiline_streaming_matches_batch(spark, tmp_path_factory):
+    """multiline=True streaming mirrors the batch multiline split:
+    same good rows (embedded newline intact), same corrupt verdicts;
+    expected_header rejected on the stream too."""
+    from argostats_spark.streaming.events import run_to_memory
+
+    d = tmp_path_factory.mktemp("csv_ml_stream")
+    (d / "part-000.csv").write_text(
+        'doc_id,label,score\n'
+        '1,"two\nlines",0.5\n'
+        '2,plain,1.25\n'
+        '3,bad,notanumber\n'
+    )
+    stream = read_csv_corpus_stream(
+        spark, str(d), SCHEMA, header=True, multiline=True
+    )
+    assert stream.isStreaming
+    q = run_to_memory(stream, "csv_ml_stream", output_mode="append")
+    try:
+        rows = spark.table("csv_ml_stream").collect()
+    finally:
+        q.stop()
+    good = {(r["doc_id"], r["label"], r["score"])
+            for r in rows if not r["is_corrupt"]}
+    bgood, bbad = read_csv_corpus(
+        spark, str(d), SCHEMA, header=True, multiline=True
+    )
+    assert good == {tuple(r) for r in bgood.collect()}
+    bad = [r for r in rows if r["is_corrupt"]]
+    assert len(bad) == 1 and "notanumber" in bad[0]["raw_line"]
+    assert bad[0]["doc_id"] is None and bad[0]["score"] is None
+    with pytest.raises(ValueError, match="line-split"):
+        read_csv_corpus_stream(
+            spark, str(d), SCHEMA, multiline=True, expected_header="a,b,c"
+        )
+
+
 def test_header_variants_are_dropped(spark, tmp_path_factory):
     """Review finding (r9): real-world header spellings (spaces after
     separators, quoted fields, different case) must not leak through
