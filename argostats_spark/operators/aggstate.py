@@ -285,3 +285,265 @@ def merge_topk_states(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def quantile_state(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-key MERGEABLE quantile state (round 11 — the fourth leg of
+    the mergeable-state family per Agarwal et al. 2013, "Mergeable
+    Summaries": counts/sums merge exactly, distincts as HLL, heavy
+    hitters as truncated count tables, and QUANTILES as KLL sketches —
+    Karnin, Lang & Liberty 2016, the DataSketches implementation Spark
+    4 exposes natively as ``kll_sketch_agg_double``).
+
+    State = (keys..., kll, n): one KLL(k) sketch plus the exact
+    non-null count per key group. Size ≈ O(k·log(n/k)) — a few KB at
+    the default k=200 — with normalized rank error ≈ 1.65%/√(k/200)
+    at 99% confidence (the published single-sketch bound; merging
+    preserves it, unlike naively averaging per-shard quantiles, which
+    has NO bound). Values are cast to double (the sketch's native
+    type); NULLs contribute nothing (SQL aggregate semantics).
+
+    One groupBy with map-side partial sketches — the 100 TB shape:
+    the exchange carries per-partition sketches (KBs), never values."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(v, k).alias("kll"),
+        F.count(v).alias("n"),
+    )
+
+
+def merge_quantile_states(
+    keys: list[str], *states: DataFrame, k: int = 200
+) -> DataFrame:
+    """state(A) ⊎ state(B) = state(A ∪ B) up to the sketch's rank-error
+    guarantee: KLL merge is the algorithm's native operation and keeps
+    the SAME error bound as a single pass over the union (the property
+    that makes it a mergeable summary, not just an approximation).
+    Cost is state-table rows × sketch size, never a corpus rescan.
+    ``k`` must match the k the states were built with — a larger
+    merge-k cannot recover resolution the shards never kept."""
+    if not states:
+        raise ValueError("merge_quantile_states: no states to merge")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.kll_merge_agg_double(F.col("kll"), k).alias("kll"),
+        F.sum("n").alias("n"),
+    )
+
+
+def finalize_quantiles(
+    state: DataFrame, qs: list[float], prefix: str = "q"
+) -> DataFrame:
+    """Row-local quantile estimates from the sketch: adds one double
+    column per requested rank fraction, named ``{prefix}{percent}``
+    (q25, q50, q75 for qs=[0.25, 0.5, 0.75]). Empty-group sketches
+    (n=0) finalize to NULL. The estimate is a VALUE ACTUALLY PRESENT
+    in the data (KLL stores retained items), at a rank within the
+    error bound of the requested one — the approx-family policy:
+    downstream checks pin the rank-error guarantee against an exact
+    anchor, never the estimate bits."""
+    out = state
+    for q in qs:
+        name = f"{prefix}{int(round(q * 100))}"
+        out = out.withColumn(
+            name,
+            F.when(
+                F.col("n") > 0,
+                F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(float(q))),
+            ),
+        )
+    return out
+
+
+# 48-bit md5-prefix priority: the cross-engine uniform hash family
+# (identical in Spark via conv(substring(md5..)) and DuckDB via
+# CAST('0x'||substr(md5..) AS BIGINT)); 2^48 keeps the arithmetic
+# exact in both engines' 64-bit integers.
+_PRIORITY_SPACE = 1 << 48
+
+
+def _sample_preimage(id_cols: list[str], value_col: str) -> Column:
+    parts: list[Column] = []
+    for c in [*id_cols, value_col]:
+        s = F.col(c).cast("string")
+        parts += [F.length(s).cast("string"), F.lit("|"), s, F.lit("|")]
+    return F.concat(*parts)
+
+
+def _sample_priority(preimage: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(preimage), 1, 12), 16, 10)
+        .cast("long")
+    )
+
+
+def sample_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_cols: list[str],
+    k: int,
+    safety: float = 8.0,
+) -> DataFrame:
+    """Per-key MERGEABLE uniform-sample state (round 11 — the fifth
+    mergeable-summary leg): the BOTTOM-K sketch of Cohen & Kaplan 2007
+    ("Summarizing data using bottom-k sketches"). Each row gets a
+    deterministic priority — a 48-bit md5 prefix of its length-prefixed
+    (id..., value) tuple — and the state is the k smallest priorities
+    per key group with their values: (keys..., pri, tb, v, rnk, n),
+    where n is the key group's total row count (what a merge needs to
+    re-total) and tb the tie-break preimage. Because
+    the priority is a pure function of row content, bottomk(A ∪ B) ==
+    bottomk(bottomk(A) ∪ bottomk(B)) EXACTLY — states merge by taking
+    the k smallest of the concatenated state rows, and the merged
+    sample is bit-identical to a single pass over the union (pinned
+    cross-engine by the stats_suite 'bksample' driver limb). That
+    exactness is what hash-priority sampling buys over random
+    reservoirs, whose merge needs weighted re-draws and is only
+    distributionally correct.
+
+    Scale shape (100 TB posture): a naive per-key bottom-k is a
+    corpus-wide sort. Instead: (1) one map-side-combined count per key
+    sizes (2) a priority THRESHOLD pass — keep rows with
+    pri < 2^48 · min(1, safety·(k+8)/n_key) — so the exact rank window
+    in (3) runs over ~safety·(k+8) survivor rows per key, never the
+    corpus. Survivor counts are binomial(n_key, safety·(k+8)/n_key);
+    at the default safety=8 the probability of a key yielding fewer
+    than k survivors (k+8 expected·8) is < 10⁻¹⁵ per key — and the
+    guard makes the failure LOUD, not silent: any key with n_key > 0
+    whose kept rows < min(k, n_key) raises with the remedy (raise
+    ``safety``). NULL values are excluded (SQL aggregate semantics);
+    id_cols must uniquely identify rows for the sample to be uniform
+    over rows (duplicate tuples share a priority and collapse to the
+    same rank slot deterministically).
+
+    Ties on priority (distinct rows hashing equal in 48 bits —
+    ~n²/2⁴⁹ per key) break deterministically by ``tb``, the
+    length-prefixed (id..., value) preimage string, which the state
+    CARRIES so a merge applies the identical order without the id
+    columns — the merge law must hold on ties by construction, not
+    by their improbability."""
+    from pyspark.sql import Window as _W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if safety < 1.0:
+        raise ValueError(f"safety must be >= 1.0, got {safety}")
+    rows = df.filter(F.col(value_col).isNotNull())
+    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nk"))
+    pre = _sample_preimage(id_cols, value_col)
+    # NULL-safe key attach (NULL keys are ordinary groups here, as in
+    # topk_state): join on eqNullSafe over the broadcast count table
+    ct = counts.select(
+        *[F.col(c).alias(f"__ck_{c}") for c in keys], "__nk"
+    )
+    cond = None
+    for c in keys:
+        e = rows[c].eqNullSafe(ct[f"__ck_{c}"])
+        cond = e if cond is None else (cond & e)
+    thresh = F.least(
+        F.lit(float(_PRIORITY_SPACE)),
+        F.lit(float(_PRIORITY_SPACE))
+        * F.lit(safety * (k + 8))
+        / F.col("__nk").cast("double"),
+    )
+    surv = (
+        rows.join(F.broadcast(ct), cond)
+        .withColumn("__tb", pre)
+        .withColumn("__pri", _sample_priority(F.col("__tb")))
+        .filter(F.col("__pri").cast("double") < thresh)
+    )
+    w = _W.partitionBy(*keys).orderBy(
+        F.col("__pri").asc(), F.col("__tb").asc()
+    )
+    kept = (
+        surv.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            *keys,
+            F.col("__pri").alias("pri"),
+            F.col("__tb").alias("tb"),
+            F.col(value_col).alias("v"),
+            F.col("__r").alias("rnk"),
+            F.col("__nk").alias("n"),
+        )
+    )
+    # loud deficiency guard: state-table-sized check, driver-cheap.
+    # Anchored on the COUNTS table, not the kept table — a threshold
+    # that filters a key's every row (the worst deficiency) leaves no
+    # kept row to flag itself
+    kept = kept.localCheckpoint(eager=False)
+    kept_counts = kept.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kept"))
+    kc = kept_counts.select(
+        *[F.col(c).alias(f"__gk_{c}") for c in keys], "__kept"
+    )
+    gcond = None
+    for c in keys:
+        e = counts[c].eqNullSafe(kc[f"__gk_{c}"])
+        gcond = e if gcond is None else (gcond & e)
+    deficient = (
+        counts.join(kc, gcond, "left")
+        .withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(0)))
+        .filter(F.col("__kept") < F.least(F.lit(k), F.col("__nk")))
+        .limit(1)
+        .collect()
+    )
+    if deficient:
+        raise ValueError(
+            "sample_state: threshold pass kept fewer than k rows for a "
+            f"key group (got {deficient[0]['__kept']}, wanted "
+            f"{min(k, deficient[0]['__nk'])}) — raise safety= (current "
+            f"{safety}) and rebuild"
+        )
+    return kept
+
+
+def merge_sample_states(
+    keys: list[str], *states: DataFrame, k: int
+) -> DataFrame:
+    """bottomk(A) ⊎ bottomk(B) = bottomk(A ∪ B), exactly: priorities
+    are content hashes, so the k smallest of the union's priorities
+    are all present among the shards' k-smallest states. Re-ranks and
+    re-sums n; cost is state-table rows, never the corpora. Unlike
+    merge_topk_states this output IS a re-mergeable state — bottom-k
+    is closed under merge with no error to compound."""
+    from pyspark.sql import Window as _W
+
+    if not states:
+        raise ValueError("merge_sample_states: no states to merge")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select(*keys, "pri", "tb", "v", "rnk", "n") for s in states],
+    )
+    # per-key total n: each shard replicates its n on every kept row,
+    # so take it once per (shard-distinct) — shards are distinguished
+    # by their (n, min pri) only; instead sum n of rnk==1 rows, one
+    # per shard per key by construction
+    totals = (
+        u.filter(F.col("rnk") == 1)
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("__n"))
+    )
+    tn = totals.select(
+        *[F.col(c).alias(f"__tk_{c}") for c in keys], "__n"
+    )
+    cond = None
+    for c in keys:
+        e = u[c].eqNullSafe(tn[f"__tk_{c}"])
+        cond = e if cond is None else (cond & e)
+    w = _W.partitionBy(*keys).orderBy(F.col("pri").asc(), F.col("tb").asc())
+    return (
+        u.join(F.broadcast(tn), cond)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            *[u[c] for c in keys],
+            "pri", "tb", "v",
+            F.col("__r").alias("rnk"),
+            F.col("__n").alias("n"),
+        )
+    )

@@ -1271,6 +1271,66 @@ def _aggstate_oracle_sql() -> str:
     FROM (SELECT DISTINCT l_returnflag FROM lineitem)"""
 
 
+def _qmerge_bksample_oracle_sql() -> str:
+    """Twins for the round-11 mergeable-summary limbs.
+
+    qmerge: exact percentile anchors (quantile_cont == Spark
+    percentile, both linear interpolation, round 6) hashed verbatim;
+    the KLL rank-error guarantee booleans assert 1.0 — the sketch
+    estimate is engine-internal, the bound is the contract (the dok
+    pattern).
+
+    bksample: a FULL replay — the bottom-4-by-md5-priority rows per
+    return flag over the unsplit table, length-prefixed preimage and
+    48-bit priority recomputed in DuckDB. Spark merges two half-corpus
+    bottom-k states; row equality is the merge law, bit-for-bit."""
+    qm = """
+    SELECT 'qmerge' AS which, l_returnflag AS grp, s.stat AS stat,
+           CAST(NULL AS VARCHAR) AS sval,
+           CASE s.stat
+             WHEN 'q25ex' THEN round(q25, 6)
+             WHEN 'q50ex' THEN round(q50, 6)
+             WHEN 'q75ex' THEN round(q75, 6)
+             ELSE 1.0 END AS nval
+    FROM (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.50) AS q50,
+             quantile_cont(l_quantity, 0.75) AS q75
+      FROM lineitem GROUP BY l_returnflag
+    ) q
+    CROSS JOIN (VALUES ('q25ex'), ('qok25'), ('q50ex'), ('qok50'),
+                       ('q75ex'), ('qok75')) s(stat)
+    """
+    bk = """
+    SELECT 'bksample' AS which, l_returnflag AS grp,
+           'bk' || CAST(rnk AS VARCHAR) AS stat, tb AS sval,
+           CAST(pri AS DOUBLE) AS nval
+    FROM (
+      SELECT l_returnflag, tb,
+             CAST(('0x' || substr(md5(tb), 1, 12)) AS BIGINT) AS pri,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(('0x' || substr(md5(tb), 1, 12)) AS BIGINT),
+                        tb
+             ) AS rnk
+      FROM (
+        SELECT l_returnflag,
+               CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR)
+                 || '|' || CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR)
+                 || '|' || CAST(l_linenumber AS VARCHAR) || '|'
+                 || CAST(length(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))
+                         AS VARCHAR)
+                 || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                 || '|' AS tb
+        FROM lineitem WHERE l_quantity IS NOT NULL
+      )
+    ) WHERE rnk <= 4
+    """
+    return qm + "\n    UNION ALL " + bk
+
+
 # bm25 limb query terms (round 10): drawn from the synthetic corpus
 # vocabulary with a real idf spread — 'dup' is rare (~6% of docs),
 # 'scan'/'vector' are near-ubiquitous — plus one absent term pinning
@@ -1372,6 +1432,9 @@ _BM25_TERMS = ("dup", "scan", "vector", "nosuchterm")
     + _aggstate_oracle_sql()
     + """
     UNION ALL """
+    + _qmerge_bksample_oracle_sql()
+    + """
+    UNION ALL """
     + _manifest_oracle_sql()
     + """
     UNION ALL """
@@ -1421,6 +1484,19 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       agg -> broadcast literal edges -> row-local strict-> bucket
       fold; here over two exact integer signals so the oracle
       replays edges, buckets, and the rounded average bit-for-bit.
+    - ``qmerge`` (round 11) - mergeable QUANTILE state
+      (operators/aggstate.py::quantile_state): per-half KLL sketches
+      built in the same one-pass (__half, key) grouped scan as the
+      aggstate states, merged across halves; hashed rows are the
+      exact percentile anchors (Spark percentile == DuckDB
+      quantile_cont) and the merged sketch's rank-error guarantee
+      booleans (±0.05 normalized rank, two-sided under ties).
+    - ``bksample`` (round 11) - mergeable UNIFORM-SAMPLE state
+      (operators/aggstate.py::sample_state): bottom-4-by-md5-priority
+      per return flag, built per half and merged. Deterministic by
+      construction, so the oracle replays the merged sample verbatim
+      over the unsplit table - row equality IS the merge law
+      bottomk(A) ⊎ bottomk(B) == bottomk(A ∪ B), cross-engine.
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -1588,16 +1664,29 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_state,
         distinct_state,
         finalize_distinct,
+        finalize_quantiles,
         finalize_state,
         merge_agg_states,
         merge_distinct_states,
+        merge_quantile_states,
+        merge_sample_states,
+        quantile_state,
+        sample_state,
     )
 
-    halves = [li.filter(F.col("l_orderkey") % 2 == r) for r in (0, 1)]
+    # The two half-corpus states build in ONE grouped pass keyed by
+    # (__half, l_returnflag) — the production state-table shape
+    # (snapshots as a key column of one table) — and the merge then
+    # groups by l_returnflag alone. Identical output to two filtered
+    # scans per family (scripts/bench_aggstate_ab.py, row-set md5
+    # equal), but the l_orderkey-parity predicate can't push to
+    # parquet, so the filtered form paid 2 full lineitem scans per
+    # state family; the keyed form pays 1.
+    tagged = li.withColumn("__half", F.col("l_orderkey") % 2)
     fin = finalize_state(
         merge_agg_states(
             ["l_returnflag"],
-            *[agg_state(h, ["l_returnflag"], "l_quantity") for h in halves],
+            agg_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
         )
     )
     agl = fin.select(
@@ -1623,7 +1712,9 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfin = finalize_distinct(
         merge_distinct_states(
             ["l_returnflag"],
-            *[distinct_state(h, ["l_returnflag"], "l_quantity") for h in halves],
+            distinct_state(
+                tagged, ["__half", "l_returnflag"], "l_quantity"
+            ).drop("__half"),
         )
     )
     dex = li.groupBy("l_returnflag").agg(
@@ -1642,6 +1733,97 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     agl = agl.unionByName(dagl)
+    # qmerge limb (round 11): MERGEABLE QUANTILE state — KLL sketches
+    # per (__half, l_returnflag) merged across the halves
+    # (operators/aggstate.py::quantile_state, the fourth mergeable-
+    # summary leg). The approx-family policy: the hashed rows are the
+    # EXACT percentile anchors (Spark percentile == DuckDB
+    # quantile_cont, both linear-interpolated, round 6) plus per-
+    # quantile rank-error GUARANTEE booleans — the merged sketch's
+    # estimate must sit within ±0.05 normalized rank of the target
+    # (3x the published ~1.65% bound at k=200), checked two-sided
+    # under ties: P(x < est) ≤ q+ε and P(x ≤ est) ≥ q−ε. The sketch
+    # bits themselves are engine-internal and never hashed.
+    _QS = (0.25, 0.5, 0.75)
+    qfin = finalize_quantiles(
+        merge_quantile_states(
+            ["l_returnflag"],
+            quantile_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
+        ),
+        list(_QS),
+    )
+    qex = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_quantity, array(0.25d, 0.5d, 0.75d))"
+        ).alias("qe"),
+        F.count("l_quantity").alias("nq"),
+    )
+    est = F.broadcast(
+        qfin.select("l_returnflag", "q25", "q50", "q75")
+    )
+    rank_aggs = []
+    for q in _QS:
+        c = f"q{int(q * 100)}"
+        rank_aggs += [
+            (
+                F.sum((F.col("l_quantity") < F.col(c)).cast("long"))
+                / F.count("l_quantity")
+            ).alias(f"rlt{int(q * 100)}"),
+            (
+                F.sum((F.col("l_quantity") <= F.col(c)).cast("long"))
+                / F.count("l_quantity")
+            ).alias(f"rle{int(q * 100)}"),
+        ]
+    ranks = li.join(est, "l_returnflag").groupBy("l_returnflag").agg(*rank_aggs)
+    qok_exprs = []
+    for q in _QS:
+        p = int(q * 100)
+        qok_exprs.append(
+            f" 'q{p}ex', CAST(NULL AS STRING), round(qe[{_QS.index(q)}], 6),"
+        )
+        qok_exprs.append(
+            f" 'qok{p}', CAST(NULL AS STRING),"
+            f" CAST(CASE WHEN rlt{p} <= {q} + 0.05"
+            f"        AND rle{p} >= {q} - 0.05"
+            f"       THEN 1.0 ELSE 0.0 END AS DOUBLE),"
+        )
+    qml = qex.join(ranks, "l_returnflag").select(
+        F.lit("qmerge").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "stack(6," + "".join(qok_exprs).rstrip(",")
+            + ") AS (stat, sval, nval)"
+        ),
+    )
+    agl = agl.unionByName(qml)
+    # bksample limb (round 11): MERGEABLE UNIFORM-SAMPLE state — the
+    # bottom-k sketch (operators/aggstate.py::sample_state, fifth
+    # mergeable-summary leg). Unlike the sketch families this one is
+    # DETERMINISTIC (priorities are content md5s), so the driver hash
+    # covers the merged sample VERBATIM: the oracle replays the whole
+    # priority ranking over the unsplit table — equality IS the merge
+    # law bottomk(A) ⊎ bottomk(B) == bottomk(A ∪ B), cross-engine.
+    # The value rides as a bigint (l_quantity is integral by TPC-H
+    # construction) so the hash preimage renders identically in both
+    # engines.
+    bks = merge_sample_states(
+        ["l_returnflag"],
+        sample_state(
+            tagged.withColumn("lqi", F.col("l_quantity").cast("long")),
+            ["__half", "l_returnflag"],
+            "lqi",
+            ["l_orderkey", "l_linenumber"],
+            k=4,
+        ),
+        k=4,
+    ).select(
+        F.lit("bksample").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.concat(F.lit("bk"), F.col("rnk").cast("string")).alias("stat"),
+        F.col("tb").alias("sval"),
+        F.col("pri").cast("double").alias("nval"),
+    )
+    agl = agl.unionByName(bks)
     from .operators.profile import dataset_manifest
 
     man = dataset_manifest(

@@ -107,7 +107,8 @@ LIMB_SPECS: dict[str, dict] = {
     "stats_suite": {
         "mode": "tag", "col": "which",
         "values": ["minmax", "quantile", "stats", "profile", "aggstate",
-                   "manifest", "blend", "hll", "lm_ap", "bm25"],
+                   "manifest", "blend", "hll", "lm_ap", "bm25",
+                   "qmerge", "bksample"],
     },
     # round 11 (VERDICT r10 item 2): the ANN family gets limb
     # attribution so the hybrid (BM25+dense RRF) limb carries its own
