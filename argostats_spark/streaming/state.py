@@ -26,7 +26,12 @@ Design (the streaming/atlas.py pair-store pattern, reused):
 Exactness: for ``kind="agg"`` the decimal merge law makes the
 continuously-maintained state BIT-IDENTICAL to a cold batch rebuild
 (pinned by test); for ``kind="distinct"`` the HLL register-max merge
-gives the same sketch estimate as a one-pass build (same pin).
+gives the same sketch estimate as a one-pass build (same pin); for
+``kind="sample"`` (round 11) the bottom-k hash-priority sample is
+deterministic, so the maintained sample is again BIT-IDENTICAL to a
+cold rebuild; for ``kind="quantile"`` the KLL merge keeps the
+one-pass rank-error bound (the pin asserts the bound against exact
+percentiles, not sketch bits — the approx-family policy).
 ``topk_state`` is deliberately NOT maintained here: its merge output
 is a result, not a re-mergeable state (see merge_topk_states) — keep
 the per-shard states and merge at read time instead.
@@ -41,6 +46,10 @@ from ..operators.aggstate import (
     distinct_state,
     merge_agg_states,
     merge_distinct_states,
+    merge_quantile_states,
+    merge_sample_states,
+    quantile_state,
+    sample_state,
 )
 from .atlas import publish_version
 from .fsio import read_pointer, store_fs
@@ -54,6 +63,16 @@ __all__ = [
 _KINDS = {
     "agg": (agg_state, merge_agg_states),
     "distinct": (distinct_state, merge_distinct_states),
+    # round 11: the remaining re-mergeable summary legs. "quantile"
+    # maintains per-key KLL sketches (merge keeps the one-pass
+    # rank-error bound); "sample" maintains bottom-k hash-priority
+    # samples, which are DETERMINISTIC — the continuously-maintained
+    # sample is bit-identical to a cold batch rebuild (pinned by
+    # test, the same strength as kind="agg"'s decimal law). topk_state
+    # stays out: its merge output is a result, not a re-mergeable
+    # state (see merge_topk_states).
+    "quantile": (quantile_state, merge_quantile_states),
+    "sample": (sample_state, merge_sample_states),
 }
 
 
@@ -122,11 +141,18 @@ def state_increment_writer(
 
 
 def read_state(
-    spark: SparkSession, store: str, keys: list[str], kind: str = "agg"
+    spark: SparkSession,
+    store: str,
+    keys: list[str],
+    kind: str = "agg",
+    **merge_kwargs,
 ) -> DataFrame:
     """The current state: base version (if published) ⊎ every newer
     increment — the merge law applied at read time. Raises if the
-    store holds nothing yet."""
+    store holds nothing yet. ``merge_kwargs`` pass through to the
+    kind's merge (kind='sample' REQUIRES ``k=`` — the merge cannot
+    infer the sample size from the state rows; kind='quantile' takes
+    an optional ``k=`` that must match the sketches' build k)."""
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
     _, merge = _KINDS[kind]
@@ -142,11 +168,15 @@ def read_state(
     ]
     if not parts:
         raise ValueError(f"read_state: no state at {store!r}")
-    return merge(keys, *parts)
+    return merge(keys, *parts, **merge_kwargs)
 
 
 def compact_state(
-    spark: SparkSession, store: str, keys: list[str], kind: str = "agg"
+    spark: SparkSession,
+    store: str,
+    keys: list[str],
+    kind: str = "agg",
+    **merge_kwargs,
 ) -> int | None:
     """Fold base + increments into a fresh base ``v=<max batch id>``,
     publish it atomically (CURRENT-pointer swap, two-version
@@ -159,7 +189,9 @@ def compact_state(
     if not newer:
         return None
     new_ver = max(newer)
-    read_state(spark, store, keys, kind).write.mode("overwrite").parquet(
+    read_state(spark, store, keys, kind, **merge_kwargs).write.mode(
+        "overwrite"
+    ).parquet(
         f"{store}/v={new_ver}"
     )
     publish_version(store, new_ver, spark=spark)  # keeps 2 newest v= dirs

@@ -268,3 +268,60 @@ def test_uncommitted_increment_is_invisible(spark, feed, mkstore, tmp_path):
         os.remove(marker)
     assert _rows(read_state(spark, store, ["k"])) == before
     assert compact_state(spark, store, ["k"]) == 2  # not 99
+
+
+# ---------------------------------------------------------------- round 11
+# the two new maintained kinds: sample (bit-identical pin, like agg)
+# and quantile (rank-error-bound pin, the approx-family policy).
+
+
+def test_sample_kind_bit_identical_to_cold_rebuild(spark, feed, tmp_path):
+    from argostats_spark.operators.aggstate import sample_state
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(
+        spark, feed, store, ckpt, "sample", id_cols=["id"], k=6
+    )
+    got = sorted(
+        (r["k"], r["rnk"], r["pri"], r["tb"], r["v"], r["n"])
+        for r in read_state(
+            spark, store, ["k"], kind="sample", k=6
+        ).collect()
+    )
+    want = sorted(
+        (r["k"], r["rnk"], r["pri"], r["tb"], r["v"], r["n"])
+        for r in sample_state(all_rows, ["k"], "v", ["id"], k=6).collect()
+    )
+    assert got == want  # deterministic: the merge law holds verbatim
+    # compaction preserves it exactly too, and stays re-mergeable
+    from argostats_spark.streaming.state import compact_state
+
+    ver = compact_state(spark, store, ["k"], kind="sample", k=6)
+    assert ver is not None
+    after = sorted(
+        (r["k"], r["rnk"], r["pri"], r["tb"], r["v"], r["n"])
+        for r in read_state(
+            spark, store, ["k"], kind="sample", k=6
+        ).collect()
+    )
+    assert after == want
+
+
+def test_quantile_kind_holds_rank_bound(spark, feed, tmp_path):
+    from argostats_spark.operators.aggstate import finalize_quantiles
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "quantile")
+    fin = finalize_quantiles(
+        read_state(spark, store, ["k"], kind="quantile"), [0.5]
+    )
+    got = {r["k"]: (r["n"], r["q50"]) for r in fin.collect()}
+    per_key = {}
+    for r in all_rows.collect():
+        per_key.setdefault(r["k"], []).append(r["v"])
+    assert set(got) == set(per_key)
+    for k, (n, est) in got.items():
+        vals = sorted(per_key[k])
+        assert n == len(vals)
+        rank = sum(1 for x in vals if x <= est) / len(vals)
+        assert abs(rank - 0.5) <= 0.05, (k, est, rank)
