@@ -547,3 +547,70 @@ def merge_sample_states(
             F.col("__n").alias("n"),
         )
     )
+
+
+def full_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    kll_k: int = 200,
+) -> DataFrame:
+    """ALL per-key mergeable summaries in ONE corpus pass (round 11):
+    the exact agg_state columns (n, n_overflow, s, sq, mn, mx) plus
+    the HLL distinct sketch and the KLL quantile sketch, as one
+    grouped aggregate. This is the state builder a snapshot job
+    actually runs: at 100 TB the scan IS the cost, and building the
+    families separately pays it once per family — the fused aggregate
+    pays it once, period (the per-row work is additive and tiny next
+    to the I/O; measured locally the fuse is scan-count-neutral only
+    because testdata sits in page cache).
+
+    The output is simultaneously a valid agg/distinct/quantile state:
+    :func:`finalize_state`, :func:`finalize_distinct` and
+    :func:`finalize_quantiles` all work on it directly (they only
+    read their own columns), and :func:`merge_full_states` merges all
+    families under their own laws in one state-table pass. Pinned
+    column-equal to the three individual builders by test."""
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType
+
+    v = F.col(value_col)
+    vc = v.try_cast(_SUM_T)
+    vh = v
+    if not isinstance(
+        df.schema[value_col].dataType,
+        (IntegerType, LongType, StringType, BinaryType),
+    ):
+        vh = v.cast("string")
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        (F.count(v) - F.count(vc)).alias("n_overflow"),
+        F.sum(vc).alias("s"),
+        F.sum((vc * vc).try_cast(_SUMSQ_T)).alias("sq"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.hll_sketch_agg(vh, lg_k).alias("hll"),
+        F.kll_sketch_agg_double(v.cast("double"), kll_k).alias("kll"),
+    )
+
+
+def merge_full_states(
+    keys: list[str], *states: DataFrame, kll_k: int = 200
+) -> DataFrame:
+    """Merge fused states: each family under its own law — counts and
+    decimal sums add exactly, min/max fold, HLL unions register
+    maxima, KLL merges natively. Cost is state-table rows, never the
+    corpora; the result is again a full state (closed under merge)."""
+    if not states:
+        raise ValueError("merge_full_states: no states to merge")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_overflow").alias("n_overflow"),
+        F.sum("s").alias("s"),
+        F.sum("sq").alias("sq"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.hll_union_agg(F.col("hll")).alias("hll"),
+        F.kll_merge_agg_double(F.col("kll"), kll_k).alias("kll"),
+    )

@@ -1661,34 +1661,32 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     from .operators.aggstate import (
-        agg_state,
-        distinct_state,
         finalize_distinct,
         finalize_quantiles,
         finalize_state,
-        merge_agg_states,
-        merge_distinct_states,
-        merge_quantile_states,
+        full_state,
+        merge_full_states,
         merge_sample_states,
-        quantile_state,
         sample_state,
     )
 
-    # The two half-corpus states build in ONE grouped pass keyed by
+    # The half-corpus states build in ONE grouped pass keyed by
     # (__half, l_returnflag) — the production state-table shape
     # (snapshots as a key column of one table) — and the merge then
     # groups by l_returnflag alone. Identical output to two filtered
     # scans per family (scripts/bench_aggstate_ab.py, row-set md5
     # equal), but the l_orderkey-parity predicate can't push to
     # parquet, so the filtered form paid 2 full lineitem scans per
-    # state family; the keyed form pays 1.
+    # state family. Further, the agg/distinct/quantile families FUSE
+    # into one aggregate (full_state): at 100 TB the scan is the
+    # cost, and one snapshot pass now builds all three. The merged
+    # state is lazily pinned — three limb families read it.
     tagged = li.withColumn("__half", F.col("l_orderkey") % 2)
-    fin = finalize_state(
-        merge_agg_states(
-            ["l_returnflag"],
-            agg_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
-        )
-    )
+    fused = merge_full_states(
+        ["l_returnflag"],
+        full_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
+    ).localCheckpoint(eager=False)
+    fin = finalize_state(fused)
     agl = fin.select(
         F.lit("aggstate").alias("which"),
         F.col("l_returnflag").alias("grp"),
@@ -1709,14 +1707,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one direct countDistinct on the unsplit frame, and the hashed
     # value is the 5% guarantee boolean — so the limb proves the HLL
     # merge law cross-engine without hashing sketch internals.
-    dfin = finalize_distinct(
-        merge_distinct_states(
-            ["l_returnflag"],
-            distinct_state(
-                tagged, ["__half", "l_returnflag"], "l_quantity"
-            ).drop("__half"),
-        )
-    )
+    dfin = finalize_distinct(fused)
     dex = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_quantity").alias("dex")
     )
@@ -1734,9 +1725,9 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agl = agl.unionByName(dagl)
     # qmerge limb (round 11): MERGEABLE QUANTILE state — KLL sketches
-    # per (__half, l_returnflag) merged across the halves
-    # (operators/aggstate.py::quantile_state, the fourth mergeable-
-    # summary leg). The approx-family policy: the hashed rows are the
+    # per (__half, l_returnflag) merged across the halves (the fourth
+    # mergeable-summary leg, built by the fused full_state aggregate
+    # above). The approx-family policy: the hashed rows are the
     # EXACT percentile anchors (Spark percentile == DuckDB
     # quantile_cont, both linear-interpolated, round 6) plus per-
     # quantile rank-error GUARANTEE booleans — the merged sketch's
@@ -1745,13 +1736,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under ties: P(x < est) ≤ q+ε and P(x ≤ est) ≥ q−ε. The sketch
     # bits themselves are engine-internal and never hashed.
     _QS = (0.25, 0.5, 0.75)
-    qfin = finalize_quantiles(
-        merge_quantile_states(
-            ["l_returnflag"],
-            quantile_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
-        ),
-        list(_QS),
-    )
+    qfin = finalize_quantiles(fused, list(_QS))
     qex = li.groupBy("l_returnflag").agg(
         F.expr(
             "percentile(l_quantity, array(0.25d, 0.5d, 0.75d))"

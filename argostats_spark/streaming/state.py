@@ -44,8 +44,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.aggstate import (
     agg_state,
     distinct_state,
+    full_state,
     merge_agg_states,
     merge_distinct_states,
+    merge_full_states,
     merge_quantile_states,
     merge_sample_states,
     quantile_state,
@@ -73,6 +75,11 @@ _KINDS = {
     # state (see merge_topk_states).
     "quantile": (quantile_state, merge_quantile_states),
     "sample": (sample_state, merge_sample_states),
+    # "full" fuses agg+distinct+quantile into ONE aggregate per
+    # micro-batch (operators/aggstate.py::full_state) — the snapshot
+    # shape: at scale the batch scan is the cost and one pass now
+    # maintains all three families.
+    "full": (full_state, merge_full_states),
 }
 
 

@@ -456,3 +456,74 @@ def test_sample_state_small_groups_and_validation(spark):
         sample_state(df, ["k"], "v", ["id"], k=0)
     with pytest.raises(ValueError, match="no states"):
         merge_sample_states(["k"], k=3)
+
+
+def test_full_state_equals_individual_builders(spark, corpus):
+    from argostats_spark.operators.aggstate import (
+        agg_state,
+        distinct_state,
+        finalize_distinct,
+        finalize_quantiles,
+        finalize_state,
+        full_state,
+        merge_full_states,
+    )
+
+    fused = full_state(corpus, ["k"], "v")
+    # agg columns bit-equal to agg_state
+    a = sorted(
+        (r["k"], r["n"], r["n_overflow"], r["s"], r["sq"], r["mn"], r["mx"])
+        for r in fused.collect()
+    )
+    assert a == _rows(agg_state(corpus, ["k"], "v"))
+    # distinct estimate equal to distinct_state's (HLL is
+    # order-independent, so the sketches agree)
+    de = {
+        r["k"]: r["n_distinct_est"]
+        for r in finalize_distinct(fused).collect()
+    }
+    want_de = {
+        r["k"]: r["n_distinct_est"]
+        for r in finalize_distinct(
+            distinct_state(corpus, ["k"], "v")
+        ).collect()
+    }
+    assert de == want_de
+    # quantile estimates hold the rank bound (sketch bits may differ
+    # from a separately-built sketch; the bound is the contract)
+    per_key = {}
+    for r in corpus.filter(F.col("v").isNotNull()).collect():
+        per_key.setdefault(r["k"], []).append(r["v"])
+    for r in finalize_quantiles(fused, [0.5]).collect():
+        vals = sorted(per_key[r["k"]])
+        rank = sum(1 for x in vals if x <= r["q50"]) / len(vals)
+        assert abs(rank - 0.5) <= 0.05
+    # merge law: fused states over thirds merge to the direct build
+    parts = [
+        full_state(corpus.filter(F.col("id") % 3 == r), ["k"], "v")
+        for r in range(3)
+    ]
+    merged = merge_full_states(["k"], *parts)
+    m = sorted(
+        (r["k"], r["n"], r["n_overflow"], r["s"], r["sq"], r["mn"], r["mx"])
+        for r in merged.collect()
+    )
+    assert m == a  # exact families: bit-equal under merge
+    mde = {
+        r["k"]: r["n_distinct_est"]
+        for r in finalize_distinct(merged).collect()
+    }
+    assert mde == want_de  # HLL merge law
+    for r in finalize_quantiles(merged, [0.5]).collect():
+        vals = sorted(per_key[r["k"]])
+        rank = sum(1 for x in vals if x <= r["q50"]) / len(vals)
+        assert abs(rank - 0.5) <= 0.05  # KLL merge keeps the bound
+    # finalize_state works on the fused frame directly
+    fs = {r["k"]: r["mean"] for r in finalize_state(merged).collect()}
+    want_fs = {
+        r["k"]: r["mean"]
+        for r in finalize_state(agg_state(corpus, ["k"], "v")).collect()
+    }
+    assert fs == want_fs
+    with pytest.raises(ValueError, match="no states"):
+        merge_full_states(["k"])

@@ -325,3 +325,38 @@ def test_quantile_kind_holds_rank_bound(spark, feed, tmp_path):
         assert n == len(vals)
         rank = sum(1 for x in vals if x <= est) / len(vals)
         assert abs(rank - 0.5) <= 0.05, (k, est, rank)
+
+
+def test_full_kind_maintains_all_families(spark, feed, tmp_path):
+    from argostats_spark.operators.aggstate import (
+        finalize_distinct,
+        finalize_quantiles,
+        full_state,
+    )
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "full")
+    got = read_state(spark, store, ["k"], kind="full")
+    want = full_state(all_rows, ["k"], "v")
+    # exact families: bit-identical to a cold rebuild
+    g = sorted(
+        (r["k"], r["n"], r["n_overflow"], r["s"], r["sq"], r["mn"], r["mx"])
+        for r in got.collect()
+    )
+    w = sorted(
+        (r["k"], r["n"], r["n_overflow"], r["s"], r["sq"], r["mn"], r["mx"])
+        for r in want.collect()
+    )
+    assert g == w
+    # HLL family: estimate equal (register-max merge law)
+    ge = {r["k"]: r["n_distinct_est"] for r in finalize_distinct(got).collect()}
+    we = {r["k"]: r["n_distinct_est"] for r in finalize_distinct(want).collect()}
+    assert ge == we
+    # KLL family: maintained sketch holds the rank bound
+    per_key = {}
+    for r in all_rows.collect():
+        per_key.setdefault(r["k"], []).append(r["v"])
+    for r in finalize_quantiles(got, [0.5]).collect():
+        vals = sorted(per_key[r["k"]])
+        rank = sum(1 for x in vals if x <= r["q50"]) / len(vals)
+        assert abs(rank - 0.5) <= 0.05
