@@ -29,6 +29,14 @@ sketches (and their union) are bit-identical.
 Protocol: one child JVM per variant, serialized, warm min-of-3 noop
 write, loadavg recorded, row-set md5 compared. JSON table for
 SCALE.md.
+
+SHIPPED (round 11, measured table in SCALE.md "aggstate limb A/B"):
+locally a wash (page-cached scans; compound grouping key offsets the
+saved scan) — v1 shipped on the at-scale argument, then superseded by
+the full_state FUSION: one grouped aggregate builds the agg+HLL+KLL
+families in a single scan (queries.py stats_suite limb; streaming
+kind="full"). v0_current here still measures the PRE-fusion filtered
+form for reference.
 """
 
 from __future__ import annotations
