@@ -1328,7 +1328,49 @@ def _qmerge_bksample_oracle_sql() -> str:
       )
     ) WHERE rnk <= 4
     """
-    return qm + "\n    UNION ALL " + bk
+    ov = """
+    SELECT 'overlap' AS which, grp, s.stat AS stat,
+           CAST(NULL AS VARCHAR) AS sval,
+           CASE s.stat
+             WHEN 'exa' THEN exa
+             WHEN 'exb' THEN exb
+             WHEN 'exint' THEN exint
+             WHEN 'exunion' THEN exa + exb - exint
+             ELSE 1.0 END AS nval
+    FROM (
+      SELECT CASE p WHEN 1 THEN 'src0|src1' WHEN 2 THEN 'src0|src2'
+                    ELSE 'src1|src2' END AS grp,
+             CASE p WHEN 3 THEN n1 ELSE n0 END AS exa,
+             CASE p WHEN 1 THEN n1 ELSE n2 END AS exb,
+             CASE p WHEN 1 THEN i01 WHEN 2 THEN i02 ELSE i12 END AS exint
+      FROM (
+        SELECT CAST(sum(f0) AS DOUBLE) AS n0, CAST(sum(f1) AS DOUBLE) AS n1,
+               CAST(sum(f2) AS DOUBLE) AS n2,
+               CAST(sum(f0 * f1) AS DOUBLE) AS i01,
+               CAST(sum(f0 * f2) AS DOUBLE) AS i02,
+               CAST(sum(f1 * f2) AS DOUBLE) AS i12
+        FROM (
+          SELECT w,
+                 max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS f0,
+                 max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS f1,
+                 max(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS f2
+          FROM (
+            SELECT DISTINCT source, w FROM (
+              SELECT source,
+                     unnest(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            )
+          ) GROUP BY w
+        )
+      ) CROSS JOIN (VALUES (1), (2), (3)) pp(p)
+    )
+    CROSS JOIN (VALUES ('exa'), ('exb'), ('exint'), ('exunion'), ('ok'))
+      s(stat)
+    """
+    return qm + "\n    UNION ALL " + bk + "\n    UNION ALL " + ov
 
 
 # bm25 limb query terms (round 10): drawn from the synthetic corpus
@@ -1497,6 +1539,16 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       construction, so the oracle replays the merged sample verbatim
       over the unsplit table - row equality IS the merge law
       bottomk(A) ⊎ bottomk(B) == bottomk(A ∪ B), cross-engine.
+    - ``overlap`` (round 11) - theta-sketch corpus-overlap audit
+      (operators/overlap.py): pairwise distinct-token overlap between
+      three document sources from per-source sketches, NO cross-
+      source corpus join. Hashed: exact anchors (per-source distinct
+      tokens, pairwise intersections, unions - both engines derive
+      them from the same distinct (source, token) table) plus a
+      per-pair guarantee boolean (all four estimates within
+      5%·|union|+3; theta error is union-relative by its published
+      model). The set-operable sketch is what HLL cannot be - the
+      audit HLL distinct counting can't answer.
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -1809,6 +1861,82 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pri").cast("double").alias("nval"),
     )
     agl = agl.unionByName(bks)
+    # overlap limb (round 11): the theta-sketch corpus-overlap AUDIT
+    # (operators/overlap.py) — pairwise distinct-token overlap between
+    # three document sources, estimated from per-source sketches with
+    # NO cross-source join of the corpora. Hashed rows: the exact
+    # anchors (per-source distinct tokens, pairwise intersection,
+    # union — both engines compute them from the same distinct
+    # (source, token) table) plus one guarantee boolean per pair: all
+    # four theta estimates within 5%·|union|+3 of their exacts (the
+    # published error model is union-relative). Sketch bits never
+    # hashed (approx-family policy).
+    from .functions.text import tokens
+    from .operators.overlap import overlap_matrix, theta_state
+
+    _OV_SRC = ("src0", "src1", "src2")
+    otoks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*_OV_SRC))
+        .select(
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: exacts + sketches
+    )
+    oflags = otoks.groupBy("w").agg(
+        *[
+            F.max((F.col("source") == s).cast("int")).alias(f"f{i}")
+            for i, s in enumerate(_OV_SRC)
+        ]
+    )
+    oex = oflags.agg(
+        F.sum("f0").alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
+        F.sum(F.col("f0") * F.col("f1")).alias("i01"),
+        F.sum(F.col("f0") * F.col("f2")).alias("i02"),
+        F.sum(F.col("f1") * F.col("f2")).alias("i12"),
+    )
+    opairs = oex.select(
+        F.expr(
+            "stack(3,"
+            " 'src0', 'src1', CAST(n0 AS DOUBLE), CAST(n1 AS DOUBLE),"
+            "   CAST(i01 AS DOUBLE),"
+            " 'src0', 'src2', CAST(n0 AS DOUBLE), CAST(n2 AS DOUBLE),"
+            "   CAST(i02 AS DOUBLE),"
+            " 'src1', 'src2', CAST(n1 AS DOUBLE), CAST(n2 AS DOUBLE),"
+            "   CAST(i12 AS DOUBLE)"
+            ") AS (a, b, exa, exb, exint)"
+        )
+    ).withColumn("exunion", F.col("exa") + F.col("exb") - F.col("exint"))
+    omat = overlap_matrix(theta_state(otoks, ["source"], "w"), "source")
+    otol = F.col("exunion") * 0.05 + 3
+    ook = (
+        (F.abs(F.col("est_a") - F.col("exa")) <= otol)
+        & (F.abs(F.col("est_b") - F.col("exb")) <= otol)
+        & (F.abs(F.col("est_union") - F.col("exunion")) <= otol)
+        & (F.abs(F.col("est_inter") - F.col("exint")) <= otol)
+    )
+    ovl = (
+        omat.join(F.broadcast(opairs), ["a", "b"])
+        .withColumn("okv", ook.cast("double"))
+        .select(
+            F.lit("overlap").alias("which"),
+            F.concat_ws("|", "a", "b").alias("grp"),
+            F.expr(
+                "stack(5,"
+                " 'exa', CAST(NULL AS STRING), exa,"
+                " 'exb', CAST(NULL AS STRING), exb,"
+                " 'exint', CAST(NULL AS STRING), exint,"
+                " 'exunion', CAST(NULL AS STRING), exunion,"
+                " 'ok', CAST(NULL AS STRING), okv"
+                ") AS (stat, sval, nval)"
+            ),
+        )
+    )
+    agl = agl.unionByName(ovl)
     from .operators.profile import dataset_manifest
 
     man = dataset_manifest(
