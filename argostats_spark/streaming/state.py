@@ -53,6 +53,7 @@ from ..operators.aggstate import (
     quantile_state,
     sample_state,
 )
+from ..operators.overlap import merge_theta_states, theta_state
 from .atlas import publish_version
 from .fsio import read_pointer, store_fs
 
@@ -80,6 +81,10 @@ _KINDS = {
     # shape: at scale the batch scan is the cost and one pass now
     # maintains all three families.
     "full": (full_state, merge_full_states),
+    # "theta" maintains the set-OPERABLE distinct sketches
+    # (operators/overlap.py) — a continuously-current overlap-audit
+    # state: overlap_matrix runs on read_state's output directly.
+    "theta": (theta_state, merge_theta_states),
 }
 
 

@@ -360,3 +360,24 @@ def test_full_kind_maintains_all_families(spark, feed, tmp_path):
         vals = sorted(per_key[r["k"]])
         rank = sum(1 for x in vals if x <= r["q50"]) / len(vals)
         assert abs(rank - 0.5) <= 0.05
+
+
+def test_theta_kind_feeds_overlap_matrix(spark, feed, tmp_path):
+    from argostats_spark.operators.overlap import overlap_matrix, theta_state
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "theta")
+    got = read_state(spark, store, ["k"], kind="theta")
+    want = theta_state(all_rows, ["k"], "v")
+    # exact n adds up; estimates agree with a cold rebuild within the
+    # sketch error bound of each other
+    g = {r["k"]: r["n"] for r in got.collect()}
+    w = {r["k"]: r["n"] for r in want.collect()}
+    assert g == w
+    gm = {(r["a"], r["b"]): r["est_inter"]
+          for r in overlap_matrix(got, "k").collect()}
+    wm = {(r["a"], r["b"]): r["est_inter"]
+          for r in overlap_matrix(want, "k").collect()}
+    assert set(gm) == set(wm) and len(gm) == 10  # C(5,2) key pairs
+    for p in wm:
+        assert abs(gm[p] - wm[p]) <= 0.05 * max(wm[p], 60), p
