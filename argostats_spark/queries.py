@@ -2028,17 +2028,36 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(sum(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT)
              AS sum_k,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS vsum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction (F15 modernized): pull a field out of
-    the JSON props string with a shared regex (engine-neutral)."""
+    """Semi-structured extraction (F15 modernized), two engine paths
+    pinned against each other AND cross-engine:
+
+    - ``sum_k``: the shared-regex extraction (engine-neutral string
+      scan — the portable fallback).
+    - ``vsum_k``: Spark 4's VARIANT path — ``try_parse_json`` into the
+      binary variant encoding, typed access via ``try_variant_get`` (the plain
+      ``variant_get`` THROWS on a type-mismatched value — not a usable
+      dirty-data contract; caught by the miss-behavior test). This
+      is the 100 TB shape for semi-structured columns: parse once into
+      a binary-tree encoding, then O(field) typed access — not a regex
+      rescan of the string per field. Malformed JSON yields NULL
+      (try_parse_json), matching the regex path's miss behavior. The
+      DuckDB twin extracts with its native JSON function, so the hash
+      pins Spark's variant decoder against an independent JSON parser.
+    """
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", '"k": ([0-9]+)', 1).try_cast("long")
+    vk = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+        F.sum(k).alias("sum_k"),
+        F.sum(vk).alias("vsum_k"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

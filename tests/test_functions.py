@@ -509,3 +509,32 @@ def test_char_entropy(spark):
         n = len(text)
         expect = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
         assert abs(got[i] - expect) <= 1e-6, (i, got[i], expect)
+
+
+def test_variant_json_path_miss_behavior(spark):
+    """The json_extract query's variant column (F15 modernized): the
+    variant path and the regex path must MISS identically — malformed
+    JSON, absent key, and non-numeric k all contribute NULL to both
+    sums, so the two engine paths stay hash-equal on dirty data."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 7}',),        # clean
+            ('{"k": "x"}',),      # non-numeric -> NULL (typed get)
+            ('{"j": 1}',),        # absent key -> NULL
+            ("not json",),        # malformed -> NULL (try_parse_json)
+            (None,),              # NULL props -> NULL
+        ],
+        "props string",
+    )
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).try_cast("long")
+    # plain variant_get raises INVALID_VARIANT_CAST on {"k": "x"} —
+    # try_variant_get is the dirty-data contract
+    vk = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    r = df.agg(
+        F.sum(k).alias("rk"), F.sum(vk).alias("vk"),
+        F.count(k).alias("nrk"), F.count(vk).alias("nvk"),
+    ).collect()[0]
+    assert r["rk"] == r["vk"] == 7
+    assert r["nrk"] == r["nvk"] == 1
