@@ -527,3 +527,72 @@ def test_full_state_equals_individual_builders(spark, corpus):
     assert fs == want_fs
     with pytest.raises(ValueError, match="no states"):
         merge_full_states(["k"])
+
+
+def test_sample_state_property_random_splits(spark):
+    """Hypothesis pin for the bottom-k merge law: random keyed value
+    multisets, random k, random split arity — the merged shard states
+    must equal the direct build EXACTLY, and both must equal a pure-
+    Python bottom-k mirror over md5 priorities."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.operators.aggstate import (
+        merge_sample_states,
+        sample_state,
+    )
+
+    def py_priority(idv: int, v: int) -> tuple[int, str]:
+        parts = []
+        for x in (idv, v):
+            s = str(x)
+            parts += [str(len(s)), "|", s, "|"]
+        tb = "".join(parts)
+        return int(hashlib.md5(tb.encode()).hexdigest()[:12], 16), tb
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=1, max_size=60,
+        ),
+        k=st.integers(min_value=1, max_value=6),
+        mod=st.sampled_from([2, 3]),
+    )
+    def check(rows, k, mod):
+        # unique ids per row; value as long (cross-engine repr-safe)
+        data = [(i, kk, v) for i, (kk, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, k string, v long")
+        direct = sorted(
+            (r["k"], r["rnk"], r["pri"], r["tb"], r["v"], r["n"])
+            for r in sample_state(df, ["k"], "v", ["id"], k=k).collect()
+        )
+        parts = [
+            sample_state(
+                df.filter(F.col("id") % mod == r), ["k"], "v", ["id"], k=k
+            )
+            for r in range(mod)
+        ]
+        merged = sorted(
+            (r["k"], r["rnk"], r["pri"], r["tb"], r["v"], r["n"])
+            for r in merge_sample_states(["k"], *parts, k=k).collect()
+        )
+        assert merged == direct
+        # pure-Python mirror
+        want = []
+        per_key: dict[str, list] = {}
+        for i, kk, v in data:
+            pri, tb = py_priority(i, v)
+            per_key.setdefault(kk, []).append((pri, tb, v))
+        for kk, items in per_key.items():
+            items.sort()
+            for rnk, (pri, tb, v) in enumerate(items[:k], start=1):
+                want.append((kk, rnk, pri, tb, v, len(items)))
+        assert sorted(want) == direct
+
+    check()
