@@ -1,0 +1,100 @@
+"""CMS inner-product join-size pre-flight (operators/joinsize.py):
+one-sided error bounds against exact join sizes, skew behavior, and
+the geometry contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from argostats_spark.operators.joinsize import (
+    join_size_estimate,
+    key_sketch,
+    preflight_join_size,
+)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    # side A: key j appears j times (j=1..40); side B: uniform 3 each
+    a = [(i, j) for j in range(1, 41) for i in range(j)]
+    b = [(i, j) for j in range(1, 41) for i in range(3)]
+    dfa = spark.createDataFrame(
+        [(x, k) for x, (_, k) in enumerate(a)], "id long, k long"
+    ).cache()
+    dfb = spark.createDataFrame(
+        [(x, k) for x, (_, k) in enumerate(b)], "id long, k long"
+    ).cache()
+    # exact join size = sum_j j*3
+    return dfa, dfb, sum(j * 3 for j in range(1, 41))
+
+
+def test_estimate_brackets_exact_size(spark, sides):
+    dfa, dfb, exact = sides
+    r = preflight_join_size(dfa, "k", dfb, "k", eps=0.001)
+    assert r["n_a"] == dfa.count() and r["n_b"] == dfb.count()
+    assert r["est"] >= exact                      # never underestimates
+    assert r["est"] <= exact + r["upper_slack"]   # one-sided bound
+    # at eps=0.001 over distinct small keys the estimate is EXACT
+    # (no hash collisions within 2720 columns for 40 keys is not
+    # guaranteed, but the bound is tiny): within 1% here
+    assert r["est"] <= exact * 1.01
+    # cross-check against the real join
+    true = dfa.join(dfb, "k").count()
+    assert true == exact
+
+
+def test_skewed_key_dominates_estimate(spark):
+    # one hot key with multiplicity 1000 on both sides: join size is
+    # ~10^6, dwarfing the 100 uniform keys — the pre-flight must see it
+    hot = [(i, 0) for i in range(1000)]
+    cold = [(1000 + j, 1 + j % 100) for j in range(1000)]
+    df = spark.createDataFrame(hot + cold, "id long, k long")
+    r = preflight_join_size(df, "k", df, "k", eps=0.001)
+    exact = 1000 * 1000 + sum(
+        c * c for c in [10] * 100
+    )  # 100 cold keys x10 each
+    assert r["est"] >= exact
+    assert r["est"] <= exact + r["upper_slack"]
+    assert r["est"] >= 1_000_000  # the blast radius is visible
+
+
+def test_null_keys_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (3, None)], "id long, k long"
+    )
+    s = key_sketch(df, "k")
+    r = join_size_estimate(s, s)
+    assert r["n_a"] == 1  # NULLs never join, never counted
+
+
+def test_geometry_mismatch_is_loud(spark, sides):
+    dfa, dfb, _ = sides
+    a = key_sketch(dfa, "k", eps=0.001)
+    b_eps = key_sketch(dfb, "k", eps=0.01)
+    with pytest.raises(ValueError, match="geometry or"):
+        join_size_estimate(a, b_eps)
+    b_seed = key_sketch(dfb, "k", eps=0.001, seed=7)
+    with pytest.raises(ValueError, match="geometry or"):
+        join_size_estimate(a, b_seed)
+    with pytest.raises(ValueError, match="too short"):
+        join_size_estimate(b"xx", b"xx")
+
+
+def test_inner_product_exact_past_int64(spark):
+    """Overflow hardening: synthetic tables with counts ~2^33 would
+    overflow an int64 product — the decoder path must stay exact."""
+    import struct
+
+    import numpy as np
+
+    from argostats_spark.operators.joinsize import join_size_estimate
+
+    depth, width = 2, 4
+    big = 1 << 33
+    header = struct.pack(">iqii", 1, big * width, depth, width)
+    hashes = np.arange(depth, dtype=">i8").tobytes()
+    table = np.full((depth, width), big, dtype=">i8").tobytes()
+    raw = header + hashes + table
+    r = join_size_estimate(raw, raw)
+    assert r["est"] == width * big * big  # 4 * 2^66 — exact, positive
