@@ -508,7 +508,12 @@ def merge_sample_states(
     are all present among the shards' k-smallest states. Re-ranks and
     re-sums n; cost is state-table rows, never the corpora. Unlike
     merge_topk_states this output IS a re-mergeable state — bottom-k
-    is closed under merge with no error to compound."""
+    is closed under merge with no error to compound.
+
+    Exactness requires every shard state to have been built with
+    k' >= this merge's ``k``: a shard that kept only 3 rows cannot
+    supply the union's 5 smallest. Build states at the largest sample
+    size any consumer wants and cut down at merge time, never up."""
     from pyspark.sql import Window as _W
 
     if not states:
