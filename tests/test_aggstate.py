@@ -596,3 +596,33 @@ def test_sample_state_property_random_splits(spark):
         assert sorted(want) == direct
 
     check()
+
+
+def test_full_state_plan_single_scan(spark, tmp_path):
+    """The fusion's reason to exist: building all three summary
+    families costs ONE source scan (plus two state-table-sized
+    exchanges), column-pruned to the key/value columns."""
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, f"k{i % 3}", float(i)) for i in range(100)],
+        "id long, k string, v double",
+    ).write.parquet(p)
+    from argostats_spark.operators.aggstate import (
+        full_state,
+        merge_full_states,
+    )
+
+    df = spark.read.parquet(p)
+    tagged = df.withColumn("__half", F.col("id") % 2)
+    fused = merge_full_states(
+        ["k"], full_state(tagged, ["__half", "k"], "v")
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    # column pruning reached the scan: the untouched wide column would
+    # appear in ReadSchema otherwise
+    import re
+
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "v#" in scan_line or "v," in scan_line or "v]" in scan_line
