@@ -626,3 +626,34 @@ def test_full_state_plan_single_scan(spark, tmp_path):
 
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "v#" in scan_line or "v," in scan_line or "v]" in scan_line
+
+
+def test_full_state_null_sketch_shards_merge_gracefully(spark):
+    """A shard whose group had only NULL values carries NULL hll/kll
+    sketches; merging must skip them (SQL aggregate semantics), not
+    throw — and two all-NULL shards finalize to (n=0, est=0, None)."""
+    from argostats_spark.operators.aggstate import (
+        finalize_distinct,
+        finalize_quantiles,
+        full_state,
+        merge_full_states,
+    )
+
+    a = spark.createDataFrame([("k", None), ("k", None)], "k string, v double")
+    b = spark.createDataFrame([("k", 1.0), ("k", 2.0)], "k string, v double")
+    m = finalize_quantiles(
+        finalize_distinct(
+            merge_full_states(["k"], full_state(a, ["k"], "v"),
+                              full_state(b, ["k"], "v"))
+        ),
+        [0.5],
+    ).collect()[0]
+    assert (m["n"], m["n_distinct_est"], m["q50"]) == (2, 2, 1.0)
+    m2 = finalize_quantiles(
+        finalize_distinct(
+            merge_full_states(["k"], full_state(a, ["k"], "v"),
+                              full_state(a, ["k"], "v"))
+        ),
+        [0.5],
+    ).collect()[0]
+    assert (m2["n"], m2["n_distinct_est"], m2["q50"]) == (0, 0, None)
