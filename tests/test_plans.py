@@ -250,7 +250,11 @@ def test_registry_plans_free_of_antipatterns(spark, sf_dir):
                                  # the 20-row top-k (key_skew_report; r8)
         "stats_suite",           # lm_ap limb: broadcast 1-row approx-
                                  # edge array onto the scored docs (the
-                                 # constant join key folds away; r9)
+                                 # constant join key folds away; r9).
+                                 # overlap limb (r11): the pairwise
+                                 # a<b self-join of the 3-row broadcast
+                                 # theta STATE table — state-sized by
+                                 # construction, never corpus-sized
     }
     offenders = {}
     for name, fn in mod.queries().items():
