@@ -564,12 +564,19 @@ def full_state(
     """ALL per-key mergeable summaries in ONE corpus pass (round 11):
     the exact agg_state columns (n, n_overflow, s, sq, mn, mx) plus
     the HLL distinct sketch and the KLL quantile sketch, as one
-    grouped aggregate. This is the state builder a snapshot job
-    actually runs: at 100 TB the scan IS the cost, and building the
-    families separately pays it once per family — the fused aggregate
-    pays it once, period (the per-row work is additive and tiny next
-    to the I/O; measured locally the fuse is scan-count-neutral only
-    because testdata sits in page cache).
+    grouped aggregate.
+
+    MEASURED CAVEAT (SCALE.md "aggstate limb A/B", four-variant
+    fresh-JVM table): folding the exact columns in drags the whole
+    aggregate onto the interpreted ObjectHashAggregate path — the
+    decimal sums lose whole-stage codegen, and the extra per-row CPU
+    (~1 µs/row measured) outweighs the saved scan (~0.5 µs/row even
+    at cold-storage throughput). Prefer :func:`agg_state` (codegen)
+    + :func:`sketch_state` (one object-path pass for both sketches —
+    THAT fusion is free) when building all families; full_state
+    remains as the one-call convenience and for pipelines that are
+    genuinely scan-starved (remote object storage, heavy row widths
+    where the value columns are a sliver of the scan).
 
     The output is simultaneously a valid agg/distinct/quantile state:
     :func:`finalize_state`, :func:`finalize_distinct` and
@@ -618,4 +625,57 @@ def merge_full_states(
         F.max("mx").alias("mx"),
         F.hll_union_agg(F.col("hll")).alias("hll"),
         F.kll_merge_agg_double(F.col("kll"), kll_k).alias("kll"),
+    )
+
+
+def sketch_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    kll_k: int = 200,
+) -> DataFrame:
+    """The HLL + KLL sketches (and non-null count) in ONE grouped
+    aggregate — the fusion that is actually free: both sketch
+    aggregates already run on the interpreted ObjectHashAggregate
+    path, so sharing one pass halves their scans with no codegen loss.
+    Contrast :func:`full_state`, which also folds the EXACT columns
+    in: measured (SCALE.md "aggstate limb A/B"), dragging the decimal
+    sums off whole-stage codegen onto the object path costs more CPU
+    per row than the saved scan in every regime we measured — prefer
+    agg_state (codegen) + sketch_state (one object pass) when you need
+    both; full_state stays for the truly scan-starved case and as the
+    one-call convenience.
+
+    Output is simultaneously a valid distinct state and quantile state
+    (finalize_distinct / finalize_quantiles work directly);
+    :func:`merge_sketch_states` merges both under their own laws."""
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType
+
+    v = F.col(value_col)
+    vh = v
+    if not isinstance(
+        df.schema[value_col].dataType,
+        (IntegerType, LongType, StringType, BinaryType),
+    ):
+        vh = v.cast("string")
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(vh, lg_k).alias("hll"),
+        F.kll_sketch_agg_double(v.cast("double"), kll_k).alias("kll"),
+        F.count(v).alias("n"),
+    )
+
+
+def merge_sketch_states(
+    keys: list[str], *states: DataFrame, kll_k: int = 200
+) -> DataFrame:
+    """HLL register-max union + native KLL merge + count sum, one
+    state-table pass. Closed under merge."""
+    if not states:
+        raise ValueError("merge_sketch_states: no states to merge")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("hll")).alias("hll"),
+        F.kll_merge_agg_double(F.col("kll"), kll_k).alias("kll"),
+        F.sum("n").alias("n"),
     )

@@ -1528,8 +1528,8 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       replays edges, buckets, and the rounded average bit-for-bit.
     - ``qmerge`` (round 11) - mergeable QUANTILE state
       (operators/aggstate.py::quantile_state): per-half KLL sketches
-      built in the same one-pass (__half, key) grouped scan as the
-      aggstate states, merged across halves; hashed rows are the
+      sharing one (__half, key) grouped sketch pass with the HLL
+      family (sketch_state), merged across halves; hashed rows are the
       exact percentile anchors (Spark percentile == DuckDB
       quantile_cont) and the merged sketch's rank-error guarantee
       booleans (±0.05 normalized rank, two-sided under ties).
@@ -1713,32 +1713,42 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     from .operators.aggstate import (
+        agg_state,
         finalize_distinct,
         finalize_quantiles,
         finalize_state,
-        full_state,
-        merge_full_states,
+        merge_agg_states,
         merge_sample_states,
         sample_state,
     )
 
-    # The half-corpus states build in ONE grouped pass keyed by
-    # (__half, l_returnflag) — the production state-table shape
-    # (snapshots as a key column of one table) — and the merge then
-    # groups by l_returnflag alone. Identical output to two filtered
-    # scans per family (scripts/bench_aggstate_ab.py, row-set md5
-    # equal), but the l_orderkey-parity predicate can't push to
-    # parquet, so the filtered form paid 2 full lineitem scans per
-    # state family. Further, the agg/distinct/quantile families FUSE
-    # into one aggregate (full_state): at 100 TB the scan is the
-    # cost, and one snapshot pass now builds all three. The merged
-    # state is lazily pinned — three limb families read it.
+    # The half-corpus states build in ONE grouped pass per aggregate
+    # path, keyed by (__half, l_returnflag) — the production
+    # state-table shape (snapshots as a key column of one table) —
+    # and the merge then groups by l_returnflag alone. The shipped
+    # split is the MEASURED winner of the four-variant A/B
+    # (scripts/bench_aggstate_ab.py, identical output md5-checked;
+    # SCALE.md "aggstate limb A/B"): the exact family keeps its
+    # whole-stage-codegen HashAggregate, and the HLL+KLL sketches
+    # share ONE ObjectHashAggregate pass (they were never codegen, so
+    # their fusion is free). Folding the exact sums into the sketch
+    # aggregate too (full_state) drags them onto the interpreted
+    # object path — measured SLOWER than the scans it saves in every
+    # regime tried. The sketch state is lazily pinned: the distinct
+    # and quantile limb families both read it.
     tagged = li.withColumn("__half", F.col("l_orderkey") % 2)
-    fused = merge_full_states(
+    from .operators.aggstate import merge_sketch_states, sketch_state
+
+    fin = finalize_state(
+        merge_agg_states(
+            ["l_returnflag"],
+            agg_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
+        )
+    )
+    sk = merge_sketch_states(
         ["l_returnflag"],
-        full_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
+        sketch_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
     ).localCheckpoint(eager=False)
-    fin = finalize_state(fused)
     agl = fin.select(
         F.lit("aggstate").alias("which"),
         F.col("l_returnflag").alias("grp"),
@@ -1759,7 +1769,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one direct countDistinct on the unsplit frame, and the hashed
     # value is the 5% guarantee boolean — so the limb proves the HLL
     # merge law cross-engine without hashing sketch internals.
-    dfin = finalize_distinct(fused)
+    dfin = finalize_distinct(sk)
     dex = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_quantity").alias("dex")
     )
@@ -1778,7 +1788,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     agl = agl.unionByName(dagl)
     # qmerge limb (round 11): MERGEABLE QUANTILE state — KLL sketches
     # per (__half, l_returnflag) merged across the halves (the fourth
-    # mergeable-summary leg, built by the fused full_state aggregate
+    # mergeable-summary leg, sharing the fused sketch_state pass
     # above). The approx-family policy: the hashed rows are the
     # EXACT percentile anchors (Spark percentile == DuckDB
     # quantile_cont, both linear-interpolated, round 6) plus per-
@@ -1788,7 +1798,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under ties: P(x < est) ≤ q+ε and P(x ≤ est) ≥ q−ε. The sketch
     # bits themselves are engine-internal and never hashed.
     _QS = (0.25, 0.5, 0.75)
-    qfin = finalize_quantiles(fused, list(_QS))
+    qfin = finalize_quantiles(sk, list(_QS))
     qex = li.groupBy("l_returnflag").agg(
         F.expr(
             "percentile(l_quantity, array(0.25d, 0.5d, 0.75d))"

@@ -45,6 +45,8 @@ from ..operators.aggstate import (
     agg_state,
     distinct_state,
     full_state,
+    merge_sketch_states,
+    sketch_state,
     merge_agg_states,
     merge_distinct_states,
     merge_full_states,
@@ -77,10 +79,12 @@ _KINDS = {
     "quantile": (quantile_state, merge_quantile_states),
     "sample": (sample_state, merge_sample_states),
     # "full" fuses agg+distinct+quantile into ONE aggregate per
-    # micro-batch (operators/aggstate.py::full_state) — the snapshot
-    # shape: at scale the batch scan is the cost and one pass now
-    # maintains all three families.
+    # micro-batch (operators/aggstate.py::full_state); "sketch" fuses
+    # just HLL+KLL — the measured-preferred pairing with a separate
+    # codegen "agg" stream (see full_state's caveat: the all-in
+    # fusion trades whole-stage codegen for scans and loses).
     "full": (full_state, merge_full_states),
+    "sketch": (sketch_state, merge_sketch_states),
     # "theta" maintains the set-OPERABLE distinct sketches
     # (operators/overlap.py) — a continuously-current overlap-audit
     # state: overlap_matrix runs on read_state's output directly.

@@ -20,6 +20,10 @@ Variants (identical output REQUIRED — the full limb frame
                 state tables keyed by a snapshot column is exactly the
                 production shape (monthly snapshots in one state
                 table) — but 5 lineitem scans become 3.
+- v2_fused    — the SHIPPED shape after round 11's full_state fusion:
+                ONE grouped aggregate builds the agg AND hll families
+                (the real query also folds kll in); 3 scans become 2
+                (fused build + the exact-distinct anchor).
 
 HLL identity holds by construction: a sketch depends only on the
 multiset of values in its group, and groupBy(__half, key) partitions
@@ -31,12 +35,11 @@ write, loadavg recorded, row-set md5 compared. JSON table for
 SCALE.md.
 
 SHIPPED (round 11, measured table in SCALE.md "aggstate limb A/B"):
-locally a wash (page-cached scans; compound grouping key offsets the
-saved scan) — v1 shipped on the at-scale argument, then superseded by
-the full_state FUSION: one grouped aggregate builds the agg+HLL+KLL
-families in a single scan (queries.py stats_suite limb; streaming
-kind="full"). v0_current here still measures the PRE-fusion filtered
-form for reference.
+v3_split — codegen exact agg + ONE fused sketch pass. The 4-way table
+killed the all-in fusion (v2): any object-typed aggregate function
+(HLL/KLL) forces ObjectHashAggregate, dragging the decimal sums off
+whole-stage codegen; the per-row CPU penalty exceeds the saved scan
+in every regime measured. v0/v1 remain for reference.
 """
 
 from __future__ import annotations
@@ -61,7 +64,8 @@ from pyspark.sql import functions as F
 from argostats_spark.session import get_spark
 from argostats_spark.operators.aggstate import (
     agg_state, distinct_state, finalize_distinct, finalize_state,
-    merge_agg_states, merge_distinct_states)
+    full_state, merge_agg_states, merge_distinct_states,
+    merge_full_states, merge_sketch_states, sketch_state)
 
 spark = get_spark(app_name="aggstate_ab_" + variant)
 li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -98,7 +102,7 @@ def build():
             *[distinct_state(h, ["l_returnflag"], "l_quantity")
               for h in halves],
         ))
-    else:
+    elif variant == "v1_onepass":
         tagged = li.withColumn("__half", F.col("l_orderkey") % 2)
         fin = finalize_state(merge_agg_states(
             ["l_returnflag"],
@@ -109,6 +113,24 @@ def build():
             distinct_state(
                 tagged, ["__half", "l_returnflag"], "l_quantity"
             ).drop("__half"),
+        ))
+    elif variant == "v2_fused":  # all families in one object-path agg
+        tagged = li.withColumn("__half", F.col("l_orderkey") % 2)
+        fused = merge_full_states(
+            ["l_returnflag"],
+            full_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
+        ).localCheckpoint(eager=False)
+        fin = finalize_state(fused)
+        dfin = finalize_distinct(fused)
+    else:  # v3_split — codegen exact agg + ONE fused sketch pass
+        tagged = li.withColumn("__half", F.col("l_orderkey") % 2)
+        fin = finalize_state(merge_agg_states(
+            ["l_returnflag"],
+            agg_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
+        ))
+        dfin = finalize_distinct(merge_sketch_states(
+            ["l_returnflag"],
+            sketch_state(tagged, ["__half", "l_returnflag"], "l_quantity"),
         ))
     agl = fin.select(
         F.lit("aggstate").alias("which"),
@@ -165,7 +187,7 @@ def run(variant: str) -> dict:
 
 
 def main() -> None:
-    results = [run(v) for v in ("v0_current", "v1_onepass")]
+    results = [run(v) for v in ("v0_current", "v1_onepass", "v2_fused", "v3_split")]
     print(json.dumps({"sf_dir": SF_DIR, "results": results}, indent=2))
     hashes = {r.get("hash") for r in results if "hash" in r}
     if len(hashes) == 1 and None not in hashes:

@@ -381,3 +381,32 @@ def test_theta_kind_feeds_overlap_matrix(spark, feed, tmp_path):
     assert set(gm) == set(wm) and len(gm) == 10  # C(5,2) key pairs
     for p in wm:
         assert abs(gm[p] - wm[p]) <= 0.05 * max(wm[p], 60), p
+
+
+def test_sketch_kind_maintains_both_sketch_families(spark, feed, tmp_path):
+    from argostats_spark.operators.aggstate import (
+        finalize_distinct,
+        finalize_quantiles,
+        sketch_state,
+    )
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(spark, feed, store, ckpt, "sketch")
+    got = read_state(spark, store, ["k"], kind="sketch")
+    want = sketch_state(all_rows, ["k"], "v")
+    ge = {
+        r["k"]: (r["n"], r["n_distinct_est"])
+        for r in finalize_distinct(got).collect()
+    }
+    we = {
+        r["k"]: (r["n"], r["n_distinct_est"])
+        for r in finalize_distinct(want).collect()
+    }
+    assert ge == we  # counts exact, HLL register-max merge law
+    per_key = {}
+    for r in all_rows.collect():
+        per_key.setdefault(r["k"], []).append(r["v"])
+    for r in finalize_quantiles(got, [0.5]).collect():
+        vals = sorted(per_key[r["k"]])
+        rank = sum(1 for x in vals if x <= r["q50"]) / len(vals)
+        assert abs(rank - 0.5) <= 0.05
