@@ -275,10 +275,12 @@ def test_uncommitted_increment_is_invisible(spark, feed, mkstore, tmp_path):
 # and quantile (rank-error-bound pin, the approx-family policy).
 
 
-def test_sample_kind_bit_identical_to_cold_rebuild(spark, feed, tmp_path):
+def test_sample_kind_bit_identical_to_cold_rebuild(
+    spark, feed, mkstore, tmp_path
+):
     from argostats_spark.operators.aggstate import sample_state
 
-    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    (store, _plain), ckpt = mkstore("store"), str(tmp_path / "ckpt")
     all_rows = _run_stream(
         spark, feed, store, ckpt, "sample", id_cols=["id"], k=6
     )
