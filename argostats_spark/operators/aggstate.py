@@ -372,10 +372,22 @@ def _sample_preimage(id_cols: list[str], value_col: str) -> Column:
     return F.concat(*parts)
 
 
-def _sample_priority(preimage: Column) -> Column:
-    return (
-        F.conv(F.substring(F.md5(preimage), 1, 12), 16, 10)
-        .cast("long")
+def _sample_priority(preimage: Column, hash_family: str = "xxhash64") -> Column:
+    if hash_family == "xxhash64":
+        # the production family: native codegen, measured 24x cheaper
+        # than md5 at 6M rows (SCALE.md "bottom-k sample at scale");
+        # deterministic within Spark, which is all the merge law needs
+        return F.pmod(F.xxhash64(preimage), F.lit(_PRIORITY_SPACE))
+    if hash_family == "md5":
+        # the cross-engine family: replayable in DuckDB SQL — the
+        # bksample driver limb uses it so the oracle can recompute the
+        # merged sample verbatim
+        return (
+            F.conv(F.substring(F.md5(preimage), 1, 12), 16, 10)
+            .cast("long")
+        )
+    raise ValueError(
+        f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
     )
 
 
@@ -386,6 +398,7 @@ def sample_state(
     id_cols: list[str],
     k: int,
     safety: float = 8.0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-key MERGEABLE uniform-sample state (round 11 — the fifth
     mergeable-summary leg): the BOTTOM-K sketch of Cohen & Kaplan 2007
@@ -424,7 +437,15 @@ def sample_state(
     length-prefixed (id..., value) preimage string, which the state
     CARRIES so a merge applies the identical order without the id
     columns — the merge law must hold on ties by construction, not
-    by their improbability."""
+    by their improbability.
+
+    ``hash_family`` picks the priority hash: "xxhash64" (default —
+    native codegen, measured 24x cheaper than md5 at 6M rows;
+    deterministic within Spark, which is all the merge law and the
+    streaming==batch pin need) or "md5" (replayable in DuckDB SQL —
+    the cross-engine-verifiable family the bksample driver limb
+    uses). States to be MERGED must share one family: the carried
+    priorities are only comparable within it."""
     from pyspark.sql import Window as _W
 
     if k < 1:
@@ -452,7 +473,7 @@ def sample_state(
     surv = (
         rows.join(F.broadcast(ct), cond)
         .withColumn("__tb", pre)
-        .withColumn("__pri", _sample_priority(F.col("__tb")))
+        .withColumn("__pri", _sample_priority(F.col("__tb"), hash_family))
         .filter(F.col("__pri").cast("double") < thresh)
     )
     w = _W.partitionBy(*keys).orderBy(

@@ -1861,6 +1861,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lqi",
             ["l_orderkey", "l_linenumber"],
             k=4,
+            hash_family="md5",  # the cross-engine-replayable family
         ),
         k=4,
     ).select(

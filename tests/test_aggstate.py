@@ -368,12 +368,12 @@ def test_sample_state_merge_law_exact(spark, corpus):
         sample_state,
     )
 
-    direct = sample_state(corpus, ["k"], "v", ["id"], k=7)
+    direct = sample_state(corpus, ["k"], "v", ["id"], k=7, hash_family="md5")
     for mod in (2, 3):
         parts = [
             sample_state(
                 corpus.filter(F.col("id") % mod == r), ["k"], "v", ["id"],
-                k=7,
+                k=7, hash_family="md5",
             )
             for r in range(mod)
         ]
@@ -382,7 +382,8 @@ def test_sample_state_merge_law_exact(spark, corpus):
     # re-mergeable: merge of merges == direct (bottom-k is closed)
     a, b, c = (
         sample_state(
-            corpus.filter(F.col("id") % 3 == r), ["k"], "v", ["id"], k=7
+            corpus.filter(F.col("id") % 3 == r), ["k"], "v", ["id"], k=7,
+            hash_family="md5",
         )
         for r in range(3)
     )
@@ -403,11 +404,11 @@ def test_sample_state_is_bottom_k_by_content_hash(spark):
         [(i, "g", float(i * 13 % 101)) for i in range(500)],
         "id long, k string, v double",
     )
-    got = sample_state(df, ["k"], "v", ["id"], k=5)
+    got = sample_state(df, ["k"], "v", ["id"], k=5, hash_family="md5")
     # independent mirror: full priority table, k smallest
     full = (
         df.withColumn("__tb", _sample_preimage(["id"], "v"))
-        .withColumn("__p", _sample_priority(F.col("__tb")))
+        .withColumn("__p", _sample_priority(F.col("__tb"), "md5"))
         .orderBy("__p")
         .limit(5)
         .collect()
@@ -432,7 +433,10 @@ def test_sample_state_deficiency_guard_is_loud(spark):
     try:
         A._PRIORITY_SPACE = 1  # thresh -> ~0, every row filtered out
         with pytest.raises(ValueError, match="raise safety"):
-            A.sample_state(df, ["k"], "v", ["id"], k=5)
+            # md5 priorities ignore _PRIORITY_SPACE (fixed 48-bit
+            # prefix), so shrinking the space starves the threshold —
+            # the total-wipeout shape the guard exists for
+            A.sample_state(df, ["k"], "v", ["id"], k=5, hash_family="md5")
     finally:
         A._PRIORITY_SPACE = orig
 
@@ -570,11 +574,14 @@ def test_sample_state_property_random_splits(spark):
         df = spark.createDataFrame(data, "id long, k string, v long")
         direct = sorted(
             (r["k"], r["rnk"], r["pri"], r["tb"], r["v"], r["n"])
-            for r in sample_state(df, ["k"], "v", ["id"], k=k).collect()
+            for r in sample_state(
+                df, ["k"], "v", ["id"], k=k, hash_family="md5"
+            ).collect()
         )
         parts = [
             sample_state(
-                df.filter(F.col("id") % mod == r), ["k"], "v", ["id"], k=k
+                df.filter(F.col("id") % mod == r), ["k"], "v", ["id"], k=k,
+                hash_family="md5",
             )
             for r in range(mod)
         ]
@@ -657,3 +664,22 @@ def test_full_state_null_sketch_shards_merge_gracefully(spark):
         [0.5],
     ).collect()[0]
     assert (m2["n"], m2["n_distinct_est"], m2["q50"]) == (0, 0, None)
+
+
+def test_sample_state_merge_law_default_family(spark, corpus):
+    """The xxhash64 production family must hold the same exact merge
+    law (it's a content hash too — the law never depended on md5)."""
+    from argostats_spark.operators.aggstate import (
+        merge_sample_states,
+        sample_state,
+    )
+
+    direct = _sample_rows(sample_state(corpus, ["k"], "v", ["id"], k=7))
+    parts = [
+        sample_state(corpus.filter(F.col("id") % 3 == r), ["k"], "v",
+                     ["id"], k=7)
+        for r in range(3)
+    ]
+    assert _sample_rows(merge_sample_states(["k"], *parts, k=7)) == direct
+    with pytest.raises(ValueError, match="hash_family"):
+        sample_state(corpus, ["k"], "v", ["id"], k=7, hash_family="sha9")
