@@ -365,10 +365,19 @@ _PRIORITY_SPACE = 1 << 48
 
 
 def _sample_preimage(id_cols: list[str], value_col: str) -> Column:
+    # length-prefixed and NULL-flagged per field (the dataset_manifest
+    # preimage pattern): a NULL id must hash like any other content,
+    # not NULL the whole concat — which would NULL the priority and
+    # SILENTLY drop the row from the sample (review finding, round
+    # 11). "0||1|" (NULL) and "0||0|" (empty string) stay distinct.
     parts: list[Column] = []
     for c in [*id_cols, value_col]:
-        s = F.col(c).cast("string")
-        parts += [F.length(s).cast("string"), F.lit("|"), s, F.lit("|")]
+        s = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        flag = F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+        parts += [
+            F.length(s).cast("string"), F.lit("|"), s, F.lit("|"),
+            flag, F.lit("|"),
+        ]
     return F.concat(*parts)
 
 

@@ -1318,12 +1318,14 @@ def _qmerge_bksample_oracle_sql() -> str:
         SELECT l_returnflag,
                CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR)
                  || '|' || CAST(l_orderkey AS VARCHAR) || '|'
+                 || CASE WHEN l_orderkey IS NULL THEN '1|' ELSE '0|' END
                  || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR)
                  || '|' || CAST(l_linenumber AS VARCHAR) || '|'
+                 || CASE WHEN l_linenumber IS NULL THEN '1|' ELSE '0|' END
                  || CAST(length(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))
                          AS VARCHAR)
                  || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
-                 || '|' AS tb
+                 || '|0|' AS tb
         FROM lineitem WHERE l_quantity IS NOT NULL
       )
     ) WHERE rnk <= 4

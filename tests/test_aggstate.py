@@ -552,7 +552,7 @@ def test_sample_state_property_random_splits(spark):
         parts = []
         for x in (idv, v):
             s = str(x)
-            parts += [str(len(s)), "|", s, "|"]
+            parts += [str(len(s)), "|", s, "|", "0", "|"]
         tb = "".join(parts)
         return int(hashlib.md5(tb.encode()).hexdigest()[:12], 16), tb
 
@@ -683,3 +683,23 @@ def test_sample_state_merge_law_default_family(spark, corpus):
     assert _sample_rows(merge_sample_states(["k"], *parts, k=7)) == direct
     with pytest.raises(ValueError, match="hash_family"):
         sample_state(corpus, ["k"], "v", ["id"], k=7, hash_family="sha9")
+
+
+def test_sample_state_null_id_rows_are_sampled_not_dropped(spark):
+    """Review finding (round 11): a NULL id column must hash like any
+    other content — the pre-fix preimage concat NULLed, the priority
+    NULLed, and the row silently vanished from the sample."""
+    from argostats_spark.operators.aggstate import sample_state
+
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (None, "g", 20.0), (3, "g", 30.0)],
+        "id long, k string, v double",
+    )
+    got = sample_state(df, ["k"], "v", ["id"], k=10)
+    rows = got.collect()
+    assert sorted(r["v"] for r in rows) == [10.0, 20.0, 30.0]
+    ns = {r["n"] for r in rows}
+    assert ns == {3}
+    # NULL id and empty-string-like content stay distinct preimages
+    tbs = {r["tb"] for r in rows}
+    assert len(tbs) == 3
