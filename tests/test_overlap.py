@@ -55,10 +55,10 @@ def test_theta_merge_law(spark, sets):
     merged = merge_theta_states(["src"], *parts)
     direct = theta_state(sets, ["src"], "v")
     em = {
-        r["src"]: (r["n"], F_est(r)) for r in _with_est(merged).collect()
+        r["src"]: (r["n"], r["est"]) for r in _with_est(merged).collect()
     }
     ed = {
-        r["src"]: (r["n"], F_est(r)) for r in _with_est(direct).collect()
+        r["src"]: (r["n"], r["est"]) for r in _with_est(direct).collect()
     }
     assert set(em) == set(ed)
     for k in ed:
@@ -73,10 +73,6 @@ def _with_est(st):
     return st.withColumn(
         "est", F.theta_sketch_estimate(F.col("theta"))
     )
-
-
-def F_est(r):
-    return r["est"]
 
 
 def test_overlap_subset_containment(spark):
