@@ -344,9 +344,15 @@ def finalize_quantiles(
     error bound of the requested one — the approx-family policy:
     downstream checks pin the rank-error guarantee against an exact
     anchor, never the estimate bits."""
+    names = [f"{prefix}{int(round(q * 100))}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"finalize_quantiles: rank fractions {qs} collide to column "
+            f"names {names} — fractions closer than 0.01 need distinct "
+            "prefixes or separate calls"
+        )
     out = state
-    for q in qs:
-        name = f"{prefix}{int(round(q * 100))}"
+    for q, name in zip(qs, names):
         out = out.withColumn(
             name,
             F.when(

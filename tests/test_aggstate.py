@@ -703,3 +703,15 @@ def test_sample_state_null_id_rows_are_sampled_not_dropped(spark):
     # NULL id and empty-string-like content stay distinct preimages
     tbs = {r["tb"] for r in rows}
     assert len(tbs) == 3
+
+
+def test_finalize_quantiles_name_collision_is_loud(spark):
+    from argostats_spark.operators.aggstate import (
+        finalize_quantiles,
+        quantile_state,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    st = quantile_state(df, ["k"], "v")
+    with pytest.raises(ValueError, match="collide"):
+        finalize_quantiles(st, [0.251, 0.254])
