@@ -414,6 +414,7 @@ def sample_state(
     k: int,
     safety: float = 8.0,
     hash_family: str = "xxhash64",
+    validate: bool = True,
 ) -> DataFrame:
     """Per-key MERGEABLE uniform-sample state (round 11 — the fifth
     mergeable-summary leg): the BOTTOM-K sketch of Cohen & Kaplan 2007
@@ -460,7 +461,20 @@ def sample_state(
     streaming==batch pin need) or "md5" (replayable in DuckDB SQL —
     the cross-engine-verifiable family the bksample driver limb
     uses). States to be MERGED must share one family: the carried
-    priorities are only comparable within it."""
+    priorities are only comparable within it.
+
+    EAGERNESS (ADVICE r11): with ``validate=True`` (default) the
+    deficiency guard runs full Spark jobs AT CALL TIME — unlike every
+    other state builder here, which stays lazy. The eager check is
+    what makes a silent short sample impossible; callers composing
+    lazy pipelines (or running per-micro-batch in streaming, where
+    the extra driver action repeats every batch) can pass
+    ``validate=False`` and validate downstream — the returned state
+    is identical, only the loud under-k check is skipped. The counts
+    table joined onto the corpus is one row per key group; its join
+    strategy is left to AQE (no forced broadcast — a high-cardinality
+    key set at 100 TB posture must be allowed to shuffle-join rather
+    than exceed the driver/broadcast limits)."""
     from pyspark.sql import Window as _W
 
     if k < 1:
@@ -486,7 +500,7 @@ def sample_state(
         / F.col("__nk").cast("double"),
     )
     surv = (
-        rows.join(F.broadcast(ct), cond)
+        rows.join(ct, cond)
         .withColumn("__tb", pre)
         .withColumn("__pri", _sample_priority(F.col("__tb"), hash_family))
         .filter(F.col("__pri").cast("double") < thresh)
@@ -506,10 +520,13 @@ def sample_state(
             F.col("__nk").alias("n"),
         )
     )
+    if not validate:
+        return kept
     # loud deficiency guard: state-table-sized check, driver-cheap.
     # Anchored on the COUNTS table, not the kept table — a threshold
     # that filters a key's every row (the worst deficiency) leaves no
-    # kept row to flag itself
+    # kept row to flag itself. EAGER by design (see docstring);
+    # validate=False skips it for lazy/streaming composition.
     kept = kept.localCheckpoint(eager=False)
     kept_counts = kept.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kept"))
     kc = kept_counts.select(
@@ -537,7 +554,7 @@ def sample_state(
 
 
 def merge_sample_states(
-    keys: list[str], *states: DataFrame, k: int
+    keys: list[str], *states: DataFrame, k: int, validate: bool = True
 ) -> DataFrame:
     """bottomk(A) ⊎ bottomk(B) = bottomk(A ∪ B), exactly: priorities
     are content hashes, so the k smallest of the union's priorities
@@ -549,13 +566,41 @@ def merge_sample_states(
     Exactness requires every shard state to have been built with
     k' >= this merge's ``k``: a shard that kept only 3 rows cannot
     supply the union's 5 smallest. Build states at the largest sample
-    size any consumer wants and cut down at merge time, never up."""
+    size any consumer wants and cut down at merge time, never up.
+
+    ENFORCED (ADVICE r11): with ``validate=True`` (default) each
+    shard is checked for truncation before merging — a key whose
+    retained rows stop short of ``k`` (max(rnk) < k) while its total
+    ``n`` exceeds what was retained (n > max(rnk)) can only come from
+    a state built with smaller k (e.g. a compacted kind='sample'
+    store at k=6 later read at k=10), and merging it would silently
+    return rows beyond the shard's retained rank that are NOT a
+    uniform bottom-k sample. The check is one state-table-sized
+    aggregation per shard, eager; pass ``validate=False`` only when
+    the shard provenance is known (same builder k, same store)."""
     from pyspark.sql import Window as _W
 
     if not states:
         raise ValueError("merge_sample_states: no states to merge")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if validate:
+        for i, s in enumerate(states):
+            bad = (
+                s.groupBy(*keys)
+                .agg(F.max("rnk").alias("__m"), F.max("n").alias("__n"))
+                .filter((F.col("__m") < k) & (F.col("__n") > F.col("__m")))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"merge_sample_states: shard {i} is truncated below "
+                    f"k={k} (a key group retained {bad[0]['__m']} rows "
+                    f"of {bad[0]['__n']} total) — it was built with a "
+                    "smaller k; rebuild shards at k >= the merge k, or "
+                    "merge at k <= the smallest shard k"
+                )
     u = reduce(
         lambda a, b: a.unionByName(b),
         [s.select(*keys, "pri", "tb", "v", "rnk", "n") for s in states],

@@ -11,7 +11,15 @@ the true join size on a key equals the inner product of the two
 sides' key-frequency vectors, and the row-wise minimum of the
 sketches' table inner products estimates it with one-sided error —
 
-    true ≤ est ≤ true + eps · N_a · N_b     (w.p. 1 − delta)
+    true ≤ est ≤ true + (e / width) · N_a · N_b     (w.p. 1 − delta)
+
+The paper sizes width = ⌈e/eps⌉ so the slack is eps·N_a·N_b, but
+Spark 4.1's ``CountMinSketchImpl`` sizes width = ⌈2/eps⌉ (verified
+against the spark-sketch jar), so for a given ``eps`` argument the
+realized one-sided slack is (e/2)·eps·N_a·N_b ≈ 1.36·eps·N_a·N_b.
+``join_size_estimate`` computes ``upper_slack`` from the DECODED
+width, so the returned bound is valid either way — only callers
+assuming the paper's width-from-eps formula would be surprised.
 
 Spark exposes ``count_min_sketch`` as a native aggregate (the partial
 sketches merge inside the aggregate — distributive, one scan per
@@ -76,8 +84,10 @@ def key_sketch(
 ) -> bytes:
     """One-scan CMS of a key column's frequency vector (the aggregate
     merges its partial sketches internally — distributive, no extra
-    shuffle). Returns the serialized sketch bytes (KBs: depth ≈
-    ln(1/(1−confidence)), width = ⌈e/eps⌉). NULL keys are excluded —
+    shuffle). Returns the serialized sketch bytes (KBs: depth =
+    ⌈ln(1/(1−confidence))⌉, width = ⌈2/eps⌉ — Spark's sizing, not
+    the paper's ⌈e/eps⌉; see the module header). NULL keys are
+    excluded —
     SQL equi-joins never match them, so they contribute nothing to
     any join size."""
     row = (

@@ -462,6 +462,67 @@ def test_sample_state_small_groups_and_validation(spark):
         merge_sample_states(["k"], k=3)
 
 
+def test_merge_sample_states_rejects_truncated_shards(spark):
+    """ADVICE r11: merging a shard built with smaller k (a compacted
+    kind='sample' store at k=3 later read at k=5) must raise, not
+    silently return rows beyond the shard's retained rank — those are
+    not a uniform bottom-k sample. Detection is from the carried
+    columns alone: max(rnk) < merge-k while n > max(rnk)."""
+    import pytest
+
+    from argostats_spark.operators.aggstate import (
+        merge_sample_states,
+        sample_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(20)], "id long, k string, v double"
+    )
+    small = sample_state(df, ["k"], "v", ["id"], k=3)
+    big = sample_state(df, ["k"], "v", ["id"], k=5)
+    with pytest.raises(ValueError, match="truncated below k=5"):
+        merge_sample_states(["k"], small, big, k=5)
+    # merging DOWN is always exact; validate passes on full shards
+    down = merge_sample_states(["k"], small, big, k=3).collect()
+    assert [r["rnk"] for r in sorted(down, key=lambda r: r["rnk"])] == [1, 2, 3]
+    # a shard that kept ALL rows of a small group (n <= its k) is not
+    # truncated even when max(rnk) < merge-k: exactness holds
+    tiny = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "id long, k string, v double"
+    )
+    full2 = sample_state(tiny, ["k"], "v", ["id"], k=2)
+    merged = merge_sample_states(["k"], full2, k=5).collect()
+    assert len(merged) == 2
+    # validate=False is the documented provenance-known opt-out: the
+    # truncated merge goes through (caller's responsibility)
+    assert (
+        merge_sample_states(["k"], small, big, k=5, validate=False).count()
+        == 5
+    )
+
+
+def test_sample_state_validate_false_is_lazy_and_identical(spark):
+    """ADVICE r11: validate=False must skip the eager deficiency-guard
+    jobs (lazy-builder convention) and return the identical state."""
+    from argostats_spark.operators.aggstate import sample_state
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i % 7)) for i in range(50)],
+        "id long, k string, v double",
+    )
+    spark.sparkContext.setJobGroup("lazy_probe", "sample_state lazy check")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup("lazy_probe"))
+    lazy = sample_state(df, ["k"], "v", ["id"], k=4, validate=False)
+    after = set(tracker.getJobIdsForGroup("lazy_probe"))
+    spark.sparkContext.setJobGroup(None, None)
+    assert before == after  # no Spark job ran at build time
+    eager = sample_state(df, ["k"], "v", ["id"], k=4)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, eager.collect())
+    )
+
+
 def test_full_state_equals_individual_builders(spark, corpus):
     from argostats_spark.operators.aggstate import (
         agg_state,

@@ -36,8 +36,8 @@ def test_estimate_brackets_exact_size(spark, sides):
     assert r["est"] >= exact                      # never underestimates
     assert r["est"] <= exact + r["upper_slack"]   # one-sided bound
     # at eps=0.001 over distinct small keys the estimate is EXACT
-    # (no hash collisions within 2720 columns for 40 keys is not
-    # guaranteed, but the bound is tiny): within 1% here
+    # (no hash collisions within width=ceil(2/eps)=2000 columns for
+    # 40 keys is not guaranteed, but the bound is tiny): within 1%
     assert r["est"] <= exact * 1.01
     # cross-check against the real join
     true = dfa.join(dfb, "k").count()
