@@ -323,7 +323,12 @@ def test_eape_t25_algo_switch(spark):
     assert len(out) == 1
     eape = np.array(out.iloc[0].EAPE)
     assert np.isfinite(eape).all()
-    with pytest.raises(Exception):
+    # the kernel's ValueError surfaces via the Arrow toPandas path,
+    # which ALSO warns before re-raising — capture the warning so the
+    # suite stays quiet (VERDICT r11 housekeeping)
+    with pytest.raises(Exception), pytest.warns(
+        UserWarning, match="Arrow optimization"
+    ):
         clim_eape(grid, prof, reso_deg=1.0, algo="bogus").toPandas()
 
 
