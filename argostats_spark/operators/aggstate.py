@@ -236,10 +236,18 @@ def merge_topk_states(
     the intervals; the approx_aggregates driver limb pins the interval
     guarantee against exact anchors.
 
-    Merge ALL states in one call (n-way): the output is a RESULT, not
-    a re-mergeable state — per-value errors would need to ride along
-    and compound on re-merge. Keep the shard states and re-merge from
-    them (they are tiny) rather than merging merges."""
+    Merge ALL states in one call (n-way): the output is a RESULT with
+    the tightest per-value intervals (err counts only the shards that
+    did NOT keep v), not a re-mergeable state. For hierarchical
+    topologies (shard → region → global, the natural 100 TB shape)
+    use :func:`fold_topk_states`, which emits the SAME (v, c, bound)
+    state shape it consumes and is closed under composition — its
+    intervals are per-group rather than per-value (slightly looser,
+    still two-sided-valid at every level), the classic Misra-Gries
+    mergeability result (Agarwal et al. 2013, §3). This function's
+    per-value err refinement assumes LEAF states (exact within-shard
+    c); folded states carry lower-bound c, so finalize those with
+    :func:`finalize_topk` instead."""
     if not states:
         raise ValueError("merge_topk_states: no states to merge")
     tagged = [
@@ -282,6 +290,118 @@ def merge_topk_states(
     w = _W.partitionBy(*keys).orderBy(F.col("est").desc(), F.col("v").asc())
     return (
         merged.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def fold_topk_states(
+    keys: list[str], *states: DataFrame, k_state: int | None = None
+) -> DataFrame:
+    """Fold shard top-K states into ONE state of the SAME shape
+    (keys..., v, c, bound) — the re-mergeable closure that completes
+    the mergeable-summary family (round 12; VERDICT r11 item 5). The
+    state invariant, per key group with group bound B = the ``bound``
+    replicated on its rows:
+
+        kept v:   c  ≤  true_count(v)  ≤  c + B
+        absent v:        true_count(v) ≤  B
+
+    :func:`topk_state`'s output is the special case with exact c (a
+    leaf's B only reflects its own truncation). The fold preserves
+    the invariant at every level of a shard → region → global
+    hierarchy — the Misra-Gries mergeability theorem (Agarwal et al.
+    2013, "Mergeable Summaries", §3):
+
+    - kept c's SUM across the shards that kept v (lower bound: absent
+      shards contribute ≥ 0, and each hides at most its own bound —
+      covered by B' = Σ shard bounds);
+    - truncating the folded table to ``k_state`` rows per key raises
+      the bound by the count of the first DROPPED value, exactly like
+      the leaf builder (a dropped v had true ≤ c_drop + ΣB, and the
+      new absent-value bound must cover it).
+
+    With ``k_state=None`` (no truncation) the fold is exactly
+    associative: fold(fold(a,b),c) == fold(a,b,c), pinned by test.
+    With truncation, hierarchical and flat folds may keep different
+    tails but BOTH satisfy the invariant against the true counts
+    (property-tested); the heavy-hitter guarantee survives every
+    level: any value with true count > the level's B is kept.
+
+    Cost: state-table rows only, never the corpora. Row-local
+    finalization: :func:`finalize_topk`. Streaming: registered as
+    kind='topk' — increments fold under compaction because the output
+    IS a state."""
+    if not states:
+        raise ValueError("fold_topk_states: no states to merge")
+    if k_state is not None and k_state < 1:
+        raise ValueError(f"k_state must be >= 1 or None, got {k_state}")
+    tagged = [
+        s.select(*keys, "v", "c", "bound", F.lit(i).alias("__shard"))
+        for i, s in enumerate(states)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    # group bound B' = Σ per-shard bounds (one bound per shard per key
+    # group, replicated on its rows — distinct collapses the copies)
+    gb = (
+        u.select(*keys, "__shard", "bound").distinct()
+        .groupBy(*keys)
+        .agg(F.sum("bound").alias("__B"))
+    )
+    per_v = u.groupBy(*keys, "v").agg(F.sum("c").alias("c"))
+    # NULL-safe key attach (NULL keys are ordinary groups, as in
+    # merge_topk_states)
+    gbr = gb.select(*[F.col(c).alias(f"__bk_{c}") for c in keys], "__B")
+    cond = reduce(
+        lambda a, b: a & b,
+        [per_v[c].eqNullSafe(gbr[f"__bk_{c}"]) for c in keys],
+    )
+    folded = per_v.join(gbr, cond).select(
+        *[per_v[c] for c in keys], "v", "c", F.col("__B").alias("bound")
+    )
+    if k_state is None:
+        return folded
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*keys).orderBy(F.col("c").desc(), F.col("v").asc())
+    ranked = folded.withColumn("__r", F.row_number().over(w))
+    # same window-not-join bound attach as topk_state: an equi-join
+    # would never match a NULL key group
+    wb = _W.partitionBy(*keys)
+    bumped = ranked.withColumn(
+        "bound",
+        F.col("bound")
+        + F.coalesce(
+            F.max(
+                F.when(F.col("__r") == k_state + 1, F.col("c"))
+            ).over(wb),
+            F.lit(0),
+        ),
+    )
+    return bumped.filter(F.col("__r") <= k_state).select(
+        *keys, "v", "c", "bound"
+    )
+
+
+def finalize_topk(state: DataFrame, keys: list[str], k: int | None = None) -> DataFrame:
+    """Row-local result view of a (folded or leaf) top-K state:
+    (keys..., v, est, err) with the true count in [est, est + err] —
+    est is the carried lower-bound c, err the group bound. ``k`` keeps
+    the top-k by (est desc, v asc). Use on :func:`fold_topk_states`
+    output; for one-shot leaf merges :func:`merge_topk_states` gives
+    tighter per-value errors."""
+    out = state.select(
+        *keys, "v", F.col("c").alias("est"), F.col("bound").alias("err")
+    )
+    if k is None:
+        return out
+    if k < 1:
+        raise ValueError(f"k must be >= 1 or None, got {k}")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*keys).orderBy(F.col("est").desc(), F.col("v").asc())
+    return (
+        out.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)
         .drop("__r")
     )

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.aggstate import (
     agg_state,
     distinct_state,
+    fold_topk_states,
     full_state,
     merge_sketch_states,
     sketch_state,
@@ -54,6 +55,7 @@ from ..operators.aggstate import (
     merge_sample_states,
     quantile_state,
     sample_state,
+    topk_state,
 )
 from ..operators.overlap import merge_theta_states, theta_state
 from .atlas import publish_version
@@ -73,11 +75,17 @@ _KINDS = {
     # rank-error bound); "sample" maintains bottom-k hash-priority
     # samples, which are DETERMINISTIC — the continuously-maintained
     # sample is bit-identical to a cold batch rebuild (pinned by
-    # test, the same strength as kind="agg"'s decimal law). topk_state
-    # stays out: its merge output is a result, not a re-mergeable
-    # state (see merge_topk_states).
+    # test, the same strength as kind="agg"'s decimal law).
     "quantile": (quantile_state, merge_quantile_states),
     "sample": (sample_state, merge_sample_states),
+    # round 12: heavy hitters join the family — fold_topk_states is
+    # closed under merge (the Misra-Gries mergeability law), so
+    # increments fold under compaction. The maintained state's
+    # intervals [c, c+bound] are valid but looser than a cold batch
+    # rebuild's (each increment's truncation adds its bound);
+    # finalize with finalize_topk. Pass k_state= at build AND read
+    # time (read truncates the fold the same way).
+    "topk": (topk_state, fold_topk_states),
     # "full" fuses agg+distinct+quantile into ONE aggregate per
     # micro-batch (operators/aggstate.py::full_state); "sketch" fuses
     # just HLL+KLL — the measured-preferred pairing with a separate

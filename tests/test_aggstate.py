@@ -293,6 +293,143 @@ def test_topk_state_null_key_group(spark):
         assert r["est"] <= t <= r["est"] + r["err"], (v, r, t)
 
 
+# ---------------------------------------------------------------- round 12
+# fold_topk_states — the re-mergeable top-K closure (VERDICT r11
+# item 5): the family's last leg now composes shard → region → global.
+
+
+def test_fold_topk_states_exactly_associative_without_truncation(spark):
+    from argostats_spark.operators.aggstate import (
+        fold_topk_states,
+        topk_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"v{(i * 7) % 11}") for i in range(900)],
+        "id long, g string, v string",
+    ).cache()
+    a, b, c = (
+        topk_state(df.filter(F.col("id") % 3 == r), ["g"], "v", k_state=5)
+        for r in range(3)
+    )
+    flat = sorted(map(tuple, fold_topk_states(["g"], a, b, c).collect()))
+    nested = sorted(map(tuple, fold_topk_states(
+        ["g"], fold_topk_states(["g"], a, b), c
+    ).collect()))
+    assert flat == nested  # exact associativity, no truncation
+    with pytest.raises(ValueError, match="no states"):
+        fold_topk_states(["g"])
+    with pytest.raises(ValueError, match="k_state"):
+        fold_topk_states(["g"], a, k_state=0)
+
+
+def test_fold_topk_states_interval_law_every_level_property(spark):
+    """The Misra-Gries invariant — kept v: c <= true <= c + bound;
+    absent v: true <= bound; any v with true > bound is kept — must
+    hold at EVERY level of a truncated 3-level hierarchy (4 shards ->
+    2 regions -> global) AND for the flat truncated fold, on zipf-ish
+    data split both round-robin and by-value. finalize_topk's (est,
+    err) view carries the same interval."""
+    from argostats_spark.operators.aggstate import (
+        finalize_topk,
+        fold_topk_states,
+        topk_state,
+    )
+
+    rows = []
+    i = 0
+    for g in ("a", "b"):
+        for j in range(1, 40):
+            for _ in range(1200 // j):
+                rows.append((i, g, f"v{j:02d}"))
+                i += 1
+    df = spark.createDataFrame(rows, "id long, g string, v string").cache()
+
+    def truth_of(sub):
+        return {
+            (r["g"], r["v"]): r["c"]
+            for r in sub.groupBy("g", "v").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        }
+
+    def check_state(state_rows, true):
+        # a state's invariant is relative to the multiset it COVERS:
+        # leaf vs its shard, region vs its shards' union, global/flat
+        # vs the whole corpus
+        seen = {}
+        bound_of = {}
+        for r in state_rows:
+            seen[(r["g"], r["v"])] = (r["c"], r["bound"])
+            bound_of[r["g"]] = r["bound"]
+        for key, (c, bd) in seen.items():
+            t = true[key]
+            assert c <= t <= c + bd, (key, c, bd, t)
+        for key, t in true.items():
+            if key not in seen:
+                assert t <= bound_of[key[0]], (key, t, bound_of)
+        # heavy-hitter guarantee is the contrapositive of the absent
+        # bound, checked explicitly:
+        for key, t in true.items():
+            if t > bound_of[key[0]]:
+                assert key in seen, (key, t)
+
+    global_true = truth_of(df)
+    for splitter in (
+        lambda: F.col("id") % 4,
+        lambda: F.pmod(F.xxhash64("v"), F.lit(4)),
+    ):
+        shards = [df.filter(splitter() == s) for s in range(4)]
+        leaves = [topk_state(s, ["g"], "v", k_state=10) for s in shards]
+        for s, lf in zip(shards, leaves):
+            check_state(lf.collect(), truth_of(s))
+        # region level: truncated folds of shard pairs
+        r1 = fold_topk_states(["g"], leaves[0], leaves[1], k_state=10)
+        r2 = fold_topk_states(["g"], leaves[2], leaves[3], k_state=10)
+        check_state(r1.collect(), truth_of(shards[0].unionAll(shards[1])))
+        check_state(r2.collect(), truth_of(shards[2].unionAll(shards[3])))
+        # global level, and the flat fold for comparison
+        glob = fold_topk_states(["g"], r1, r2, k_state=10)
+        check_state(glob.collect(), global_true)
+        flat = fold_topk_states(["g"], *leaves, k_state=10)
+        check_state(flat.collect(), global_true)
+        # finalize view: same interval, top-k cut applies
+        fin = finalize_topk(glob, ["g"], k=3).collect()
+        assert len(fin) == 6  # 3 per key group
+        for r in fin:
+            t = global_true[(r["g"], r["v"])]
+            assert r["est"] <= t <= r["est"] + r["err"]
+    with pytest.raises(ValueError, match="k must"):
+        finalize_topk(flat, ["g"], k=0)
+
+
+def test_fold_topk_states_leaf_equivalence_and_null_keys(spark):
+    """Folding ONE leaf state is the identity; NULL key groups ride
+    through the fold's NULL-safe join and window bound-bump."""
+    from argostats_spark.operators.aggstate import (
+        fold_topk_states,
+        topk_state,
+    )
+
+    rows = []
+    i = 0
+    for g in ("a", None):
+        for j in range(1, 9):
+            for _ in range(30 // j):
+                rows.append((i, g, f"v{j}"))
+                i += 1
+    df = spark.createDataFrame(rows, "id long, g string, v string").cache()
+    leaf = topk_state(df, ["g"], "v", k_state=4)
+    nkey = lambda t: tuple((x is None, str(x)) for x in t)  # NULL-sortable
+    assert sorted(map(tuple, fold_topk_states(["g"], leaf).collect()),
+                  key=nkey) == sorted(map(tuple, leaf.collect()), key=nkey)
+    halves = [topk_state(df.filter(F.col("id") % 2 == r), ["g"], "v", 4)
+              for r in range(2)]
+    folded = fold_topk_states(["g"], *halves, k_state=4).collect()
+    nulls = [r for r in folded if r["g"] is None]
+    assert nulls and all(r["bound"] > 0 for r in nulls)
+
+
 # ---------------------------------------------------------------- round 11
 # quantile_state (KLL) and sample_state (bottom-k) — the fourth and
 # fifth mergeable-summary legs.

@@ -329,6 +329,51 @@ def test_quantile_kind_holds_rank_bound(spark, feed, tmp_path):
         assert abs(rank - 0.5) <= 0.05, (k, est, rank)
 
 
+def test_topk_kind_interval_law_and_compaction(spark, feed, tmp_path):
+    """Round 12: heavy hitters join the maintained family. The
+    continuously-maintained state is NOT bit-identical to a cold
+    rebuild (each increment's truncation adds its bound — by design);
+    the contract is the Misra-Gries interval law against the exact
+    stream-so-far counts, and CLOSURE: compaction folds increments
+    into one state that still satisfies it."""
+    from argostats_spark.operators.aggstate import finalize_topk
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    all_rows = _run_stream(
+        spark, feed, store, ckpt, "topk", k_state=8
+    )
+    true = {
+        (r["k"], r["v"]): r["c"]
+        for r in all_rows.groupBy("k", "v").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+
+    def check(state_rows):
+        seen, bound_of = {}, {}
+        for r in state_rows:
+            seen[(r["k"], r["v"])] = (r["c"], r["bound"])
+            bound_of[r["k"]] = r["bound"]
+        for key, (c, bd) in seen.items():
+            assert c <= true[key] <= c + bd, (key, c, bd, true[key])
+        for key, t in true.items():
+            if key not in seen:
+                assert t <= bound_of[key[0]], (key, t)
+
+    st = read_state(spark, store, ["k"], kind="topk", k_state=8)
+    check(st.collect())
+    # finalize view carries the same interval
+    for r in finalize_topk(st, ["k"], k=3).collect():
+        t = true[(r["k"], r["v"])]
+        assert r["est"] <= t <= r["est"] + r["err"]
+    # compaction: the folded state is a STATE (closed under merge) —
+    # readable, still interval-valid, and re-foldable with later
+    # increments
+    ver = compact_state(spark, store, ["k"], kind="topk", k_state=8)
+    assert ver is not None
+    check(read_state(spark, store, ["k"], kind="topk", k_state=8).collect())
+
+
 def test_full_kind_maintains_all_families(spark, feed, tmp_path):
     from argostats_spark.operators.aggstate import (
         finalize_distinct,
