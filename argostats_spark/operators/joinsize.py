@@ -161,3 +161,169 @@ def preflight_join_size(
         key_sketch(dfa, key_a, eps, confidence, seed),
         key_sketch(dfb, key_b, eps, confidence, seed),
     )
+
+
+def _fmax_upper_bound(table) -> int:
+    """Upper bound on the heaviest key's frequency, read straight off
+    the CMS table: in every depth row, the heaviest key's counter is
+    >= its true frequency, so each row's MAX cell is >= f_max and the
+    min over rows is a valid (collision-inflated) upper bound — the
+    standard CMS point-query argument applied without knowing which
+    key is hot. No extra scan, no key enumeration."""
+    return int(min(int(table[i].max()) for i in range(table.shape[0])))
+
+
+def choose_join_strategy(
+    dfa: DataFrame,
+    key_a: str,
+    dfb: DataFrame,
+    key_b: str,
+    broadcast_rows: int = 4_000_000,
+    shuffle_partitions: int | None = None,
+    skew_factor: float = 4.0,
+    max_salts: int = 64,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> dict:
+    """Join ADVISOR (round 12; VERDICT r11 item 4): turn the CMS
+    pre-flight from a diagnostic into a planner input. Sketches both
+    sides ONCE (two scans, no shuffle, KB driver payloads) and returns
+    a decision record::
+
+        {"strategy": "broadcast_a" | "broadcast_b" | "plain"
+                     | "salted",
+         "salt_side": "a" | "b" | None,   # the side salted_join salts
+         "n_salts": int | None,
+         "est": ..., "upper_slack": ..., "n_a": ..., "n_b": ...,
+         "fmax_ub_a": ..., "fmax_ub_b": ...,   # heaviest-key UBs
+         "fair_share": ...,  "trusted": bool,  "reason": "..."}
+
+    Decision ladder (the 100 TB defaults, in order):
+
+    1. **broadcast** the smaller side when its row count (the sketch's
+       exact totalCount — NULL keys excluded) is <= ``broadcast_rows``.
+       The threshold is ROWS, not bytes: the caller knows the row
+       width; Spark's own ``autoBroadcastJoinThreshold`` still applies
+       a byte-level backstop underneath.
+    2. **salted** when the heaviest key alone outweighs a fair
+       partition: f_max_ub > skew_factor * fair_share, where
+       fair_share = max(n_a, n_b) / shuffle_partitions and f_max_ub is
+       read off the CMS tables row-locally (:func:`_fmax_upper_bound`
+       — no extra pass). n_salts = ceil(f_max_ub / fair_share), capped
+       at ``max_salts``. The SKEWED side is the one salted_join salts;
+       the other side is replicated x n_salts — so this advice is only
+       taken when that other side is the smaller one (both-sides-hot
+       falls through to plain + AQE skew-join, stated in ``reason``).
+    3. **plain** shuffle join otherwise — AQE's runtime skew split
+       remains the backstop for moderate skew.
+
+    WHEN NOT TO TRUST (A6-style caveat): ``trusted`` is False when
+    ``upper_slack >= est`` — the one-sided CMS bound then admits a
+    true size of ~0, i.e. the estimate carries no information at this
+    eps for these cardinalities (raise eps precision / lower eps). The
+    f_max upper bounds are collision-inflated by ~(n/width) on
+    average; at the default eps=0.001 (width 2000) that inflation is
+    n/2000, small next to any partition-dominating hot key. The
+    advisor never *executes* anything — pass the record to
+    :func:`apply_join_strategy` (or read ``reason`` and decide)."""
+    import math
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            dfa.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    sa = key_sketch(dfa, key_a, eps, confidence, seed)
+    sb = key_sketch(dfb, key_b, eps, confidence, seed)
+    est = join_size_estimate(sa, sb)
+    _, tab_a, _ = _decode_cms(sa)
+    _, tab_b, _ = _decode_cms(sb)
+    rec = {
+        **est,
+        "fmax_ub_a": _fmax_upper_bound(tab_a),
+        "fmax_ub_b": _fmax_upper_bound(tab_b),
+        "trusted": est["upper_slack"] < est["est"],
+        "salt_side": None,
+        "n_salts": None,
+    }
+    n_a, n_b = est["n_a"], est["n_b"]
+    if min(n_a, n_b) <= broadcast_rows:
+        side = "a" if n_a <= n_b else "b"
+        rec["strategy"] = f"broadcast_{side}"
+        rec["reason"] = (
+            f"side {side} has {min(n_a, n_b)} rows <= broadcast_rows="
+            f"{broadcast_rows}; broadcast beats any shuffle"
+        )
+        return rec
+    fair = max(n_a, n_b) / float(shuffle_partitions)
+    rec["fair_share"] = round(fair, 1)
+    hot_side = "a" if rec["fmax_ub_a"] >= rec["fmax_ub_b"] else "b"
+    fmax = rec[f"fmax_ub_{hot_side}"]
+    other_n = n_b if hot_side == "a" else n_a
+    if fmax > skew_factor * fair:
+        if other_n <= max(n_a, n_b) // 2:
+            rec["strategy"] = "salted"
+            rec["salt_side"] = hot_side
+            rec["n_salts"] = min(max_salts, int(math.ceil(fmax / fair)))
+            rec["reason"] = (
+                f"heaviest key on side {hot_side} (<= {fmax} rows) "
+                f"exceeds {skew_factor}x the fair partition share "
+                f"({fair:.0f}); salt it {rec['n_salts']} ways, "
+                f"replicating the other side"
+            )
+        else:
+            rec["strategy"] = "plain"
+            rec["reason"] = (
+                f"side {hot_side} is skewed (f_max <= {fmax}) but the "
+                "other side is comparably large — replicating it per "
+                "salt would cost more than the skew; rely on AQE's "
+                "runtime skew split"
+            )
+        return rec
+    rec["strategy"] = "plain"
+    rec["reason"] = (
+        f"no side broadcastable and heaviest key (<= {fmax}) within "
+        f"{skew_factor}x the fair share ({fair:.0f}); plain shuffle "
+        "join, AQE as backstop"
+    )
+    return rec
+
+
+def apply_join_strategy(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    on: list[str],
+    decision: dict,
+    how: str = "inner",
+) -> DataFrame:
+    """Execute a :func:`choose_join_strategy` decision. ``on`` must be
+    same-named key columns on both sides (rename upstream otherwise —
+    keeping the advisor's key_a/key_b distinction through the join
+    would silently double the output columns). Row-for-row equal to
+    ``dfa.join(dfb, on, how)`` for every strategy (broadcast is a
+    hint; salting is the multiplicity-preserving salted_join)."""
+    from .skew import salted_join
+
+    strategy = decision["strategy"]
+    if strategy == "broadcast_a":
+        # broadcast() hints the build side; operand order is untouched
+        # so column order and how-semantics match the plain join
+        return F.broadcast(dfa).join(dfb, on, how)
+    if strategy == "broadcast_b":
+        return dfa.join(F.broadcast(dfb), on, how)
+    if strategy == "plain":
+        return dfa.join(dfb, on, how)
+    if strategy == "salted":
+        if decision["salt_side"] == "a":
+            return salted_join(dfa, dfb, on, decision["n_salts"], how)
+        # salted_join salts its FIRST argument; only inner joins are
+        # side-symmetric, so a right-side salt with how='left' cannot
+        # be expressed by swapping — reject rather than fabricate
+        if how != "inner":
+            raise ValueError(
+                "apply_join_strategy: salted on side b supports only "
+                f"how='inner', got {how!r} (a left join's unmatched "
+                "side is not preserved under operand swap)"
+            )
+        return salted_join(dfb, dfa, on, decision["n_salts"], "inner")
+    raise ValueError(f"unknown strategy {decision['strategy']!r}")

@@ -98,3 +98,111 @@ def test_inner_product_exact_past_int64(spark):
     raw = header + hashes + table
     r = join_size_estimate(raw, raw)
     assert r["est"] == width * big * big  # 4 * 2^66 — exact, positive
+
+
+# ---------------------------------------------------------------- round 12
+# choose_join_strategy / apply_join_strategy — the advisor that turns
+# the pre-flight from a diagnostic into a planner input (VERDICT r11
+# item 4).
+
+
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def test_advisor_broadcasts_small_side(spark, sides):
+    from argostats_spark.operators.joinsize import (
+        apply_join_strategy,
+        choose_join_strategy,
+    )
+
+    dfa, dfb, _ = sides  # b has 120 rows
+    d = choose_join_strategy(dfa, "k", dfb, "k", broadcast_rows=500)
+    assert d["strategy"] == "broadcast_b" and "broadcast" in d["reason"]
+    out = apply_join_strategy(dfa, dfb, ["k"], d)
+    assert out.count() == dfa.join(dfb, ["k"]).count()
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_advisor_salts_partition_dominating_hot_key(spark):
+    from argostats_spark.operators.joinsize import (
+        apply_join_strategy,
+        choose_join_strategy,
+    )
+
+    # fact: one key holds 50k of 52k rows; dim: 200 keys x 2 rows,
+    # too many rows for the (deliberately tiny) broadcast budget
+    fact = spark.range(52_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 50_000, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(200))).alias("k"),
+    ).cache()
+    dim = spark.createDataFrame(
+        [(k, r) for k in range(200) for r in range(2)], "k long, tag long"
+    ).cache()
+    d = choose_join_strategy(
+        fact, "k", dim, "k", broadcast_rows=100, shuffle_partitions=32
+    )
+    assert d["strategy"] == "salted" and d["salt_side"] == "a"
+    assert d["n_salts"] and d["n_salts"] > 1
+    # the fmax upper bound must actually see the hot key
+    assert d["fmax_ub_a"] >= 50_000
+    assert d["trusted"]  # slack far below the (hot-key-dominated) est
+    out = apply_join_strategy(fact, dim, ["k"], d)
+    assert out.count() == fact.join(dim, ["k"]).count()
+    # plan pin: the join condition carries the salt column, i.e. the
+    # executed join IS the salted one, not a plain re-join
+    assert "__argostats_salt" in _plan(out)
+
+
+def test_advisor_plain_when_uniform_and_plain_when_both_sides_big(spark):
+    from argostats_spark.operators.joinsize import choose_join_strategy
+
+    uni_a = spark.range(20_000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(500)).alias("k")
+    ).cache()
+    uni_b = spark.range(20_000).select(
+        F.col("id"), F.pmod(F.col("id") * 3, F.lit(500)).alias("k")
+    ).cache()
+    d = choose_join_strategy(
+        uni_a, "k", uni_b, "k", broadcast_rows=100, shuffle_partitions=32
+    )
+    assert d["strategy"] == "plain" and "AQE" in d["reason"]
+    # both sides big AND both skewed on the same hot key: salting would
+    # replicate a large side — advisor declines, names the fallback
+    hot_a = spark.range(30_000).select(
+        F.col("id"), F.lit(1).alias("k")
+    ).cache()
+    hot_b = spark.range(25_000).select(
+        F.col("id"), F.lit(1).alias("k")
+    ).cache()
+    d2 = choose_join_strategy(
+        hot_a, "k", hot_b, "k", broadcast_rows=100, shuffle_partitions=32
+    )
+    assert d2["strategy"] == "plain" and "skew" in d2["reason"]
+
+
+def test_advisor_untrusted_when_slack_swallows_estimate(spark, sides):
+    from argostats_spark.operators.joinsize import choose_join_strategy
+
+    dfa, dfb, _ = sides
+    # eps so coarse the one-sided bound admits true ~ 0
+    d = choose_join_strategy(
+        dfa, "k", dfb, "k", broadcast_rows=1, eps=0.9, confidence=0.5
+    )
+    assert d["trusted"] is False
+    assert d["upper_slack"] >= d["est"]
+
+
+def test_apply_rejects_b_side_salt_with_left_join(spark, sides):
+    from argostats_spark.operators.joinsize import apply_join_strategy
+
+    dfa, dfb, _ = sides
+    fake = {"strategy": "salted", "salt_side": "b", "n_salts": 4}
+    with pytest.raises(ValueError, match="inner"):
+        apply_join_strategy(dfa, dfb, ["k"], fake, how="left")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        apply_join_strategy(dfa, dfb, ["k"], {"strategy": "bogus"})
