@@ -70,6 +70,7 @@ __all__ = [
     "hashed_gram_buckets",
     "gram_rows",
     "doc_bucket_counts",
+    "fused_bucket_counts",
     "dsir_logratio",
     "dsir_scores",
     "gumbel_key",
@@ -151,6 +152,61 @@ def doc_bucket_counts(
         .select(id_col, _bucket_of(F.col("gram"), n_buckets))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """CPU-parallelism gate (round 12): repartition a text frame to
+    defaultParallelism when its scan has fewer partitions. The gram
+    pass runs ~100 instructions of tokenize/md5 per gram, so
+    ``maxPartitionBytes`` (sized for IO) can leave a compact parquet
+    file as ONE task on a 32-core box — the "cheap input, expensive
+    map" pattern. On a real cluster with many files/splits the gate
+    is a no-op (partitions >= cores already); the repartition moves
+    only the raw text bytes, far smaller than the exploded grams."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
+def fused_bucket_counts(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """ONE gram pass for BOTH corpora (round 12; VERDICT r11 item 3 —
+    the cum_lam limb fusion): raw and target rows are tagged and
+    unioned, then a single explode + (side, id, bucket) aggregate
+    produces the feature table every downstream consumer re-aggregates
+    from. Target ids are NULLed (the fit only needs target TOTALS, so
+    all target docs collapse into one group per bucket at the
+    aggregate — the per-doc granularity would be wasted rows).
+
+    Returns (__side 'r'|'t', id, bucket, c), localCheckpointed EAGERLY:
+    three consumers read it (raw per-doc features for scoring, raw
+    bucket totals, target bucket totals) and each is a
+    state-table-sized re-aggregation — the corpus text is tokenized
+    exactly once, in one stage chain instead of two. Measured on the
+    dsir_select bench row: 3.25 → 2.09 s fresh-JVM at sf0.1, identical
+    selection + λ (scripts/bench_dsir_lam_ab.py; SCALE.md "dsir fit
+    stage")."""
+    id_type = raw_docs.schema[id_col].dataType
+    tagged = raw_docs.select(
+        F.col(id_col), F.col(text_col), F.lit("r").alias("__side")
+    ).unionByName(
+        target_docs.select(
+            F.lit(None).cast(id_type).alias(id_col),
+            F.col(text_col),
+            F.lit("t").alias("__side"),
+        )
+    )
+    g = gram_rows(_spread(tagged), text_col, [id_col, "__side"])
+    return (
+        g.select(id_col, "__side", _bucket_of(F.col("gram"), n_buckets))
+        .groupBy("__side", id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -291,21 +347,27 @@ def dsir_select(
     raw documents (id, n_grams, logw, g, score, rank) and the fitted
     ≤B-row λ table (kept so callers can audit / reuse the model).
 
-    The raw corpus is tokenized exactly once: its per-doc feature
-    table feeds both the q̂ fit (groupBy(bucket) totals) and the
-    scoring pass, and is localCheckpointed because two actions consume
-    it (at 100 TB persist it as a parquet table instead — it is the
-    reusable pipeline intermediate). The target corpus is assumed
-    small (a curated quality sample); its totals are one aggregate."""
-    raw_feats = doc_bucket_counts(raw_docs, text_col, id_col, n_buckets).localCheckpoint(
-        eager=True
+    BOTH corpora are tokenized exactly once, in ONE fused union pass
+    (round 12 — :func:`fused_bucket_counts`; previously the target got
+    its own explode+aggregate stage chain): the checkpointed
+    (side, id, bucket, c) feature table feeds the q̂ fit (raw bucket
+    totals), the p̂ fit (target bucket totals) and the scoring pass as
+    three state-table-sized re-aggregations. At 100 TB persist that
+    table as parquet instead — it is the reusable pipeline
+    intermediate, smaller than the corpus and reused by every
+    re-fit. Measured: 3.25 → 2.09 s fresh-JVM on the sf0.1 bench row,
+    identical selection and λ (scripts/bench_dsir_lam_ab.py)."""
+    feats_all = fused_bucket_counts(
+        raw_docs, target_docs, text_col, id_col, n_buckets
+    )
+    raw_feats = feats_all.filter(F.col("__side") == "r").select(
+        id_col, "bucket", "c"
     )
     raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
     tgt_tot = (
-        gram_rows(target_docs, text_col, [])
-        .select(_bucket_of(F.col("gram"), n_buckets))
+        feats_all.filter(F.col("__side") == "t")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     lam = dsir_logratio(tgt_tot, raw_tot, n_buckets, alpha).localCheckpoint(eager=True)
     scores = dsir_scores(raw_feats, lam, id_col)

@@ -623,18 +623,17 @@ def main() -> None:
     except Exception as exc:
         errors["limbs:dedup_groups_lsh"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    # dsir_select stage attribution (round 10): the #2 headline row
-    # gets the same cumulative-prefix treatment — 'cum_feats' is the
-    # corpus feature pass alone (explode + (id, bucket) aggregate),
-    # 'cum_lam' adds the target fit + λ join; the headline row adds
+    # dsir_select stage attribution (round 10; restructured round 12
+    # with the fused fit): 'cum_feats' is the FUSED feature pass alone
+    # (one union explode + (side, id, bucket) aggregate, eager
+    # checkpoint included — operators/dsir.py::fused_bucket_counts),
+    # 'cum_lam' adds both totals + the λ join; the headline row adds
     # scoring + Gumbel TakeOrdered on top. Attribution only, not a
     # tripwire.
     try:
         from argostats_spark.operators.dsir import (
-            doc_bucket_counts,
             dsir_logratio,
-            gram_rows,
-            _bucket_of,
+            fused_bucket_counts,
         )
         from pyspark.sql import functions as _F2
 
@@ -644,14 +643,18 @@ def main() -> None:
         sub = {}
 
         def _feats():
-            return doc_bucket_counts(raw, "text", "doc_id", 4096)
+            # eager checkpoint: the work happens inside the call
+            return fused_bucket_counts(raw, tgt, "text", "doc_id", 4096)
 
         def _lam():
-            raw_tot = _feats().groupBy("bucket").agg(_F2.sum("c").alias("c"))
+            feats = _feats()
+            raw_tot = (
+                feats.filter(_F2.col("__side") == "r")
+                .groupBy("bucket").agg(_F2.sum("c").alias("c"))
+            )
             tgt_tot = (
-                gram_rows(tgt, "text", [])
-                .select(_bucket_of(_F2.col("gram"), 4096))
-                .groupBy("bucket").agg(_F2.count(_F2.lit(1)).alias("c"))
+                feats.filter(_F2.col("__side") == "t")
+                .groupBy("bucket").agg(_F2.sum("c").alias("c"))
             )
             return dsir_logratio(tgt_tot, raw_tot, 4096, 1.0)
 
