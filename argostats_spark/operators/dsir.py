@@ -156,16 +156,11 @@ def doc_bucket_counts(
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """CPU-parallelism gate (round 12): repartition a text frame to
-    defaultParallelism when its scan has fewer partitions. The gram
-    pass runs ~100 instructions of tokenize/md5 per gram, so
-    ``maxPartitionBytes`` (sized for IO) can leave a compact parquet
-    file as ONE task on a 32-core box — the "cheap input, expensive
-    map" pattern. On a real cluster with many files/splits the gate
-    is a no-op (partitions >= cores already); the repartition moves
-    only the raw text bytes, far smaller than the exploded grams."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    """CPU-parallelism gate — see session.spread_for_cpu (the shared
+    helper this round generalized the dsir-local version into)."""
+    from ..session import spread_for_cpu
+
+    return spread_for_cpu(df)
 
 
 def fused_bucket_counts(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .functions.arrays import cosine_similarity, dot_product, l2_norm
 from .functions.text import STOPWORDS, quality_score, tokens, word_ngrams
 from .queries import _t, query
+from .session import spread_for_cpu
 
 # =========================================================================
 # Trained-model materialization for derived oracles
@@ -489,7 +490,13 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain, and the inline form re-tokenized the document at every
     # reference (the same CollapseProject hazard with_repetition_stats
     # documents; measured 1.31 s -> 0.69 s on this limb at sf0.1, r8)
-    d = with_repetition_stats(_t(spark, sf_dir, "documents")).withColumn(
+    # spread_for_cpu: the per-row work here (tokenize + shingle + md5 +
+    # repetition stats) is the expensive-map case; measured -28..45%
+    # at sf0.1 (SCALE.md "input spread"), identical rows (every stat
+    # is row-local)
+    d = with_repetition_stats(
+        spread_for_cpu(_t(spark, sf_dir, "documents"))
+    ).withColumn(
         "__tl", F.transform(tokens(F.col("text")), lambda t: F.lower(t))
     )
     toks_lower = tokens(F.lower(F.col("text")))
@@ -2287,6 +2294,11 @@ def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     selects, and both produce identical components by construction."""
     from .operators.graph import duplicate_groups
 
+    # NO spread here (round-12 A/B, SCALE.md "input spread"): this
+    # pipeline consumes `d` in several separate actions (dup-fraction
+    # probe, signature pass, final labeling join), and an uncached
+    # repartition re-shuffles the text per action — fresh-JVM it
+    # measured +44% WORSE despite an in-session probe suggesting -22%
     d = _t(spark, sf_dir, "documents")
     # collapse eligibility must match the plain pipeline's reach: a doc
     # with < 3 tokens emits no shingles and stays a singleton there, so

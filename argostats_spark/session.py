@@ -119,3 +119,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_for_cpu(df):
+    """Repartition a frame to ``defaultParallelism`` when its scan has
+    fewer partitions (round 12; generalized from the dsir fit win,
+    SCALE.md "dsir fit stage"). ``maxPartitionBytes`` sizes input
+    splits for IO, so a compact parquet file lands as ONE task even
+    when the downstream per-row work (tokenize + md5 per gram, minhash
+    banding) is hundreds of instructions per value — the "cheap input,
+    expensive map" pattern. The gate makes it a no-op on any layout
+    whose splits already cover the cores (every real multi-file 100 TB
+    table), and the shuffle it inserts moves the raw input bytes, far
+    smaller than the exploded intermediates downstream.
+
+    Apply per consumer, not in a shared loader, and only where ONE
+    action consumes the spread frame (or it is cached): queries whose
+    plans hinge on single-partition shapes (tfidf's bounded global
+    windows: +49% WITH the spread) must not inherit it, and a
+    pipeline that re-executes the frame per action re-pays the
+    shuffle each time (dedup_groups_lsh: +44% fresh-JVM). Two-stage
+    adoption protocol — in-session screen, fresh-JVM --row confirm
+    (SCALE.md "input spread")."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df

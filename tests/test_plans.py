@@ -310,11 +310,17 @@ def test_eape_two_pass_reuses_cached_pairs_and_broadcasts_means(spark):
 
 def test_text_suite_is_pure_scan_project(spark, sf):
     """text_suite (incl. the round-6 staged repetition stats) is a
-    single scan + projections: zero exchanges, no Python operator. The
-    staged with_repetition_stats columns must stay JVM expressions."""
+    single scan + projections: the COMPUTATION causes zero exchanges
+    (no hash shuffle — every stat is row-local) and no Python
+    operator; the staged with_repetition_stats columns must stay JVM
+    expressions. The one allowed exchange is the round-12 input
+    spread (RoundRobin over the raw scan, session.spread_for_cpu —
+    measured -28..45%, SCALE.md "input spread"); any
+    hashpartitioning exchange is still a regression."""
     df = QUERIES["text_suite"](spark, sf)
     plan = physical_plan(df)
-    assert count_exchanges(df) == 0, plan[:800]
+    assert count_exchanges(df) <= 1, plan[:800]
+    assert "hashpartitioning" not in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
