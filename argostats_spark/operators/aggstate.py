@@ -331,7 +331,14 @@ def fold_topk_states(
     Cost: state-table rows only, never the corpora. Row-local
     finalization: :func:`finalize_topk`. Streaming: registered as
     kind='topk' — increments fold under compaction because the output
-    IS a state."""
+    IS a state.
+
+    Each positional argument must be a state over exactly ``keys``:
+    do NOT pass one frame keyed finer (e.g. (shard, key)) as a single
+    argument — two sub-shards of a key group with EQUAL bounds would
+    collapse in the group-bound distinct and undercount B. Pass the
+    sub-shards as separate arguments (the shard tag keeps their
+    bounds apart), as the stats_suite topkfold limb does."""
     if not states:
         raise ValueError("fold_topk_states: no states to merge")
     if k_state is not None and k_state < 1:

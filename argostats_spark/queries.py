@@ -1372,7 +1372,63 @@ def _qmerge_bksample_oracle_sql() -> str:
     CROSS JOIN (VALUES ('exa'), ('exb'), ('exint'), ('exunion'), ('ok'))
       s(stat)
     """
-    return qm + "\n    UNION ALL " + bk + "\n    UNION ALL " + ov
+    # topkfold (round 12): FULL replay of the untruncated fold of two
+    # half-corpus Misra-Gries leaf states (k_state=5, bound = the
+    # 6th-ranked count per half) — folded top-3 values and the summed
+    # group bound are deterministic integer arithmetic; the interval
+    # law boolean asserts 1.0 (the fold makes it unconditionally
+    # true — the dok pattern).
+    tf = """
+    SELECT 'topkfold' AS which, l_returnflag AS grp,
+           'tf' || CAST(r AS VARCHAR) AS stat, CAST(v AS VARCHAR) AS sval,
+           CAST(c AS DOUBLE) AS nval
+    FROM (
+      SELECT l_returnflag, v, sum(c) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY sum(c) DESC, v ASC
+             ) AS r
+      FROM (
+        SELECT half, l_returnflag, v, c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY half, l_returnflag ORDER BY c DESC, v ASC
+               ) AS rr
+        FROM (
+          SELECT l_orderkey % 2 AS half, l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+          FROM lineitem WHERE l_quantity IS NOT NULL
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rr <= 5
+      GROUP BY l_returnflag, v
+    ) WHERE r <= 3
+    UNION ALL
+    SELECT 'topkfold', l_returnflag, s.stat, CAST(NULL AS VARCHAR),
+           CASE s.stat WHEN 'tfb' THEN CAST(bound AS DOUBLE)
+                       ELSE 1.0 END
+    FROM (
+      SELECT l_returnflag, sum(bound) AS bound FROM (
+        SELECT half, l_returnflag,
+               coalesce(max(CASE WHEN rr = 6 THEN c END), 0) AS bound
+        FROM (
+          SELECT half, l_returnflag, v, c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY half, l_returnflag ORDER BY c DESC, v ASC
+                 ) AS rr
+          FROM (
+            SELECT l_orderkey % 2 AS half, l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY 1, 2, 3
+          )
+        ) GROUP BY half, l_returnflag
+      ) GROUP BY l_returnflag
+    )
+    CROSS JOIN (VALUES ('tfb'), ('tfok')) s(stat)
+    """
+    return (
+        qm + "\n    UNION ALL " + bk + "\n    UNION ALL " + ov
+        + "\n    UNION ALL " + tf
+    )
 
 
 # bm25 limb query terms (round 10): drawn from the synthetic corpus
@@ -1874,6 +1930,82 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pri").cast("double").alias("nval"),
     )
     agl = agl.unionByName(bks)
+    # topkfold limb (round 12): the RE-MERGEABLE heavy-hitter state
+    # (operators/aggstate.py::fold_topk_states — the fold that closed
+    # the family's last leg). Two half-corpus leaf states (k_state=5)
+    # fold WITHOUT truncation, so the whole fold is deterministic
+    # integer arithmetic both engines replay verbatim: hashed rows are
+    # the folded top-3 values per flag (sum of leaf counts, ties to
+    # the smaller value), the folded group bound (sum of the leaves'
+    # first-dropped counts), and the Misra-Gries interval law as a
+    # guarantee boolean — every kept v: c <= true <= c + bound, every
+    # absent v: true <= bound — which the fold makes unconditionally
+    # true (tfok == 1.0 is the oracle's literal, the dok pattern).
+    from .operators.aggstate import fold_topk_states, topk_state
+
+    lqi = tagged.withColumn("lqi", F.col("l_quantity").cast("long"))
+    tkl = [
+        topk_state(
+            lqi.filter(F.col("__half") == h),
+            ["l_returnflag"], "lqi", k_state=5,
+        )
+        for h in (0, 1)
+    ]
+    tkf = fold_topk_states(["l_returnflag"], *tkl).localCheckpoint(
+        eager=False  # three consumers: top-3, bound row, law check
+    )
+    tglob = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(
+            "l_returnflag", F.col("l_quantity").cast("long").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    fb = tkf.select("l_returnflag", "bound").distinct()
+    chk = (
+        tglob.join(
+            tkf.select("l_returnflag", "v", F.col("c").alias("fc")),
+            ["l_returnflag", "v"], "left",
+        )
+        .join(F.broadcast(fb), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("fc").isNotNull(),
+                    (
+                        (F.col("fc") <= F.col("t"))
+                        & (F.col("t") <= F.col("fc") + F.col("bound"))
+                    ).cast("int"),
+                ).otherwise((F.col("t") <= F.col("bound")).cast("int"))
+            ).alias("okv")
+        )
+    )
+    wtk = W.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("v").asc()
+    )
+    tf_top = (
+        tkf.withColumn("r", F.row_number().over(wtk))
+        .filter(F.col("r") <= 3)
+        .select(
+            F.lit("topkfold").alias("which"),
+            F.col("l_returnflag").alias("grp"),
+            F.concat(F.lit("tf"), F.col("r").cast("string")).alias("stat"),
+            F.col("v").cast("string").alias("sval"),
+            F.col("c").cast("double").alias("nval"),
+        )
+    )
+    tf_meta = fb.join(chk, "l_returnflag").select(
+        F.lit("topkfold").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "stack(2,"
+            " 'tfb', CAST(NULL AS STRING), CAST(bound AS DOUBLE),"
+            " 'tfok', CAST(NULL AS STRING), CAST(okv AS DOUBLE)"
+            ") AS (stat, sval, nval)"
+        ),
+    )
+    agl = agl.unionByName(tf_top).unionByName(tf_meta)
     # overlap limb (round 11): the theta-sketch corpus-overlap AUDIT
     # (operators/overlap.py) — pairwise distinct-token overlap between
     # three document sources, estimated from per-source sketches with
