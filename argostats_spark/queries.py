@@ -527,6 +527,16 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL OUTER JOIN
          (SELECT user_id % 1500 AS ck, count(*) AS n_events FROM events GROUP BY 1) e
     ON b.ck = e.ck
+    UNION ALL
+    SELECT 'advisor', CAST(NULL AS BIGINT), s.str_val,
+           CASE WHEN s.str_val = 'true_size'
+                THEN (SELECT CAST(count(*) AS BIGINT)
+                      FROM orders JOIN customer ON o_custkey = c_custkey)
+                ELSE CAST(NULL AS BIGINT) END,
+           CASE WHEN s.str_val = 'true_size' THEN CAST(NULL AS DOUBLE)
+                ELSE 1.0 END
+    FROM (VALUES ('true_size'), ('bracket'),
+                 ('strategy_broadcast_b')) s(str_val)
     """,
 )
 def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,7 +601,42 @@ def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("double").alias("num_b"),
         )
     )
-    return semi.unionByName(anti).unionByName(left_outer).unionByName(full_outer)
+    # advisor limb (round 12): the CMS join-size pre-flight + strategy
+    # advisor (operators/joinsize.py::choose_join_strategy) on the
+    # orders ⋈ customer dimension join. EAGER by nature — the two
+    # sketch scans run at query construction (KB driver payloads).
+    # Hashed rows: the exact join size as a cross-engine anchor, the
+    # one-sided CMS bracket true <= est <= true + upper_slack as a
+    # guarantee boolean (deterministic at the fixed seed; the oracle
+    # asserts 1.0, the dok pattern), and the chosen strategy — the
+    # small dimension side must come back as a broadcast.
+    from .operators.joinsize import choose_join_strategy
+
+    dec = choose_join_strategy(o, "o_custkey", c, "c_custkey")
+    tj = (
+        o.select(F.col("o_custkey").alias("k"))
+        .join(c.select(F.col("c_custkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    advisor = tj.select(
+        F.lit("advisor").alias("variant"),
+        F.lit(None).cast("long").alias("custkey"),
+        F.expr(
+            "stack(3,"
+            " 'true_size', CAST(n AS BIGINT), CAST(NULL AS DOUBLE),"
+            f" 'bracket', CAST(NULL AS BIGINT),"
+            f"   CAST(CASE WHEN {dec['est']}L >= n"
+            f"         AND {dec['est']}L <= n + {dec['upper_slack']!r}D"
+            "        THEN 1.0 ELSE 0.0 END AS DOUBLE),"
+            f" 'strategy_{dec['strategy']}', CAST(NULL AS BIGINT),"
+            "    CAST(1.0 AS DOUBLE)"
+            ") AS (str_val, num_a, num_b)"
+        ),
+    )
+    return (
+        semi.unionByName(anti).unionByName(left_outer)
+        .unionByName(full_outer).unionByName(advisor)
+    )
 
 
 @query(
