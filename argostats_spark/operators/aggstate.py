@@ -712,22 +712,33 @@ def merge_sample_states(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if validate:
-        for i, s in enumerate(states):
-            bad = (
-                s.groupBy(*keys)
-                .agg(F.max("rnk").alias("__m"), F.max("n").alias("__n"))
-                .filter((F.col("__m") < k) & (F.col("__n") > F.col("__m")))
-                .limit(1)
-                .collect()
+        # ONE unioned job for all shards (review finding r12: a
+        # per-shard .collect() loop costs N sequential driver
+        # round-trips on every streaming read_state/compact_state
+        # with N uncompacted increments) — the tag-and-union shape
+        # the merge itself uses
+        chk = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                s.select(*keys, "rnk", "n", F.lit(i).alias("__shard"))
+                for i, s in enumerate(states)
+            ],
+        )
+        bad = (
+            chk.groupBy("__shard", *keys)
+            .agg(F.max("rnk").alias("__m"), F.max("n").alias("__n"))
+            .filter((F.col("__m") < k) & (F.col("__n") > F.col("__m")))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"merge_sample_states: shard {bad[0]['__shard']} is "
+                f"truncated below k={k} (a key group retained "
+                f"{bad[0]['__m']} rows of {bad[0]['__n']} total) — it "
+                "was built with a smaller k; rebuild shards at k >= "
+                "the merge k, or merge at k <= the smallest shard k"
             )
-            if bad:
-                raise ValueError(
-                    f"merge_sample_states: shard {i} is truncated below "
-                    f"k={k} (a key group retained {bad[0]['__m']} rows "
-                    f"of {bad[0]['__n']} total) — it was built with a "
-                    "smaller k; rebuild shards at k >= the merge k, or "
-                    "merge at k <= the smallest shard k"
-                )
     u = reduce(
         lambda a, b: a.unionByName(b),
         [s.select(*keys, "pri", "tb", "v", "rnk", "n") for s in states],

@@ -238,6 +238,8 @@ def choose_join_strategy(
     est = join_size_estimate(sa, sb)
     _, tab_a, _ = _decode_cms(sa)
     _, tab_b, _ = _decode_cms(sb)
+    n_a, n_b = est["n_a"], est["n_b"]
+    fair = max(n_a, n_b) / float(shuffle_partitions)
     rec = {
         **est,
         "fmax_ub_a": _fmax_upper_bound(tab_a),
@@ -245,8 +247,9 @@ def choose_join_strategy(
         "trusted": est["upper_slack"] < est["est"],
         "salt_side": None,
         "n_salts": None,
+        # always present so the record shape is fixed, as documented
+        "fair_share": round(fair, 1),
     }
-    n_a, n_b = est["n_a"], est["n_b"]
     if min(n_a, n_b) <= broadcast_rows:
         side = "a" if n_a <= n_b else "b"
         rec["strategy"] = f"broadcast_{side}"
@@ -255,8 +258,6 @@ def choose_join_strategy(
             f"{broadcast_rows}; broadcast beats any shuffle"
         )
         return rec
-    fair = max(n_a, n_b) / float(shuffle_partitions)
-    rec["fair_share"] = round(fair, 1)
     hot_side = "a" if rec["fmax_ub_a"] >= rec["fmax_ub_b"] else "b"
     fmax = rec[f"fmax_ub_{hot_side}"]
     other_n = n_b if hot_side == "a" else n_a
@@ -300,8 +301,12 @@ def apply_join_strategy(
     same-named key columns on both sides (rename upstream otherwise —
     keeping the advisor's key_a/key_b distinction through the join
     would silently double the output columns). Row-for-row equal to
-    ``dfa.join(dfb, on, how)`` for every strategy (broadcast is a
-    hint; salting is the multiplicity-preserving salted_join)."""
+    ``dfa.join(dfb, on, how)`` for every strategy INCLUDING column
+    order (broadcast is a hint; salting is the multiplicity-preserving
+    salted_join; the b-side salt swaps operands internally and
+    re-selects the plain-join column order — which is why that path
+    additionally requires non-key column names to be distinct across
+    the two sides, loudly checked)."""
     from .skew import salted_join
 
     strategy = decision["strategy"]
@@ -325,5 +330,20 @@ def apply_join_strategy(
                 f"how='inner', got {how!r} (a left join's unmatched "
                 "side is not preserved under operand swap)"
             )
-        return salted_join(dfb, dfa, on, decision["n_salts"], "inner")
+        # restore the plain-join column order (on, dfa rest, dfb rest):
+        # the operand swap would otherwise flip it to (on, dfb, dfa),
+        # breaking positional consumers the contract above promises
+        # stability to. Name-based re-select needs unambiguous names.
+        a_rest = [c for c in dfa.columns if c not in on]
+        b_rest = [c for c in dfb.columns if c not in on]
+        dup = set(a_rest) & set(b_rest)
+        if dup:
+            raise ValueError(
+                "apply_join_strategy: salted on side b cannot restore "
+                f"column order with duplicate non-key names {sorted(dup)}"
+                " — rename one side upstream"
+            )
+        return salted_join(dfb, dfa, on, decision["n_salts"], "inner").select(
+            *on, *a_rest, *b_rest
+        )
     raise ValueError(f"unknown strategy {decision['strategy']!r}")

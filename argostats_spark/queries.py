@@ -608,11 +608,17 @@ def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hashed rows: the exact join size as a cross-engine anchor, the
     # one-sided CMS bracket true <= est <= true + upper_slack as a
     # guarantee boolean (deterministic at the fixed seed; the oracle
-    # asserts 1.0, the dok pattern), and the chosen strategy — the
-    # small dimension side must come back as a broadcast.
+    # asserts 1.0, the dok pattern), and the chosen strategy. The
+    # broadcast threshold is pinned ABOVE any sf (customer < orders at
+    # every TPC-H scale, so the smaller side always broadcasts and
+    # the oracle's 'strategy_broadcast_b' literal is scale-invariant —
+    # review finding r12: the 4M-row default would flip the decision
+    # to 'plain' past sf~27 and hash-mismatch a correct advisor).
     from .operators.joinsize import choose_join_strategy
 
-    dec = choose_join_strategy(o, "o_custkey", c, "c_custkey")
+    dec = choose_join_strategy(
+        o, "o_custkey", c, "c_custkey", broadcast_rows=2**62
+    )
     tj = (
         o.select(F.col("o_custkey").alias("k"))
         .join(c.select(F.col("c_custkey").alias("k")), "k")

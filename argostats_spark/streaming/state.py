@@ -32,9 +32,12 @@ deterministic, so the maintained sample is again BIT-IDENTICAL to a
 cold rebuild; for ``kind="quantile"`` the KLL merge keeps the
 one-pass rank-error bound (the pin asserts the bound against exact
 percentiles, not sketch bits — the approx-family policy).
-``topk_state`` is deliberately NOT maintained here: its merge output
-is a result, not a re-mergeable state (see merge_topk_states) — keep
-the per-shard states and merge at read time instead.
+``kind="topk"`` (round 12) maintains heavy hitters via
+``fold_topk_states`` — the re-mergeable Misra-Gries closure, so
+increments fold under compaction; the maintained state's
+[c, c+bound] intervals are valid but looser than a cold rebuild's
+(each increment's truncation adds its bound — pinned against exact
+stream-so-far counts, the approx-family policy).
 """
 
 from __future__ import annotations

@@ -828,6 +828,7 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "unit", "queries", "sf", "bench_round",
+            "measurement_basis",
             "regression_baseline_round", "regressions",
             "remeasure_skipped", "errors",
         )
@@ -849,8 +850,12 @@ def main() -> None:
     for trim in ("argo", "remeasured", "remeasure_skipped", "errors"):
         if len(json.dumps(slim)) <= _LINE_BUDGET:
             break
-        slim.pop(trim, None)
-        slim[f"{trim}_in_detail"] = True
+        # only claim "in detail" for keys that were actually present
+        # AND whose detail file actually wrote (review finding r12: a
+        # failed detail write must not make the committed line assert
+        # the existence of data that was dropped)
+        if slim.pop(trim, None) is not None and detail_name:
+            slim[f"{trim}_in_detail"] = True
     line = _emit_check(json.dumps(slim), _LINE_BUDGET)
     print(line)
     spark.stop()

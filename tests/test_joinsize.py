@@ -206,3 +206,41 @@ def test_apply_rejects_b_side_salt_with_left_join(spark, sides):
         apply_join_strategy(dfa, dfb, ["k"], fake, how="left")
     with pytest.raises(ValueError, match="unknown strategy"):
         apply_join_strategy(dfa, dfb, ["k"], {"strategy": "bogus"})
+
+
+def test_apply_b_side_salt_preserves_column_order(spark):
+    """Review finding r12: the b-side salt swaps operands internally;
+    the output must still match dfa.join(dfb, on) column ORDER (and
+    rows), and ambiguous non-key names must raise, not mis-select."""
+    from argostats_spark.operators.joinsize import apply_join_strategy
+
+    dfa = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k long, a_val string"
+    )
+    dfb = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0)], "k long, b_val double"
+    )
+    dec = {"strategy": "salted", "salt_side": "b", "n_salts": 4}
+    out = apply_join_strategy(dfa, dfb, ["k"], dec)
+    plain = dfa.join(dfb, ["k"])
+    assert out.columns == plain.columns
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    dup = spark.createDataFrame([(1, "z")], "k long, a_val string")
+    with pytest.raises(ValueError, match="duplicate non-key"):
+        apply_join_strategy(dfa, dup, ["k"], dec)
+
+
+def test_choose_strategy_record_shape_is_fixed(spark, sides):
+    """fair_share (and every documented key) is present on EVERY
+    decision, including broadcast ones (review finding r12)."""
+    from argostats_spark.operators.joinsize import choose_join_strategy
+
+    dfa, dfb, _ = sides
+    d = choose_join_strategy(dfa, "k", dfb, "k", broadcast_rows=500)
+    assert d["strategy"] == "broadcast_b"
+    for key in ("est", "upper_slack", "n_a", "n_b", "fmax_ub_a",
+                "fmax_ub_b", "trusted", "salt_side", "n_salts",
+                "fair_share", "reason"):
+        assert key in d, key
