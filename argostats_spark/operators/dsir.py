@@ -155,14 +155,6 @@ def doc_bucket_counts(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """CPU-parallelism gate — see session.spread_for_cpu (the shared
-    helper this round generalized the dsir-local version into)."""
-    from ..session import spread_for_cpu
-
-    return spread_for_cpu(df)
-
-
 def fused_bucket_counts(
     raw_docs: DataFrame,
     target_docs: DataFrame,
@@ -183,7 +175,9 @@ def fused_bucket_counts(
     bucket totals, target bucket totals) and each is a
     state-table-sized re-aggregation — the corpus text is tokenized
     exactly once, in one stage chain instead of two. Measured on the
-    dsir_select bench row: 3.25 → 2.09 s fresh-JVM at sf0.1, identical
+    dsir_select bench row: 3.25 → 2.09 s fresh-JVM at sf0.1 (A/B with
+    an input spread later dropped — see below; shipped fusion-only
+    re-confirmed at 2.50 s under 1-min load ~3.7), identical
     selection + λ (scripts/bench_dsir_lam_ab.py; SCALE.md "dsir fit
     stage")."""
     id_type = raw_docs.schema[id_col].dataType
@@ -196,7 +190,13 @@ def fused_bucket_counts(
             F.lit("t").alias("__side"),
         )
     )
-    g = gram_rows(_spread(tagged), text_col, [id_col, "__side"])
+    # NO input spread here (round-12 sf1 finding): the fused pass is
+    # consumed through an eager checkpoint built fresh per call, and
+    # the spread's full-text RoundRobin shuffle interleaving with the
+    # checkpoint write produced erratic multi-10s stalls at sf1
+    # (5.5-47 s run-to-run vs a stable 4.5 s without; SCALE.md "dsir
+    # fit stage", sf1 postscript). The fusion alone carries the win.
+    g = gram_rows(tagged, text_col, [id_col, "__side"])
     return (
         g.select(id_col, "__side", _bucket_of(F.col("gram"), n_buckets))
         .groupBy("__side", id_col, "bucket")
@@ -350,7 +350,9 @@ def dsir_select(
     three state-table-sized re-aggregations. At 100 TB persist that
     table as parquet instead — it is the reusable pipeline
     intermediate, smaller than the corpus and reused by every
-    re-fit. Measured: 3.25 → 2.09 s fresh-JVM on the sf0.1 bench row,
+    re-fit. Measured: 3.25 → 2.09 s fresh-JVM on the sf0.1 bench row
+    (shipped fusion-only: 2.50 s under load ~3.7; the A/B's input
+    spread was dropped after sf1 stalls — SCALE.md postscript),
     identical selection and λ (scripts/bench_dsir_lam_ab.py)."""
     feats_all = fused_bucket_counts(
         raw_docs, target_docs, text_col, id_col, n_buckets

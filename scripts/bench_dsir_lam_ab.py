@@ -36,9 +36,12 @@ full dsir_select stage (construction included — the feature-table
 checkpoint is eager by design), loadavg recorded. JSON table printed
 for SCALE.md.
 
-SHIPPED (round 12): see SCALE.md "dsir fit stage" for the measured
-table and the decision; v0_current always measures whatever
-dsir_select currently ships.
+SHIPPED (round 12): v2's FUSION only — the spread half was dropped
+after the sf1 refresh caught erratic 5-47 s stalls from the full-text
+RoundRobin exchange interleaving with the per-call eager checkpoint
+(SCALE.md "dsir fit stage", sf1 postscript). v0_current always
+measures whatever dsir_select currently ships, so re-running this
+script now measures the shipped fusion-no-spread plan as v0.
 """
 
 from __future__ import annotations
