@@ -303,6 +303,22 @@ def _emit_check(line: str, budget: int) -> str:
     return line
 
 
+def _gate_config() -> tuple[float, float]:
+    """ONE parse for the load-gate knobs (review finding r12: the
+    main-pass and child gates parsed them separately and had already
+    diverged on what disables the gate — any budget <= 0 disables,
+    numerically, in both places)."""
+    try:
+        gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
+    except ValueError:
+        gate = 3.0
+    try:
+        budget = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "600"))
+    except ValueError:
+        budget = 600.0
+    return gate, budget
+
+
 def _await_quiet(threshold: float, cap_s: float) -> float:
     """Load gate before each serialized child (round 12): a child
     launched into the previous window's load tail measures the BOX,
@@ -310,32 +326,34 @@ def _await_quiet(threshold: float, cap_s: float) -> float:
     4.6x its standalone number purely from launch timing, and the
     sf1 ledger shows the same shape. Wait (bounded) for the 1-min
     load to drop below ``threshold`` before spawning; returns the
-    seconds actually waited so the artifact can show its work."""
+    seconds actually waited so the artifact can show its work. Sleeps
+    never overshoot the cap (the shared budget stays non-negative)."""
     t0 = time.time()
-    while time.time() - t0 < cap_s and os.getloadavg()[0] > threshold:
-        time.sleep(5)
+    while True:
+        elapsed = time.time() - t0
+        if elapsed >= cap_s or os.getloadavg()[0] <= threshold:
+            break
+        time.sleep(min(5.0, cap_s - elapsed))
     return round(time.time() - t0, 1)
 
 
-def _remeasure_flagged(rows: list[str]) -> dict[str, dict]:
+def _remeasure_flagged(
+    rows: list[str], gate: float = 3.0, budget: float = 600.0
+) -> dict[str, dict]:
     import subprocess
 
-    try:
-        gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
-    except ValueError:
-        gate = 3.0
-    try:
-        total_budget = float(
-            os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "600")
-        )
-    except ValueError:
-        total_budget = 600.0
     results: dict[str, dict] = {}
     for name in rows:
         waited = 0.0
-        if total_budget > 0:
-            waited = _await_quiet(gate, min(120.0, total_budget))
-            total_budget -= waited
+        gate_skipped = False
+        if budget > 0:
+            waited = _await_quiet(gate, min(120.0, budget))
+            budget -= waited
+        else:
+            # budget exhausted: the row runs UNGATED and says so —
+            # an ungated row must not be indistinguishable from one
+            # that found a quiet box (review finding r12)
+            gate_skipped = True
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--row", name],
@@ -357,22 +375,24 @@ def _remeasure_flagged(rows: list[str]) -> dict[str, dict]:
             results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         if waited:
             results[name]["gate_wait_s"] = waited
+        if gate_skipped:
+            results[name]["gate_skipped"] = True
     return results
 
 
 def main() -> None:
     # same load gate as the serialized children (round 12): the main
     # in-session pass launched into a previous workload's load tail
-    # measures the box, not the plans. Bounded (120 s) and recorded.
-    try:
-        _gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
-    except ValueError:
-        _gate = 3.0
+    # measures the box, not the plans. Bounded (120 s), recorded, and
+    # CHARGED against the same budget the children draw from, so
+    # SPARK_GRAFT_LOAD_GATE_BUDGET really does bound total waiting.
+    _gate, _gate_budget = _gate_config()
     start_gate_wait = (
-        _await_quiet(_gate, 120.0)
-        if os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "600") != "0"
+        _await_quiet(_gate, min(120.0, _gate_budget))
+        if _gate_budget > 0
         else 0.0
     )
+    _gate_budget -= start_gate_wait
     spark = get_spark(app_name="argostats_bench")
     errors: dict[str, str] = {}
 
@@ -819,7 +839,7 @@ def main() -> None:
             out["remeasure_protocol"] = REMEASURE_PROTOCOL
             if drift:
                 out["drift_remeasured"] = drift
-            rm = _remeasure_flagged(to_rm)
+            rm = _remeasure_flagged(to_rm, gate=_gate, budget=_gate_budget)
             out["remeasured"] = {}
             for name, r in rm.items():
                 entry = {"insession_sec": timings[name], **r}
