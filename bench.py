@@ -340,15 +340,33 @@ def _await_quiet(threshold: float, cap_s: float) -> float:
 def _remeasure_flagged(
     rows: list[str], gate: float = 3.0, budget: float = 600.0
 ) -> dict[str, dict]:
+    """One fresh JVM per row, serialized, load-gated. Bounded by a
+    WALL budget (SPARK_GRAFT_REMEASURE_WALL, default 1500 s, gates
+    included): the serialized-all default must not be able to outgrow
+    the driver's bench window on a degraded box — one hung child with
+    the old flat 1800 s timeout could have cost the whole committed
+    artifact (the r10 parsed-null failure mode, by timeout instead of
+    line length). Rows skipped on expiry return {"wall_skipped"} and
+    keep their in-session numbers; the caller lists them."""
     import subprocess
 
+    try:
+        wall = float(os.environ.get("SPARK_GRAFT_REMEASURE_WALL", "1500"))
+    except ValueError:
+        wall = 1500.0
+    t_start = time.time()
     results: dict[str, dict] = {}
     for name in rows:
+        remaining = wall - (time.time() - t_start)
+        if remaining < 20:
+            results[name] = {"wall_skipped": True}
+            continue
         waited = 0.0
         gate_skipped = False
         if budget > 0:
-            waited = _await_quiet(gate, min(120.0, budget))
+            waited = _await_quiet(gate, min(120.0, budget, remaining / 2))
             budget -= waited
+            remaining = wall - (time.time() - t_start)
         else:
             # budget exhausted: the row runs UNGATED and says so —
             # an ungated row must not be indistinguishable from one
@@ -357,7 +375,8 @@ def _remeasure_flagged(
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--row", name],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True,
+                timeout=max(30.0, remaining),
                 cwd=REPO_DIR,
             )
             line = next(
@@ -807,7 +826,12 @@ def main() -> None:
             if prev_q.get(name) and now > 1.25 * prev_q[name]
         }
         if serialized_all:
-            to_rm = sorted(timings)
+            # flagged/drifted rows first: if the wall budget below runs
+            # out, the rows that NEEDED isolation got it
+            to_rm = sorted(
+                timings,
+                key=lambda n: (n not in flagged, n not in drift, n),
+            )
         else:
             # wall-clock guard: a broad drift event must not spawn 19
             # fresh JVMs inside the driver's bench window by accident —
@@ -851,6 +875,13 @@ def main() -> None:
                     )
                     timings[name] = entry["committed_sec"]
                 out["remeasured"][name] = entry
+            wall_skipped = sorted(
+                n for n, r in rm.items() if r.get("wall_skipped")
+            )
+            if wall_skipped:
+                # honest-skip rule: rows that kept their in-session
+                # numbers because the wall budget expired are named
+                out["remeasure_wall_skipped"] = wall_skipped
             out["value"] = round(sum(timings.values()), 3)
             # keep the derived argo block consistent with any replaced
             # argo row: sec + profiles/s re-derived from the committed
