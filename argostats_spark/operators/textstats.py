@@ -33,7 +33,8 @@ BM25_ROW_LOCAL_MAX_TERMS = 64
 
 
 def unigram_lm_nll(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", return_totals: bool = False):
+                   id_col: str = "doc_id", return_totals: bool = False,
+                   vocab_df: DataFrame | None = None):
     """Per-document mean negative log-probability under an add-one-
     smoothed corpus unigram LM: (id_col, d_nll) with d_nll rounded to
     6 dp (the cross-engine determinism policy — sum order inside the
@@ -47,13 +48,24 @@ def unigram_lm_nll(docs: DataFrame, text_col: str = "text",
     ``return_totals`` the
     (df, total_tokens, vocab_size) triple is returned so callers that
     also report the totals don't recount the corpus.
+
+    ``vocab_df`` (round 12): a precomputed corpus unigram table
+    (tok, c) — callers that already aggregated the corpus's tokens
+    (e.g. a TF-IDF pass whose (source, tok) counts re-aggregate to
+    exactly this table at vocabulary-sized cost) pass it here and the
+    LM fit pays NO corpus pass of its own; only the scoring explode
+    remains. The counts must cover the SAME documents/tokenizer or
+    the model is silently wrong — same-contract note as tokens().
     """
     d = docs.select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    # one corpus pass builds the vocab table; localCheckpoint it so the
-    # totals action and the broadcast join below both reuse the
-    # materialized (vocabulary-sized) result instead of re-exploding the
-    # corpus a second time
-    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    # one corpus pass builds the vocab table (unless the caller hands
+    # one in); localCheckpoint it so the totals action and the
+    # broadcast join below both reuse the materialized
+    # (vocabulary-sized) result instead of re-exploding the corpus
+    vocab = (
+        vocab_df.select("tok", "c") if vocab_df is not None
+        else d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=True)
     tot = vocab.agg(
         F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
     ).first()

@@ -635,7 +635,15 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source").distinct().count()
     )
 
-    tf = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is the suite's shared corpus aggregate: the tfidf ranking, the
+    # per-term df table AND (round 12) the LM's vocab table all derive
+    # from it — checkpoint it eagerly so each consumer reads the
+    # (|sources|x|vocab|)-sized materialization instead of re-running
+    # the corpus explode per lineage reference
+    tf = (
+        d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dft = tf.groupBy("tok").agg(F.countDistinct("source").alias("df"))
     scored = tf.join(F.broadcast(dft), "tok").withColumn(
         "score",
@@ -658,8 +666,15 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.textstats import nll_deciles, unigram_lm_nll
 
+    # round 12: the LM's vocab table is the tf aggregate re-summed
+    # over sources — vocabulary-sized input, so the LM fit pays NO
+    # corpus pass of its own (3 corpus tokenizes → 2 in this suite;
+    # identical counts by construction: tf covers every document and
+    # the same tokenizer)
+    vocab_from_tf = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     nll, t_total, v_size = unigram_lm_nll(
-        _t(spark, sf_dir, "documents"), return_totals=True
+        _t(spark, sf_dir, "documents"), return_totals=True,
+        vocab_df=vocab_from_tf,
     )
     dec = nll_deciles(nll, exact=True)
     lm_rows = dec.groupBy("decile").agg(
