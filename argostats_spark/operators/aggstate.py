@@ -221,7 +221,10 @@ def topk_state(
 
 
 def merge_topk_states(
-    keys: list[str], *states: DataFrame, k: int | None = None
+    keys: list[str],
+    *states: DataFrame,
+    k: int | None = None,
+    leaf: bool = True,
 ) -> DataFrame:
     """Merge shard top-K states into global heavy-hitter ESTIMATES with
     two-sided guarantees: (keys..., v, est, err) where the true global
@@ -246,8 +249,14 @@ def merge_topk_states(
     still two-sided-valid at every level), the classic Misra-Gries
     mergeability result (Agarwal et al. 2013, §3). This function's
     per-value err refinement assumes LEAF states (exact within-shard
-    c); folded states carry lower-bound c, so finalize those with
-    :func:`finalize_topk` instead."""
+    c) — a folded shard's c is a lower bound, so subtracting present
+    shards' bounds from err would make [est, est+err] miss the true
+    count on the HIGH side. Pass ``leaf=False`` when any input came
+    from :func:`fold_topk_states`: err then stays the FULL group
+    bound (Σ all shards' bounds), which keeps the two-sided law
+    est ≤ true ≤ est + err for folded inputs (property-tested) at
+    the cost of the per-value tightening. For pure fold hierarchies
+    :func:`finalize_topk` is the cheaper row-local equivalent."""
     if not states:
         raise ValueError("merge_topk_states: no states to merge")
     tagged = [
@@ -277,9 +286,12 @@ def merge_topk_states(
         lambda a, b: a & b,
         [per_v[k].eqNullSafe(tb[f"__tk_{k}"]) for k in keys],
     )
+    err_col = (
+        (F.col("__tb") - F.col("__pb")) if leaf else F.col("__tb")
+    )
     merged = per_v.join(tb, cond).select(
         *[per_v[k] for k in keys], "v", "est",
-        (F.col("__tb") - F.col("__pb")).alias("err"),
+        err_col.alias("err"),
     )
     if k is None:
         return merged
@@ -296,7 +308,10 @@ def merge_topk_states(
 
 
 def fold_topk_states(
-    keys: list[str], *states: DataFrame, k_state: int | None = None
+    keys: list[str],
+    *states: DataFrame,
+    k_state: int | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Fold shard top-K states into ONE state of the SAME shape
     (keys..., v, c, bound) — the re-mergeable closure that completes
@@ -335,16 +350,30 @@ def fold_topk_states(
 
     Each positional argument must be a state over exactly ``keys``:
     do NOT pass one frame keyed finer (e.g. (shard, key)) as a single
-    argument — two sub-shards of a key group with EQUAL bounds would
-    collapse in the group-bound distinct and undercount B. Pass the
-    sub-shards as separate arguments (the shard tag keeps their
-    bounds apart), as the stats_suite topkfold limb does."""
+    argument without naming the shard column — two sub-shards of a
+    key group with EQUAL bounds would collapse in the group-bound
+    distinct and undercount B. Either pass the sub-shards as separate
+    arguments (the positional tag keeps their bounds apart), as the
+    stats_suite topkfold limb does, or pass ``shard_col=`` naming the
+    column that distinguishes sub-shards WITHIN a frame — the tag
+    then becomes (position, shard_col value), so equal bounds from
+    different sub-shards each contribute to B (ADVICE r12). The
+    shard column is consumed by the fold and not carried into the
+    output. The streaming kind='topk' store never hits this: each
+    compaction folds one state per increment FRAME, one positional
+    argument each (the one-frame-per-increment invariant,
+    streaming/state.py)."""
     if not states:
         raise ValueError("fold_topk_states: no states to merge")
     if k_state is not None and k_state < 1:
         raise ValueError(f"k_state must be >= 1 or None, got {k_state}")
+    tag = (
+        (lambda s, i: F.struct(F.lit(i), s[shard_col]))
+        if shard_col is not None
+        else (lambda s, i: F.lit(i))
+    )
     tagged = [
-        s.select(*keys, "v", "c", "bound", F.lit(i).alias("__shard"))
+        s.select(*keys, "v", "c", "bound", tag(s, i).alias("__shard"))
         for i, s in enumerate(states)
     ]
     u = reduce(lambda a, b: a.unionByName(b), tagged)
@@ -597,7 +626,13 @@ def sample_state(
     lazy pipelines (or running per-micro-batch in streaming, where
     the extra driver action repeats every batch) can pass
     ``validate=False`` and validate downstream — the returned state
-    is identical, only the loud under-k check is skipped. The counts
+    is identical in CONTENT, but skips the validating path's
+    localCheckpoint along with the check (ADVICE r12: even
+    ``eager=False`` checkpointing materializes AQE stages at call
+    time, which would break this path's zero-jobs laziness — pinned
+    by test). A validate=False caller consuming the state in several
+    actions re-executes the corpus-sized threshold pass per action;
+    checkpoint or persist it yourself before fan-out. The counts
     table joined onto the corpus is one row per key group; its join
     strategy is left to AQE (no forced broadcast — a high-cardinality
     key set at 100 TB posture must be allowed to shuffle-join rather
@@ -648,6 +683,12 @@ def sample_state(
         )
     )
     if not validate:
+        # NO localCheckpoint here (ADVICE r12, resolved the other
+        # way): even eager=False materializes AQE query stages at
+        # call time (measured — 4 jobs on a 50-row frame), which
+        # would break this path's pinned zero-jobs laziness. The
+        # docstring tells multi-action consumers to checkpoint
+        # themselves.
         return kept
     # loud deficiency guard: state-table-sized check, driver-cheap.
     # Anchored on the COUNTS table, not the kept table — a threshold
@@ -735,9 +776,12 @@ def merge_sample_states(
             raise ValueError(
                 f"merge_sample_states: shard {bad[0]['__shard']} is "
                 f"truncated below k={k} (a key group retained "
-                f"{bad[0]['__m']} rows of {bad[0]['__n']} total) — it "
-                "was built with a smaller k; rebuild shards at k >= "
-                "the merge k, or merge at k <= the smallest shard k"
+                f"{bad[0]['__m']} rows of {bad[0]['__n']} total) — "
+                "either it was built with a smaller k (rebuild shards "
+                "at k >= the merge k, or merge at k <= the smallest "
+                "shard k), or it was built with validate=False and "
+                "its threshold pass was deficient (rebuild with a "
+                "larger safety=)"
             )
     u = reduce(
         lambda a, b: a.unionByName(b),

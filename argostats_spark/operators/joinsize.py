@@ -85,9 +85,10 @@ def key_sketch(
     """One-scan CMS of a key column's frequency vector (the aggregate
     merges its partial sketches internally — distributive, no extra
     shuffle). Returns the serialized sketch bytes (KBs: depth =
-    ⌈ln(1/(1−confidence))⌉, width = ⌈2/eps⌉ — Spark's sizing, not
-    the paper's ⌈e/eps⌉; see the module header). NULL keys are
-    excluded —
+    ⌈log2(1/(1−confidence))⌉ — verified empirically: confidence 0.99
+    yields depth 7, the paper's ⌈ln(1/(1−confidence))⌉ would give 5 —
+    and width = ⌈2/eps⌉, not the paper's ⌈e/eps⌉; see the module
+    header). NULL keys are excluded —
     SQL equi-joins never match them, so they contribute nothing to
     any join size."""
     row = (

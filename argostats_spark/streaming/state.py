@@ -87,7 +87,13 @@ _KINDS = {
     # intervals [c, c+bound] are valid but looser than a cold batch
     # rebuild's (each increment's truncation adds its bound);
     # finalize with finalize_topk. Pass k_state= at build AND read
-    # time (read truncates the fold the same way).
+    # time (read truncates the fold the same way). INVARIANT the fold
+    # relies on: the store holds exactly one state frame per
+    # increment, and read/compact pass each frame as its own
+    # positional argument — fold_topk_states' equal-bound sub-shard
+    # hazard (ADVICE r12, aggstate.py) cannot arise here. A frame
+    # that mixes several sub-shards needs fold_topk_states'
+    # shard_col= instead.
     "topk": (topk_state, fold_topk_states),
     # "full" fuses agg+distinct+quantile into ONE aggregate per
     # micro-batch (operators/aggstate.py::full_state); "sketch" fuses

@@ -430,6 +430,104 @@ def test_fold_topk_states_leaf_equivalence_and_null_keys(spark):
     assert nulls and all(r["bound"] > 0 for r in nulls)
 
 
+def test_merge_topk_states_folded_inputs_leaf_false_interval_law(spark):
+    """VERDICT r12 item 5: merge_topk_states(leaf=False) keeps the
+    two-sided law est <= true <= est + err when its inputs are FOLDED
+    states (whose c is a lower bound, not exact-within-shard). The
+    default leaf=True per-value refinement subtracts present shards'
+    bounds, which is only sound for leaf inputs — leaf=False keeps
+    the full group bound instead."""
+    from argostats_spark.operators.aggstate import (
+        fold_topk_states,
+        merge_topk_states,
+        topk_state,
+    )
+
+    rows = []
+    i = 0
+    for g in ("a", "b"):
+        for j in range(1, 30):
+            for _ in range(900 // j):
+                rows.append((i, g, f"v{j:02d}"))
+                i += 1
+    df = spark.createDataFrame(rows, "id long, g string, v string").cache()
+    true = {
+        (r["g"], r["v"]): r["c"]
+        for r in df.groupBy("g", "v").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    shards = [df.filter(F.col("id") % 4 == s) for s in range(4)]
+    leaves = [topk_state(s, ["g"], "v", k_state=8) for s in shards]
+    # two truncated folded regions — their c is no longer exact
+    r1 = fold_topk_states(["g"], leaves[0], leaves[1], k_state=8)
+    r2 = fold_topk_states(["g"], leaves[2], leaves[3], k_state=8)
+    safe = merge_topk_states(["g"], r1, r2, leaf=False).collect()
+    assert safe
+    for r in safe:
+        t = true[(r["g"], r["v"])]
+        assert r["est"] <= t <= r["est"] + r["err"], (dict(r.asDict()), t)
+    # leaf=False is never tighter than leaf=True — it differs exactly
+    # by the present shards' bounds it refuses to subtract
+    tight = {
+        (r["g"], r["v"]): r["err"]
+        for r in merge_topk_states(["g"], r1, r2).collect()
+    }
+    assert all(
+        r["err"] >= tight[(r["g"], r["v"])] for r in safe
+    )
+    # on LEAF inputs leaf=False also holds (just looser), so it is
+    # the always-safe setting
+    for r in merge_topk_states(["g"], *leaves, leaf=False).collect():
+        t = true[(r["g"], r["v"])]
+        assert r["est"] <= t <= r["est"] + r["err"]
+
+
+def test_fold_topk_states_shard_col_equal_bounds(spark):
+    """ADVICE r12: sub-shards carried in ONE frame with EQUAL bounds
+    collapse in the group-bound distinct unless shard_col= names the
+    distinguishing column — with it, the fold is identical to passing
+    the sub-shards as separate positional arguments."""
+    from argostats_spark.operators.aggstate import (
+        fold_topk_states,
+        topk_state,
+    )
+
+    # two sub-shards engineered to the SAME per-group bound: identical
+    # value distribution, ids offset
+    rows = []
+    for off, shard in ((0, 0), (10_000, 1)):
+        i = off
+        for j in range(1, 12):
+            for _ in range(60 // j):
+                rows.append((i, shard, "a", f"v{j:02d}"))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "id long, shard int, g string, v string"
+    ).cache()
+    subs = [
+        topk_state(df.filter(F.col("shard") == s), ["g"], "v", k_state=4)
+        for s in range(2)
+    ]
+    bounds = [s.select("bound").distinct().collect() for s in subs]
+    assert bounds[0] == bounds[1] and bounds[0][0]["bound"] > 0
+    one_frame = subs[0].withColumn("shard", F.lit(0)).unionByName(
+        subs[1].withColumn("shard", F.lit(1))
+    )
+    want = sorted(map(tuple, fold_topk_states(["g"], *subs).collect()))
+    got = sorted(map(tuple, fold_topk_states(
+        ["g"], one_frame, shard_col="shard"
+    ).collect()))
+    assert got == want
+    # the documented hazard, demonstrated: WITHOUT shard_col the equal
+    # bounds collapse and B is undercounted by one shard's bound
+    collapsed = fold_topk_states(["g"], one_frame).collect()
+    assert all(
+        r["bound"] == bounds[0][0]["bound"] for r in collapsed
+    )  # undercounted: should be 2x
+    assert all(r[-1] == 2 * bounds[0][0]["bound"] for r in got)
+
+
 # ---------------------------------------------------------------- round 11
 # quantile_state (KLL) and sample_state (bottom-k) — the fourth and
 # fifth mergeable-summary legs.
