@@ -72,6 +72,64 @@ def test_emit_check_rejects_embedded_newline(bench):
         bench._emit_check(line, 1900)
 
 
+def test_classify_flags_replays_r12_as_host_contended(bench):
+    """VERDICT r12 item 2, the motivating exhibit: the six rows
+    BENCH_r12 flagged as regressions (all untouched code, cleared by
+    the same-tree quiet-box preview and by independent load<1
+    remeasures) ran their isolated remeasures at recorded 1-min loads
+    1.46-2.79 — above the adjudication ceiling. Replaying the
+    committed detail artifact through classify_flags must class all
+    six as unadjudicated_host and confirm none."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_detail_r12_sf0.1.json")) as f:
+        doc = json.load(f)
+    assert len(doc["regressions"]) == 6  # the exhibit
+    confirmed, unadj = bench.classify_flags(
+        doc["regressions"], doc["remeasured"], 1.0
+    )
+    assert confirmed == {}
+    assert set(unadj) == set(doc["regressions"])
+    for name, entry in unadj.items():
+        assert "load" in entry["why"], (name, entry)
+        # the original flag fields ride along for the diff reader
+        assert entry["ratio"] == doc["regressions"][name]["ratio"]
+
+
+def test_classify_flags_confirms_quiet_box_flags(bench):
+    """A flag whose isolated remeasure ran quiet IS a regression; the
+    skip/error paths are named open questions."""
+    flagged = {
+        "real": {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0},
+        "busy": {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0},
+        "walled": {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0},
+        "ungated": {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0},
+        "errored": {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0},
+        "orphan": {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0},
+    }
+    remeasured = {
+        "real": {"insession_sec": 2.2, "isolated_sec": 2.0,
+                 "load_before_1m": 0.4, "load_after_1m": 9.0},
+        "busy": {"insession_sec": 2.2, "isolated_sec": 2.0,
+                 "load_before_1m": 1.46},
+        "walled": {"wall_skipped": True},
+        "ungated": {"insession_sec": 2.2, "isolated_sec": 2.0,
+                    "load_before_1m": 0.4, "gate_skipped": True},
+        "errored": {"error": "Boom: child died"},
+    }
+    confirmed, unadj = bench.classify_flags(flagged, remeasured, 1.0)
+    # load_after is the child's OWN work and must not disqualify
+    assert set(confirmed) == {"real"}
+    assert set(unadj) == {"busy", "walled", "ungated", "errored", "orphan"}
+    assert "wall budget" in unadj["walled"]["why"]
+    assert "ungated" in unadj["ungated"]["why"]
+    assert "errored" in unadj["errored"]["why"]
+    assert "never isolated" in unadj["orphan"]["why"]
+    # empty inputs stay empty (the always-present regressions key)
+    assert bench.classify_flags({}, {}, 1.0) == ({}, {})
+
+
 def test_committed_artifact_lines_would_pass(bench):
     """Every committed BENCH_r*.json whose line the driver parsed must
     satisfy the gate retroactively (regression anchor: the gate must
