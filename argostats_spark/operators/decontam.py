@@ -40,6 +40,9 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_hits: int = 1,
+    advisor: bool = False,
+    advisor_opts: dict | None = None,
+    advisor_record: dict | None = None,
 ) -> DataFrame:
     """Flag corpus documents that collide with benchmark n-grams.
 
@@ -60,6 +63,21 @@ def ngram_contamination(
     candidate rows, never wrong flags, because the verify join still
     decides. The decontaminate driver limb pins gate→verify ==
     plain-join every round.
+
+    ``advisor=True`` (VERDICT r12 item 4 — the join advisor's first
+    production consumer): instead of the hard-coded benchmark
+    broadcast, the corpus-gram ⋈ benchmark-gram join strategy comes
+    from :func:`..joinsize.choose_join_strategy` — broadcast when the
+    benchmark's distinct-gram table fits the row budget (the usual
+    outcome, identical plan to the default), SALTED when the
+    benchmark outgrows it and a hot corpus n-gram (stop-word grams
+    are real skew) dominates a partition, plain + AQE otherwise. The
+    pre-flight costs two extra eager CMS scans at call time — one of
+    them corpus-shaped — which is why it is opt-in: pay it when the
+    benchmark side's size is not known small. ``advisor_opts``
+    forwards to choose_join_strategy (broadcast_rows, skew_factor,
+    eps, ...); pass an empty dict as ``advisor_record`` to receive
+    the decision record (strategy, est, reason, ...) for audit.
     """
     sh = F.array_distinct(word_ngrams(text_col, n))
     bench_grams = (
@@ -68,9 +86,22 @@ def ngram_contamination(
     docs = corpus.select(
         F.col(id_col), sh.alias("sh"), F.size(sh).alias("n_grams")
     )
+    gram_stream = docs.select(id_col, F.explode("sh").alias("g"))
+    if advisor:
+        from .joinsize import apply_join_strategy, choose_join_strategy
+
+        decision = choose_join_strategy(
+            gram_stream, "g", bench_grams, "g", **(advisor_opts or {})
+        )
+        if advisor_record is not None:
+            advisor_record.update(decision)
+        matched = apply_join_strategy(
+            gram_stream, bench_grams, ["g"], decision, how="inner"
+        )
+    else:
+        matched = gram_stream.join(F.broadcast(bench_grams), "g")
     hits = (
-        docs.select(id_col, F.explode("sh").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
+        matched
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -226,8 +226,12 @@ def choose_join_strategy(
     f_max upper bounds are collision-inflated by ~(n/width) on
     average; at the default eps=0.001 (width 2000) that inflation is
     n/2000, small next to any partition-dominating hot key. The
-    advisor never *executes* anything — pass the record to
-    :func:`apply_join_strategy` (or read ``reason`` and decide)."""
+    advisor never *executes* the join itself — pass the record to
+    :func:`apply_join_strategy` (or read ``reason`` and decide).
+    Production consumer: ``decontam.ngram_contamination(advisor=True)``
+    routes its corpus-gram ⋈ benchmark-gram join through this ladder
+    (VERDICT r12 item 4); the pre-flight's two eager sketch scans are
+    the opt-in price."""
     import math
 
     if shuffle_partitions is None:
@@ -307,7 +311,12 @@ def apply_join_strategy(
     salted_join; the b-side salt swaps operands internally and
     re-selects the plain-join column order — which is why that path
     additionally requires non-key column names to be distinct across
-    the two sides, loudly checked)."""
+    the two sides, loudly checked). b-side salt + how='left' reframes
+    on the a side (VERDICT r12 item 6): a splits by a match flag from
+    b's distinct keys (skew-proof — the distinct collapses the hot key
+    map-side), the matched part takes the salted inner join, the
+    unmatched part null-extends; right/full stay rejected (the salted
+    side's unmatched rows are genuinely not preserved)."""
     from .skew import salted_join
 
     strategy = decision["strategy"]
@@ -324,12 +333,16 @@ def apply_join_strategy(
             return salted_join(dfa, dfb, on, decision["n_salts"], how)
         # salted_join salts its FIRST argument; only inner joins are
         # side-symmetric, so a right-side salt with how='left' cannot
-        # be expressed by swapping — reject rather than fabricate
-        if how != "inner":
+        # be expressed by bare operand swap. how='left' IS expressible
+        # by a-side reframing (VERDICT r12 item 6) below; right/full
+        # are genuinely inexpressible this way (unmatched SALTED-side
+        # replicas would fabricate rows) — reject those loudly.
+        if how not in ("inner", "left"):
             raise ValueError(
                 "apply_join_strategy: salted on side b supports only "
-                f"how='inner', got {how!r} (a left join's unmatched "
-                "side is not preserved under operand swap)"
+                f"how='inner' or 'left', got {how!r} (unmatched rows "
+                "of the salted side are not preserved under operand "
+                "swap or reframing)"
             )
         # restore the plain-join column order (on, dfa rest, dfb rest):
         # the operand swap would otherwise flip it to (on, dfb, dfa),
@@ -344,7 +357,32 @@ def apply_join_strategy(
                 f"column order with duplicate non-key names {sorted(dup)}"
                 " — rename one side upstream"
             )
-        return salted_join(dfb, dfa, on, decision["n_salts"], "inner").select(
-            *on, *a_rest, *b_rest
+        inner = salted_join(
+            dfb, dfa, on, decision["n_salts"], "inner"
+        ).select(*on, *a_rest, *b_rest)
+        if how == "inner":
+            return inner
+        # left join, skewed RIGHT side: left = salted-inner over the
+        # matched a rows ∪ null-extended unmatched a rows. The match
+        # flag comes from b's DISTINCT keys — the distinct collapses
+        # the hot key map-side (partial aggregate), so the flag join
+        # is skew-proof and AQE may broadcast the key table; the two
+        # filter branches share an identical a⋈keys subplan that
+        # AQE's exchange reuse deduplicates.
+        if "__m" in dfa.columns or "__m" in dfb.columns:
+            raise ValueError("column name __m is reserved")
+        b_keys = dfb.select(*on).distinct().withColumn("__m", F.lit(1))
+        flagged = dfa.join(b_keys, on, "left")
+        matched = flagged.filter(F.col("__m").isNotNull()).drop("__m")
+        unmatched = flagged.filter(F.col("__m").isNull()).select(
+            *on, *a_rest,
+            *[
+                F.lit(None).cast(dfb.schema[c].dataType).alias(c)
+                for c in b_rest
+            ],
         )
+        matched_inner = salted_join(
+            dfb, matched, on, decision["n_salts"], "inner"
+        ).select(*on, *a_rest, *b_rest)
+        return matched_inner.unionByName(unmatched)
     raise ValueError(f"unknown strategy {decision['strategy']!r}")

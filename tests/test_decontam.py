@@ -75,6 +75,63 @@ def test_benchmark_side_is_broadcast(spark, tables):
     assert "SortMergeJoin" not in plan.split("n_hits")[0]
 
 
+def test_advisor_consumer_broadcast_outcome(spark, tables):
+    """VERDICT r12 item 4: ngram_contamination(advisor=True) consults
+    choose_join_strategy end-to-end. Small benchmark -> broadcast
+    decision, identical plan family AND identical rows to the
+    default hard-coded broadcast."""
+    from argostats_spark.plans.explain import physical_plan
+
+    corpus, benchmark = tables
+    rec: dict = {}
+    out = ngram_contamination(
+        corpus, benchmark, n=3, advisor=True, advisor_record=rec
+    )
+    assert rec["strategy"] in ("broadcast_a", "broadcast_b")
+    assert "reason" in rec and rec["est"] >= 0
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    default = ngram_contamination(corpus, benchmark, n=3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, default.collect())
+    )
+
+
+def test_advisor_consumer_salted_outcome(spark):
+    """The salted leg of the consumer: benchmark over the row budget,
+    one corpus n-gram hot enough to dominate a partition -> the
+    advisor salts the corpus-gram side and the executed join carries
+    the salt column; rows still match the plain broadcast form."""
+    from argostats_spark.plans.explain import physical_plan
+
+    # hot corpus: one 3-gram ("aa bb cc") repeated across many docs;
+    # benchmark contains that gram plus enough distinct grams to
+    # overflow a deliberately tiny broadcast budget
+    corpus = spark.createDataFrame(
+        [(i, "aa bb cc dd") for i in range(3000)]
+        + [(9000, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    bench_rows = [(100, "aa bb cc")] + [
+        (200 + i, f"t{i} u{i} v{i} w{i}") for i in range(300)
+    ]
+    benchmark = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    rec: dict = {}
+    out = ngram_contamination(
+        corpus, benchmark, n=3, advisor=True, advisor_record=rec,
+        advisor_opts={
+            "broadcast_rows": 100, "shuffle_partitions": 32,
+            "skew_factor": 2.0,
+        },
+    )
+    assert rec["strategy"] == "salted" and rec["salt_side"] == "a", rec
+    assert "__argostats_salt" in physical_plan(out)
+    default = ngram_contamination(corpus, benchmark, n=3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, default.collect())
+    )
+
+
 # -------------------------------------------------------------------------
 # Corpus-internal duplicated passages (window-hash substring dedup)
 # -------------------------------------------------------------------------

@@ -197,15 +197,51 @@ def test_advisor_untrusted_when_slack_swallows_estimate(spark, sides):
     assert d["upper_slack"] >= d["est"]
 
 
-def test_apply_rejects_b_side_salt_with_left_join(spark, sides):
+def test_apply_rejects_b_side_salt_with_right_and_full_join(spark, sides):
+    """right/full stay rejected (the salted side's unmatched rows are
+    genuinely not preserved); left is now expressible (VERDICT r12
+    item 6 — see the property test below)."""
     from argostats_spark.operators.joinsize import apply_join_strategy
 
     dfa, dfb, _ = sides
     fake = {"strategy": "salted", "salt_side": "b", "n_salts": 4}
-    with pytest.raises(ValueError, match="inner"):
-        apply_join_strategy(dfa, dfb, ["k"], fake, how="left")
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            apply_join_strategy(dfa, dfb, ["k"], fake, how=how)
     with pytest.raises(ValueError, match="unknown strategy"):
         apply_join_strategy(dfa, dfb, ["k"], {"strategy": "bogus"})
+
+
+def test_apply_b_side_salt_left_join_matches_plain(spark):
+    """VERDICT r12 item 6: b-side salt + how='left' via a-side
+    reframing must be row-for-row identical to the plain left join on
+    a skewed fixture — multiplicities, unmatched-left rows (including
+    NULL-key rows), duplicate a rows, and column order."""
+    from argostats_spark.operators.joinsize import apply_join_strategy
+
+    # a: matched keys, never-matched keys, a NULL key, and a literal
+    # duplicate row; b: skewed on k=7 (most rows one key) plus keys a
+    # doesn't have
+    a_rows = (
+        [(7, f"hot{i}") for i in range(5)]
+        + [(1, "one"), (2, "two"), (99, "lonely"), (None, "nullk"),
+           (2, "two")]
+    )
+    dfa = spark.createDataFrame(a_rows, "k long, a_val string")
+    b_rows = [(7, float(i)) for i in range(2000)] + [
+        (1, -1.0), (1, -2.0), (55, -3.0)
+    ]
+    dfb = spark.createDataFrame(b_rows, "k long, b_val double")
+    dec = {"strategy": "salted", "salt_side": "b", "n_salts": 8}
+    out = apply_join_strategy(dfa, dfb, ["k"], dec, how="left")
+    plain = dfa.join(dfb, ["k"], "left")
+    assert out.columns == plain.columns
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, out.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+    # the executed matched branch IS salted (not a plain re-join)
+    assert "__argostats_salt" in _plan(out)
 
 
 def test_apply_b_side_salt_preserves_column_order(spark):
