@@ -920,41 +920,45 @@ def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
 
     # Verification touches candidate docs only: ONE more pass over the
     # shingle stream, gated by a broadcast of the candidate id set (no
-    # full-table shuffle); distinct applies to that small subset, and
-    # |∩| is a count over broadcast joins. |shingle set| sizes (the
-    # Jaccard denominators) also come from HERE — counting the
-    # already-distinct candidate shingle table replaces a corpus-wide
-    # count_distinct in the signature aggregate, whose Expand doubled
-    # the shingle stream through the exchange (round-10 A/B: pairs
-    # subplan 2.07→1.60 s, identical output; bench_lsh_pairs_ab.py).
+    # full-table shuffle — and Spark's runtime bloom filter pushes the
+    # id gate below the shingle explode onto the scan, measured: an
+    # explicit pre-shingle semi join was flat). Round 13
+    # (bench_lsh_cum_pairs_ab.py, VERDICT r12 item 1): the intersection
+    # is ROW-LOCAL — one collect_set aggregate per candidate doc (the
+    # set dedups in the aggregate, replacing the former distinct +
+    # count-table aggregate + two-join + groupBy intersection: three
+    # verify exchanges collapse into one), the per-doc sets broadcast
+    # onto the pair, |∩| = size(array_intersect(...)) in-row. The sets
+    # table is candidate-sized (the bound the former sh_cand table
+    # already assumed) and eagerly checkpointed: downstream CC-loop
+    # actions re-derive verification from a materialized KB table.
+    # Measured fresh-JVM, identical pair set and identical
+    # q_dedup_groups_lsh output per run, interleaved children: pairs
+    # subplan 1.44→1.37 s / row 3.13→2.61 s at sf0.1 (wins every
+    # round); pairs 2.48→1.73 / row 5.40→3.41 at sf1 (−30/−37% — the
+    # win grows with scale; SCALE.md table).
     ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = (
+    sh_sets = (
         sh_raw.join(F.broadcast(ids), "doc_id")
-        .select("doc_id", "g").distinct()
+        .groupBy("doc_id").agg(F.collect_set("g").alias("sh"))
         .localCheckpoint(eager=True)
     )
-    n_tbl = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = cand.join(
-        F.broadcast(n_tbl.select(F.col("doc_id").alias("id_a"),
-                                 F.col("n_sh").alias("n_a"))), "id_a"
-    ).join(
-        F.broadcast(n_tbl.select(F.col("doc_id").alias("id_b"),
-                                 F.col("n_sh").alias("n_b"))), "id_b"
-    )
-    sa = sh_cand.select(F.col("doc_id").alias("id_a"), "g")
-    sb = sh_cand.select(F.col("doc_id").alias("id_b"), "g")
-    inter = (
-        cand.join(sa, "id_a").join(sb, ["id_b", "g"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    pa = sh_sets.select(F.col("doc_id").alias("id_a"),
+                        F.col("sh").alias("sh_a"),
+                        F.size("sh").alias("n_a"))
+    pb = sh_sets.select(F.col("doc_id").alias("id_b"),
+                        F.col("sh").alias("sh_b"),
+                        F.size("sh").alias("n_b"))
+    withsets = cand.join(F.broadcast(pa), "id_a").join(
+        F.broadcast(pb), "id_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
-        inter.select("id_a", "id_b", jac.alias("jac_raw"))
+        withsets.select("id_a", "id_b", jac.alias("jac_raw"))
         .filter(F.col("jac_raw") >= 0.6)
         .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
     )
