@@ -537,6 +537,12 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 1.0 END
     FROM (VALUES ('true_size'), ('bracket'),
                  ('strategy_broadcast_b')) s(str_val)
+    UNION ALL
+    SELECT 'salted_left', CAST(c_custkey AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(count(o_orderkey) AS BIGINT),
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
     """,
 )
 def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,7 +555,13 @@ def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``anti`` — customers with no orders (left-anti);
     - ``left_outer`` — per-customer order counts keeping zero-order
       customers;
-    - ``full_outer`` — buyers ⟗ event users on a synthetic shared key.
+    - ``full_outer`` — buyers ⟗ event users on a synthetic shared key;
+    - ``advisor`` (round 12) — the CMS join-size pre-flight anchored
+      against the exact join size;
+    - ``salted_left`` (round 13) — the same per-customer left-join
+      aggregate as ``left_outer`` but executed through
+      apply_join_strategy's b-side-salted LEFT path (a-side
+      reframing), hashed against the plain SQL LEFT JOIN.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -639,9 +651,43 @@ def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (str_val, num_a, num_b)"
         ),
     )
+    # salted_left limb (round 13): the b-side-salted LEFT join via
+    # a-side reframing (operators/joinsize.py::apply_join_strategy,
+    # VERDICT r12 item 6) must be row-identical to the plain left
+    # join — the oracle replays it as plain SQL LEFT JOIN, so the
+    # driver hash cross-checks the reframing (match-flag split from
+    # b's distinct keys + salted inner + null-extended unmatched)
+    # every round. Forced decision: the point is the machinery, not
+    # the advisor's choice on this fixture.
+    from .operators.joinsize import apply_join_strategy
+
+    sl_joined = apply_join_strategy(
+        c.select(F.col("c_custkey").alias("k")),
+        o.select(F.col("o_custkey").alias("k"), "o_orderkey",
+                 "o_totalprice"),
+        ["k"],
+        {"strategy": "salted", "salt_side": "b", "n_salts": 8},
+        how="left",
+    )
+    salted_left = (
+        sl_joined.groupBy("k")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double").alias("total"),
+        )
+        .select(F.lit("salted_left").alias("variant"),
+                F.col("k").cast("long").alias("custkey"),
+                F.lit(None).cast("string").alias("str_val"),
+                F.col("n_orders").alias("num_a"),
+                F.col("total").alias("num_b"))
+    )
     return (
         semi.unionByName(anti).unionByName(left_outer)
         .unionByName(full_outer).unionByName(advisor)
+        .unionByName(salted_left)
     )
 
 

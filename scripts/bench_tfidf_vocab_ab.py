@@ -17,6 +17,13 @@ suite):
                from a corpus explode (3 corpus tokenizes). Realized by
                patching textstats.unigram_lm_nll to drop vocab_df=
                (the suite imports it at call time).
+- v2_single   — round-13 candidate: ONE corpus tokenize. The suite's
+               shared intermediate drops a level, from tf=(source,
+               tok) to per_doc=(doc_id, source, tok, c) (checkpointed);
+               tf, the LM vocab AND the per-doc NLL all re-aggregate
+               from it (the NLL as the c-weighted mean, identical to
+               the instance mean by arithmetic). Trades the second
+               tokenize for a doc-granular exchange + checkpoint.
 
 Protocol: INTERLEAVED rounds (v0, v1, v0, v1, ...), one child JVM per
 run, warm min-of-3 per child, loadavg recorded per child — both
@@ -57,11 +64,73 @@ if variant == "v1_unfused":
         return _orig(docs, *a, **kw)
 
     ts.unigram_lm_nll = _no_vocab
-elif variant != "v0_fused":
+elif variant not in ("v0_fused", "v2_single"):
     raise SystemExit(f"unknown variant {variant!r}")
 
 spark = get_spark(app_name="tfidf_ab_" + variant)
-q = QUERIES["tfidf_lm_suite"]
+
+
+def suite_single_tokenize(spark, SF):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from argostats_spark.queries_documents import _t
+    from argostats_spark.functions.text import tokens
+    from argostats_spark.operators.textstats import nll_deciles
+
+    docs = _t(spark, SF, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    n_src = (docs.where(F.col("source").isNotNull())
+             .select("source").distinct().count())
+    per_doc = (d.groupBy("doc_id", "source", "tok")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .localCheckpoint(eager=True))
+    tf = per_doc.groupBy("source", "tok").agg(F.sum("c").alias("tf"))
+    dft = tf.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    scored = tf.join(F.broadcast(dft), "tok").withColumn(
+        "score",
+        F.col("tf") * (F.log((F.lit(1.0) + F.lit(float(n_src)))
+                             / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))
+    w = W.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tok").asc())
+    tfidf_rows = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(F.lit("tfidf").alias("part"),
+                F.col("source").alias("k1"), F.col("tok").alias("k2"),
+                F.col("rnk").cast("long").alias("rnk"),
+                F.col("tf").cast("long").alias("n"),
+                F.round("score", 6).alias("score")))
+    vocab = per_doc.groupBy("tok").agg(F.sum("c").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("t"),
+                    F.count(F.lit(1)).alias("v")).first()
+    t_total, v_size = int(tot["t"]), int(tot["v"])
+    m_nlp = -F.log((F.col("c") + F.lit(1.0))
+                   / F.lit(float(t_total + v_size)))
+    nll = (per_doc.join(
+        F.broadcast(vocab.select("tok", m_nlp.alias("m_nlp"))), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("m_nlp")) / F.sum("c"),
+                     6).alias("d_nll")))
+    dec = nll_deciles(nll, exact=True)
+    lm_rows = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("d_nll"), 5).alias("avg_nll")
+    ).select(
+        F.lit("lm_decile").alias("part"), F.lit("all").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("decile").alias("rnk"), F.col("n_docs").alias("n"),
+        F.col("avg_nll").alias("score"))
+    vocab_row = spark.createDataFrame(
+        [("vocab", "all", None, None, v_size, float(t_total))],
+        "part string, k1 string, k2 string, rnk bigint, n bigint, "
+        "score double")
+    return tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)
+
+
+q = (suite_single_tokenize if variant == "v2_single"
+     else QUERIES["tfidf_lm_suite"])
 
 # identity: variant output vs the shipped (fused) suite
 got = sorted(map(tuple, q(spark, SF_DIR).collect()))
@@ -69,6 +138,9 @@ if variant == "v1_unfused":
     ts.unigram_lm_nll = _orig
     want = sorted(map(tuple, q(spark, SF_DIR).collect()))
     ts.unigram_lm_nll = _no_vocab
+elif variant == "v2_single":
+    want = sorted(map(tuple,
+                      QUERIES["tfidf_lm_suite"](spark, SF_DIR).collect()))
 else:
     want = got
 identical = got == want
@@ -97,7 +169,7 @@ spark.stop()
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    variants = ["v0_fused", "v1_unfused"]
+    variants = sys.argv[2:] or ["v0_fused", "v1_unfused"]
     runs: list[dict] = []
     for r in range(rounds):
         for v in variants:
