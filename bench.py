@@ -208,7 +208,33 @@ def _measure_single(row: str) -> dict:
         from argostats_spark.operators.summary import build_summary
         from argostats_spark.sources.synthetic import make_raw
 
-        raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
+        # shared preamble cache (VERDICT r12 item 8): five serialized
+        # argo children each rebuilt the same 30k-profile synthetic
+        # table (~deterministic — fixed params, no RNG state carried
+        # across calls). First child writes it to a param-keyed parquet
+        # dir (atomic via tmp+rename); later children read it. The
+        # MEASURED basis is unchanged either way: the input the timed
+        # stage consumes is the memory-.cache()'d frame materialized by
+        # count() below, exactly as before — only untimed setup wall
+        # moves. SPARK_GRAFT_ARGO_CACHE=off disables.
+        _cache = os.environ.get(
+            "SPARK_GRAFT_ARGO_CACHE", "/tmp/argostats_bench_argo_raw_240x125"
+        )
+        raw = None
+        if _cache != "off" and os.path.exists(os.path.join(_cache, "_SUCCESS")):
+            try:
+                raw = spark.read.parquet(_cache).cache()
+            except Exception:
+                raw = None
+        if raw is None:
+            raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
+            if _cache != "off" and not os.path.exists(_cache):
+                try:
+                    tmp = f"{_cache}.tmp.{os.getpid()}"
+                    raw.write.mode("overwrite").parquet(tmp)
+                    os.rename(tmp, _cache)
+                except Exception:
+                    pass  # cache is best-effort; the build stands alone
         raw.count()
         if row == "argo_summary_build_30k":
             sec = warm_min(lambda: _noop(build_summary(raw)))
