@@ -357,11 +357,10 @@ def apply_join_strategy(
                 f"column order with duplicate non-key names {sorted(dup)}"
                 " — rename one side upstream"
             )
-        inner = salted_join(
-            dfb, dfa, on, decision["n_salts"], "inner"
-        ).select(*on, *a_rest, *b_rest)
         if how == "inner":
-            return inner
+            return salted_join(
+                dfb, dfa, on, decision["n_salts"], "inner"
+            ).select(*on, *a_rest, *b_rest)
         # left join, skewed RIGHT side: left = salted-inner over the
         # matched a rows ∪ null-extended unmatched a rows. The match
         # flag comes from b's DISTINCT keys — the distinct collapses
