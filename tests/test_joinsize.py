@@ -268,6 +268,51 @@ def test_apply_b_side_salt_preserves_column_order(spark):
         apply_join_strategy(dfa, dup, ["k"], dec)
 
 
+@pytest.mark.filterwarnings(
+    # benign: py4j's callback threads change the recursion limit while
+    # hypothesis runs; same artifact as the other Spark+hypothesis pins
+    "ignore:The recursion limit will not be reset",
+    "ignore::pytest.PytestUnraisableExceptionWarning",
+)
+def test_apply_b_side_salt_left_join_property_random(spark):
+    """Hypothesis pin for the left-salt reframing: random key
+    multisets on both sides (NULLs, duplicates, disjoint keys, empty
+    sides) and random n_salts must reproduce the plain left join
+    exactly — rows, multiplicities, column order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.operators.joinsize import apply_join_strategy
+
+    keys = st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+        min_size=0, max_size=24,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(a_keys=keys, b_keys=keys,
+           n_salts=st.integers(min_value=1, max_value=9))
+    def check(a_keys, b_keys, n_salts):
+        dfa = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(a_keys)] or [(None, -1)],
+            "k long, a_val long",
+        )
+        dfb = spark.createDataFrame(
+            [(k, float(i)) for i, k in enumerate(b_keys)] or [(None, -1.0)],
+            "k long, b_val double",
+        )
+        dec = {"strategy": "salted", "salt_side": "b", "n_salts": n_salts}
+        out = apply_join_strategy(dfa, dfb, ["k"], dec, how="left")
+        plain = dfa.join(dfb, ["k"], "left")
+        assert out.columns == plain.columns
+        norm = lambda t: tuple((x is None, x) for x in t)
+        assert sorted(map(tuple, out.collect()), key=norm) == sorted(
+            map(tuple, plain.collect()), key=norm
+        )
+
+    check()
+
+
 def test_choose_strategy_record_shape_is_fixed(spark, sides):
     """fair_share (and every documented key) is present on EVERY
     decision, including broadcast ones (review finding r12)."""
