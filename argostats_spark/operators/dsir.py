@@ -85,15 +85,23 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
-def hashed_gram_buckets(text, n_buckets: int = 4096) -> Column:
+def hashed_gram_buckets(text, n_buckets: int = 4096,
+                        hasher: str = "md5") -> Column:
     """Array of feature-bucket ids (bigint, [0, n_buckets)) for every
     word unigram AND bigram of ``text`` — the hashed n-gram feature map
     of DSIR §3, as one array expression.
 
-    Bucket = first 8 hex chars of md5 → 32-bit int → mod. md5 is the
-    cross-engine hash family (identical in Spark and DuckDB, see
-    sampling.hash_bucket); repeated grams repeat their bucket — counts
-    are carried by multiplicity, not pre-aggregated here.
+    Bucket (md5, the default) = first 8 hex chars of md5 → 32-bit int
+    → mod. md5 is the cross-engine hash family (identical in Spark and
+    DuckDB, see sampling.hash_bucket); repeated grams repeat their
+    bucket — counts are carried by multiplicity, not pre-aggregated
+    here. ``hasher="xxhash64"`` is the production fast path (same
+    convention as sample_state's family knob): pmod(xxhash64(gram), B)
+    — native codegen, measured −29% on the sf0.1 feature pass (round
+    13), deterministic within Spark but NOT DuckDB-replayable, so the
+    driver-hashed registry keeps md5. Fit and scoring must share ONE
+    family — buckets from different hashers are different feature
+    spaces and the λ model is silently wrong across them.
 
     This is the convenience/array API. The hot path
     (:func:`gram_rows`) does NOT use it: nested higher-order lambdas
@@ -103,8 +111,13 @@ def hashed_gram_buckets(text, n_buckets: int = 4096) -> Column:
     runs interpreted — staging the token array as a projected column
     and hashing AFTER the explode keeps everything scalar codegen
     (measured: warm dsir_select 7.1 s → 3.0 s on the sf0.1 corpus)."""
+    _check_hasher(hasher)
     unis = F.transform(tokens(_c(text)), lambda t: F.lower(t))
     grams = F.concat(unis, word_ngrams(_c(text), 2))
+    if hasher == "xxhash64":
+        return F.transform(
+            grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+        )
     return F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
@@ -112,7 +125,17 @@ def hashed_gram_buckets(text, n_buckets: int = 4096) -> Column:
     )
 
 
-def _bucket_of(gram: Column, n_buckets: int) -> Column:
+def _check_hasher(hasher: str) -> None:
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError(
+            f'hasher must be "md5" or "xxhash64", got {hasher!r}'
+        )
+
+
+def _bucket_of(gram: Column, n_buckets: int, hasher: str = "md5") -> Column:
+    _check_hasher(hasher)
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(gram), F.lit(n_buckets)).alias("bucket")
     return (
         F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets)
@@ -143,13 +166,14 @@ def doc_bucket_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Per-document hashed-ngram feature vector in sparse (id, bucket,
     c) form. One explode (row-local) + one (id, bucket) aggregate —
     the only corpus-keyed shuffle DSIR ever does with document text."""
     return (
         gram_rows(docs, text_col, [id_col])
-        .select(id_col, _bucket_of(F.col("gram"), n_buckets))
+        .select(id_col, _bucket_of(F.col("gram"), n_buckets, hasher))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -161,6 +185,7 @@ def fused_bucket_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    hasher: str = "md5",
 ) -> DataFrame:
     """ONE gram pass for BOTH corpora (round 12; VERDICT r11 item 3 —
     the cum_lam limb fusion): raw and target rows are tagged and
@@ -198,7 +223,8 @@ def fused_bucket_counts(
     # fit stage", sf1 postscript). The fusion alone carries the win.
     g = gram_rows(tagged, text_col, [id_col, "__side"])
     return (
-        g.select(id_col, "__side", _bucket_of(F.col("gram"), n_buckets))
+        g.select(id_col, "__side",
+                 _bucket_of(F.col("gram"), n_buckets, hasher))
         .groupBy("__side", id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
@@ -337,6 +363,7 @@ def dsir_select(
     alpha: float = 1.0,
     salt: str = "dsir",
     temperature: float = 1.0,
+    hasher: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end DSIR: returns (selected, logratio) — the k selected
     raw documents (id, n_grams, logw, g, score, rank) and the fitted
@@ -355,7 +382,7 @@ def dsir_select(
     spread was dropped after sf1 stalls — SCALE.md postscript),
     identical selection and λ (scripts/bench_dsir_lam_ab.py)."""
     feats_all = fused_bucket_counts(
-        raw_docs, target_docs, text_col, id_col, n_buckets
+        raw_docs, target_docs, text_col, id_col, n_buckets, hasher
     )
     raw_feats = feats_all.filter(F.col("__side") == "r").select(
         id_col, "bucket", "c"
@@ -391,6 +418,7 @@ def dsir_score_rows(
     lam_dense: list[float],
     text_col: str = "text",
     n_buckets: int = 4096,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Row-local scoring against a trained dense λ model: adds
     ``n_grams`` and ``logw`` (6 dp) to every row. ZERO shuffles and
@@ -429,11 +457,18 @@ def dsir_score_rows(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = tk.withColumn("__dsir_grams", F.concat(F.col("__dsir_tk"), bigrams))
-    buckets = F.transform(
-        F.col("__dsir_grams"),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        % F.lit(n_buckets),
-    )
+    _check_hasher(hasher)
+    if hasher == "xxhash64":
+        buckets = F.transform(
+            F.col("__dsir_grams"),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)),
+        )
+    else:
+        buckets = F.transform(
+            F.col("__dsir_grams"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+            .cast("long") % F.lit(n_buckets),
+        )
     # third divergence (round-6 advice): a zero-token document scores
     # logw NULL here, not 0.0 — the batch join path omits such
     # documents entirely (no feature rows), and 0.0 is a real score a

@@ -103,6 +103,67 @@ def test_partition_independence_and_rerun_determinism(spark):
     assert a == b == c
 
 
+def test_xxhash64_fast_path(spark):
+    """Round 13: hasher="xxhash64" (the production fast path — md5
+    stays the oracle-replayable registry family). Pins: planted-
+    dialect recovery holds in the xxhash64 feature space too;
+    selection is partition-independent and rerun-deterministic; the
+    row-local scorer agrees with the join path when fit and scoring
+    share the family; mixed families are a loud ValueError."""
+    import pytest
+
+    from argostats_spark.operators.dsir import (
+        dense_lambda,
+        dsir_score_rows,
+        dsir_scores,
+        fused_bucket_counts,
+        dsir_logratio,
+        dsir_score_rows as _srows,
+    )
+
+    raw = _dialect_corpus(spark)
+    tgt = _target(spark)
+    sel, lam = dsir_select(
+        raw, tgt, k=30, n_buckets=B, temperature=0.05, hasher="xxhash64"
+    )
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 30
+    assert all(i < 1000 for i in ids), "selected a dialect-B document"
+    # buckets land in [0, B) even though xxhash64 is signed
+    assert lam.filter(
+        (F.col("bucket") < 0) | (F.col("bucket") >= B)
+    ).count() == 0
+    # partition independence under the fast family
+    sel2, _ = dsir_select(
+        raw.repartition(7), tgt, k=30, n_buckets=B, temperature=0.05,
+        hasher="xxhash64",
+    )
+    assert sorted(map(tuple, sel.collect())) == sorted(
+        map(tuple, sel2.collect())
+    )
+    # row-local scorer == join path on the fitted corpus, same family
+    feats = fused_bucket_counts(raw, tgt, n_buckets=B, hasher="xxhash64")
+    raw_feats = feats.filter(F.col("__side") == "r").select(
+        "doc_id", "bucket", "c")
+    raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    tgt_tot = (feats.filter(F.col("__side") == "t")
+               .groupBy("bucket").agg(F.sum("c").alias("c")))
+    lam2, floor = dsir_logratio(tgt_tot, raw_tot, B, return_floor=True)
+    joined = {r["doc_id"]: r["logw"]
+              for r in dsir_scores(raw_feats, lam2).collect()}
+    rowlocal = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_score_rows(
+            raw, dense_lambda(lam2, B, floor), n_buckets=B,
+            hasher="xxhash64",
+        ).collect()
+    }
+    for k, v in joined.items():
+        assert abs(rowlocal[k] - v) < 2e-6, (k, v, rowlocal[k])
+    with pytest.raises(ValueError, match="hasher"):
+        dsir_select(raw, tgt, k=5, n_buckets=B, hasher="sha1")
+
+
 def test_low_temperature_is_argmax_of_logw(spark):
     raw = _dialect_corpus(spark, n_a=15, n_b=15)
     tgt = _target(spark, n=8)
