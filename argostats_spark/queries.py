@@ -1522,9 +1522,102 @@ def _qmerge_bksample_oracle_sql() -> str:
     )
     CROSS JOIN (VALUES ('tfb'), ('tfok')) s(stat)
     """
+    # topkmerge (round 13): FULL replay of the TRUNCATED hierarchy —
+    # four quarter-corpus leaf states (k_state=5) fold pairwise into
+    # two truncated regions (bound bumped by the first dropped count,
+    # the fold's truncation rule), then merge_topk_states(leaf=False)
+    # finalizes: est = sum of kept region counts per value, err = the
+    # FULL group bound (sum of both regions' bounds — the folded-input
+    # law, VERDICT r12 item 5). Hashed rows: merged top-3 (est desc,
+    # v asc) per flag, the group err, and the two-sided interval law
+    # est <= true <= est + err as a guarantee boolean (1.0 literal —
+    # the dok pattern; leaf=False makes it unconditional on folded
+    # inputs, which is exactly the property the limb exists to pin).
+    tm = """
+    SELECT 'topkmerge' AS which, l_returnflag AS grp,
+           'tm' || CAST(r AS VARCHAR) AS stat, CAST(v AS VARCHAR) AS sval,
+           CAST(est AS DOUBLE) AS nval
+    FROM (
+      SELECT l_returnflag, v, est,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY est DESC, v ASC
+             ) AS r
+      FROM (
+        SELECT l_returnflag, v, sum(c) AS est FROM (
+          SELECT rg, l_returnflag, v, c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY rg, l_returnflag ORDER BY c DESC, v ASC
+                 ) AS rr
+          FROM (
+            SELECT q // 2 AS rg, l_returnflag, v, sum(c) AS c FROM (
+              SELECT q, l_returnflag, v, c,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q, l_returnflag ORDER BY c DESC, v ASC
+                     ) AS rr
+              FROM (
+                SELECT l_orderkey % 4 AS q, l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY 1, 2, 3
+              )
+            ) WHERE rr <= 5 GROUP BY 1, 2, 3
+          )
+        ) WHERE rr <= 5 GROUP BY l_returnflag, v
+      )
+    ) WHERE r <= 3
+    UNION ALL
+    SELECT 'topkmerge', l_returnflag, s.stat, CAST(NULL AS VARCHAR),
+           CASE s.stat WHEN 'tmerr' THEN CAST(err AS DOUBLE) ELSE 1.0 END
+    FROM (
+      SELECT l_returnflag, sum(B) AS err FROM (
+        SELECT fb.rg, fb.l_returnflag,
+               fb.B0 + coalesce(max(CASE WHEN fr.rr = 6 THEN fr.c END), 0)
+               AS B
+        FROM (
+          SELECT q // 2 AS rg, l_returnflag, sum(b) AS B0 FROM (
+            SELECT q, l_returnflag,
+                   coalesce(max(CASE WHEN rr = 6 THEN c END), 0) AS b
+            FROM (
+              SELECT q, l_returnflag, v, c,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q, l_returnflag ORDER BY c DESC, v ASC
+                     ) AS rr
+              FROM (
+                SELECT l_orderkey % 4 AS q, l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY 1, 2, 3
+              )
+            ) GROUP BY q, l_returnflag
+          ) GROUP BY 1, 2
+        ) fb LEFT JOIN (
+          SELECT rg, l_returnflag, v, c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY rg, l_returnflag ORDER BY c DESC, v ASC
+                 ) AS rr
+          FROM (
+            SELECT q // 2 AS rg, l_returnflag, v, sum(c) AS c FROM (
+              SELECT q, l_returnflag, v, c,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q, l_returnflag ORDER BY c DESC, v ASC
+                     ) AS rr
+              FROM (
+                SELECT l_orderkey % 4 AS q, l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY 1, 2, 3
+              )
+            ) WHERE rr <= 5 GROUP BY 1, 2, 3
+          )
+        ) fr ON fr.rg = fb.rg AND fr.l_returnflag = fb.l_returnflag
+        GROUP BY fb.rg, fb.l_returnflag, fb.B0
+      ) GROUP BY l_returnflag
+    )
+    CROSS JOIN (VALUES ('tmerr'), ('tmok')) s(stat)
+    """
     return (
         qm + "\n    UNION ALL " + bk + "\n    UNION ALL " + ov
-        + "\n    UNION ALL " + tf
+        + "\n    UNION ALL " + tf + "\n    UNION ALL " + tm
     )
 
 
@@ -2103,6 +2196,72 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     agl = agl.unionByName(tf_top).unionByName(tf_meta)
+    # topkmerge limb (round 13; VERDICT r12 item 5): the TRUNCATED
+    # hierarchy — four quarter leaves (k_state=5) fold pairwise into
+    # two truncated regions, merge_topk_states(leaf=False) finalizes.
+    # Deterministic integer arithmetic end-to-end, replayed verbatim
+    # by the oracle; hashed rows are the merged top-3 per flag, the
+    # group err (= Σ both regions' bounds — the full bound leaf=False
+    # keeps), and the two-sided law est <= true <= est + err as a
+    # guarantee boolean against the exact counts (leaf=False makes it
+    # unconditional on folded inputs — the property this limb pins
+    # cross-engine every round).
+    from .operators.aggstate import merge_topk_states
+
+    lqq = lqi.withColumn("__q", F.col("l_orderkey") % 4)
+    qleaves = [
+        topk_state(
+            lqq.filter(F.col("__q") == qq),
+            ["l_returnflag"], "lqi", k_state=5,
+        )
+        for qq in range(4)
+    ]
+    reg1 = fold_topk_states(["l_returnflag"], qleaves[0], qleaves[1],
+                            k_state=5)
+    reg2 = fold_topk_states(["l_returnflag"], qleaves[2], qleaves[3],
+                            k_state=5)
+    tkm = merge_topk_states(
+        ["l_returnflag"], reg1, reg2, leaf=False, k=3
+    ).localCheckpoint(eager=False)  # two consumers: top rows, law check
+    tm_top = tkm.select(
+        F.lit("topkmerge").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.concat(
+            F.lit("tm"),
+            F.row_number().over(
+                W.partitionBy("l_returnflag")
+                .orderBy(F.col("est").desc(), F.col("v").asc())
+            ).cast("string"),
+        ).alias("stat"),
+        F.col("v").cast("string").alias("sval"),
+        F.col("est").cast("double").alias("nval"),
+    )
+    merr = tkm.select("l_returnflag", "err").distinct()
+    mchk = (
+        tkm.join(
+            tglob.withColumnRenamed("t", "__t"), ["l_returnflag", "v"]
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                (
+                    (F.col("est") <= F.col("__t"))
+                    & (F.col("__t") <= F.col("est") + F.col("err"))
+                ).cast("int")
+            ).alias("okm")
+        )
+    )
+    tm_meta = merr.join(mchk, "l_returnflag").select(
+        F.lit("topkmerge").alias("which"),
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "stack(2,"
+            " 'tmerr', CAST(NULL AS STRING), CAST(err AS DOUBLE),"
+            " 'tmok', CAST(NULL AS STRING), CAST(okm AS DOUBLE)"
+            ") AS (stat, sval, nval)"
+        ),
+    )
+    agl = agl.unionByName(tm_top).unionByName(tm_meta)
     # overlap limb (round 11): the theta-sketch corpus-overlap AUDIT
     # (operators/overlap.py) — pairwise distinct-token overlap between
     # three document sources, estimated from per-source sketches with

@@ -108,7 +108,8 @@ LIMB_SPECS: dict[str, dict] = {
         "mode": "tag", "col": "which",
         "values": ["minmax", "quantile", "stats", "profile", "aggstate",
                    "manifest", "blend", "hll", "lm_ap", "bm25",
-                   "qmerge", "bksample", "overlap"],
+                   "qmerge", "bksample", "overlap", "topkfold",
+                   "topkmerge"],
     },
     # round 11 (VERDICT r10 item 2): the ANN family gets limb
     # attribution so the hybrid (BM25+dense RRF) limb carries its own
