@@ -528,6 +528,56 @@ def test_fold_topk_states_shard_col_equal_bounds(spark):
     assert all(r[-1] == 2 * bounds[0][0]["bound"] for r in got)
 
 
+@pytest.mark.filterwarnings(
+    "ignore:The recursion limit will not be reset",
+    "ignore::pytest.PytestUnraisableExceptionWarning",
+)
+def test_fold_topk_states_shard_col_equals_positional_property(spark):
+    """Hypothesis pin: for ANY split of a corpus into sub-shards —
+    including splits that yield equal bounds, empty sub-shards, and
+    skewed value distributions — folding one unioned frame with
+    shard_col= equals folding the sub-shards as positional arguments,
+    truncated and untruncated."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argostats_spark.operators.aggstate import (
+        fold_topk_states,
+        topk_state,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=9),
+                      min_size=4, max_size=60),
+        n_shards=st.integers(min_value=2, max_value=4),
+        k_state=st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+    )
+    def check(vals, n_shards, k_state):
+        df = spark.createDataFrame(
+            [(i, "g", f"v{v}") for i, v in enumerate(vals)],
+            "id long, g string, v string",
+        )
+        subs = [
+            topk_state(df.filter(F.col("id") % n_shards == s),
+                       ["g"], "v", k_state=3)
+            for s in range(n_shards)
+        ]
+        one = None
+        for s, sub in enumerate(subs):
+            piece = sub.withColumn("sh", F.lit(s))
+            one = piece if one is None else one.unionByName(piece)
+        nkey = lambda t: tuple((x is None, str(x)) for x in t)
+        want = sorted(map(tuple, fold_topk_states(
+            ["g"], *subs, k_state=k_state).collect()), key=nkey)
+        got = sorted(map(tuple, fold_topk_states(
+            ["g"], one, k_state=k_state, shard_col="sh").collect()),
+            key=nkey)
+        assert got == want
+
+    check()
+
+
 # ---------------------------------------------------------------- round 11
 # quantile_state (KLL) and sample_state (bottom-k) — the fourth and
 # fifth mergeable-summary legs.

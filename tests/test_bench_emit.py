@@ -130,6 +130,64 @@ def test_classify_flags_confirms_quiet_box_flags(bench):
     assert bench.classify_flags({}, {}, 1.0) == ({}, {})
 
 
+def test_classify_flags_partition_property(bench):
+    """Hypothesis pin (pure function, no Spark): classify_flags always
+    PARTITIONS the flagged set — confirmed ∪ unadjudicated == flagged,
+    disjoint — and confirms a flag ONLY when its remeasure entry is
+    present, error-free, un-skipped, and quiet (load_before_1m <= the
+    ceiling). Every unadjudicated entry carries a non-empty reason and
+    the original flag fields."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    entry = st.fixed_dictionaries(
+        {},
+        optional={
+            "load_before_1m": st.floats(0.0, 20.0, allow_nan=False),
+            "isolated_sec": st.floats(0.01, 30.0, allow_nan=False),
+            "wall_skipped": st.just(True),
+            "gate_skipped": st.just(True),
+            "error": st.text(min_size=1, max_size=20),
+        },
+    )
+    names = st.lists(
+        st.text(
+            alphabet="abcdefgh_", min_size=1, max_size=8
+        ),
+        unique=True, max_size=6,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(names=names, entries=st.lists(entry, max_size=6),
+           extra=st.booleans(),
+           ceiling=st.floats(0.1, 5.0, allow_nan=False))
+    def check(names, entries, extra, ceiling):
+        flagged = {
+            n: {"prev_sec": 1.0, "now_sec": 2.0, "ratio": 2.0}
+            for n in names
+        }
+        remeasured = dict(zip(names, entries))
+        if extra:  # remeasured rows that were never flagged are ignored
+            remeasured["__unflagged__"] = {"load_before_1m": 0.1}
+        confirmed, unadj = bench.classify_flags(
+            flagged, remeasured, ceiling
+        )
+        assert set(confirmed) | set(unadj) == set(flagged)
+        assert not set(confirmed) & set(unadj)
+        for n, e in confirmed.items():
+            r = remeasured[n]
+            assert r and "error" not in r
+            assert not r.get("wall_skipped") and not r.get("gate_skipped")
+            assert r.get("load_before_1m") is not None
+            assert r["load_before_1m"] <= ceiling
+            assert e == flagged[n]  # flag fields pass through untouched
+        for n, e in unadj.items():
+            assert e["why"]
+            assert e["ratio"] == flagged[n]["ratio"]
+
+    check()
+
+
 def test_committed_artifact_lines_would_pass(bench):
     """Every committed BENCH_r*.json whose line the driver parsed must
     satisfy the gate retroactively (regression anchor: the gate must
