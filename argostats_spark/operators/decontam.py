@@ -43,6 +43,8 @@ def ngram_contamination(
     advisor: bool = False,
     advisor_opts: dict | None = None,
     advisor_record: dict | None = None,
+    advisor_store=None,
+    advisor_fingerprints: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Flag corpus documents that collide with benchmark n-grams.
 
@@ -78,7 +80,18 @@ def ngram_contamination(
     forwards to choose_join_strategy (broadcast_rows, skew_factor,
     eps, ...); pass an empty dict as ``advisor_record`` to receive
     the decision record (strategy, est, reason, ...) for audit.
-    """
+
+    ``advisor_store`` (a :class:`..joinsize.SketchStore`) makes the
+    pre-flight FREE on repeat calls (VERDICT r13 item 4): the two CMS
+    sketches are loaded from the store when present and built+saved
+    when not, keyed as ``("corpus_grams", "g", fp_corpus)`` /
+    ``("bench_grams", "g", fp_bench)`` with the fingerprints from
+    ``advisor_fingerprints`` — REQUIRED alongside the store, because
+    they are the data-version contract: a stale sketch silently
+    mis-advises, so the caller must bump the fingerprint whenever the
+    corpus or benchmark changes (an epoch, a snapshot id). With a warm
+    store the advisor path runs ZERO extra scans (job-count-pinned in
+    tests)."""
     sh = F.array_distinct(word_ngrams(text_col, n))
     bench_grams = (
         benchmark.select(F.explode(sh).alias("g")).distinct()
@@ -90,8 +103,28 @@ def ngram_contamination(
     if advisor:
         from .joinsize import apply_join_strategy, choose_join_strategy
 
+        opts = dict(advisor_opts or {})
+        if advisor_store is not None:
+            if advisor_fingerprints is None:
+                raise ValueError(
+                    "advisor_store requires advisor_fingerprints="
+                    "(fp_corpus, fp_bench) — the sketch cache has no "
+                    "way to detect stale data itself"
+                )
+            fp_c, fp_b = advisor_fingerprints
+            geo = {
+                k: opts.get(k, d)
+                for k, d in (("eps", 0.001), ("confidence", 0.99),
+                             ("seed", 42))
+            }
+            opts["sketch_a"] = advisor_store.get_or_build(
+                gram_stream, "g", "corpus_grams", fp_c, **geo
+            )
+            opts["sketch_b"] = advisor_store.get_or_build(
+                bench_grams, "g", "bench_grams", fp_b, **geo
+            )
         decision = choose_join_strategy(
-            gram_stream, "g", bench_grams, "g", **(advisor_opts or {})
+            gram_stream, "g", bench_grams, "g", **opts
         )
         if advisor_record is not None:
             advisor_record.update(decision)

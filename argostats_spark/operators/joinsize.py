@@ -164,6 +164,99 @@ def preflight_join_size(
     )
 
 
+class SketchStore:
+    """Persisted key sketches, keyed by (table, column, fingerprint) —
+    the reuse plumbing that makes the advisor pre-flight FREE for
+    repeated joins (VERDICT r13 item 4). Same filesystem abstraction
+    as the streaming state stores (:mod:`..streaming.fsio`): a plain
+    path uses local os I/O, any ``scheme://`` URI goes through the
+    Hadoop FileSystem API, so the store works on hdfs/s3a wherever
+    Spark itself runs. Payloads are KB-sized JSON (base64 sketch bytes
+    + the geometry params), written atomically (temp + rename).
+
+    ``fingerprint`` is the caller's data-version key (an epoch, a
+    snapshot id, a max(ingest_ts)) — the store NEVER guesses it: a
+    stale sketch silently mis-advises, so cache freshness is
+    explicitly the caller's contract, exactly like the dedup band
+    index's epoch column."""
+
+    def __init__(self, base: str, spark=None):
+        from ..streaming.fsio import store_fs
+
+        self.base = base.rstrip("/")
+        self._fs = store_fs(self.base, spark)
+        self._fs.mkdirs(self.base)
+
+    def _path(self, table: str, column: str, fingerprint: str) -> str:
+        import re
+
+        safe = "__".join(
+            re.sub(r"[^A-Za-z0-9_.-]", "_", str(part))
+            for part in (table, column, fingerprint)
+        )
+        return f"{self.base}/{safe}.json"
+
+    def put(self, table: str, column: str, fingerprint: str,
+            sketch: bytes, eps: float, confidence: float,
+            seed: int) -> None:
+        import base64
+        import json
+
+        payload = json.dumps({
+            "sketch_b64": base64.b64encode(sketch).decode("ascii"),
+            "eps": float(eps), "confidence": float(confidence),
+            "seed": int(seed), "n_bytes": len(sketch),
+        })
+        path = self._path(table, column, fingerprint)
+        self._fs.write_text_atomic(
+            path, payload, f".tmp.{table}.{column}".replace("/", "_")
+        )
+
+    def get(self, table: str, column: str, fingerprint: str,
+            eps: float, confidence: float, seed: int) -> bytes | None:
+        """The cached sketch, or None when absent OR built with other
+        geometry params (eps/confidence/seed are part of the identity:
+        mixed-geometry inner products are meaningless and
+        join_size_estimate would raise)."""
+        import base64
+        import json
+
+        text = self._fs.read_text(self._path(table, column, fingerprint))
+        if text is None:
+            return None
+        try:
+            rec = json.loads(text)
+        except ValueError:
+            return None
+        if (
+            rec.get("eps") != float(eps)
+            or rec.get("confidence") != float(confidence)
+            or rec.get("seed") != int(seed)
+        ):
+            return None
+        raw = base64.b64decode(rec["sketch_b64"])
+        return raw if len(raw) == rec.get("n_bytes") else None
+
+    def get_or_build(
+        self,
+        df: DataFrame,
+        key: str,
+        table: str,
+        fingerprint: str,
+        eps: float = 0.001,
+        confidence: float = 0.99,
+        seed: int = 42,
+    ) -> bytes:
+        """Cached sketch if present (ZERO scans), else one
+        :func:`key_sketch` scan followed by a put."""
+        hit = self.get(table, key, fingerprint, eps, confidence, seed)
+        if hit is not None:
+            return hit
+        sk = key_sketch(df, key, eps, confidence, seed)
+        self.put(table, key, fingerprint, sk, eps, confidence, seed)
+        return sk
+
+
 def _fmax_upper_bound(table) -> int:
     """Upper bound on the heaviest key's frequency, read straight off
     the CMS table: in every depth row, the heaviest key's counter is
@@ -186,6 +279,8 @@ def choose_join_strategy(
     eps: float = 0.001,
     confidence: float = 0.99,
     seed: int = 42,
+    sketch_a: bytes | None = None,
+    sketch_b: bytes | None = None,
 ) -> dict:
     """Join ADVISOR (round 12; VERDICT r11 item 4): turn the CMS
     pre-flight from a diagnostic into a planner input. Sketches both
@@ -231,15 +326,26 @@ def choose_join_strategy(
     Production consumer: ``decontam.ngram_contamination(advisor=True)``
     routes its corpus-gram ⋈ benchmark-gram join through this ladder
     (VERDICT r12 item 4); the pre-flight's two eager sketch scans are
-    the opt-in price."""
+    the opt-in price — unless pre-built sketches are supplied:
+    ``sketch_a``/``sketch_b`` (serialized CMS bytes, e.g. from a
+    :class:`SketchStore`) skip that side's scan entirely, making the
+    advisor free for repeated joins against versioned tables (VERDICT
+    r13 item 4). Supplied sketches MUST have been built with the same
+    eps/confidence/seed over the CURRENT data — geometry mismatches
+    raise in join_size_estimate, staleness is the caller's contract
+    (see SketchStore)."""
     import math
 
     if shuffle_partitions is None:
         shuffle_partitions = int(
             dfa.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-    sa = key_sketch(dfa, key_a, eps, confidence, seed)
-    sb = key_sketch(dfb, key_b, eps, confidence, seed)
+    sa = sketch_a if sketch_a is not None else key_sketch(
+        dfa, key_a, eps, confidence, seed
+    )
+    sb = sketch_b if sketch_b is not None else key_sketch(
+        dfb, key_b, eps, confidence, seed
+    )
     est = join_size_estimate(sa, sb)
     _, tab_a, _ = _decode_cms(sa)
     _, tab_b, _ = _decode_cms(sb)
@@ -316,7 +422,19 @@ def apply_join_strategy(
     b's distinct keys (skew-proof — the distinct collapses the hot key
     map-side), the matched part takes the salted inner join, the
     unmatched part null-extends; right/full stay rejected (the salted
-    side's unmatched rows are genuinely not preserved)."""
+    side's unmatched rows are genuinely not preserved).
+
+    Determinism requirement (ADVICE r13): the left-salt reframing
+    evaluates ``dfa``'s subplan in two filter branches (matched /
+    unmatched). AQE exchange reuse normally dedups them into ONE
+    evaluation (pinned by tests/test_joinsize.py's ReusedExchange
+    test), but the contract is only guaranteed for deterministic
+    ``dfa`` — a frame derived from ``rand()``/sampling without a
+    checkpoint can disagree between recomputations if reuse is ever
+    skipped, and a row could then land in both or neither branch.
+    Persist/localCheckpoint such a frame before calling (we don't do
+    it here: an unconditional persist of a corpus-sized ``flagged``
+    is exactly the cost this operator exists to avoid)."""
     from .skew import salted_join
 
     strategy = decision["strategy"]

@@ -927,8 +927,10 @@ def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
     # is ROW-LOCAL — one collect_set aggregate per candidate doc (the
     # set dedups in the aggregate, replacing the former distinct +
     # count-table aggregate + two-join + groupBy intersection: three
-    # verify exchanges collapse into one), the per-doc sets broadcast
-    # onto the pair, |∩| = size(array_intersect(...)) in-row. The sets
+    # verify exchanges collapse into one), the per-doc sets joined
+    # onto the pair (AQE picks broadcast at candidate sizes — not
+    # forced, see the withsets note), |∩| =
+    # size(array_intersect(...)) in-row. The sets
     # table is candidate-sized (the bound the former sh_cand table
     # already assumed) and eagerly checkpointed: downstream CC-loop
     # actions re-derive verification from a materialized KB table.
@@ -953,8 +955,20 @@ def _minhash_lsh_pairs_inline(d: DataFrame) -> DataFrame:
     pb = sh_sets.select(F.col("doc_id").alias("id_b"),
                         F.col("sh").alias("sh_b"),
                         F.size("sh").alias("n_b"))
-    withsets = cand.join(F.broadcast(pa), "id_a").join(
-        F.broadcast(pb), "id_b")
+    # NO forced broadcast of pa/pb (round 14; VERDICT r13 item 1 /
+    # ADVICE medium): the sets tables carry each candidate doc's FULL
+    # distinct-shingle array — size ∝ candidates × doc-shingles, which
+    # grows linearly with a near-dup-heavy corpus. A forced hint pins
+    # them under Spark's 8 GB broadcast ceiling where the shuffle
+    # form degrades gracefully; AQE broadcasts them anyway at
+    # candidate sizes (the checkpoint gives it exact stats). Measured
+    # interleaved fresh-JVM (scripts/bench_lsh_cum_pairs_ab.py
+    # v0_shipped vs v12_noforce): flat at sf0.1 (mixed per-round
+    # ordering within noise), noforce wins 2/3 rounds at sf1 —
+    # identical pair set and row output all 12 children; SCALE.md.
+    # The id-set broadcast above stays forced: 8-byte ids, the bound
+    # the pre-r13 plan already carried.
+    withsets = cand.join(pa, "id_a").join(pb, "id_b")
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
     return (

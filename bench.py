@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -221,21 +222,42 @@ def _measure_single(row: str) -> dict:
         _cache = os.environ.get(
             "SPARK_GRAFT_ARGO_CACHE", "/tmp/argostats_bench_argo_raw_240x125"
         )
+        # make_raw's output partitioning: min(n_wmos, cores) partitions
+        # with each WMO's rows co-located. The parquet read-back
+        # coalesces small files into fewer partitions, so cache-hit
+        # children would time the same rows at LOWER task parallelism
+        # than cache-miss children (ADVICE r13); repartition the read
+        # to the same count, hashed on the WMO so per-float locality
+        # matches too. The shuffle lands in the untimed cache fill.
+        _n_parts = max(1, min(240, spark.sparkContext.defaultParallelism))
         raw = None
         if _cache != "off" and os.path.exists(os.path.join(_cache, "_SUCCESS")):
             try:
-                raw = spark.read.parquet(_cache).cache()
+                raw = (
+                    spark.read.parquet(_cache)
+                    .repartition(_n_parts, "PLATFORM_NUMBER")
+                    .cache()
+                )
             except Exception:
                 raw = None
         if raw is None:
             raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
-            if _cache != "off" and not os.path.exists(_cache):
+            if _cache != "off":
+                # a dir without _SUCCESS is a dead write (ADVICE r13):
+                # unreadable above, and it used to block rewrites
+                # forever — treat it as absent
+                if os.path.exists(_cache) and not os.path.exists(
+                    os.path.join(_cache, "_SUCCESS")
+                ):
+                    shutil.rmtree(_cache, ignore_errors=True)
+                tmp = f"{_cache}.tmp.{os.getpid()}"
                 try:
-                    tmp = f"{_cache}.tmp.{os.getpid()}"
                     raw.write.mode("overwrite").parquet(tmp)
                     os.rename(tmp, _cache)
                 except Exception:
-                    pass  # cache is best-effort; the build stands alone
+                    # cache is best-effort; the build stands alone —
+                    # but don't leak the partial tmp dir
+                    shutil.rmtree(tmp, ignore_errors=True)
         raw.count()
         if row == "argo_summary_build_30k":
             sec = warm_min(lambda: _noop(build_summary(raw)))

@@ -78,12 +78,13 @@ KNOBS = {
                         gated=True),
     "v10_arrays": "arrays",
     "v11_arrays_ckpt": "arrays_ckpt",
+    "v12_noforce": "arrays_noforce",
 }
 if variant not in KNOBS:
     raise SystemExit(f"unknown variant {variant!r}")
 
 
-def pairs_arrays(dd, ckpt_sets=False):
+def pairs_arrays(dd, ckpt_sets=False, force_bcast=True):
     sh_raw = qd._lsh_shingles(dd)
     stats = qd._lsh_doc_signatures(dd, sh_raw)
     a, b = stats.alias("a"), stats.alias("b")
@@ -112,8 +113,11 @@ def pairs_arrays(dd, ckpt_sets=False):
     pb = sh_sets.select(F.col("doc_id").alias("id_b"),
                         F.col("sh").alias("sh_b"),
                         F.size("sh").alias("n_b"))
-    withsets = cand.join(F.broadcast(pa), "id_a").join(
-        F.broadcast(pb), "id_b")
+    if force_bcast:
+        withsets = cand.join(F.broadcast(pa), "id_a").join(
+            F.broadcast(pb), "id_b")
+    else:
+        withsets = cand.join(pa, "id_a").join(pb, "id_b")
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (
         F.col("n_a") + F.col("n_b") - n_inter)
@@ -183,6 +187,14 @@ if knobs == "arrays":
 elif knobs == "arrays_ckpt":
     qd._minhash_lsh_pairs_inline = (
         lambda dd: pairs_arrays(dd, ckpt_sets=True)
+    )
+elif knobs == "arrays_noforce":
+    # VERDICT r13 item 1 / ADVICE medium: same row-local verify plan
+    # but NO forced broadcast of the doc-shingle-set tables — AQE
+    # decides (at candidate sizes it should still broadcast; at 100x a
+    # near-dup-heavy corpus it degrades to shuffle instead of OOM).
+    qd._minhash_lsh_pairs_inline = (
+        lambda dd: pairs_arrays(dd, ckpt_sets=True, force_bcast=False)
     )
 elif knobs is not None:
     qd._minhash_lsh_pairs_inline = lambda dd: pairs_variant(dd, **knobs)

@@ -97,6 +97,54 @@ def test_advisor_consumer_broadcast_outcome(spark, tables):
     )
 
 
+def test_advisor_store_makes_second_call_scan_free(spark, tables,
+                                                   tmp_path):
+    """VERDICT r13 item 4 'done' gate: with a SketchStore, the SECOND
+    advisor call runs ZERO extra Spark jobs for the pre-flight (both
+    sketches load from disk), reaches the same decision, and the
+    store-less path is unchanged. Passing a store without fingerprints
+    raises — staleness is the caller's contract."""
+    import pytest as _pytest
+
+    from argostats_spark.operators.joinsize import SketchStore
+
+    corpus, benchmark = tables
+    store = SketchStore(str(tmp_path / "advisor_sketches"))
+    with _pytest.raises(ValueError, match="advisor_fingerprints"):
+        ngram_contamination(
+            corpus, benchmark, n=3, advisor=True, advisor_store=store
+        )
+    rec1: dict = {}
+    out1 = ngram_contamination(
+        corpus, benchmark, n=3, advisor=True, advisor_record=rec1,
+        advisor_store=store, advisor_fingerprints=("c_v1", "b_v1"),
+    )
+    rows1 = sorted(map(tuple, out1.collect()))
+    # second call: the pre-flight itself must launch no jobs — pin by
+    # job-group: building the lazy result DataFrame (advisor included)
+    # runs entirely driver-side once both sketches are cache hits
+    sc = spark.sparkContext
+    sc.setJobGroup("advisor_warm", "warm advisor pre-flight")
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup("advisor_warm"))
+    rec2: dict = {}
+    out2 = ngram_contamination(
+        corpus, benchmark, n=3, advisor=True, advisor_record=rec2,
+        advisor_store=store, advisor_fingerprints=("c_v1", "b_v1"),
+    )
+    after = set(tracker.getJobIdsForGroup("advisor_warm"))
+    sc.setJobGroup(None, None)
+    assert before == after, "warm advisor pre-flight ran Spark jobs"
+    assert rec2 == rec1
+    assert sorted(map(tuple, out2.collect())) == rows1
+    # and the decision matches the plain scan-every-time advisor
+    rec3: dict = {}
+    ngram_contamination(
+        corpus, benchmark, n=3, advisor=True, advisor_record=rec3
+    )
+    assert rec3 == rec1
+
+
 def test_advisor_consumer_salted_outcome(spark):
     """The salted leg of the consumer: benchmark over the row budget,
     one corpus n-gram hot enough to dominate a partition -> the

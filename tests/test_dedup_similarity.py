@@ -329,6 +329,24 @@ def test_collapsed_lsh_ignores_subshingle_and_null_texts(spark):
         assert coll.loc[coll.doc_id == i, "comp_size"].item() == 1, i
 
 
+def test_inline_lsh_verify_has_no_forced_broadcast(spark, sf_dir):
+    """VERDICT r13 item 1: the registry LSH verify must NOT pin the
+    candidate-doc shingle-set tables (pa/pb — doc-payload-sized, grows
+    linearly with a near-dup-heavy corpus) under a forced broadcast
+    hint; AQE decides, so at 100x the plan degrades to shuffle instead
+    of hitting the 8 GB broadcast ceiling. The id-set broadcast is
+    consumed inside the eager sets checkpoint, so the returned pair
+    frame's analyzed plan must carry ZERO ResolvedHint nodes — this
+    pins any future forced hint on the verify joins as a loud
+    failure."""
+    from argostats_spark.queries_documents import _minhash_lsh_pairs_inline
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = _minhash_lsh_pairs_inline(d)
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed
+
+
 def test_registry_groups_lsh_collapsed_equals_plain(spark, sf_dir):
     """The REGISTRY dedup_groups_lsh query now fronts the inline
     md5-band pair plan with the exact-collapse pre-pass; its output

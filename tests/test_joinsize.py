@@ -313,6 +313,91 @@ def test_apply_b_side_salt_left_join_property_random(spark):
     check()
 
 
+def test_sketch_store_roundtrip_and_reuse(spark, sides, tmp_path):
+    """VERDICT r13 item 4: SketchStore persists a key sketch keyed by
+    (table, column, fingerprint); a warm get_or_build runs ZERO Spark
+    jobs and returns byte-identical sketch bytes; choose_join_strategy
+    fed the cached sketches reproduces the scan-path decision exactly;
+    geometry mismatches and fingerprint bumps miss (never a wrong
+    hit)."""
+    from argostats_spark.operators.joinsize import (
+        SketchStore,
+        choose_join_strategy,
+        key_sketch,
+    )
+
+    dfa, dfb, _ = sides
+    store = SketchStore(str(tmp_path / "sketches"))
+    cold = store.get_or_build(dfa, "k", "ta", "fp1")
+    assert cold == key_sketch(dfa, "k")  # deterministic build, saved
+    # warm path: byte-identical AND zero jobs
+    sc = spark.sparkContext
+    sc.setJobGroup("sketch_warm", "warm get_or_build")
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup("sketch_warm"))
+    warm = store.get_or_build(dfa, "k", "ta", "fp1")
+    after = set(tracker.getJobIdsForGroup("sketch_warm"))
+    sc.setJobGroup(None, None)
+    assert warm == cold
+    assert before == after, "warm sketch load ran a Spark job"
+    # cached sketches drive the advisor to the identical decision
+    skb = store.get_or_build(dfb, "k", "tb", "fp1")
+    from_scan = choose_join_strategy(dfa, "k", dfb, "k",
+                                     broadcast_rows=500)
+    from_cache = choose_join_strategy(
+        dfa, "k", dfb, "k", broadcast_rows=500,
+        sketch_a=warm, sketch_b=skb,
+    )
+    assert from_cache == from_scan
+    # staleness contract: a new fingerprint misses (rebuilds)...
+    assert store.get("ta", "k", "fp2", 0.001, 0.99, 42) is None
+    # ...and other geometry params miss rather than mix
+    assert store.get("ta", "k", "fp1", 0.01, 0.99, 42) is None
+    assert store.get("ta", "k", "fp1", 0.001, 0.99, 7) is None
+
+
+def test_apply_b_side_salt_left_join_reuses_a_exchange(spark):
+    """VERDICT r13 item 2: the left-salt reframing computes `flagged`
+    (a ⋈ b's distinct keys) twice — matched + unmatched filter
+    branches — relying on AQE exchange reuse to evaluate the a-side
+    subplan ONCE. Pin that the reuse actually happens in the executed
+    plan: both the a-side exchange and the b-keys exchange must show
+    up as ReusedExchange in the final adaptive plan, and the a-side
+    scan must appear exactly once in the final plan. If a Spark
+    upgrade breaks reuse here, the path silently doubles a
+    corpus-sized join — this test turns that into a loud failure.
+    (The reuse is also what makes the two branches read ONE evaluation
+    of dfa, which the determinism note in apply_join_strategy's
+    docstring leans on.)"""
+    from argostats_spark.operators.joinsize import apply_join_strategy
+
+    # Broadcast would elide the a-side exchange entirely (nothing to
+    # reuse); force shuffle joins so the reuse path is what executes —
+    # which is also the only shape that exists at corpus scale.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dfa = spark.range(0, 7777).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("a_val")
+        )
+        dfb = spark.range(0, 5000).select(
+            (F.col("id") % 3000).alias("k"),
+            (F.col("id") * 2).alias("b_val"),
+        )
+        dec = {"strategy": "salted", "salt_side": "b", "n_salts": 4}
+        out = apply_join_strategy(dfa, dfb, ["k"], dec, how="left")
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # a-side exchange reused by the unmatched branch, b-keys
+        # exchange reused by its second consumer
+        assert final.count("ReusedExchange") >= 2, final
+        # the distinctive a-side scan is evaluated exactly once
+        assert final.count("Range (0, 7777") == 1, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_choose_strategy_record_shape_is_fixed(spark, sides):
     """fair_share (and every documented key) is present on EVERY
     decision, including broadcast ones (review finding r12)."""
