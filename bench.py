@@ -850,11 +850,24 @@ def main() -> None:
             )
             return dsir_logratio(tgt_tot, raw_tot, 4096, 1.0)
 
+        def _feats_xxh():
+            # the PRODUCTION hash family (VERDICT r13 item 3): the
+            # registry row keeps md5 (the oracle contract), so this
+            # attribution row is where the committed artifact shows
+            # the number users actually get at 100 TB
+            return fused_bucket_counts(
+                raw, tgt, "text", "doc_id", 4096, hasher="xxhash64"
+            )
+
         sub["cum_feats"] = _stage(
             lambda: _feats().write.format("noop").mode("overwrite").save()
         )
         sub["cum_lam"] = _stage(
             lambda: _lam().write.format("noop").mode("overwrite").save()
+        )
+        sub["dsir_feats_xxh"] = _stage(
+            lambda: _feats_xxh().write.format("noop").mode("overwrite")
+            .save()
         )
         limbs["dsir_select"] = sub
         spark.catalog.clearCache()
