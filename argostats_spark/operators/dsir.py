@@ -72,6 +72,7 @@ __all__ = [
     "doc_bucket_counts",
     "fused_bucket_counts",
     "dsir_logratio",
+    "dsir_logratio_fused",
     "dsir_scores",
     "gumbel_key",
     "dsir_resample",
@@ -290,6 +291,61 @@ def dsir_logratio(
     return out
 
 
+def dsir_logratio_fused(
+    feats_all: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    return_floor: bool = False,
+):
+    """The fitted model straight from the FUSED feature table (round
+    14; VERDICT r13 item 5 — the cum_lam limb collapse): ONE
+    conditional-sum ``groupBy(bucket)`` over the (side, id, bucket, c)
+    checkpoint produces (bucket, ct, cr) directly, replacing
+    :func:`dsir_logratio`'s two side-filtered re-aggregations + the
+    full_outer join — one scan of the corpus-feature-table-sized
+    checkpoint instead of two, and no B-row join at all. The two
+    corpus totals come off the resulting ≤B-row table (one action,
+    never the text). λ arithmetic is IDENTICAL to dsir_logratio
+    (coalesce(c,0) + add-α smoothing), so the model is byte-equal —
+    pinned by test and by the registry hash, and measured on the
+    dsir_select row: interleaved fresh-JVM both orders, 12 children,
+    identical selection and λ in every one; 7/12 round wins, warm
+    minima −9% sf0.1 (inside box scatter) / −8% sf1 where the
+    collapsed checkpoint scan carries 10× the data
+    (scripts/bench_dsir_lam_ab.py v3_fusedlam; SCALE.md "dsir fused-λ
+    fit" has the full table).
+
+    :func:`dsir_logratio` stays the public two-table API (callers
+    with separately-built totals — incremental refits, the streaming
+    path); this is the fused-checkpoint fast path dsir_select ships.
+    """
+    both = feats_all.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__side") == "t", F.col("c"))).alias("ct"),
+        F.sum(F.when(F.col("__side") == "r", F.col("c"))).alias("cr"),
+    ).localCheckpoint(eager=False)
+    tots = both.agg(
+        F.sum("ct").alias("t"), F.sum("cr").alias("r")
+    ).collect()[0]
+    t_tot = tots["t"] or 0
+    r_tot = tots["r"] or 0
+    denom_t = float(t_tot + alpha * n_buckets)
+    denom_r = float(r_tot + alpha * n_buckets)
+    lam = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(alpha))
+        / F.lit(denom_t)
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(alpha))
+        / F.lit(denom_r)
+    )
+    out = both.select("bucket", lam.alias("lam"))
+    if return_floor:
+        import math
+
+        floor = math.log(alpha / denom_t) - math.log(alpha / denom_r)
+        return out, floor
+    return out
+
+
 def dsir_scores(
     raw_feats: DataFrame,
     logratio: DataFrame,
@@ -380,20 +436,26 @@ def dsir_select(
     re-fit. Measured: 3.25 → 2.09 s fresh-JVM on the sf0.1 bench row
     (shipped fusion-only: 2.50 s under load ~3.7; the A/B's input
     spread was dropped after sf1 stalls — SCALE.md postscript),
-    identical selection and λ (scripts/bench_dsir_lam_ab.py)."""
+    identical selection and λ (scripts/bench_dsir_lam_ab.py). Round
+    14 additionally fused the λ FIT itself
+    (:func:`dsir_logratio_fused`: one conditional-sum aggregate over
+    the checkpoint instead of two re-aggregations + a full_outer
+    join; interleaved fresh-JVM both orders: 7/12 round wins, warm
+    minima −9% sf0.1 / −8% sf1, identical output in all 12 children —
+    SCALE.md "dsir fused-λ fit")."""
     feats_all = fused_bucket_counts(
         raw_docs, target_docs, text_col, id_col, n_buckets, hasher
     )
     raw_feats = feats_all.filter(F.col("__side") == "r").select(
         id_col, "bucket", "c"
     )
-    raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
-    tgt_tot = (
-        feats_all.filter(F.col("__side") == "t")
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("c"))
+    # fused λ fit (round 14): one conditional-sum aggregate over the
+    # checkpoint replaces the two side-filtered re-aggregations + the
+    # full_outer join — see dsir_logratio_fused's docstring for the
+    # measured A/B; λ is byte-identical to the two-table path
+    lam = dsir_logratio_fused(feats_all, n_buckets, alpha).localCheckpoint(
+        eager=True
     )
-    lam = dsir_logratio(tgt_tot, raw_tot, n_buckets, alpha).localCheckpoint(eager=True)
     scores = dsir_scores(raw_feats, lam, id_col)
     return dsir_resample(scores, k, id_col, salt, temperature), lam
 

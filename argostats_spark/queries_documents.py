@@ -3677,7 +3677,7 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same public functions dsir_select chains, kept apart so the
     scores frame stays visible for the invariants."""
     from .operators.dsir import (
-        dsir_logratio,
+        dsir_logratio_fused,
         dsir_resample,
         dsir_scores,
         dsir_select,
@@ -3694,12 +3694,7 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_feats = feats.filter(F.col("__side") == "r").select(
         "doc_id", "bucket", "c"
     )
-    raw_tot = raw_feats.groupBy("bucket").agg(F.sum("c").alias("c"))
-    tgt_tot = (
-        feats.filter(F.col("__side") == "t")
-        .groupBy("bucket").agg(F.sum("c").alias("c"))
-    )
-    lam = dsir_logratio(tgt_tot, raw_tot, n_buckets, 1.0).localCheckpoint(
+    lam = dsir_logratio_fused(feats, n_buckets, 1.0).localCheckpoint(
         eager=True
     )
     scores = dsir_scores(raw_feats, lam, "doc_id").localCheckpoint(

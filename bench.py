@@ -110,7 +110,7 @@ LIMB_SPECS: dict[str, dict] = {
         "values": ["minmax", "quantile", "stats", "profile", "aggstate",
                    "manifest", "blend", "hll", "lm_ap", "bm25",
                    "qmerge", "bksample", "overlap", "topkfold",
-                   "topkmerge"],
+                   "topkmerge", "dsir_xxh"],
     },
     # round 11 (VERDICT r10 item 2): the ANN family gets limb
     # attribution so the hybrid (BM25+dense RRF) limb carries its own
@@ -824,7 +824,7 @@ def main() -> None:
     # tripwire.
     try:
         from argostats_spark.operators.dsir import (
-            dsir_logratio,
+            dsir_logratio_fused,
             fused_bucket_counts,
         )
         from pyspark.sql import functions as _F2
@@ -839,16 +839,9 @@ def main() -> None:
             return fused_bucket_counts(raw, tgt, "text", "doc_id", 4096)
 
         def _lam():
-            feats = _feats()
-            raw_tot = (
-                feats.filter(_F2.col("__side") == "r")
-                .groupBy("bucket").agg(_F2.sum("c").alias("c"))
-            )
-            tgt_tot = (
-                feats.filter(_F2.col("__side") == "t")
-                .groupBy("bucket").agg(_F2.sum("c").alias("c"))
-            )
-            return dsir_logratio(tgt_tot, raw_tot, 4096, 1.0)
+            # mirrors the shipped dsir_select composition (round 14:
+            # the fused one-aggregate λ fit, dsir_logratio_fused)
+            return dsir_logratio_fused(_feats(), 4096, 1.0)
 
         def _feats_xxh():
             # the PRODUCTION hash family (VERDICT r13 item 3): the

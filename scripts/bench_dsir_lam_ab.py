@@ -109,6 +109,37 @@ def select_v2():
     return dsir_resample(scores, 100, "doc_id", "dsir", 1.0), lam
 
 
+def select_v3():
+    # round 14 (VERDICT r13 item 5): collapse the lambda-fit
+    # re-aggregation chain — ONE conditional-sum groupBy(bucket) over
+    # the fused checkpoint produces (bucket, ct, cr) directly,
+    # replacing two side-filtered groupBys + the full_outer join; the
+    # two corpus totals come off the <=B-row table, never the text.
+    from argostats_spark.operators.dsir import fused_bucket_counts
+    B = 4096
+    feats_all = fused_bucket_counts(raw, tgt, "text", "doc_id", B)
+    raw_feats = feats_all.filter(F.col("__side") == "r").select(
+        "doc_id", "bucket", "c")
+    both = feats_all.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__side") == "t", F.col("c"))).alias("ct"),
+        F.sum(F.when(F.col("__side") == "r", F.col("c"))).alias("cr"),
+    ).localCheckpoint(eager=False)
+    tots = both.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r")).collect()[0]
+    t_tot = tots["t"] or 0
+    r_tot = tots["r"] or 0
+    denom_t = float(t_tot + B)
+    denom_r = float(r_tot + B)
+    lam = both.select(
+        "bucket",
+        (F.log((F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+               / F.lit(denom_t))
+         - F.log((F.coalesce(F.col("cr"), F.lit(0)).cast("double") + 1.0)
+                 / F.lit(denom_r))).alias("lam"),
+    ).localCheckpoint(eager=True)
+    scores = dsir_scores(raw_feats, lam, "doc_id")
+    return dsir_resample(scores, 100, "doc_id", "dsir", 1.0), lam
+
+
 def stage(variant):
     if variant == "v0_current":
         return dsir_select(raw, tgt, k=100, n_buckets=4096)
@@ -116,6 +147,8 @@ def stage(variant):
         return select_v1()
     if variant == "v2_fused":
         return select_v2()
+    if variant == "v3_fusedlam":
+        return select_v3()
     raise SystemExit(f"unknown variant {variant!r}")
 
 

@@ -73,6 +73,44 @@ def test_logratio_signs(spark):
     assert lam[1] > 0 and lam[2] < 0
 
 
+def test_logratio_fused_equals_two_table_path(spark):
+    """Round 14 (VERDICT r13 item 5): dsir_logratio_fused — the
+    one-aggregate λ fit dsir_select now ships — must produce the
+    EXACT λ table (values and floor) of the public two-table
+    dsir_logratio on the same fused feature table, including buckets
+    seen on only one side and a non-default alpha."""
+    from argostats_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_logratio_fused,
+    )
+
+    feats = spark.createDataFrame(
+        # bucket 1 both sides, 2 target-only, 3 raw-only (two docs)
+        [("t", None, 1, 4), ("t", None, 2, 6),
+         ("r", 10, 1, 3), ("r", 10, 3, 5), ("r", 11, 3, 2)],
+        "__side string, doc_id bigint, bucket bigint, c bigint",
+    )
+    for alpha in (1.0, 0.25):
+        tgt_tot = (
+            feats.filter(F.col("__side") == "t")
+            .groupBy("bucket").agg(F.sum("c").alias("c"))
+        )
+        raw_tot = (
+            feats.filter(F.col("__side") == "r")
+            .groupBy("bucket").agg(F.sum("c").alias("c"))
+        )
+        want, want_floor = dsir_logratio(
+            tgt_tot, raw_tot, B, alpha, return_floor=True
+        )
+        got, got_floor = dsir_logratio_fused(
+            feats, B, alpha, return_floor=True
+        )
+        assert got_floor == want_floor
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 def test_planted_dialect_recovery(spark):
     raw = _dialect_corpus(spark)
     tgt = _target(spark)
