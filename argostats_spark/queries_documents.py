@@ -3675,7 +3675,15 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact bucketing — that contract stands); THIS row is the one
     that exercises the xxhash64 code path driver-visibly every round.
     Same public functions dsir_select chains, kept apart so the
-    scores frame stays visible for the invariants."""
+    scores frame stays visible for the invariants.
+
+    Cost, stated plainly (SCALE.md "stats_suite sf1 limb
+    adjudication"): the agreement invariant inherently needs BOTH
+    hash families, so this limb runs two full corpus tokenize passes
+    at build time — it roughly doubles the stats_suite BUILD
+    (measured +15.9 s at sf1). Acceptable because stats_suite is a
+    correctness-tier suite, not a headline bench row, and the
+    driver's sf0.01 build is subsecond."""
     from .operators.dsir import (
         dsir_logratio_fused,
         dsir_resample,
