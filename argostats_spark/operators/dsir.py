@@ -254,14 +254,20 @@ def dsir_logratio(
     smoothed value ln(α/(T+αB)) − ln(α/(R+αB)) those buckets carry
     (used by :func:`dense_lambda` for the streaming/row-local path).
 
-    Both inputs are lazily localCheckpointed here: two consumers read
+    Both inputs are EAGERLY localCheckpointed here: two consumers read
     each (the scalar-totals action and the λ join), and without the
     pin a caller passing a raw lineage — e.g. the target corpus's
     tokenize+aggregate — pays that lineage once per consumer (measured
     on the dsir_select bench row: the target pass ran twice). The
-    checkpointed frames are ≤B rows, so the pinned blocks are KBs."""
-    target_bucket_totals = target_bucket_totals.localCheckpoint(eager=False)
-    raw_bucket_totals = raw_bucket_totals.localCheckpoint(eager=False)
+    checkpointed frames are ≤B rows, so the pinned blocks are KBs.
+    Eager, not lazy, since the round-14 sf1 stall incident (SCALE.md
+    "sf1 stall incident"): a LAZY localCheckpoint on a multi-consumer
+    subtree interleaves AQE re-materialization between the consumers'
+    actions and stalls erratically at scale — the fused path measured
+    12-60 s outliers on a ~4.5 s row until its checkpoint went eager,
+    and this path showed the same scatter signature in the same A/B."""
+    target_bucket_totals = target_bucket_totals.localCheckpoint(eager=True)
+    raw_bucket_totals = raw_bucket_totals.localCheckpoint(eager=True)
     totals = {
         r["side"]: r["t"]
         for r in target_bucket_totals.select(F.lit("t").alias("side"), "c")
@@ -319,10 +325,22 @@ def dsir_logratio_fused(
     with separately-built totals — incremental refits, the streaming
     path); this is the fused-checkpoint fast path dsir_select ships.
     """
+    # EAGER checkpoint, deliberately (sf1 incident, round 14): the
+    # first-shipped lazy (eager=False) form stalled the FULL row
+    # erratically at sf1 — stable ~4.5 s with 12-60 s outliers — while
+    # the limbs stayed fast; the per-variant A/B
+    # (scripts/bench_dsir_row_ab.py) isolated it: lazy and
+    # no-checkpoint forms each threw multi-10s stalls (worst 59.8 s)
+    # when `both`'s two consumers (the totals collect and the λ select
+    # feeding the eager lam checkpoint) interleaved AQE
+    # re-materialization; the eager ≤B-row checkpoint ran 8/8 singles
+    # tight (3.8-5.4 s) and fastest. Same lesson as the round-12
+    # spread incident: ONE eager checkpoint on any subtree with
+    # multiple downstream actions.
     both = feats_all.groupBy("bucket").agg(
         F.sum(F.when(F.col("__side") == "t", F.col("c"))).alias("ct"),
         F.sum(F.when(F.col("__side") == "r", F.col("c"))).alias("cr"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     tots = both.agg(
         F.sum("ct").alias("t"), F.sum("cr").alias("r")
     ).collect()[0]
