@@ -246,6 +246,12 @@ def clim_ts(
     # pin parallelism for the Python kernel stage (AQE coalescing targets
     # bytes, not UDF CPU — see interpolation.py note)
     n = pairs.sparkSession.sparkContext.defaultParallelism
+    # ship only what the kernel reads (round 14, guide §4.1):
+    # applyInArrow/applyInPandas forward EVERY input column into the
+    # Python worker, so the join's lon/lat (16 B/pair, unused by the
+    # kernel) would otherwise cross the repartition exchange AND the
+    # Arrow boundary on every pair row
+    pairs = pairs.select("glon", "glat", "hav", "CT", "SR", "IDX")
     grouped = pairs.repartition(n, "glon", "glat").groupBy("glon", "glat")
     if engine == "arrow" and hasattr(grouped, "applyInArrow"):
         return grouped.applyInArrow(_ts_cell_kernel_arrow(theta), _TS_SCHEMA)
@@ -472,7 +478,43 @@ _EAPE_SCHEMA = T.StructType([
 ])
 
 
-def _eape_cell_kernel(theta: float, algo: str = "R14"):
+def _eape_integrand(
+    rho_i, sr, ct, rho_bar, ct_bar, sr_bar, pref, unit, algo: str
+):
+    """eape_i for one (rows × 64) block — shared by the per-pair
+    kernels (legacy payload) and the per-profile feature pass (fast
+    payload), so both paths run the SAME elementwise f8 arithmetic."""
+    if algo == "R14":
+        # displacement against the *local* cell-mean profile via
+        # isopycnal lookup (atlas.py:184-191)
+        cf = compute_cf(rho_bar, sound_speed(sr_bar, ct_bar, pref), pref)
+        ref_curve = np.maximum.accumulate(rho_bar * cf)
+        disp = np.interp(
+            (rho_i * cf[None, :]).ravel(), ref_curve, pref
+        ).reshape(rho_i.shape)
+        return 0.5 * unit * (rho_i - rho_bar[None, :]) * (disp - pref[None, :])
+    if algo == "T25":
+        # displacement against the *global* analytic Lorenz profile
+        # via gammat bisection (atlas.py:194-231, 300-304)
+        from ..functions.lorenz import (
+            gammat_analytic,
+            lorenz_reference_density,
+            pr_from_zref,
+        )
+
+        _, zref, _, _ = gammat_analytic(sr.ravel(), ct.ravel())
+        disp = pr_from_zref(zref).reshape(rho_i.shape)
+        rho_ref_here = lorenz_reference_density(pref)[None, :]
+        return 0.5 * unit * (rho_i - rho_ref_here) * (disp - pref[None, :])
+    raise ValueError(f"unknown EAPE algo {algo!r} (R14 or T25)")
+
+
+def _eape_cell_kernel(theta: float, algo: str = "R14", feat: str | None = None):
+    """Per-cell EAPE weighted mean (pandas transport). ``feat`` names a
+    precomputed per-profile column in the fast payload ("RHO_I" for
+    R14, "EI" for T25 — see _eape_profile_features); feat=None is the
+    legacy payload (CT/SR aboard every pair, all per-profile math
+    in-kernel)."""
     pref = pref64().astype("f8")
     unit = eape_unit()
 
@@ -481,39 +523,24 @@ def _eape_cell_kernel(theta: float, algo: str = "R14"):
         glon, glat = key
         w = np.exp(-pdf["hav"].to_numpy(dtype="f8") / theta)
         idx = np.stack(pdf["IDX"].to_numpy()).astype("f8")
-        ct = np.stack(pdf["CT"].to_numpy()).astype("f8")
-        sr = np.stack(pdf["SR"].to_numpy()).astype("f8")
         ct_bar = np.asarray(pdf["CT_BAR"].iloc[0], dtype="f8")
         sr_bar = np.asarray(pdf["SR_BAR"].iloc[0], dtype="f8")
 
         # mean-profile density + compressibility factor (atlas.py:316-324)
         rho_bar = rho(sr_bar, ct_bar, pref)
-        rho_i = rho(sr, ct, pref[None, :])
-
-        if algo == "R14":
-            # displacement against the *local* cell-mean profile via
-            # isopycnal lookup (atlas.py:184-191)
-            cf = compute_cf(rho_bar, sound_speed(sr_bar, ct_bar, pref), pref)
-            ref_curve = np.maximum.accumulate(rho_bar * cf)
-            disp = np.interp(
-                (rho_i * cf[None, :]).ravel(), ref_curve, pref
-            ).reshape(rho_i.shape)
-            eape_i = 0.5 * unit * (rho_i - rho_bar[None, :]) * (disp - pref[None, :])
-        elif algo == "T25":
-            # displacement against the *global* analytic Lorenz profile
-            # via gammat bisection (atlas.py:194-231, 300-304)
-            from ..functions.lorenz import (
-                gammat_analytic,
-                lorenz_reference_density,
-                pr_from_zref,
+        if feat == "EI":
+            eape_i = np.stack(pdf["EI"].to_numpy()).astype("f8")
+        else:
+            if feat == "RHO_I":
+                rho_i = np.stack(pdf["RHO_I"].to_numpy()).astype("f8")
+                sr = ct = None
+            else:
+                ct = np.stack(pdf["CT"].to_numpy()).astype("f8")
+                sr = np.stack(pdf["SR"].to_numpy()).astype("f8")
+                rho_i = rho(sr, ct, pref[None, :])
+            eape_i = _eape_integrand(
+                rho_i, sr, ct, rho_bar, ct_bar, sr_bar, pref, unit, algo
             )
-
-            _, zref, _, _ = gammat_analytic(sr.ravel(), ct.ravel())
-            disp = pr_from_zref(zref).reshape(rho_i.shape)
-            rho_ref_here = lorenz_reference_density(pref)[None, :]
-            eape_i = 0.5 * unit * (rho_i - rho_ref_here) * (disp - pref[None, :])
-        else:  # pragma: no cover
-            raise ValueError(f"unknown EAPE algo {algo!r} (R14 or T25)")
 
         coef = w[:, None] * idx
         n_lev = coef.sum(axis=0)
@@ -533,6 +560,146 @@ def _eape_cell_kernel(theta: float, algo: str = "R14"):
     return kernel
 
 
+def _eape_cell_kernel_arrow(
+    theta: float, algo: str = "R14", feat: str | None = None
+):
+    """Arrow twin of :func:`_eape_cell_kernel` (round 14) — the same
+    flat-buffer transport the TS kernel adopted in round 5 (measured
+    3-5× on batch materialization there; pandas object-column stacks
+    churn the worker GC). Row-identical to the pandas kernel, pinned
+    by tests/test_argo_pipeline.py."""
+    pref = pref64().astype("f8")
+    unit = eape_unit()
+
+    def kernel(key, table):
+        import pyarrow as pa
+
+        limit_blas_threads()
+        glon, glat = (k.as_py() if hasattr(k, "as_py") else k for k in key)
+        n = table.num_rows
+
+        def mat(name: str) -> np.ndarray:
+            arr = table.column(name).combine_chunks()
+            return (
+                arr.flatten().to_numpy(zero_copy_only=False)
+                .astype("f8", copy=False).reshape(n, NLEVELS)
+            )
+
+        hav = table.column("hav").to_numpy(zero_copy_only=False).astype("f8")
+        ct_bar = np.asarray(table.column("CT_BAR")[0].as_py(), dtype="f8")
+        sr_bar = np.asarray(table.column("SR_BAR")[0].as_py(), dtype="f8")
+        w = np.exp(-hav / theta)
+        idx = mat("IDX")
+        rho_bar = rho(sr_bar, ct_bar, pref)
+        if feat == "EI":
+            eape_i = mat("EI")
+        else:
+            if feat == "RHO_I":
+                rho_i = mat("RHO_I")
+                sr = ct = None
+            else:
+                ct = mat("CT")
+                sr = mat("SR")
+                rho_i = rho(sr, ct, pref[None, :])
+            eape_i = _eape_integrand(
+                rho_i, sr, ct, rho_bar, ct_bar, sr_bar, pref, unit, algo
+            )
+        coef = w[:, None] * idx
+        n_lev = coef.sum(axis=0)
+        ok = n_lev > 0
+        eape_m = np.zeros(NLEVELS, dtype="f8")
+        eape_m[ok] = (coef * eape_i).sum(axis=0)[ok] / n_lev[ok]
+        offs = pa.array(np.array([0, NLEVELS], dtype="i4"))
+
+        def one(v: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(offs, pa.array(v.astype("f4")))
+
+        return pa.table(
+            {
+                "glon": pa.array([float(glon)], pa.float64()),
+                "glat": pa.array([float(glat)], pa.float64()),
+                "n_points": pa.array([n], pa.int32()),
+                "RHO": one(rho_bar),
+                "EAPE": one(eape_m),
+            }
+        )
+
+    return kernel
+
+
+def _eape_profile_features(pts: DataFrame, algo: str) -> DataFrame:
+    """The cell-independent part of the EAPE integrand, computed ONCE
+    per PROFILE instead of once per (cell × profile) pair (round 14,
+    guide §1.2 "the distributed algorithm first").
+
+    A profile within kernel radius of k cells appears k times in the
+    pair set (k ≈ 12-20 at the bench grids, and it grows with the
+    kernel radius). The 75-term TEOS-10 density polynomial (both
+    algos) and the 30-iteration gammat bisection (T25 — itself 30
+    more 75-term evaluations) depend only on the profile's own
+    (SR, CT), so evaluating them inside the per-cell kernel re-pays
+    them k times. This one Arrow pass over the profile table computes
+
+    - R14: ``RHO_I`` — ρ(SR, CT, pref) per level (the R14 kernel still
+      needs the cell-mean curve for the isopycnal lookup, so only the
+      density moves out of the kernel);
+    - T25: ``EI`` — the FULL per-profile integrand
+      0.5·unit·(ρᵢ − ρref)·(disp − pref): displacement is against the
+      global Lorenz profile, so nothing in eape_i depends on the cell.
+
+    Values are elementwise f8, identical arithmetic to the in-kernel
+    path (shared :func:`_eape_integrand`), so the downstream weighted
+    mean consumes bitwise-identical inputs. The pair shuffle carries
+    one f8 array instead of the two f4 CT/SR arrays."""
+    import pyarrow as pa
+
+    feat = {"R14": "RHO_I", "T25": "EI"}[algo]
+    pref = pref64().astype("f8")
+    unit = eape_unit()
+    schema = T.StructType([
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("IDX", pts.schema["IDX"].dataType),
+        T.StructField(feat, T.ArrayType(T.DoubleType())),
+    ])
+
+    def gen(batches):
+        limit_blas_threads()
+        for tb in batches:  # RecordBatch per mapInArrow contract
+            n = tb.num_rows
+            if n == 0:
+                continue
+
+            def mat(name: str) -> np.ndarray:
+                arr = tb.column(name)
+                return (
+                    arr.flatten().to_numpy(zero_copy_only=False)
+                    .astype("f8", copy=False).reshape(n, NLEVELS)
+                )
+
+            sr = mat("SR")
+            ct = mat("CT")
+            rho_i = rho(sr, ct, pref[None, :])
+            if algo == "R14":
+                out = rho_i
+            else:
+                # rho_bar/ct_bar/sr_bar unused by the T25 branch
+                out = _eape_integrand(
+                    rho_i, sr, ct, None, None, None, pref, unit, "T25"
+                )
+            offs = pa.array(
+                np.arange(0, (n + 1) * NLEVELS, NLEVELS, dtype="i4")
+            )
+            yield pa.record_batch({
+                "lon": tb.column("lon"),
+                "lat": tb.column("lat"),
+                "IDX": tb.column("IDX"),
+                feat: pa.ListArray.from_arrays(offs, pa.array(out.ravel())),
+            })
+
+    return pts.mapInArrow(gen, schema)
+
+
 def clim_eape(
     grid: DataFrame,
     profiles: DataFrame,
@@ -541,6 +708,7 @@ def clim_eape(
     pairs: DataFrame | None = None,
     ts: DataFrame | None = None,
     algo: str = "R14",
+    engine: str = "arrow",
 ) -> DataFrame:
     """EAPE climatology: pass 1 cell means → joined back to the pair set
     → per-pair displacement/EAPE → weighted mean (SURVEY §7.4.2 two-pass
@@ -551,20 +719,94 @@ def clim_eape(
     global analytic Lorenz profile via the gammat bisection (Tailleux &
     Roullet 2025). Same dataflow, different per-pair kernel — unlike the
     reference, the algo switch can't leave variables unbound
-    (atlas.py:439-448 defect, SURVEY §2.11)."""
+    (atlas.py:439-448 defect, SURVEY §2.11).
+
+    Round-14 physical-plan changes (measured, scripts/bench_eape_ab.py;
+    output row-identical either way, pinned by tests):
+
+    - ``engine="arrow"`` (default where applyInArrow exists): the cell
+      kernel rides the same flat-buffer transport the TS kernel
+      adopted in round 5; "pandas" is the fallback.
+    - the broadcast means join-back attaches AFTER the pair
+      repartition, so the per-cell CT_BAR/SR_BAR arrays (512 B/pair of
+      per-cell constants) never cross the pair exchange — the
+      BroadcastHashJoin preserves the streamed side's partitioning, so
+      the groupBy still needs no extra shuffle (plan-pinned).
+    - T25 with the pair set built HERE (``pairs=None``): the
+      cell-independent integrand (density + gammat bisection — ALL of
+      eape_i, since T25 displaces against the global Lorenz profile)
+      moves out of the per-pair kernel into one per-PROFILE Arrow
+      pass (:func:`_eape_profile_features`), gated by a bin-cover
+      semi-join so only profiles that can reach the grid pay it — a
+      profile within radius of k cells otherwise pays the bisection
+      k times. R14 keeps the per-pair payload everywhere (its
+      cell-independent part is just one density evaluation; measured,
+      the extra Python pass costs more than the dedup saves). A
+      caller-supplied ``pairs`` (the cached pair set
+      argo_atlas_pipeline shares between TS and both EAPE passes)
+      keeps the legacy per-pair payload — identical results on every
+      path (pinned)."""
     theta = math.sin(math.radians(smoothing_factor * reso_deg) / 2.0) ** 2
-    if pairs is None:
-        pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
-    if ts is None:
-        ts = clim_ts(grid, profiles, reso_deg, smoothing_factor, pairs=pairs)
+    n = grid.sparkSession.sparkContext.defaultParallelism
+    # T25 only: R14's cell-independent work is just the density
+    # polynomial — measured (scripts/bench_eape_ab.py) the extra
+    # Python pass costs more than the k-fold dedup saves there, so
+    # R14 keeps the per-pair payload. T25's per-pair work is the
+    # 30-iteration gammat bisection (30 more 75-term evaluations),
+    # which dwarfs the pass.
+    feat = "EI" if algo == "T25" else None
+    if pairs is None and feat is not None:
+        # fast path: per-profile features, then the neighborhood join
+        # ships (hav, IDX, feat) per pair — one f8 array instead of
+        # the two f4 CT/SR arrays the legacy payload carried
+        radius = smoothing_factor * reso_deg
+        pred = (F.col("FLAG") == 1) & (F.col("DATA_MODE") == 1)
+        pts = profiles.filter(pred).select(
+            F.col("LONGITUDE").cast("double").alias("lon"),
+            F.col("LATITUDE").cast("double").alias("lat"),
+            "CT", "SR", "IDX",
+        )
+        # bin-cover semi-join BEFORE the feature pass: on a regional
+        # grid most profiles can't reach any cell, and the bisection
+        # must not run for them (on a global grid every bin is
+        # covered and this is one cheap broadcast semi-join). Same
+        # bin geometry as the neighborhood join ⇒ provably a superset
+        # of the join's point side.
+        bin_deg = max(radius, 1.0)
+        gbins = (
+            explode_neighbor_bins(grid, "glon", "glat", radius, bin_deg)
+            .select("lon_bin", "lat_bin").distinct()
+        )
+        pts = with_bins(pts, "lon", "lat", bin_deg).join(
+            F.broadcast(gbins), ["lon_bin", "lat_bin"], "left_semi"
+        ).drop("lon_bin", "lat_bin")
+        payload = neighborhood_join(
+            grid, _eape_profile_features(pts, algo), radius_deg=radius,
+        ).select("glon", "glat", "hav", "IDX", feat)
+        if ts is None:
+            ts = clim_ts(grid, profiles, reso_deg, smoothing_factor)
+    else:
+        if pairs is None:
+            pairs = match_pairs(grid, profiles, reso_deg, smoothing_factor)
+        if ts is None:
+            ts = clim_ts(grid, profiles, reso_deg, smoothing_factor,
+                         pairs=pairs)
+        feat = None  # legacy per-pair payload (or unknown algo: the
+        # kernel raises at run time, matching the pre-r14 behavior)
+        payload = pairs.select("glon", "glat", "hav", "CT", "SR", "IDX")
     means = ts.select(
         "glon", "glat",
         F.col("CT").alias("CT_BAR"), F.col("SR").alias("SR_BAR"),
     )
-    enriched = pairs.join(F.broadcast(means), on=["glon", "glat"])
-    n = pairs.sparkSession.sparkContext.defaultParallelism
-    return (
-        enriched.repartition(n, "glon", "glat")
+    grouped = (
+        payload.repartition(n, "glon", "glat")
+        .join(F.broadcast(means), on=["glon", "glat"])
         .groupBy("glon", "glat")
-        .applyInPandas(_eape_cell_kernel(theta, algo), _EAPE_SCHEMA)
+    )
+    if engine == "arrow" and hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(
+            _eape_cell_kernel_arrow(theta, algo, feat), _EAPE_SCHEMA
+        )
+    return grouped.applyInPandas(
+        _eape_cell_kernel(theta, algo, feat), _EAPE_SCHEMA
     )

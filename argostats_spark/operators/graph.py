@@ -69,6 +69,9 @@ def connected_components(
     ``jump_start`` produces identical labels.
     """
     import time as _time
+
+    from pyspark.sql import Observation
+
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the symmetrized edge list ONCE: the loop below references
     # `sym` every round, and Spark rebuilds lineage per action — an edge
@@ -79,15 +82,23 @@ def connected_components(
     sym = half.union(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    # convergence metric rides the checkpoint job via observe()
+    # (round 14, guide §1.2/"don't compute things twice"): the old
+    # shape ran a SEPARATE sum-aggregate action over the materialized
+    # labels every round — one full extra pass over |V| rows per round
+    # at scale. observe() attaches the same sum(decimal) to the eager
+    # checkpoint's own job; Observation.get returns immediately once
+    # that job finished (verified against eager localCheckpoint).
+    _SUM = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
+        .observe(obs0, _SUM)
         .localCheckpoint()
     )
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
+    prev_sum = obs0.get["s"]
 
     for _round in range(max_iter):
         _t0 = _time.perf_counter()
@@ -110,10 +121,9 @@ def connected_components(
                 stepped.join(ptr, stepped["comp"] == ptr["p_node"], "left")
                 .select("node", F.coalesce("p_comp", "comp").alias("comp"))
             )
-        jumped = stepped.localCheckpoint()
-        cur_sum = jumped.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        obs = Observation()
+        jumped = stepped.observe(obs, _SUM).localCheckpoint()
+        cur_sum = obs.get["s"]
         labels = jumped
         if round_hook is not None:
             round_hook(_round, _time.perf_counter() - _t0)

@@ -781,6 +781,122 @@ def test_clim_ts_arrow_engine_equals_pandas(spark, profiles):
     pd.testing.assert_frame_equal(a, p)
 
 
+def test_eape_arrow_engine_equals_pandas(spark, profiles):
+    """Round 14: the EAPE cell kernel gets the same Arrow twin the TS
+    kernel got in round 5. Both transports must produce identical rows
+    on the legacy per-pair payload for BOTH algorithms, so the
+    transport choice stays a pure performance decision."""
+    import pandas as pd
+
+    from argostats_spark.operators.atlas import (
+        clim_eape,
+        clim_ts,
+        make_grid,
+        match_pairs,
+    )
+
+    b = profiles.filter(
+        (F.col("FLAG") == 1) & (F.col("DATA_MODE") == 1)
+    ).agg(
+        F.floor(F.min("LONGITUDE")).alias("w"), F.ceil(F.max("LONGITUDE")).alias("e"),
+        F.floor(F.min("LATITUDE")).alias("s"), F.ceil(F.max("LATITUDE")).alias("n"),
+    ).first()
+    grid = make_grid(
+        spark, (float(b.w), float(b.e) + 2, float(b.s), float(b.n) + 2), reso_deg=5.0
+    )
+    pairs = match_pairs(grid, profiles, 5.0, 2.0).localCheckpoint(eager=True)
+    ts = clim_ts(grid, profiles, 5.0, 2.0, pairs=pairs).localCheckpoint(eager=True)
+    for algo in ("R14", "T25"):
+        a = clim_eape(grid, profiles, 5.0, 2.0, pairs=pairs, ts=ts,
+                      algo=algo, engine="arrow").orderBy("glon", "glat").toPandas()
+        p = clim_eape(grid, profiles, 5.0, 2.0, pairs=pairs, ts=ts,
+                      algo=algo, engine="pandas").orderBy("glon", "glat").toPandas()
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, p)
+
+
+def test_eape_fast_path_equals_legacy_pairs_path(spark, profiles):
+    """Round 14: clim_eape with pairs=None routes through
+    _eape_profile_features (the per-PROFILE density/bisection pass —
+    a profile near k cells otherwise pays that work k times inside the
+    per-cell kernel). The integrand values are elementwise f8,
+    bitwise-identical to the in-kernel path, so the weighted means
+    must agree to float precision; n_points (the pair multiplicity)
+    must agree EXACTLY — a fast path that changed the pair set would
+    be a different query, not an optimization."""
+    import numpy as np
+
+    from argostats_spark.operators.atlas import (
+        clim_eape,
+        clim_ts,
+        make_grid,
+        match_pairs,
+    )
+
+    b = profiles.filter(
+        (F.col("FLAG") == 1) & (F.col("DATA_MODE") == 1)
+    ).agg(
+        F.floor(F.min("LONGITUDE")).alias("w"), F.ceil(F.max("LONGITUDE")).alias("e"),
+        F.floor(F.min("LATITUDE")).alias("s"), F.ceil(F.max("LATITUDE")).alias("n"),
+    ).first()
+    grid = make_grid(
+        spark, (float(b.w), float(b.e) + 2, float(b.s), float(b.n) + 2), reso_deg=5.0
+    )
+    pairs = match_pairs(grid, profiles, 5.0, 2.0).localCheckpoint(eager=True)
+    ts = clim_ts(grid, profiles, 5.0, 2.0, pairs=pairs).localCheckpoint(eager=True)
+    for algo in ("R14", "T25"):
+        legacy = clim_eape(grid, profiles, 5.0, 2.0, pairs=pairs, ts=ts,
+                           algo=algo).orderBy("glon", "glat").toPandas()
+        fast = clim_eape(grid, profiles, 5.0, 2.0,
+                         algo=algo).orderBy("glon", "glat").toPandas()
+        assert len(legacy) == len(fast) > 0
+        assert (legacy.n_points.to_numpy() == fast.n_points.to_numpy()).all()
+        for col in ("RHO", "EAPE"):
+            lv = np.stack(legacy[col].to_numpy())
+            fv = np.stack(fast[col].to_numpy())
+            # same f8 integrand values; only the in-group summation
+            # order can differ between the two plans — f4 output
+            # absorbs it in practice (exact on the test fixture)
+            np.testing.assert_allclose(fv, lv, rtol=1e-6, atol=1e-7)
+
+
+def test_eape_fast_path_plan_exchange_excludes_bar_arrays(spark, profiles):
+    """Round 14 plan pin: in clim_eape the broadcast means join-back
+    attaches ABOVE the pair repartition, so the per-cell CT_BAR/SR_BAR
+    arrays never cross the pair exchange, and the BroadcastHashJoin's
+    preserved partitioning feeds the kernel's groupBy with NO second
+    exchange. Guards the round-14 reorder against a future Spark
+    version (or refactor) silently re-inserting either cost."""
+    from argostats_spark.operators.atlas import clim_eape, make_grid
+
+    grid = make_grid(spark, (-180.0, 180.0, -60.0, 64.0), reso_deg=10.0)
+    # R14 ships the legacy per-pair payload (CT/SR — its
+    # cell-independent part is one density evaluation, measured not
+    # worth the extra Python pass); T25 ships the per-profile EI
+    for algo, feat in (("R14", " CT#"), ("T25", "EI")):
+        df = clim_eape(grid, profiles, 10.0, 2.0, algo=algo)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        kernel_pos = plan.index("FlatMapGroupsIn")
+        join_pos = plan.index("BroadcastHashJoin")
+        exch_pos = plan.index("Exchange hashpartitioning(glon")
+        assert kernel_pos < join_pos < exch_pos, plan[:2000]
+        # the repartition exchange row: payload must be the pruned
+        # set — no BAR arrays, no lon/lat join coordinates
+        exch_line = next(
+            line for line in plan.splitlines()
+            if "Exchange hashpartitioning(glon" in line
+        )
+        # the project feeding the kernel (above the join) carries BARs;
+        # the exchange input (the project directly under it) must not
+        after = plan[plan.index(exch_line):]
+        under = after.splitlines()[1]
+        assert "CT_BAR" not in under and "SR_BAR" not in under, under
+        assert feat in under, under
+        assert " lon#" not in under, under
+        if algo == "T25":
+            assert " CT#" not in under, under
+
+
 def test_netcdf3_cdf2_spec_fixture_and_roundtrip(tmp_path):
     """CDF-2 (64-bit offset) support, round 6.
 
