@@ -339,6 +339,16 @@ def interpolate_profiles(
     flagged = raw.withColumn("FLAG", combine_qc("POSITION_QC", "JULD_QC").cast("byte"))
     # quality gate before the expensive kernel (X2/X9: filter first)
     flagged = flagged.filter(F.col("FLAG") == 1)
+    # ship only what the kernel reads (round 14, guide §4.1): FLAG is
+    # already computed, so POSITION_QC/JULD_QC and the PLATFORM string
+    # would otherwise cross the WMO exchange and the Arrow boundary on
+    # every raw row for nothing
+    flagged = flagged.select(
+        "WMO", "DAC", "IPROF", "JULD", "LATITUDE", "LONGITUDE",
+        "DATA_MODE", "FLAG", "PRES", "TEMP", "PSAL",
+        "PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED",
+        "PRES_QC", "TEMP_QC", "PSAL_QC",
+    )
     n = num_partitions or flagged.sparkSession.sparkContext.defaultParallelism
     flagged = flagged.repartition(n, "WMO")
     grouped = flagged.groupBy("WMO")

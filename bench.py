@@ -233,9 +233,15 @@ def _measure_single(row: str) -> dict:
         raw = None
         if _cache != "off" and os.path.exists(os.path.join(_cache, "_SUCCESS")):
             try:
+                # the WMO id column is named WMO in this schema (round-14
+                # fix: this read-back shipped repartitioning on
+                # "PLATFORM_NUMBER", a column that does not exist here —
+                # the AnalysisException fell into the except below and
+                # every child silently rebuilt, so the r13-ADVICE cache
+                # never actually hit)
                 raw = (
                     spark.read.parquet(_cache)
-                    .repartition(_n_parts, "PLATFORM_NUMBER")
+                    .repartition(_n_parts, "WMO")
                     .cache()
                 )
             except Exception:
