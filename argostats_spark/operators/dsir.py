@@ -35,18 +35,19 @@ Scale shape (the point of the Spark re-expression):
   (id, bucket) aggregate;
 - the fitted model is a ≤B-row λ table (B defaults to 4096; the paper
   uses 10k) — broadcast back, never a corpus reshuffle;
-- raw-corpus bucket totals are derived FROM the per-doc feature table
-  (groupBy(bucket), map-side combine), so the raw corpus is tokenized
-  exactly once; the feature table is localCheckpointed because both
-  the fit and the scoring pass consume it (at 100 TB you'd persist it
-  as a parquet table instead — it is the natural pipeline
-  intermediate, smaller than the corpus and reused by every re-fit);
+- the fit aggregates the gram stream STRAIGHT to (bucket, ct, cr)
+  with map-side partials (KB exchange at any corpus size; the only
+  pinned intermediate is that ≤B-row table), and the scoring pass
+  owns its per-doc (id, bucket) aggregate lazily — one consumer, no
+  checkpoint (at 100 TB a REUSED per-doc feature table belongs in a
+  parquet table, not an in-memory pin — see dsir_select's docstring
+  for the measured sf1 stall that taught this);
 - selection is orderBy(...).limit(k) — TakeOrdered (per-partition
   top-k, then a k-row driver merge), never a global sort.
 
-Shuffle inventory: target fit 1 (B-bounded output), per-doc features
-1 (keyed (id, bucket)), raw totals 1 (B-bounded, from features not
-text), scoring 1 (keyed id). Nothing quadratic, nothing driver-side
+Shuffle inventory: fit 1 (B-bounded — map-side partials collapse the
+tagged gram stream to ≤B rows per mapper), per-doc features 1 (keyed
+(id, bucket)), scoring 1 (keyed id). Nothing quadratic, nothing driver-side
 except the k selected rows, two scalar totals, and (for the
 streaming path) the B-float dense model.
 
@@ -71,8 +72,10 @@ __all__ = [
     "gram_rows",
     "doc_bucket_counts",
     "fused_bucket_counts",
+    "fused_bucket_totals",
     "dsir_logratio",
     "dsir_logratio_fused",
+    "dsir_logratio_direct",
     "dsir_scores",
     "gumbel_key",
     "dsir_resample",
@@ -341,6 +344,20 @@ def dsir_logratio_fused(
         F.sum(F.when(F.col("__side") == "t", F.col("c"))).alias("ct"),
         F.sum(F.when(F.col("__side") == "r", F.col("c"))).alias("cr"),
     ).localCheckpoint(eager=True)
+    return _lam_from_both(both, n_buckets, alpha, return_floor)
+
+
+def _lam_from_both(
+    both: DataFrame,
+    n_buckets: int,
+    alpha: float,
+    return_floor: bool = False,
+):
+    """λ arithmetic over an already-materialized ≤B-row (bucket, ct,
+    cr) table — the shared tail of :func:`dsir_logratio_fused` and
+    :func:`dsir_logratio_direct`: coalesce(c,0) + add-α smoothing,
+    byte-identical to :func:`dsir_logratio`. The totals collect runs
+    over the tiny materialized table (one action, KB of rows)."""
     tots = both.agg(
         F.sum("ct").alias("t"), F.sum("cr").alias("r")
     ).collect()[0]
@@ -362,6 +379,65 @@ def dsir_logratio_fused(
         floor = math.log(alpha / denom_t) - math.log(alpha / denom_r)
         return out, floor
     return out
+
+
+def fused_bucket_totals(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    hasher: str = "md5",
+) -> DataFrame:
+    """(bucket, ct, cr) STRAIGHT from the tagged-union gram stream —
+    no per-document intermediate at all (round-14 close; the sf1
+    stall fix). One explode + ONE ``groupBy(bucket)`` conditional-sum
+    aggregate: with ≤B groups the map-side partial aggregation
+    collapses each mapper's output to ≤B rows, so the fit's exchange
+    carries KBs regardless of corpus size (guide §2.3 "aggregate
+    before you shuffle") — where the per-doc feature table's
+    (side, id, bucket) aggregate shuffled corpus-proportional rows
+    and its eager checkpoint pinned them (~428 MiB per call at sf1,
+    never freed, with a 1-task AQE-coalesced materialization stage —
+    the measured multi-10s stall; OPTIMIZATION_r14.md).
+
+    Eagerly localCheckpointed: ≤B rows, two consumers (the totals
+    collect and the λ projection) — the same one-eager-checkpoint-per
+    multi-consumer-subtree rule as everywhere else."""
+    tagged = raw_docs.select(
+        F.col(text_col), F.lit("r").alias("__side")
+    ).unionByName(
+        target_docs.select(F.col(text_col), F.lit("t").alias("__side"))
+    )
+    g = gram_rows(tagged, text_col, ["__side"])
+    return (
+        g.select("__side", _bucket_of(F.col("gram"), n_buckets, hasher))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__side") == "t", F.lit(1))).alias("ct"),
+            F.sum(F.when(F.col("__side") == "r", F.lit(1))).alias("cr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def dsir_logratio_direct(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    hasher: str = "md5",
+    return_floor: bool = False,
+):
+    """Fit λ directly from the two corpora: :func:`fused_bucket_totals`
+    + the shared λ arithmetic. Identical model to
+    ``dsir_logratio_fused(fused_bucket_counts(...))`` — the conditional
+    sums commute with the per-doc aggregation (integer counts) — pinned
+    by test and by the registry hash."""
+    both = fused_bucket_totals(
+        raw_docs, target_docs, text_col, n_buckets, hasher
+    )
+    return _lam_from_both(both, n_buckets, alpha, return_floor)
 
 
 def dsir_scores(
@@ -443,36 +519,48 @@ def dsir_select(
     raw documents (id, n_grams, logw, g, score, rank) and the fitted
     ≤B-row λ table (kept so callers can audit / reuse the model).
 
-    BOTH corpora are tokenized exactly once, in ONE fused union pass
-    (round 12 — :func:`fused_bucket_counts`; previously the target got
-    its own explode+aggregate stage chain): the checkpointed
-    (side, id, bucket, c) feature table feeds the q̂ fit (raw bucket
-    totals), the p̂ fit (target bucket totals) and the scoring pass as
-    three state-table-sized re-aggregations. At 100 TB persist that
-    table as parquet instead — it is the reusable pipeline
-    intermediate, smaller than the corpus and reused by every
-    re-fit. Measured: 3.25 → 2.09 s fresh-JVM on the sf0.1 bench row
-    (shipped fusion-only: 2.50 s under load ~3.7; the A/B's input
-    spread was dropped after sf1 stalls — SCALE.md postscript),
-    identical selection and λ (scripts/bench_dsir_lam_ab.py). Round
-    14 additionally fused the λ FIT itself
-    (:func:`dsir_logratio_fused`: one conditional-sum aggregate over
-    the checkpoint instead of two re-aggregations + a full_outer
-    join; interleaved fresh-JVM both orders: 7/12 round wins, warm
-    minima −9% sf0.1 / −8% sf1, identical output in all 12 children —
-    SCALE.md "dsir fused-λ fit")."""
-    feats_all = fused_bucket_counts(
-        raw_docs, target_docs, text_col, id_col, n_buckets, hasher
-    )
-    raw_feats = feats_all.filter(F.col("__side") == "r").select(
-        id_col, "bucket", "c"
-    )
-    # fused λ fit (round 14): one conditional-sum aggregate over the
-    # checkpoint replaces the two side-filtered re-aggregations + the
-    # full_outer join — see dsir_logratio_fused's docstring for the
-    # measured A/B; λ is byte-identical to the two-table path
-    lam = dsir_logratio_fused(feats_all, n_buckets, alpha).localCheckpoint(
-        eager=True
+    Composition (round-14 close — the sf1 stall fix; the fused
+    per-doc-checkpoint history is in OPTIMIZATION_r14.md and the
+    rejected-variant table in scripts/bench_dsir_row_ab.py):
+
+    - λ fit: :func:`dsir_logratio_direct` — one tagged-union gram
+      pass aggregated STRAIGHT to (bucket, ct, cr); map-side partial
+      aggregation makes the fit's exchange KB-sized at any corpus
+      size, and the only checkpoint is the ≤B-row totals table.
+    - scoring: :func:`doc_bucket_counts` over the raw corpus, lazy —
+      a single-consumer subtree ending in the one corpus-keyed
+      (id, bucket) shuffle, broadcast-λ join, per-id aggregate.
+
+    The raw corpus is tokenized twice (fit + scoring), both passes
+    row-local codegen. The earlier round-12/14 form tokenized once
+    into an eagerly-checkpointed per-doc feature table consumed by
+    both fit and scoring; at sf1 that checkpoint pinned ~428 MiB per
+    call (never freed across calls) and materialized through an
+    AQE-coalesced 1-task stage — measured erratic 12-88 s stalls on a
+    ~4.5 s row. The second tokenize is the cheaper side of that
+    trade, and at 100 TB the per-doc feature table — if reused across
+    re-fits — belongs in a parquet table, not an in-memory pin."""
+    # Round-14 close (the sf1 stall root cause, measured —
+    # OPTIMIZATION_r14.md "dsir stall"): the fused per-doc feature
+    # checkpoint pinned a corpus-proportional block set (~428 MiB per
+    # call at sf1) that the ContextCleaner never freed across calls,
+    # and its materialization ran as an AQE-coalesced 1-task stage —
+    # together the erratic 12-88 s full-row stalls. The per-doc
+    # granularity has exactly ONE consumer (scoring); the fit only
+    # ever needed (bucket, ct, cr). So: fit λ straight from the gram
+    # stream (fused_bucket_totals — map-side partials make that
+    # exchange KB-sized, and its checkpoint ≤B rows), and let the
+    # scoring pass own its per-doc aggregate lazily (single consumer,
+    # no checkpoint, AQE free to plan it). Costs one extra row-local
+    # tokenize of the raw corpus; removes the pin, the 1-task
+    # materialization, and the corpus-proportional fit exchange.
+    # λ and the selection are byte-identical (integer-count
+    # commutativity, pinned by test + registry hash).
+    lam = dsir_logratio_direct(
+        raw_docs, target_docs, text_col, n_buckets, alpha, hasher
+    ).localCheckpoint(eager=True)
+    raw_feats = doc_bucket_counts(
+        raw_docs, text_col, id_col, n_buckets, hasher
     )
     scores = dsir_scores(raw_feats, lam, id_col)
     return dsir_resample(scores, k, id_col, salt, temperature), lam

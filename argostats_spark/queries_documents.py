@@ -3685,11 +3685,11 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness-tier suite, not a headline bench row, and the
     driver's sf0.01 build is subsecond."""
     from .operators.dsir import (
-        dsir_logratio_fused,
+        dsir_logratio_direct,
         dsir_resample,
         dsir_scores,
         dsir_select,
-        fused_bucket_counts,
+        doc_bucket_counts,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -3697,13 +3697,15 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = d.where(F.col("source") == "src0")
     k = 100
     n_buckets = 4096
-    feats = fused_bucket_counts(raw, tgt, "text", "doc_id", n_buckets,
-                                hasher="xxhash64")
-    raw_feats = feats.filter(F.col("__side") == "r").select(
-        "doc_id", "bucket", "c"
-    )
-    lam = dsir_logratio_fused(feats, n_buckets, 1.0).localCheckpoint(
-        eager=True
+    # same composition as the shipped dsir_select (round-14 close: λ
+    # straight from gram totals, per-doc features lazy in the scoring
+    # subtree — the corpus-proportional checkpoint pin was the sf1
+    # stall; OPTIMIZATION_r14.md), in the PRODUCTION hash family
+    lam = dsir_logratio_direct(
+        raw, tgt, "text", n_buckets, 1.0, hasher="xxhash64"
+    ).localCheckpoint(eager=True)
+    raw_feats = doc_bucket_counts(
+        raw, "text", "doc_id", n_buckets, hasher="xxhash64"
     )
     scores = dsir_scores(raw_feats, lam, "doc_id").localCheckpoint(
         eager=True

@@ -822,16 +822,20 @@ def main() -> None:
         errors["limbs:dedup_groups_lsh"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # dsir_select stage attribution (round 10; restructured round 12
-    # with the fused fit): 'cum_feats' is the FUSED feature pass alone
-    # (one union explode + (side, id, bucket) aggregate, eager
-    # checkpoint included — operators/dsir.py::fused_bucket_counts),
-    # 'cum_lam' adds both totals + the λ join; the headline row adds
-    # scoring + Gumbel TakeOrdered on top. Attribution only, not a
-    # tripwire.
+    # with the fused fit; re-mirrored at the round-14 close when the
+    # shipped composition dropped the per-doc feature checkpoint — the
+    # sf1 stall fix, OPTIMIZATION_r14.md): 'cum_feats' is the SCORING
+    # feature pass alone (doc_bucket_counts over the raw corpus — the
+    # one corpus-keyed shuffle the row does), 'cum_lam' is the full λ
+    # fit (tagged-union gram pass aggregated straight to (bucket, ct,
+    # cr) + λ arithmetic); the headline row adds the broadcast-λ
+    # scoring join + Gumbel TakeOrdered on top of both. Attribution
+    # only, not a tripwire; the limb names keep their round-10 stage
+    # meanings (features / fit) against the new composition.
     try:
         from argostats_spark.operators.dsir import (
-            dsir_logratio_fused,
-            fused_bucket_counts,
+            doc_bucket_counts,
+            dsir_logratio_direct,
         )
         from pyspark.sql import functions as _F2
 
@@ -841,21 +845,22 @@ def main() -> None:
         sub = {}
 
         def _feats():
-            # eager checkpoint: the work happens inside the call
-            return fused_bucket_counts(raw, tgt, "text", "doc_id", 4096)
+            # the scoring-side per-doc aggregate, exactly as the row
+            # plans it (lazy, single consumer — noop materializes it)
+            return doc_bucket_counts(raw, "text", "doc_id", 4096)
 
         def _lam():
-            # mirrors the shipped dsir_select composition (round 14:
-            # the fused one-aggregate λ fit, dsir_logratio_fused)
-            return dsir_logratio_fused(_feats(), 4096, 1.0)
+            # mirrors the shipped dsir_select fit (round-14 close:
+            # dsir_logratio_direct — totals checkpoint included)
+            return dsir_logratio_direct(raw, tgt, "text", 4096, 1.0)
 
         def _feats_xxh():
             # the PRODUCTION hash family (VERDICT r13 item 3): the
             # registry row keeps md5 (the oracle contract), so this
             # attribution row is where the committed artifact shows
             # the number users actually get at 100 TB
-            return fused_bucket_counts(
-                raw, tgt, "text", "doc_id", 4096, hasher="xxhash64"
+            return doc_bucket_counts(
+                raw, "text", "doc_id", 4096, hasher="xxhash64"
             )
 
         sub["cum_feats"] = _stage(

@@ -86,6 +86,32 @@ elif variant in ("v_fused_eager", "v_fused_nockpt"):
             return out, floor
         return out
     dsir_mod.dsir_logratio_fused = _fused2
+elif variant == "v_bigckpt":
+    # the round-14.0 composition (pre-stall-fix): per-doc feature table
+    # eagerly checkpointed (corpus-proportional pin), fit + scoring
+    # both reading from it. NOTE: after the round-14 close restructure
+    # the shipped dsir_select no longer calls dsir_logratio_fused, so
+    # the v_twotable / v_fused_* patches above are HISTORICAL (they
+    # patch a function the shipped row no longer reaches); this variant
+    # rebuilds the old composition explicitly for A/B.
+    def _bigckpt_select(raw_docs, target_docs, k, text_col="text",
+                        id_col="doc_id", n_buckets=4096, alpha=1.0,
+                        salt="dsir", temperature=1.0, hasher="md5"):
+        feats_all = dsir_mod.fused_bucket_counts(
+            raw_docs, target_docs, text_col, id_col, n_buckets, hasher
+        )
+        raw_feats = feats_all.filter(F.col("__side") == "r").select(
+            id_col, "bucket", "c"
+        )
+        lam = dsir_mod.dsir_logratio_fused(
+            feats_all, n_buckets, alpha
+        ).localCheckpoint(eager=True)
+        scores = dsir_mod.dsir_scores(raw_feats, lam, id_col)
+        return (
+            dsir_mod.dsir_resample(scores, k, id_col, salt, temperature),
+            lam,
+        )
+    dsir_mod.dsir_select = _bigckpt_select
 elif variant != "v_fused":
     raise SystemExit(f"unknown variant {variant!r}")
 
@@ -101,15 +127,31 @@ def run():
     noop(QUERIES["dsir_select"](spark, SF_DIR))
 
 
+def _steal():
+    # column 9 of /proc/stat cpu line: cumulative stolen jiffies — the
+    # round-14 close found multi-vCPU steal bursts from a noisy host
+    # neighbor behind every "erratic stall"; a child that ran through
+    # one is adjudicated by this delta, not believed
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 run()  # untimed warm
 singles = []
+steals = []
 for _ in range(4):
+    s0 = _steal()
     t0 = time.perf_counter()
     run()
     singles.append(round(time.perf_counter() - t0, 3))
+    steals.append(_steal() - s0)
 load_after = os.getloadavg()
 print("CHILD_RESULT " + json.dumps({
     "variant": variant, "min_sec": min(singles), "singles": singles,
+    "steal_jiffies_per_single": steals,
     "load_before_1m": round(load_before[0], 2),
     "load_after_1m": round(load_after[0], 2),
 }))

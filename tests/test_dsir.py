@@ -350,3 +350,60 @@ def test_score_rows_zero_token_doc_null_logw(spark):
     for i in (11, 12):
         assert rows[i]["n_grams"] == 0
         assert rows[i]["logw"] is None
+
+
+def test_logratio_direct_equals_fused_per_doc_path(spark):
+    """Round-14 close (the sf1 stall fix): dsir_logratio_direct — λ
+    straight from the tagged gram stream, no per-doc intermediate —
+    must produce the EXACT λ table (values and floor) of the
+    per-doc-checkpoint path (dsir_logratio_fused over
+    fused_bucket_counts), in both hash families and with a
+    non-default alpha. The conditional bucket sums commute with the
+    per-doc aggregation, so any divergence is a bug, not tolerance."""
+    from argostats_spark.operators.dsir import (
+        dsir_logratio_direct,
+        dsir_logratio_fused,
+        fused_bucket_counts,
+    )
+
+    raw = _dialect_corpus(spark)
+    tgt = _target(spark)
+    for hasher in ("md5", "xxhash64"):
+        for alpha in (1.0, 0.25):
+            feats = fused_bucket_counts(raw, tgt, n_buckets=B, hasher=hasher)
+            want, want_floor = dsir_logratio_fused(
+                feats, B, alpha, return_floor=True
+            )
+            got, got_floor = dsir_logratio_direct(
+                raw, tgt, "text", B, alpha, hasher, return_floor=True
+            )
+            assert got_floor == want_floor
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            )
+
+
+def test_fused_bucket_totals_match_per_doc_reaggregation(spark):
+    """The direct (bucket, ct, cr) totals equal the re-aggregated
+    per-doc feature table bucket-for-bucket (NULL where a side never
+    hits a bucket), i.e. the stall fix changed the materialization
+    shape, not a single count."""
+    from pyspark.sql import functions as F
+    from argostats_spark.operators.dsir import (
+        fused_bucket_counts,
+        fused_bucket_totals,
+    )
+
+    raw = _dialect_corpus(spark)
+    tgt = _target(spark)
+    want = sorted(map(tuple, (
+        fused_bucket_counts(raw, tgt, n_buckets=B)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__side") == "t", F.col("c"))).alias("ct"),
+            F.sum(F.when(F.col("__side") == "r", F.col("c"))).alias("cr"),
+        )
+        .collect()
+    )))
+    got = sorted(map(tuple, fused_bucket_totals(raw, tgt, n_buckets=B).collect()))
+    assert got == want
