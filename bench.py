@@ -178,6 +178,7 @@ def _measure_single(row: str) -> dict:
     if row not in QUERIES and row not in _ARGO_ROWS:
         raise SystemExit(f"_measure_single: unknown row {row!r}")
     load_before = os.getloadavg()
+    steal_before = _steal_jiffies()
     spark = get_spark(app_name=f"bench_row_{row}")
 
     def warm_min(fn, runs: int = 3) -> float:
@@ -310,6 +311,7 @@ def _measure_single(row: str) -> dict:
         "sec": round(sec, 3),
         "load_before_1m": round(load_before[0], 2),
         "load_after_1m": round(load_after[0], 2),
+        "steal_jiffies": _steal_jiffies() - steal_before,
     }
 
 
@@ -457,6 +459,33 @@ def _remeasure_flagged(
     return results
 
 
+def _steal_jiffies() -> int:
+    """Cumulative stolen-CPU jiffies (column 9 of /proc/stat's cpu
+    line). Round-14 close: the session's 'erratic stalls' were
+    root-caused to hypervisor steal bursts (up to ~18k jiffies / 5 s —
+    ~37 vCPU-equivalents), which NO load-average gate can see: loadavg
+    counts this guest's runnable threads, not the hypervisor's theft.
+    Each serialized child records its steal delta so classify_flags
+    can refuse to blame a plan for a stolen-CPU window (SCALE.md
+    'dsir per-doc checkpoint removed')."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def _adjudicate_steal() -> int:
+    """Steal ceiling (jiffies over the remeasure's whole run) for a
+    remeasure to COUNT as adjudication. Default 1000 (= 10 stolen
+    CPU-seconds): the measured quiet-window baseline is 1-550 per
+    child; every observed contaminated child carried 12k-18k."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_ADJUDICATE_STEAL", "1000"))
+    except ValueError:
+        return 1000
+
+
 def _adjudicate_load() -> float:
     """Load ceiling for a remeasure to COUNT as adjudication (VERDICT
     r12 item 2). Stricter than the 3.0 launch gate: the r12 artifact's
@@ -508,6 +537,16 @@ def classify_flags(
                 f"isolated remeasure ran at 1-min load {load} > "
                 f"adjudication ceiling {adjudicate_load} (box, not plan, "
                 "until a quiet-box remeasure says otherwise)"
+            )
+        elif r.get("steal_jiffies", 0) > _adjudicate_steal():
+            # round-14 close: hypervisor steal bursts are invisible to
+            # loadavg; a remeasure that ran through one measured the
+            # neighbor, not the plan. Older artifacts without the
+            # field replay unchanged (missing -> 0 -> no new branch).
+            why = (
+                f"isolated remeasure ran through a CPU-steal burst "
+                f"({r['steal_jiffies']} stolen jiffies > ceiling "
+                f"{_adjudicate_steal()}; box, not plan)"
             )
         else:
             confirmed[name] = info

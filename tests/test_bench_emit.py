@@ -206,3 +206,28 @@ def test_committed_artifact_lines_would_pass(bench):
         bench._emit_check(json.dumps(payload), 4000)
         checked += 1
     assert checked >= 1
+
+
+def test_classify_flags_steal_burst_is_unadjudicated(bench):
+    """Round-14 close: a remeasure that ran through a hypervisor
+    CPU-steal burst (invisible to loadavg) must NOT confirm a
+    regression — and artifacts that predate the steal field replay
+    exactly as before (missing field == no steal evidence == the
+    load rule decides alone)."""
+    flagged = {
+        "stolen": {"prev_sec": 1.0, "now_sec": 3.0, "ratio": 3.0},
+        "quiet": {"prev_sec": 1.0, "now_sec": 3.0, "ratio": 3.0},
+        "legacy": {"prev_sec": 1.0, "now_sec": 3.0, "ratio": 3.0},
+    }
+    remeasured = {
+        # quiet load but a 16k-jiffy steal burst: box, not plan
+        "stolen": {"load_before_1m": 0.2, "steal_jiffies": 16705},
+        # quiet load, quiet steal: confirmed
+        "quiet": {"load_before_1m": 0.2, "steal_jiffies": 85},
+        # pre-r14 artifact shape (no steal field): load rule decides
+        "legacy": {"load_before_1m": 0.2},
+    }
+    confirmed, unadj = bench.classify_flags(flagged, remeasured, 1.0)
+    assert set(confirmed) == {"quiet", "legacy"}
+    assert set(unadj) == {"stolen"}
+    assert "steal" in unadj["stolen"]["why"]
