@@ -35,21 +35,24 @@ Scale shape (the point of the Spark re-expression):
   (id, bucket) aggregate;
 - the fitted model is a ≤B-row λ table (B defaults to 4096; the paper
   uses 10k) — broadcast back, never a corpus reshuffle;
-- the fit aggregates the gram stream STRAIGHT to (bucket, ct, cr)
-  with map-side partials (KB exchange at any corpus size; the only
-  pinned intermediate is that ≤B-row table), and the scoring pass
-  owns its per-doc (id, bucket) aggregate lazily — one consumer, no
-  checkpoint (at 100 TB a REUSED per-doc feature table belongs in a
-  parquet table, not an in-memory pin — see dsir_select's docstring
-  for the measured sf1 stall that taught this);
+- the fit and the scoring pass SHARE one lazy per-doc (id, bucket)
+  aggregate: the fit's raw side re-aggregates it to (bucket, cr)
+  (map-side partials → ≤B rows per mapper), the target side is one
+  gram pass, the corpus totals are window sums over the ≤B-row
+  table — no collect, no checkpoint, so every consumer compiles into
+  ONE physical plan and AQE stage reuse tokenizes the raw corpus
+  ONCE per action (at 100 TB a REUSED-ACROSS-JOBS per-doc feature
+  table belongs in a parquet table, not an in-memory pin — see
+  dsir_select's docstring for the measured sf1 stall that taught
+  this);
 - selection is orderBy(...).limit(k) — TakeOrdered (per-partition
   top-k, then a k-row driver merge), never a global sort.
 
-Shuffle inventory: fit 1 (B-bounded — map-side partials collapse the
-tagged gram stream to ≤B rows per mapper), per-doc features 1 (keyed
-(id, bucket)), scoring 1 (keyed id). Nothing quadratic, nothing driver-side
-except the k selected rows, two scalar totals, and (for the
-streaming path) the B-float dense model.
+Shuffle inventory: per-doc features 1 (keyed (id, bucket), shared by
+scoring and the fit via stage reuse), fit 1 (B-bounded — map-side
+partials collapse the tagged union to ≤B rows per mapper), scoring 1
+(keyed id). Nothing quadratic, nothing driver-side except the k
+selected rows and (for the streaming path) the B-float dense model.
 
 Score-at-ingest: :func:`dsir_score_rows` applies the trained model as
 a ZERO-shuffle ZERO-state row-local expression (the model is a
@@ -76,6 +79,7 @@ __all__ = [
     "dsir_logratio",
     "dsir_logratio_fused",
     "dsir_logratio_direct",
+    "dsir_logratio_shared",
     "dsir_scores",
     "gumbel_key",
     "dsir_resample",
@@ -174,10 +178,23 @@ def doc_bucket_counts(
 ) -> DataFrame:
     """Per-document hashed-ngram feature vector in sparse (id, bucket,
     c) form. One explode (row-local) + one (id, bucket) aggregate —
-    the only corpus-keyed shuffle DSIR ever does with document text."""
+    the only corpus-keyed shuffle DSIR ever does with document text.
+
+    The explicit ``isnotnull(bucket)`` filter is a row-wise no-op
+    (the bucket hash of a non-null gram is never NULL) placed for
+    PLAN CANONICALIZATION: an inner join on ``bucket`` downstream
+    pushes exactly this predicate into joined copies of the subtree
+    but not into non-join consumers (e.g. a totals aggregate), and
+    that asymmetry defeats AQE stage reuse between
+    :func:`dsir_select`'s scoring and fit references — the raw corpus
+    would be tokenized once per divergent copy. With the filter
+    explicit, every consumer sees the same canonical subtree and the
+    join-inferred duplicate is pruned by constraint propagation
+    (plan-pinned in tests)."""
     return (
         gram_rows(docs, text_col, [id_col])
         .select(id_col, _bucket_of(F.col("gram"), n_buckets, hasher))
+        .where(F.col("bucket").isNotNull())
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -420,6 +437,102 @@ def fused_bucket_totals(
     )
 
 
+def _lam_from_both_lazy(
+    both: DataFrame,
+    n_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """:func:`_lam_from_both` with the corpus totals attached as a
+    broadcast 1-row cross join instead of a driver ``collect`` — the
+    whole fit stays LAZY, so a consumer that also references the
+    fit's input subtree (``dsir_select``'s scoring pass) compiles
+    into ONE physical plan and Spark's ReusedExchange computes the
+    shared corpus exchange once. Arithmetic is IEEE-identical to the
+    collect path: the totals are exact longs (< 2⁵³), cast to double
+    and added to the same ``alpha * n_buckets`` literal, feeding the
+    same log-ratio expression — pinned by equivalence test."""
+    # corpus totals as UNPARTITIONED window sums over the ≤B-row
+    # aggregate (not a collect — that would force a second action and
+    # kill cross-consumer stage reuse; not a broadcast cross join —
+    # that adds two sequential stage materializations to the λ
+    # broadcast's critical path, measured +0.3-0.5 s on the bench
+    # row). A single-partition window over ≤4096 rows is KBs of work.
+    wall = W.partitionBy()
+    j = both.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.sum("ct").over(wall).alias("__t_tot"),
+        F.sum("cr").over(wall).alias("__r_tot"),
+    )
+    denom_t = F.coalesce(F.col("__t_tot"), F.lit(0)).cast(
+        "double"
+    ) + F.lit(alpha * n_buckets)
+    denom_r = F.coalesce(F.col("__r_tot"), F.lit(0)).cast(
+        "double"
+    ) + F.lit(alpha * n_buckets)
+    lam = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(alpha))
+        / denom_t
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(alpha))
+        / denom_r
+    )
+    return j.select("bucket", lam.alias("lam"))
+
+
+def dsir_logratio_shared(
+    raw_feats: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Fit λ with the RAW side derived from an existing per-doc
+    feature table (``doc_bucket_counts`` output) instead of a second
+    raw-corpus gram pass, fully lazily: cr = Σ_doc c re-aggregated
+    from ``raw_feats`` (map-side partials collapse it to ≤B rows per
+    mapper), ct from one target gram pass, unioned and re-grouped to
+    the same (bucket, ct, cr) table :func:`fused_bucket_totals`
+    produces — identical integer counts by commutativity of the sums,
+    identical NULL semantics (a bucket absent on one side sums to
+    NULL → coalesce(·, 0), exactly the tagged-union conditional
+    sums). No checkpoint and no collect anywhere in the subtree: when
+    the caller ALSO consumes ``raw_feats`` (scoring), both references
+    canonicalize to the same exchange and the raw corpus is tokenized
+    ONCE per action (plan-pinned in tests)."""
+    tgt_grams = (
+        gram_rows(target_docs, text_col, [])
+        .select(_bucket_of(F.col("gram"), n_buckets, hasher))
+        # same canonicalization no-op as doc_bucket_counts: keep every
+        # copy of this subtree identical whether or not a join pushes
+        # isnotnull(bucket) into it, so AQE stage reuse always fires
+        .where(F.col("bucket").isNotNull())
+        .select("bucket", F.lit(1).cast("long").alias("c"),
+                F.lit("t").alias("__side"))
+    )
+    raw_bucket_counts = raw_feats.select(
+        "bucket", "c", F.lit("r").alias("__side")
+    )
+    # ONE conditional-sum aggregate over the tagged union — the same
+    # (bucket, ct, cr) arithmetic as fused_bucket_totals (map-side
+    # partials collapse each mapper to ≤B rows), with the raw side
+    # riding the scoring pass's per-doc aggregate instead of a second
+    # gram pass. sum(when(side, c)) leaves a bucket unseen on one side
+    # NULL → the λ arithmetic's coalesce(·, 0), exactly the tagged
+    # gram-stream form.
+    both = (
+        tgt_grams.unionByName(raw_bucket_counts)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__side") == "t", F.col("c"))).alias("ct"),
+            F.sum(F.when(F.col("__side") == "r", F.col("c"))).alias("cr"),
+        )
+    )
+    return _lam_from_both_lazy(both, n_buckets, alpha)
+
+
 def dsir_logratio_direct(
     raw_docs: DataFrame,
     target_docs: DataFrame,
@@ -519,48 +632,54 @@ def dsir_select(
     raw documents (id, n_grams, logw, g, score, rank) and the fitted
     ≤B-row λ table (kept so callers can audit / reuse the model).
 
-    Composition (round-14 close — the sf1 stall fix; the fused
-    per-doc-checkpoint history is in OPTIMIZATION_r14.md and the
-    rejected-variant table in scripts/bench_dsir_row_ab.py):
+    Composition (round-14 continuation — the one-plan shared-exchange
+    fit; the fused per-doc-checkpoint and direct-2-tokenize histories
+    are in OPTIMIZATION_r14.md and the rejected-variant table in
+    scripts/bench_dsir_row_ab.py):
 
-    - λ fit: :func:`dsir_logratio_direct` — one tagged-union gram
-      pass aggregated STRAIGHT to (bucket, ct, cr); map-side partial
-      aggregation makes the fit's exchange KB-sized at any corpus
-      size, and the only checkpoint is the ≤B-row totals table.
-    - scoring: :func:`doc_bucket_counts` over the raw corpus, lazy —
-      a single-consumer subtree ending in the one corpus-keyed
-      (id, bucket) shuffle, broadcast-λ join, per-id aggregate.
+    - scoring features: :func:`doc_bucket_counts` over the raw
+      corpus, lazy — the one corpus-keyed (id, bucket) shuffle.
+    - λ fit: :func:`dsir_logratio_shared` — the raw side is that SAME
+      per-doc subtree re-aggregated to (bucket, cr) (map-side partials
+      → ≤B rows per mapper); the target side is one gram pass; the
+      corpus totals ride a broadcast 1-row cross join instead of a
+      driver collect, so NOTHING here is eager.
+    - everything — fit, broadcast-λ scoring join, Gumbel TakeOrdered —
+      compiles into ONE physical plan per consuming action, and
+      Spark's ReusedExchange/AQE stage reuse computes the corpus
+      exchange once: the raw corpus is tokenized ONCE (plan-pinned).
 
-    The raw corpus is tokenized twice (fit + scoring), both passes
-    row-local codegen. The earlier round-12/14 form tokenized once
-    into an eagerly-checkpointed per-doc feature table consumed by
-    both fit and scoring; at sf1 that checkpoint pinned ~428 MiB per
-    call (never freed across calls) and materialized through an
-    AQE-coalesced 1-task stage — measured erratic 12-88 s stalls on a
-    ~4.5 s row. The second tokenize is the cheaper side of that
-    trade, and at 100 TB the per-doc feature table — if reused across
-    re-fits — belongs in a parquet table, not an in-memory pin."""
-    # Round-14 close (the sf1 stall root cause, measured —
-    # OPTIMIZATION_r14.md "dsir stall"): the fused per-doc feature
-    # checkpoint pinned a corpus-proportional block set (~428 MiB per
-    # call at sf1) that the ContextCleaner never freed across calls,
-    # and its materialization ran as an AQE-coalesced 1-task stage —
-    # together the erratic 12-88 s full-row stalls. The per-doc
-    # granularity has exactly ONE consumer (scoring); the fit only
-    # ever needed (bucket, ct, cr). So: fit λ straight from the gram
-    # stream (fused_bucket_totals — map-side partials make that
-    # exchange KB-sized, and its checkpoint ≤B rows), and let the
-    # scoring pass own its per-doc aggregate lazily (single consumer,
-    # no checkpoint, AQE free to plan it). Costs one extra row-local
-    # tokenize of the raw corpus; removes the pin, the 1-task
-    # materialization, and the corpus-proportional fit exchange.
-    # λ and the selection are byte-identical (integer-count
-    # commutativity, pinned by test + registry hash).
-    lam = dsir_logratio_direct(
-        raw_docs, target_docs, text_col, n_buckets, alpha, hasher
-    ).localCheckpoint(eager=True)
+    History (both measured, scripts/bench_dsir_row_ab.py): the
+    round-12/14 form tokenized once into an eagerly-checkpointed
+    per-doc feature table — at sf1 that pinned ~428 MiB per call
+    (never freed across calls) and materialized through an
+    AQE-coalesced 1-task stage, erratic 12-88 s stalls on a ~4.5 s
+    row. The round-14-close form fixed the pin by re-tokenizing the
+    raw corpus for the fit — steal-quiet that costs +1.0-1.3 s on a
+    2.7 s row at sf0.1 (the md5 gram pass IS the row's dominant
+    cost). This form has neither: the sharing rides the shuffle files
+    the scoring pass writes anyway — disk-backed, multi-task,
+    lifecycle-managed by the shuffle machinery, valid at any corpus
+    size."""
+    from ..session import spread_for_cpu
+
+    # Input spread (round-14 continuation; see spread_for_cpu's
+    # adoption protocol): a compact parquet corpus lands as ONE input
+    # split, so the gram explode + per-gram hash — the row's dominant
+    # cost — ran single-task on an idle 32-core box. The round-12
+    # decline of this spread applied to the CHECKPOINTED composition
+    # (the RoundRobin text shuffle interleaved with the eager per-doc
+    # checkpoint write); this composition is one lazy plan with one
+    # action, the spread shuffle moves only the raw input bytes, and
+    # the gate makes it a no-op whenever the scan's own splits already
+    # cover the cores (any real 100 TB layout).
+    raw_docs = spread_for_cpu(raw_docs)
+    target_docs = spread_for_cpu(target_docs)
     raw_feats = doc_bucket_counts(
         raw_docs, text_col, id_col, n_buckets, hasher
+    )
+    lam = dsir_logratio_shared(
+        raw_feats, target_docs, text_col, n_buckets, alpha, hasher
     )
     scores = dsir_scores(raw_feats, lam, id_col)
     return dsir_resample(scores, k, id_col, salt, temperature), lam

@@ -3685,7 +3685,7 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness-tier suite, not a headline bench row, and the
     driver's sf0.01 build is subsecond."""
     from .operators.dsir import (
-        dsir_logratio_direct,
+        dsir_logratio_shared,
         dsir_resample,
         dsir_scores,
         dsir_select,
@@ -3697,16 +3697,27 @@ def dsir_xxh_limb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = d.where(F.col("source") == "src0")
     k = 100
     n_buckets = 4096
-    # same composition as the shipped dsir_select (round-14 close: λ
-    # straight from gram totals, per-doc features lazy in the scoring
-    # subtree — the corpus-proportional checkpoint pin was the sf1
-    # stall; OPTIMIZATION_r14.md), in the PRODUCTION hash family
-    lam = dsir_logratio_direct(
-        raw, tgt, "text", n_buckets, 1.0, hasher="xxhash64"
-    ).localCheckpoint(eager=True)
+    # same composition as the shipped dsir_select (round-14
+    # continuation: one-plan shared-exchange fit + input spread —
+    # fit and scoring share the per-doc aggregate via stage reuse,
+    # window-sum totals, nothing eager; OPTIMIZATION_r14.md "dsir
+    # one-plan shared-exchange fit"), in the PRODUCTION hash family.
+    # The per-doc scores stay eagerly checkpointed: unlike the
+    # shipped row (one consumer chain), FIVE invariant aggregates
+    # below read them, and this is a correctness-tier limb, not a
+    # bench row.
+    raw_s = spread_for_cpu(raw)
     raw_feats = doc_bucket_counts(
-        raw, "text", "doc_id", n_buckets, hasher="xxhash64"
+        raw_s, "text", "doc_id", n_buckets, hasher="xxhash64"
     )
+    # λ checkpointed here (≤B rows) because this limb, unlike the
+    # shipped row, consumes it across TWO actions (the scores
+    # checkpoint and the lam_ok invariant) — stage reuse never spans
+    # actions, so without the pin lam_ok would re-pay a corpus pass
+    lam = dsir_logratio_shared(
+        raw_feats, spread_for_cpu(tgt), "text", n_buckets, 1.0,
+        hasher="xxhash64",
+    ).localCheckpoint(eager=True)
     scores = dsir_scores(raw_feats, lam, "doc_id").localCheckpoint(
         eager=True
     )

@@ -861,26 +861,29 @@ def main() -> None:
         errors["limbs:dedup_groups_lsh"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # dsir_select stage attribution (round 10; restructured round 12
-    # with the fused fit; re-mirrored at the round-14 close when the
-    # shipped composition dropped the per-doc feature checkpoint — the
-    # sf1 stall fix, OPTIMIZATION_r14.md): 'cum_feats' is the SCORING
-    # feature pass alone (doc_bucket_counts over the raw corpus — the
-    # one corpus-keyed shuffle the row does), 'cum_lam' is the full λ
-    # fit (tagged-union gram pass aggregated straight to (bucket, ct,
-    # cr) + λ arithmetic); the headline row adds the broadcast-λ
-    # scoring join + Gumbel TakeOrdered on top of both. Attribution
-    # only, not a tripwire; the limb names keep their round-10 stage
-    # meanings (features / fit) against the new composition.
+    # with the fused fit; re-mirrored twice in round 14 — at the close
+    # when the per-doc checkpoint was dropped, and in the continuation
+    # when the shipped composition became the ONE-PLAN shared-exchange
+    # form with the input spread, OPTIMIZATION_r14.md): 'cum_feats' is
+    # the SCORING feature pass exactly as the row plans it (input
+    # spread + doc_bucket_counts — the one corpus-keyed shuffle),
+    # 'cum_lam' is the full λ fit standalone (in the row its raw side
+    # rides the scoring exchange via stage reuse; standalone it pays
+    # its own feature pass, so cum_feats + cum_lam > row is expected);
+    # the headline row adds the broadcast-λ scoring join + Gumbel
+    # TakeOrdered. Attribution only, not a tripwire; the limb names
+    # keep their round-10 stage meanings (features / fit).
     try:
         from argostats_spark.operators.dsir import (
             doc_bucket_counts,
-            dsir_logratio_direct,
+            dsir_logratio_shared,
         )
+        from argostats_spark.session import spread_for_cpu
         from pyspark.sql import functions as _F2
 
         d_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        raw = d_docs.where(_F2.col("source") != "src0")
-        tgt = d_docs.where(_F2.col("source") == "src0")
+        raw = spread_for_cpu(d_docs.where(_F2.col("source") != "src0"))
+        tgt = spread_for_cpu(d_docs.where(_F2.col("source") == "src0"))
         sub = {}
 
         def _feats():
@@ -889,9 +892,13 @@ def main() -> None:
             return doc_bucket_counts(raw, "text", "doc_id", 4096)
 
         def _lam():
-            # mirrors the shipped dsir_select fit (round-14 close:
-            # dsir_logratio_direct — totals checkpoint included)
-            return dsir_logratio_direct(raw, tgt, "text", 4096, 1.0)
+            # mirrors the shipped dsir_select fit (round-14
+            # continuation: dsir_logratio_shared over the scoring
+            # pass's per-doc aggregate)
+            return dsir_logratio_shared(
+                doc_bucket_counts(raw, "text", "doc_id", 4096),
+                tgt, "text", 4096, 1.0,
+            )
 
         def _feats_xxh():
             # the PRODUCTION hash family (VERDICT r13 item 3): the

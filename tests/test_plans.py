@@ -348,6 +348,30 @@ def test_dsir_take_ordered_and_broadcast_lambda(spark, sf):
     assert "SortMergeJoin" not in plan, plan[:1600]
 
 
+def test_dsir_select_tokenizes_each_corpus_once(spark, sf):
+    """Round-14 continuation: dsir_select's fit and scoring share ONE
+    lazy per-doc feature subtree, and the whole row (selection + λ
+    top-10) is one physical plan — AQE stage reuse must therefore run
+    the raw-corpus gram pass ONCE and the target pass ONCE. The
+    EXECUTED (final adaptive) plan is the contract: exactly two
+    parquet scans / two explodes, and at least one ReusedExchange
+    (the shared corpus exchange). A canonicalization drift — e.g. a
+    join-pushed isnotnull(bucket) present in one copy of the subtree
+    but not another (the exact bug the explicit filter in
+    doc_bucket_counts guards) — re-tokenizes the corpus once per
+    divergent copy and fails here."""
+    df = QUERIES["dsir_select"](spark, sf)
+    # collect() (not a noop write, which plans its own QueryExecution)
+    # so THIS df's adaptive plan is the one that finalizes
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 2, final[:2000]
+    assert final.count("Generate") == 2, final[:2000]
+    assert "ReusedExchange" in final, final[:2000]
+
+
 def test_bpe_encode_broadcasts_vocab(spark, sf):
     """bpe_subwords' encode path must join the corpus tokens against
     the trained word->subwords map as a broadcast hash join — never a
@@ -446,7 +470,10 @@ def test_global_window_sites_are_inventoried():
     - queries_documents.py (2): dsir bucket_rows (limit 10 → rank),
       bpe sw_rows (limit 50 → rank);
     - queries.py (1): stats_suite lm_ap pop sum (<= 10 decile rows);
-    - operators/dsir.py: top-k rank over a limit(k) frame;
+    - operators/dsir.py (2): top-k rank over a limit(k) frame, and
+      the λ fit's corpus-totals window sums over the ≤B-row
+      (bucket, ct, cr) aggregate (round-14 continuation — replaces
+      the totals collect so the whole fit stays lazy in one plan);
     - operators/bpe.py: subword-id rank over the VOCABULARY table;
     - operators/profile.py (3): key_skew_report rank over limit(top)
       rows, plus equi_depth_histogram's two conditional by=None
@@ -472,7 +499,7 @@ def test_global_window_sites_are_inventoried():
             found[str(p.relative_to(pkg))] = n
     assert found == {
         "operators/bpe.py": 1,
-        "operators/dsir.py": 1,
+        "operators/dsir.py": 2,
         "operators/profile.py": 3,
         "operators/textstats.py": 1,
         "queries.py": 1,
