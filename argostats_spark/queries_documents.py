@@ -1015,7 +1015,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
     )
-    pairs = q.join(e, F.col("vec_id") != F.col("qid")).select(
+    # spread_for_cpu on the PROBE side only (round-14 continuation):
+    # a compact embeddings parquet is one input split, so the 10×N
+    # 64-dim cosine folds — this row's dominant cost — ran as a single
+    # task. The query side stays unspread (10 broadcast rows). One
+    # action, spread paid once; gated no-op when the scan's splits
+    # already cover the cores. Measured fresh-JVM interleaved
+    # (scripts/bench_row_spread_ab.py): 1.28/1.37 → 0.91/0.80 s min
+    # at sf0.1 (−35-40%), identical rows.
+    pairs = q.join(spread_for_cpu(e), F.col("vec_id") != F.col("qid")).select(
         "qid", "vec_id",
         F.round(cosine_similarity("qv", "embedding"), 5).alias("sim"),
     )
