@@ -595,9 +595,10 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``tfidf``: per-source top-5 terms by smoothed TF-IDF
       (tf · (ln((1+N)/(1+df)) + 1), the sklearn smoothing), ranked
       with a deterministic (score DESC, term ASC) tiebreak. One
-      explode → one (source, term) shuffle; the per-term document-
-      frequency table is vocabulary-sized and broadcast back — the
-      corpus is never reshuffled a second time.
+      explode → one (source, doc, term) aggregate shared by the whole
+      suite → vocabulary-sized re-aggregations; df is a window count
+      over the (source, term) table — the corpus is never reshuffled
+      a second time.
     - ``lm_decile``: CCNet-style unigram language-model quality score
       (Wenzek et al. 2019): add-one-smoothed corpus unigram LM, each
       document scored by its mean negative log-probability, documents
@@ -618,34 +619,58 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides — so ties break on the term string in both engines; the ln()
     outputs are rounded (6/5 dp) in every hashed value.
     """
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source",
-        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
-    )
     # N = number of source collections, counted on the documents table
     # (NOT the exploded tokens — that would cost a full tokenize pass
     # for a scalar, and would silently exclude a source whose documents
     # are all token-less; the oracle counts the same way). NULL sources
     # are excluded to match SQL count(DISTINCT source) semantics —
     # DataFrame .distinct() would count NULL as a group and skew every
-    # idf on corpora with unattributed documents.
+    # idf on corpora with unattributed documents. This tiny
+    # column-pruned scan is the suite's ONLY eager prefix.
     n_src = (
         _t(spark, sf_dir, "documents")
         .where(F.col("source").isNotNull())
         .select("source").distinct().count()
     )
 
-    # tf is the suite's shared corpus aggregate: the tfidf ranking, the
-    # per-term df table AND (round 12) the LM's vocab table all derive
-    # from it — checkpoint it eagerly so each consumer reads the
-    # (|sources|x|vocab|)-sized materialization instead of re-running
-    # the corpus explode per lineage reference
-    tf = (
-        d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+    # ONE corpus tokenize for the whole suite (round-14 continuation —
+    # the dsir shared-exchange pattern applied here; the round-12 form
+    # tokenized twice: the eager tf checkpoint + the LM scoring pass).
+    # `base` is a per-(source, doc, tok) count aggregate whose exchange
+    # every consumer shares via AQE stage reuse: tf re-aggregates it to
+    # (source, tok), the LM scores from it per doc. Nothing below is
+    # eager (no checkpoint, no collect — the corpus totals ride window
+    # sums, df rides a window count), so the suite compiles into one
+    # physical plan and the executed plan has exactly one parquet scan
+    # of the corpus and one explode (plan-pinned). The
+    # isnotnull(tok) filter is a row-wise no-op for canonicalization:
+    # the LM's inner join on tok pushes exactly this predicate into
+    # its copies of the subtree, and a copy without it would diverge
+    # canonically and re-tokenize (the dsir lesson, dsir.py).
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+        .groupBy("source", "doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    dft = tf.groupBy("tok").agg(F.countDistinct("source").alias("df"))
-    scored = tf.join(F.broadcast(dft), "tok").withColumn(
+    tf = base.groupBy("source", "tok").agg(F.sum("c").alias("tf"))
+    # df as a WINDOW count over tf partitioned by tok, not a separate
+    # groupBy(tok) + broadcast join: tf has exactly one row per
+    # (source, tok), so count(source) over the tok partition IS
+    # count(DISTINCT source) with NULL skipped — and unlike a join
+    # against a derived aggregate, a window cannot be column-pruned
+    # into a canonically divergent second tokenize (measured: both a
+    # countDistinct aggregate and a count(source) aggregate were
+    # rewritten by the optimizer into distinct-(source, tok) subtrees
+    # that bypassed `base` and re-exploded the corpus).
+    wtok = W.partitionBy("tok")
+    scored = tf.withColumn(
+        "df", F.count(F.col("source")).over(wtok)
+    ).withColumn(
         "score",
         F.col("tf")
         * (F.log((F.lit(1.0) + F.lit(float(n_src))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
@@ -664,17 +689,35 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    from .operators.textstats import nll_deciles, unigram_lm_nll
+    from .operators.textstats import nll_deciles
 
-    # round 12: the LM's vocab table is the tf aggregate re-summed
-    # over sources — vocabulary-sized input, so the LM fit pays NO
-    # corpus pass of its own (3 corpus tokenizes → 2 in this suite;
-    # identical counts by construction: tf covers every document and
-    # the same tokenizer)
-    vocab_from_tf = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
-    nll, t_total, v_size = unigram_lm_nll(
-        _t(spark, sf_dir, "documents"), return_totals=True,
-        vocab_df=vocab_from_tf,
+    # The LM vocab is the tf aggregate re-summed over sources (round
+    # 12, kept); its smoothing totals T and V are unpartitioned window
+    # sums over the vocabulary-sized table — not a collect, so the fit
+    # stays lazy inside the one plan (the dsir λ-totals pattern). The
+    # per-doc score is the weighted form Σ c·m_nlp / Σ c over `base`,
+    # the same multiset sum as the round-12 avg over exploded
+    # occurrences — identical at 6 dp on every SF (verified
+    # row-for-row at sf0.001/0.01/0.1), the same rounding margin the
+    # DuckDB oracle's own avg already tolerates.
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    wall = W.partitionBy()
+    voc = vocab.select(
+        "tok", "c",
+        F.sum("c").over(wall).alias("__t"),
+        F.count(F.lit(1)).over(wall).alias("__v"),
+    )
+    m_nlp = -F.log(
+        (F.col("c") + F.lit(1.0)) / (F.col("__t") + F.col("__v")).cast("double")
+    )
+    nll = (
+        base.join(F.broadcast(voc.select("tok", m_nlp.alias("m_nlp"))), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("m_nlp")) / F.sum("c"), 6
+            ).alias("d_nll")
+        )
     )
     dec = nll_deciles(nll, exact=True)
     lm_rows = dec.groupBy("decile").agg(
@@ -686,9 +729,17 @@ def q_tfidf_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_nll").alias("score"),
     )
 
-    vocab_row = spark.createDataFrame(
-        [("vocab", "all", None, None, v_size, float(t_total))],
-        "part string, k1 string, k2 string, rnk bigint, n bigint, score double",
+    # the totals row as a lazy aggregate over the same vocab subtree
+    # (the round-12 form collected T and V to the driver and rebuilt
+    # them as a literal frame — an action that would break the
+    # one-plan stage reuse)
+    vocab_row = voc.agg(
+        F.lit("vocab").alias("part"),
+        F.lit("all").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("score"),
     )
 
     return tfidf_rows.unionByName(lm_rows).unionByName(vocab_row)

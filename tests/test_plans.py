@@ -372,6 +372,24 @@ def test_dsir_select_tokenizes_each_corpus_once(spark, sf):
     assert "ReusedExchange" in final, final[:2000]
 
 
+def test_tfidf_lm_suite_tokenizes_corpus_once(spark, sf):
+    """Round-14 continuation: the suite's tfidf, LM-decile and vocab
+    parts all derive from ONE lazy per-(source, doc, tok) aggregate —
+    the executed (final adaptive) plan must contain exactly one
+    corpus parquet scan and one explode, with the shared exchange
+    reused (the n_src scalar is a separate pruned scan outside this
+    plan). The round-12 form tokenized the corpus twice (eager tf
+    checkpoint + LM scoring pass)."""
+    df = QUERIES["tfidf_lm_suite"](spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final[:2000]
+    assert final.count("Generate") == 1, final[:2000]
+    assert "ReusedExchange" in final, final[:2000]
+
+
 def test_bpe_encode_broadcasts_vocab(spark, sf):
     """bpe_subwords' encode path must join the corpus tokens against
     the trained word->subwords map as a broadcast hash join — never a
@@ -467,8 +485,11 @@ def test_global_window_sites_are_inventoried():
     unbounded: guard it like equi_depth_histogram's max_global_rows).
 
     Current inventory (all windows over bounded frames unless noted):
-    - queries_documents.py (2): dsir bucket_rows (limit 10 → rank),
-      bpe sw_rows (limit 50 → rank);
+    - queries_documents.py (3): dsir bucket_rows (limit 10 → rank),
+      bpe sw_rows (limit 50 → rank), and tfidf_lm_suite's LM smoothing
+      totals T/V as window sums over the VOCABULARY-sized table
+      (round-14 continuation — replaces the totals collect so the
+      one-tokenize plan stays lazy);
     - queries.py (1): stats_suite lm_ap pop sum (<= 10 decile rows);
     - operators/dsir.py (2): top-k rank over a limit(k) frame, and
       the λ fit's corpus-totals window sums over the ≤B-row
@@ -503,5 +524,5 @@ def test_global_window_sites_are_inventoried():
         "operators/profile.py": 3,
         "operators/textstats.py": 1,
         "queries.py": 1,
-        "queries_documents.py": 2,
+        "queries_documents.py": 3,
     }, f"global-window inventory drifted: {found}"
