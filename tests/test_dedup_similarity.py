@@ -28,12 +28,21 @@ from argostats_spark.operators.similarity import (
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # unpersist on module teardown: a cached read of a base table is
+    # session-wide — CacheManager substitutes InMemoryTableScan for
+    # the same parquet read in every LATER module's plan, breaking
+    # from-parquet plan pins (found round 14: the dsir/tfidf
+    # one-tokenize pins failed full-suite only)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def _with_dups(spark, docs):

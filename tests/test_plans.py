@@ -359,7 +359,13 @@ def test_dsir_select_tokenizes_each_corpus_once(spark, sf):
     join-pushed isnotnull(bucket) present in one copy of the subtree
     but not another (the exact bug the explicit filter in
     doc_bucket_counts guards) — re-tokenizes the corpus once per
-    divergent copy and fails here."""
+    divergent copy and fails here.
+
+    The pin is the FROM-PARQUET executed plan: an earlier module's
+    still-cached read of the same table would substitute
+    InMemoryTableScan for the parquet scans and fail the count for a
+    reason that has nothing to do with this query's shape."""
+    spark.catalog.clearCache()
     df = QUERIES["dsir_select"](spark, sf)
     # collect() (not a noop write, which plans its own QueryExecution)
     # so THIS df's adaptive plan is the one that finalizes
@@ -379,7 +385,10 @@ def test_tfidf_lm_suite_tokenizes_corpus_once(spark, sf):
     corpus parquet scan and one explode, with the shared exchange
     reused (the n_src scalar is a separate pruned scan outside this
     plan). The round-12 form tokenized the corpus twice (eager tf
-    checkpoint + LM scoring pass)."""
+    checkpoint + LM scoring pass). From-parquet contract: clear any
+    cached reads of the corpus left by earlier modules (see the dsir
+    pin above)."""
+    spark.catalog.clearCache()
     df = QUERIES["tfidf_lm_suite"](spark, sf)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
