@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -211,60 +210,16 @@ def _measure_single(row: str) -> dict:
         from argostats_spark.operators.summary import build_summary
         from argostats_spark.sources.synthetic import make_raw
 
-        # shared preamble cache (VERDICT r12 item 8): five serialized
-        # argo children each rebuilt the same 30k-profile synthetic
-        # table (~deterministic — fixed params, no RNG state carried
-        # across calls). First child writes it to a param-keyed parquet
-        # dir (atomic via tmp+rename); later children read it. The
-        # MEASURED basis is unchanged either way: the input the timed
-        # stage consumes is the memory-.cache()'d frame materialized by
-        # count() below, exactly as before — only untimed setup wall
-        # moves. SPARK_GRAFT_ARGO_CACHE=off disables.
-        _cache = os.environ.get(
-            "SPARK_GRAFT_ARGO_CACHE", "/tmp/argostats_bench_argo_raw_240x125"
-        )
-        # make_raw's output partitioning: min(n_wmos, cores) partitions
-        # with each WMO's rows co-located. The parquet read-back
-        # coalesces small files into fewer partitions, so cache-hit
-        # children would time the same rows at LOWER task parallelism
-        # than cache-miss children (ADVICE r13); repartition the read
-        # to the same count, hashed on the WMO so per-float locality
-        # matches too. The shuffle lands in the untimed cache fill.
-        _n_parts = max(1, min(240, spark.sparkContext.defaultParallelism))
-        raw = None
-        if _cache != "off" and os.path.exists(os.path.join(_cache, "_SUCCESS")):
-            try:
-                # the WMO id column is named WMO in this schema (round-14
-                # fix: this read-back shipped repartitioning on
-                # "PLATFORM_NUMBER", a column that does not exist here —
-                # the AnalysisException fell into the except below and
-                # every child silently rebuilt, so the r13-ADVICE cache
-                # never actually hit)
-                raw = (
-                    spark.read.parquet(_cache)
-                    .repartition(_n_parts, "WMO")
-                    .cache()
-                )
-            except Exception:
-                raw = None
-        if raw is None:
-            raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
-            if _cache != "off":
-                # a dir without _SUCCESS is a dead write (ADVICE r13):
-                # unreadable above, and it used to block rewrites
-                # forever — treat it as absent
-                if os.path.exists(_cache) and not os.path.exists(
-                    os.path.join(_cache, "_SUCCESS")
-                ):
-                    shutil.rmtree(_cache, ignore_errors=True)
-                tmp = f"{_cache}.tmp.{os.getpid()}"
-                try:
-                    raw.write.mode("overwrite").parquet(tmp)
-                    os.rename(tmp, _cache)
-                except Exception:
-                    # cache is best-effort; the build stands alone —
-                    # but don't leak the partial tmp dir
-                    shutil.rmtree(tmp, ignore_errors=True)
+        # The r13-ADVICE cross-run parquet preamble cache is GONE
+        # (round 15, VERDICT r14 item 9): it saved ~0.5 s of UNTIMED
+        # setup per argo child but made the timed stage's input layout
+        # depend on whether a prior run left /tmp state (cache-hit
+        # children consumed a repartition(n, "WMO") read-back, misses
+        # make_raw's native layout) — a measurement-basis question
+        # mark on all five argo rows. Every child now builds the same
+        # deterministic make_raw frame the in-session pass uses: one
+        # basis, no cross-run state.
+        raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
         raw.count()
         if row == "argo_summary_build_30k":
             sec = warm_min(lambda: _noop(build_summary(raw)))
@@ -379,21 +334,52 @@ def _gate_config() -> tuple[float, float]:
     return gate, budget
 
 
+def _steal_gate_rate() -> float:
+    """Idle-steal ceiling (jiffies/sec over the probe window) for the
+    launch gate to call the box quiet. Ambient quiet windows measure
+    ≤~10 jiffies/5 s on this host; windows where the hypervisor
+    neighbor is active show 100-400/5 s even while WE are idle — and
+    once our 32 threads are busy those same windows rob 10k-45k/5 s
+    (the round-15 open baseline: every argo child 41k+). 15/s sits
+    above quiet-ambient noise and below every observed robbed
+    window."""
+    try:
+        return float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "15"))
+    except ValueError:
+        return 15.0
+
+
 def _await_quiet(threshold: float, cap_s: float) -> float:
-    """Load gate before each serialized child (round 12): a child
+    """Load + steal gate before each serialized child (round 12 load
+    gate; round 15 adds the steal probe, VERDICT r14 item 2): a child
     launched into the previous window's load tail measures the BOX,
     not the plan — the round-12 preview run committed window_suite at
-    4.6x its standalone number purely from launch timing, and the
-    sf1 ledger shows the same shape. Wait (bounded) for the 1-min
-    load to drop below ``threshold`` before spawning; returns the
-    seconds actually waited so the artifact can show its work. Sleeps
-    never overshoot the cap (the shared budget stays non-negative)."""
+    4.6x its standalone number purely from launch timing — and a
+    child launched into a hypervisor steal burst measures the
+    NEIGHBOR (round-14 close: four refused refresh attempts, 81k-237k
+    stolen jiffies per run). Loadavg cannot see steal (it counts our
+    runnable threads, not theft), so the gate now also samples
+    /proc/stat steal over 5 s windows and keeps waiting while the
+    idle-steal rate exceeds SPARK_GRAFT_STEAL_GATE (default 15/s —
+    steal observed while we are idle means the neighbor is busy and
+    will rob a busy child far harder). Bounded by ``cap_s`` as
+    before; returns the seconds actually waited."""
     t0 = time.time()
+    rate_cap = _steal_gate_rate()
     while True:
         elapsed = time.time() - t0
-        if elapsed >= cap_s or os.getloadavg()[0] <= threshold:
+        if elapsed >= cap_s:
             break
-        time.sleep(min(5.0, cap_s - elapsed))
+        if os.getloadavg()[0] > threshold:
+            time.sleep(min(5.0, cap_s - elapsed))
+            continue
+        # load quiet: probe steal over one 5 s window (the probe IS
+        # the wait when the box is being robbed)
+        s0 = _steal_jiffies()
+        time.sleep(min(5.0, max(0.1, cap_s - elapsed)))
+        win = time.time() - t0 - elapsed
+        if win <= 0 or (_steal_jiffies() - s0) / win <= rate_cap:
+            break
     return round(time.time() - t0, 1)
 
 
@@ -432,26 +418,76 @@ def _remeasure_flagged(
             # an ungated row must not be indistinguishable from one
             # that found a quiet box (review finding r12)
             gate_skipped = True
+        # retry-until-quiet (round 15, VERDICT r14 item 2): a child
+        # that ran through a steal burst measured the neighbor, not
+        # the plan — classify_flags already refuses to adjudicate it,
+        # so re-running it while wall budget remains is the only way
+        # the committed artifact can carry a number that CAN convict
+        # or clear a regression. Bounded: at most 1+SPARK_GRAFT_
+        # STEAL_RETRIES attempts per row (default 2 retries), each
+        # inside the shared wall; the kept attempt is the one with
+        # the least steal.
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--row", name],
-                capture_output=True, text=True,
-                timeout=max(30.0, remaining),
-                cwd=REPO_DIR,
+            max_tries = 1 + int(
+                os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2")
             )
-            line = next(
-                (l for l in proc.stdout.splitlines()
-                 if l.startswith("ROW_RESULT ")),
-                None,
-            )
-            if line is None:
-                results[name] = {
-                    "error": (proc.stderr or proc.stdout)[-300:]
-                }
-            else:
-                results[name] = json.loads(line[len("ROW_RESULT "):])
-        except Exception as exc:
-            results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        except ValueError:
+            max_tries = 3
+        best_r: dict | None = None
+        attempts = 0
+        while attempts < max_tries:
+            remaining = wall - (time.time() - t_start)
+            if remaining < 20:
+                break
+            if attempts and budget > 0:
+                # re-gate between attempts: the burst that poisoned
+                # the last attempt is usually still in progress
+                w2 = _await_quiet(gate, min(120.0, budget, remaining / 2))
+                budget -= w2
+                waited += w2
+                remaining = wall - (time.time() - t_start)
+                if remaining < 20:
+                    break
+            attempts += 1
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--row", name],
+                    capture_output=True, text=True,
+                    timeout=max(30.0, remaining),
+                    cwd=REPO_DIR,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines()
+                     if l.startswith("ROW_RESULT ")),
+                    None,
+                )
+                if line is None:
+                    r = {"error": (proc.stderr or proc.stdout)[-300:]}
+                else:
+                    r = json.loads(line[len("ROW_RESULT "):])
+            except Exception as exc:
+                r = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            if best_r is None or (
+                "sec" in r
+                and (
+                    "sec" not in best_r
+                    or r.get("steal_jiffies", 0)
+                    < best_r.get("steal_jiffies", 0)
+                )
+            ):
+                best_r = r
+            if (
+                "sec" in r
+                and r.get("steal_jiffies", 0) <= _adjudicate_steal()
+                and r.get("load_before_1m", 99.0) <= _adjudicate_load()
+            ):
+                break  # quiet attempt: adjudicable, stop retrying
+        results[name] = best_r if best_r is not None else {
+            "wall_skipped": True
+        }
+        if attempts > 1:
+            results[name]["attempts"] = attempts
         if waited:
             results[name]["gate_wait_s"] = waited
         if gate_skipped:

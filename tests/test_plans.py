@@ -399,6 +399,30 @@ def test_tfidf_lm_suite_tokenizes_corpus_once(spark, sf):
     assert "ReusedExchange" in final, final[:2000]
 
 
+def test_tfidf_totals_broadcast_form_plan_and_equality(spark, sf, monkeypatch):
+    """Round 15 (VERDICT r14 item 3): above the corpus-size gate the
+    suite's T/V smoothing totals attach via a lazy 1-row aggregate +
+    broadcast cross join instead of unpartitioned window sums over the
+    vocabulary-sized table (a single-partition WindowExec at web-corpus
+    vocab sizes). Forcing the broadcast form (gate=0) must (a) keep the
+    one-tokenize executed-plan pin — 1 corpus scan, 1 explode,
+    ReusedExchange — and (b) produce rows identical to the small-corpus
+    window form."""
+    spark.catalog.clearCache()
+    small = QUERIES["tfidf_lm_suite"](spark, sf)
+    small_rows = sorted(map(tuple, small.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_WINDOW_MAX_BYTES", "0")
+    big = QUERIES["tfidf_lm_suite"](spark, sf)
+    big.collect()
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final[:2000]
+    assert final.count("Generate") == 1, final[:2000]
+    assert "ReusedExchange" in final, final[:2000]
+    assert sorted(map(tuple, big.collect())) == small_rows
+
+
 def test_bpe_encode_broadcasts_vocab(spark, sf):
     """bpe_subwords' encode path must join the corpus tokens against
     the trained word->subwords map as a broadcast hash join — never a
