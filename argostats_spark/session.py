@@ -140,6 +140,39 @@ def spread_for_cpu(df):
     pipeline that re-executes the frame per action re-pays the
     shuffle each time (dedup_groups_lsh: +44% fresh-JVM). Two-stage
     adoption protocol — in-session screen, fresh-JVM --row confirm
-    (SCALE.md "input spread")."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    (SCALE.md "input spread").
+
+    Round 15 (VERDICT r14 item 7): the spread is bounded by a
+    min-bytes-per-partition floor so a trivially small input never
+    fans to the full core count — the target partition count is
+    clamp(input_bytes // SPARK_GRAFT_SPREAD_MIN_BYTES_PER_PART,
+    scan_partitions, defaultParallelism). The default floor (16 KiB)
+    keeps every adopted site at full spread (the sf0.1 corpora are
+    580-780 KB → 32 partitions, the measured-win configurations)
+    while a sub-16·p KB input — where even the heaviest per-row map
+    work is a few milliseconds total — stops paying a 32-way
+    exchange for nothing. Input bytes come from Catalyst's size
+    estimate (file bytes for a scan; driver-side, no job); unknown
+    sizes fall back to the unbounded spread (scale-safe: a real
+    multi-file table gates out on partition count anyway)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur >= p:
+        return df
+    try:
+        floor = int(os.environ.get(
+            "SPARK_GRAFT_SPREAD_MIN_BYTES_PER_PART", str(16 << 10)
+        ))
+    except ValueError:
+        floor = 16 << 10
+    if floor > 0:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = None
+        if size is not None and size < (1 << 60):  # a real estimate
+            p = max(cur, min(p, size // floor))
+    return df.repartition(p) if cur < p else df
