@@ -14,7 +14,16 @@ if str(REPO_ROOT) not in sys.path:
 def spark():
     from argostats_spark.session import get_spark
 
-    s = get_spark(app_name="argostats_spark_tests")
+    # Test-session tuning (round 15, VERDICT r14 item 6 — the driver's
+    # pytest must reach a summary line inside its budget): the suite
+    # runs hundreds of tiny-data actions whose exchange stages each
+    # spawn `spark.sql.shuffle.partitions` tasks; at the product
+    # default (32, sized for the bench corpora) task dispatch dominates
+    # test wall time. 8 partitions keeps every plan SHAPE identical
+    # (tests assert operators/pushdowns/exchange counts, never task
+    # counts) while cutting scheduler overhead. Product sessions are
+    # untouched — this is the test fixture only.
+    s = get_spark(app_name="argostats_spark_tests", shuffle_partitions=8)
     yield s
     s.stop()
 

@@ -181,8 +181,8 @@ def test_topk_state_merge_bounds_and_guarantees(spark):
     rows = []
     i = 0
     for g in ("a", "b"):
-        for j in range(1, 60):
-            for _ in range(3000 // j):
+        for j in range(1, 40):
+            for _ in range(1200 // j):
                 rows.append((i, g, f"v{j:02d}"))
                 i += 1
     rng.shuffle(rows)
@@ -902,7 +902,10 @@ def test_sample_state_property_random_splits(spark):
         tb = "".join(parts)
         return int(hashlib.md5(tb.encode()).hexdigest()[:12], 16), tb
 
-    @settings(max_examples=12, deadline=None)
+    # 5 examples (round 15, driver-pytest budget): each example is
+    # ~6 s of tiny sequential Spark jobs; 5 still covers the
+    # split-arity x k x duplicate-value space the law needs
+    @settings(max_examples=5, deadline=None)
     @given(
         rows=st.lists(
             st.tuples(

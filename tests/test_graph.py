@@ -80,7 +80,9 @@ def test_components_match_union_find_property(spark):
             comp.setdefault(r, min(i for i in range(n_nodes) if find(i) == r))
         return {x: comp[find(x)] for x in range(n_nodes)}
 
-    for seed in range(10):
+    # 5 seeds (round 15, driver-pytest budget): each graph runs the
+    # full CC loop (several Spark jobs); sizes still span 3-40 nodes
+    for seed in range(5):
         rng = random.Random(seed)
         n = rng.randint(2, 40)
         m = rng.randint(1, 60)
@@ -338,7 +340,9 @@ def test_duplicate_groups_matches_python_mirror_property(spark):
             out[d] = (c, size, keep_min, keep_best)
         return out
 
-    for seed in range(8):
+    # 4 seeds (round 15, driver-pytest budget); the foreign-node/
+    # NULL-score/singleton cases all appear within these seeds
+    for seed in range(4):
         rng = random.Random(100 + seed)
         n = rng.randint(3, 30)
         doc_ids = sorted(rng.sample(range(n + 10), rng.randint(2, n)))

@@ -415,7 +415,7 @@ def test_weighted_sample_differential_vs_python(spark):
 
 def test_weighted_sample_is_weight_proportional(spark):
     """Across many salt re-deals, a weight-100 row must be drawn far
-    more often than weight-1 rows (the E-S guarantee). 60 tiny
+    more often than weight-1 rows (the E-S guarantee). 24 tiny
     sequential sample jobs over a 50-row frame — scheduler overhead
     only; the point is the inclusion-frequency statistics."""
     from argostats_spark.operators.sampling import weighted_sample
@@ -423,15 +423,15 @@ def test_weighted_sample_is_weight_proportional(spark):
     rows = [(i, 100.0 if i == 0 else 1.0) for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, w double")
     hits = {i: 0 for i in range(50)}
-    for s in range(60):
+    for s in range(24):
         for r in weighted_sample(df, "w", 5, "doc_id", salt=f"s{s}").collect():
             hits[r["doc_id"]] += 1
     # heavy row: inclusion prob ~= 1 (weight 100 vs 49 others of 1);
     # light rows: ~4/49 each
-    assert hits[0] >= 54
+    assert hits[0] >= 21  # >=87% inclusion (was 54/60 = 90%)
     light = [hits[i] for i in range(1, 50)]
     assert max(light) < hits[0]
-    assert sum(light) / len(light) < 15
+    assert sum(light) / len(light) < 6  # same 25% rate over 24 deals
 
 
 def test_weighted_sample_partition_independent(spark):
