@@ -47,22 +47,23 @@ from argostats_spark.operators.atlas import (
 from argostats_spark.operators.interpolation import interpolate_profiles
 from argostats_spark.sources.synthetic import make_raw
 
+def _steal():
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
+_steal0 = _steal()
 spark = get_spark(app_name=f"eape_ab_{variant}_{algo}")
 
-# bench.py preamble (shared parquet cache, repartitioned like make_raw)
-_cache = os.environ.get(
-    "SPARK_GRAFT_ARGO_CACHE", "/tmp/argostats_bench_argo_raw_240x125"
-)
-_n_parts = max(1, min(240, spark.sparkContext.defaultParallelism))
-raw = None
-if _cache != "off" and os.path.exists(os.path.join(_cache, "_SUCCESS")):
-    try:
-        raw = (spark.read.parquet(_cache)
-               .repartition(_n_parts, "PLATFORM_NUMBER").cache())
-    except Exception:
-        raw = None
-if raw is None:
-    raw = make_raw(spark, n_wmos=240, profiles_per_wmo=125).cache()
+# round 15: the cross-run parquet cache is gone from bench.py (VERDICT
+# r14 item 9) — build the deterministic frame directly, sized by env
+# so the scale adjudication can grow the profile count
+_wmos = int(os.environ.get("SPARK_GRAFT_EAPE_WMOS", "240"))
+_ppw = int(os.environ.get("SPARK_GRAFT_EAPE_PPW", "125"))
+raw = make_raw(spark, n_wmos=_wmos, profiles_per_wmo=_ppw).cache()
 raw.count()
 
 
@@ -120,6 +121,8 @@ print("CHILD_RESULT " + json.dumps({
     "min_sec": min(singles), "singles": singles,
     "load_before_1m": round(load_before[0], 2),
     "load_after_1m": round(load_after[0], 2),
+    "steal_jiffies": _steal() - _steal0,
+    "n_profiles": _wmos * _ppw,
 }))
 spark.stop()
 '''
@@ -131,32 +134,39 @@ def main() -> None:
     if args and args[0] in ("R14", "T25", "both"):
         algos = [args[0]] if args[0] != "both" else algos
         args = args[1:]
+    rounds = 1
+    if args and args[0] == "--rounds":
+        rounds = int(args[1]); args = args[2:]
     variants = args or ["v0_r13", "v1_arrow", "v2_fast"]
     results = []
     for algo in algos:
-        for v in variants:
-            # load gate between children (the bench.py protocol): a
-            # child launched into the previous child's 32-thread load
-            # tail measures the box, not the plan
-            t_gate = time.time()
-            while (time.time() - t_gate) < 180 and os.getloadavg()[0] > 1.5:
-                time.sleep(5)
-            code = (CHILD.replace("@REPO@", repr(str(REPO)))
-                    .replace("@VARIANT@", repr(v))
-                    .replace("@ALGO@", repr(algo)))
-            t0 = time.time()
-            proc = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True,
-                text=True, timeout=3600, cwd=str(REPO),
-            )
-            line = next((l for l in proc.stdout.splitlines()
-                         if l.startswith("CHILD_RESULT ")), None)
-            rec = (json.loads(line[len("CHILD_RESULT "):]) if line
-                   else {"variant": v, "algo": algo,
-                         "error": (proc.stderr or proc.stdout)[-500:]})
-            rec["wall_sec"] = round(time.time() - t0, 1)
-            results.append(rec)
-            print(f"{rec}", file=sys.stderr)
+        for rnd in range(rounds):
+            # alternate order per round so neither variant always
+            # inherits the other's load tail
+            ordered = variants if rnd % 2 == 0 else list(reversed(variants))
+            for v in ordered:
+                # load gate between children (the bench.py protocol): a
+                # child launched into the previous child's 32-thread load
+                # tail measures the box, not the plan
+                t_gate = time.time()
+                while (time.time() - t_gate) < 180 and os.getloadavg()[0] > 1.5:
+                    time.sleep(5)
+                code = (CHILD.replace("@REPO@", repr(str(REPO)))
+                        .replace("@VARIANT@", repr(v))
+                        .replace("@ALGO@", repr(algo)))
+                t0 = time.time()
+                proc = subprocess.run(
+                    [sys.executable, "-c", code], capture_output=True,
+                    text=True, timeout=3600, cwd=str(REPO),
+                )
+                line = next((l for l in proc.stdout.splitlines()
+                             if l.startswith("CHILD_RESULT ")), None)
+                rec = (json.loads(line[len("CHILD_RESULT "):]) if line
+                       else {"variant": v, "algo": algo,
+                             "error": (proc.stderr or proc.stdout)[-500:]})
+                rec["wall_sec"] = round(time.time() - t0, 1)
+                results.append(rec)
+                print(f"{rec}", file=sys.stderr)
     print(json.dumps({"results": results}))
 
 

@@ -546,7 +546,10 @@ def test_fold_topk_states_shard_col_equals_positional_property(spark):
         topk_state,
     )
 
-    @settings(max_examples=6, deadline=None)
+    # 3 examples (round 15, driver-pytest budget): each example runs
+    # two full fold hierarchies; the equal-bounds/empty-shard/skew
+    # cases hypothesis targets appear within 3
+    @settings(max_examples=3, deadline=None)
     @given(
         vals=st.lists(st.integers(min_value=0, max_value=9),
                       min_size=4, max_size=60),

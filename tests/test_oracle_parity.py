@@ -235,12 +235,21 @@ def test_model_parquets_order_independent(spark):
         n: pq.read_table(_model_parquet_path(n))
         for n in ("pq_codebooks", "kmeans_centroids", "bpe_words", "bpe_merges")
     }
-    # the builders retrain and overwrite at BUILD time (the model
-    # writes are the queries' eager prefix) — building the frames is
-    # the guard; executing them too spent ~40 s re-running the full
-    # queries for nothing (round 15, driver-pytest budget)
-    QUERIES["ann_suite"](spark, PARITY_SF)
-    QUERIES["clustering_suite"](spark, PARITY_SF)
-    QUERIES["bpe_subwords"](spark, PARITY_SF)
+    # the builders' own writers, called exactly as the query bodies
+    # call them (ann_suite -> _train_and_write_pq, clustering_suite ->
+    # _train_and_write_kmeans, bpe_subwords -> _train_and_write_bpe):
+    # the guard is "builder-written bytes == ensure_model_parquets
+    # bytes"; constructing the full query frames on top re-ran their
+    # other eager prefixes and plan analysis for nothing (round 15,
+    # driver-pytest budget)
+    from argostats_spark.queries_documents import (
+        _train_and_write_bpe,
+        _train_and_write_kmeans,
+        _train_and_write_pq,
+    )
+
+    _train_and_write_pq(spark, PARITY_SF)
+    _train_and_write_kmeans(spark, PARITY_SF)
+    _train_and_write_bpe(spark, PARITY_SF)
     for n, t in before.items():
         assert pq.read_table(_model_parquet_path(n)).equals(t), n
